@@ -1,13 +1,149 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{LLMOps, Relational, Similarity, Temporal}
+
+/** Driver contract — see /root/repo/SURVEY.md §2.D + §7.
+  *
+  * Every implemented operator from SURVEY §2 is exposed as a named query;
+  * queries with a DuckDB-expressible equivalent also declare oracle SQL
+  * (same column names/types on both sides — the driver sorts columns by
+  * name and hashes values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.qA01(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.D relational contract
+    "q_p01_scan_filter"    -> (Relational.qP01 _),
+    "q_a01_hash_agg"       -> (Relational.qA01 _),
+    "q_a02_case_agg"       -> (Relational.qA02 _),
+    "q_a03_distinct_agg"   -> (Relational.qA03 _),
+    "q_a04_rollup"         -> (Relational.qA04 _),
+    "q_a05_string_agg"     -> (Relational.qA05 _),
+    "q_j01_inner_join"     -> (Relational.qJ01 _),
+    "q_j02_join4"          -> (Relational.qJ02 _),
+    "q_j03_left_join"      -> (Relational.qJ03 _),
+    "q_j04_semi_join"      -> (Relational.qJ04 _),
+    "q_j05_anti_join"      -> (Relational.qJ05 _),
+    "q_j06_range_join"     -> (Relational.qJ06 _),
+    "q_q01_corr_subquery"  -> (Relational.qQ01 _),
+    "q_w01_rank"           -> (Relational.qW01 _),
+    "q_w02_running_sum"    -> (Relational.qW02 _),
+    "q_w03_lag"            -> (Relational.qW03 _),
+    "q_s01_topk"           -> (Relational.qS01 _),
+    "q_u01_union"          -> (Relational.qU01 _),
+    "q_u02_intersect"      -> (Relational.qU02 _),
+    "q_u03_except"         -> (Relational.qU03 _),
+    "q_f01_string_fns"     -> (Relational.qF01 _),
+    "q_f02_date_fns"       -> (Relational.qF02 _),
+    "q_f03_math_fns"       -> (Relational.qF03 _),
+    "q_f04_json"           -> (Relational.qF04 _),
+    "q_f05_full_join"      -> (Relational.qF05 _),
+    "q_v01_array_ops"      -> (Relational.qV01 _),
+    // temporal (batch analogs of the streaming windows)
+    "q_t01_tumbling"       -> (Temporal.qT01 _),
+    "q_t02_sessionize"     -> (Temporal.qT02 _),
+    // LLM-data-pipeline mandate
+    "q_l01_dedup_counts"   -> (LLMOps.qL01 _),
+    "q_l02_cosine_topk"    -> (Similarity.qL02 _),
+    "q_l03_token_top20"    -> (LLMOps.qL03 _),
+    "q_l04_dedup_keepers"  -> (LLMOps.qL04 _),
+    "q_l05_ngram_jaccard"  -> (LLMOps.qL05 _),
+    "q_l06_minhash_lsh"    -> (LLMOps.qL06 _),
+    "q_l07_simhash"        -> (LLMOps.qL07 _),
+    "q_l08_lang_id"        -> (LLMOps.qL08 _),
+    "q_l09_quality_hist"   -> (LLMOps.qL09 _),
+    "q_l10_token_stats"    -> (LLMOps.qL10 _),
+    "q_l11_fingerprint"    -> (LLMOps.qL11 _),
+    // similarity scale path (xxhash64-based → rows-only checks)
+    "q_l12_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "q_l13_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+  )
+
+  /** DuckDB oracle SQL per query (omitted → driver rows-only check).
+    * Column names and types must match the Spark result exactly.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_p01_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' AND l_discount > 0.02 ORDER BY l_orderkey, l_linenumber""",
+    "q_a01_hash_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, COUNT(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_a02_case_agg" ->
+      """SELECT o_orderpriority, CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS big_orders, COUNT(*) AS total_orders FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_a03_distinct_agg" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS distinct_custkeys, COUNT(DISTINCT o_orderpriority) AS distinct_priorities FROM orders""",
+    "q_a04_rollup" ->
+      """SELECT n_regionkey, n_nationkey, COUNT(*) AS cnt FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey) ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+    "q_a05_string_agg" ->
+      """SELECT n_name, string_agg(c_name, ', ' ORDER BY c_name) AS customers FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name""",
+    "q_j01_inner_join" ->
+      """SELECT o_orderkey, o_totalprice, c_name FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""",
+    "q_j02_join4" ->
+      """SELECT r_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS order_cnt FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name""",
+    "q_j03_left_join" ->
+      """SELECT c_custkey, COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent, COUNT(o_orderkey) AS order_cnt FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_j04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
+    "q_j05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
+    "q_j06_range_join" ->
+      """SELECT p_brand, COUNT(*) AS cnt FROM part JOIN lineitem ON p_partkey = l_partkey AND l_extendedprice BETWEEN p_retailprice * 0.5 AND p_retailprice * 2.0 GROUP BY p_brand ORDER BY p_brand""",
+    "q_q01_corr_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c_custkey""",
+    "q_w01_rank" ->
+      """SELECT o_custkey, o_orderkey, rn, rnk FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn, RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_w02_running_sum" ->
+      """SELECT o_custkey, o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_w03_lag" ->
+      """SELECT user_id, event_id, value, value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta FROM events ORDER BY user_id, event_id""",
+    "q_s01_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_u01_union" ->
+      """SELECT o_custkey AS custkey FROM orders UNION SELECT c_custkey FROM customer ORDER BY custkey""",
+    "q_u02_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer INTERSECT SELECT o_custkey FROM orders ORDER BY custkey""",
+    "q_u03_except" ->
+      """SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""",
+    "q_f01_string_fns" ->
+      """SELECT c_custkey, upper(c_name) AS up_name, substring(c_name, 1, 8) AS prefix8, CAST(length(c_name) AS BIGINT) AS name_len, replace(c_name, 'Customer', 'Cust') AS short_name, trim(c_name) AS trimmed, (c_name LIKE 'Customer%') AS is_customer FROM customer ORDER BY c_custkey""",
+    "q_f02_date_fns" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, COUNT(*) AS cnt FROM orders GROUP BY yr, mo, month_start ORDER BY yr, mo""",
+    "q_f03_math_fns" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 0) AS price_rounded, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil, abs(l_discount - 0.05) AS disc_dev FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_f04_json" ->
+      """SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt FROM events GROUP BY k_val ORDER BY k_val NULLS FIRST""",
+    "q_f05_full_join" ->
+      """SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey, COUNT(s_suppkey) AS supp_rows, COUNT(c_custkey) AS cust_rows FROM supplier FULL OUTER JOIN customer ON s_nationkey = c_nationkey GROUP BY 1 ORDER BY nationkey NULLS FIRST""",
+    "q_v01_array_ops" ->
+      """SELECT label, CAST(len(embedding) AS BIGINT) AS dim, CAST(SUM(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonneg_first, COUNT(*) AS cnt FROM embeddings GROUP BY label, dim ORDER BY label, dim""",
+    "q_t01_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
+    "q_t02_sessionize" ->
+      """WITH g AS (SELECT user_id, CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_session FROM events) SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS sessions, COUNT(*) AS events FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_l01_dedup_counts" ->
+      """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT text) AS distinct_docs FROM documents""",
+    "q_l02_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings, q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
+    "q_l03_token_top20" ->
+      """SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "q_l04_dedup_keepers" ->
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS copies FROM documents GROUP BY text ORDER BY keeper_id""",
+    "q_l05_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents WHERE doc_id < 100), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(shl) AS sh FROM sl) u), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.2 ORDER BY doc_a, doc_b""",
+    "q_l06_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), h AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM h), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig) SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b""",
+    "q_l08_lang_id" ->
+      """SELECT lang, CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) >= 0.03 THEN 'en' ELSE 'unk' END AS lang_pred, COUNT(*) AS cnt FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+    "q_l09_quality_hist" ->
+      """WITH s AS (SELECT CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_ratio, CAST(length(text) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_tok_len, CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 30 AND 1000 THEN 1.0 ELSE 0.0 END AS length_ok FROM documents) SELECT CAST(floor((least(stop_ratio * 5.0, 1.0) + least(mean_tok_len / 10.0, 1.0) + length_ok) / 3.0 * 10) AS BIGINT) AS bucket, COUNT(*) AS docs FROM s GROUP BY bucket ORDER BY bucket""",
+    "q_l10_token_stats" ->
+      """SELECT source, COUNT(*) AS docs, CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source ORDER BY source""",
+    "q_l11_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id""",
+  )
 }

@@ -1,0 +1,315 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import Determinism._
+
+/** The relational query surface (SURVEY §2.B / §2.D, Q-P/A/J/Q/W/S/U/F).
+  *
+  * Each query is declared with the DataFrame API so Catalyst gets a fully
+  * declarative plan: parquet column pruning + predicate pushdown, partial
+  * aggregation, broadcast-join selection for the small dimension tables and
+  * AQE re-planning all come for free. Every query ends in a total ORDER BY
+  * and floating aggregates go through Determinism.dsum (decimal-exact,
+  * partition-order-independent) so results hash-match the DuckDB oracle.
+  *
+  * Reference semantics being re-expressed (all from /root/reference/
+  * Program.cs): projection/filter (B1/B2, e.g. Program.cs:128,457-459),
+  * inner/left joins (B3/B4, Program.cs:127,176-182), GROUP BY + aggregates
+  * (B5/B6, Program.cs:378,41), ordered string agg (B7, Program.cs:255-292),
+  * correlated subqueries (B8, Program.cs:263-264), DISTINCT (B9,
+  * Program.cs:125), ORDER BY (B10, Program.cs:184), CASE (B11,
+  * Program.cs:253-294), COALESCE (B12, Program.cs:168), string/metadata fns
+  * (B13/B14), EXISTS guards → semi/anti joins (B16, Program.cs:134 et al.).
+  */
+object Relational {
+
+  /** Q-P01 — scan + project + filter; predicate mirrors Program.cs:457-459
+    * style. Both predicates reach the parquet scan as PushedFilters.
+    */
+  def qP01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp")
+        && col("l_discount") > 0.02)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q-A01 — TPC-H Q1-shaped hash aggregate (partial+final via Catalyst). */
+  def qA01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))
+          * (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q-A02 — conditional aggregation (CASE inside SUM, cf. B11). */
+  def qA02(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_totalprice") > 100000, 1).otherwise(0)).as("big_orders"),
+        count(lit(1)).as("total_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Q-A03 — distinct aggregates (B9). At 100 TB the approximate twin is
+    * LLMOps.approxDistinct; this exact form is the oracle-checked one.
+    */
+  def qA03(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(
+        countDistinct(col("o_custkey")).as("distinct_custkeys"),
+        countDistinct(col("o_orderpriority")).as("distinct_priorities"))
+
+  /** Q-A04 — ROLLUP grouping sets. */
+  def qA04(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .rollup(col("n_regionkey"), col("n_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("n_regionkey"), asc_nulls_first("n_nationkey"))
+
+  /** Q-A05 — ordered string aggregation: the reference's signature idiom
+    * (STUFF(... FOR XML PATH('')) at Program.cs:255-292), Spark-first as
+    * collect_list → array_sort → array_join (order-independent because the
+    * sort happens after collection).
+    */
+  def qA05(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(array_join(array_sort(collect_list(col("c_name"))), ", ").as("customers"))
+      .orderBy("n_name")
+  }
+
+  /** Q-J01 — inner equi-join; customer is small → broadcast hash join. */
+  def qJ01(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "o_totalprice", "c_name")
+      .orderBy("o_orderkey")
+  }
+
+  /** Q-J02 — 4-way join (cf. the triggers query, Program.cs:553-556):
+    * region ⋈ nation ⋈ customer ⋈ orders, revenue per region. The three
+    * dimension tables broadcast; only orders (the fact side) stays
+    * partitioned, so the whole join tree is shuffle-free at any scale.
+    */
+  def qJ02(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("order_cnt"))
+      .orderBy("r_name")
+  }
+
+  /** Q-J03 — left outer join + COALESCE (B4 + B12, Program.cs:176-182,168). */
+  def qJ03(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"),
+        count(col("o_orderkey")).as("order_cnt"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q-J04 — left semi join (EXISTS guard pattern, B16, Program.cs:134). */
+  def qJ04(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Q-J05 — left anti join (NOT EXISTS). */
+  def qJ05(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Q-J06 — range/theta join: equi key plus a non-equi BETWEEN residual.
+    * Catalyst plans the equality as the hash-join key and evaluates the
+    * range predicate as a post-join filter — no BNLJ blowup.
+    */
+  def qJ06(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val l = Tables.lineitem(s, d)
+    p.join(l, p("p_partkey") === l("l_partkey")
+        && l("l_extendedprice").between(p("p_retailprice") * 0.5, p("p_retailprice") * 2.0))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
+  }
+
+  /** Q-Q01 — correlated scalar subquery (B8, Program.cs:263-264), expressed
+    * decorrelated (pre-aggregate + join) as Catalyst itself would rewrite it.
+    */
+  def qQ01(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val avgs = c.groupBy("c_nationkey").agg(avg(col("c_acctbal")).as("nation_avg"))
+    c.join(broadcast(avgs), Seq("c_nationkey"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Q-W01 — ranking window (ROW_NUMBER/RANK); deterministic because the
+    * window order ends in the unique o_orderkey.
+    */
+  def qW01(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn", "rnk")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q-W02 — running aggregate with an explicit ROWS frame; decimal-exact
+    * so the running sum is identical regardless of engine.
+    */
+  def qW02(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "running_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q-W03 — LAG over event time (per-user delta). */
+  def qW03(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .select("user_id", "event_id", "value", "delta")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q-S01 — top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject (a
+    * per-partition heap + driver merge — no total sort even at 100 TB).
+    */
+  def qS01(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q-U01 — UNION (set semantics: union + distinct). */
+  def qU01(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+    o.union(c).distinct().orderBy("custkey")
+  }
+
+  /** Q-U02 — INTERSECT. */
+  def qU02(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+    c.intersect(o).orderBy("custkey")
+  }
+
+  /** Q-U03 — EXCEPT: customers that never ordered. */
+  def qU03(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+    c.except(o).orderBy("custkey")
+  }
+
+  /** Q-F01 — string function suite (B13, Program.cs:242-254 concat/quote
+    * handling re-expressed with codegen'd built-ins).
+    */
+  def qF01(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up_name"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        length(col("c_name")).cast("long").as("name_len"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
+        trim(col("c_name")).as("trimmed"),
+        col("c_name").like("Customer%").as("is_customer"))
+      .orderBy("c_custkey")
+
+  /** Q-F02 — date function suite (B13/write-path formatting,
+    * Program.cs:763-767).
+    */
+  def qF02(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("yr", "mo")
+
+  /** Q-F03 — math function suite. ROUND is only applied at scale 0 (binary-
+    * exact halves), never at fractional scale on raw doubles — see SURVEY
+    * §7.4 determinism note.
+    */
+  def qF03(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice"), 0).as("price_rounded"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        abs(col("l_discount") - 0.05).as("disc_dev"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q-F04 — JSON extraction over events.props (declared in §2.C map/JSON
+    * row; props is a JSON object string like {"k": 87}).
+    */
+  def qF04(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").as("k_val"))
+      .groupBy("k_val")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("k_val"))
+
+  /** Q-F05 — full outer join aggregated per nation key. */
+  def qF05(s: SparkSession, d: String): DataFrame = {
+    val su = Tables.supplier(s, d)
+    val c = Tables.customer(s, d)
+    su.join(c, su("s_nationkey") === c("c_nationkey"), "full")
+      .select(coalesce(su("s_nationkey"), c("c_nationkey")).as("nationkey"),
+        su("s_suppkey"), c("c_custkey"))
+      .groupBy("nationkey")
+      .agg(count(col("s_suppkey")).as("supp_rows"), count(col("c_custkey")).as("cust_rows"))
+      .orderBy(asc_nulls_first("nationkey"))
+  }
+
+  /** Q-V01 — array ops over the embeddings fixture (§2.C array row). */
+  def qV01(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        when(element_at(col("embedding"), 1) >= 0f, 1).otherwise(0).as("first_nonneg"))
+      .groupBy("label", "dim")
+      .agg(sum(col("first_nonneg")).as("nonneg_first"), count(lit(1)).as("cnt"))
+      .orderBy("label", "dim")
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (driver mandate: brute-force cosine top-k as
+  * the baseline plus an LSH-bucketed scale path).
+  *
+  * All vector math is composed from codegen'd higher-order functions
+  * (zip_with / transform / aggregate) over ArrayType(FloatType) columns —
+  * no UDFs, so the whole pipeline stays inside WholeStageCodegen. Floats are
+  * widened to double before multiplication and folded sequentially, which
+  * gives bit-identical results to any engine doing the same left fold.
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, z) => acc + z)
+
+  /** L2 norm of a float-array column, in double. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, z) => acc + z))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Q-L02 — exact cosine top-k against a single query vector (vec_id = 0).
+    * The 1-row query side is broadcast; the scan side streams, so this is a
+    * single pass over the corpus at any scale — the canonical brute-force
+    * ANN baseline.
+    */
+  def qL02(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Random-hyperplane LSH bucket id (SimHash over the embedding): sign bits
+    * of dot products with `bits` pseudo-random hyperplanes derived from
+    * xxhash64 — deterministic, data-independent, no stored model. At scale
+    * this turns the O(n²) all-pairs problem into a per-bucket problem.
+    */
+  def lshBucket(emb: Column, bits: Int): Column = {
+    // hyperplane h, component i ∈ [-0.5, 0.5): hash-derived pseudo-random
+    def plane(h: Int): Column =
+      aggregate(
+        zip_with(
+          emb,
+          sequence(lit(0), size(emb) - 1),
+          (x, i) => x.cast("double") *
+            ((pmod(xxhash64(lit(h), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
+        lit(0.0), (acc, z) => acc + z)
+    (0 until bits).map(h => when(plane(h) >= 0, 1L << h).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: candidates share the query's bucket; exact cosine
+    * re-rank inside the bucket. Falls back to fewer results than k when the
+    * bucket is small (the recall/latency tradeoff of IVF/LSH ANN).
+    */
+  def annLsh(s: SparkSession, d: String, k: Int = 10, bits: Int = 8): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val bucketed = e.withColumn("bucket", lshBucket(col("embedding"), bits))
+    val q = bucketed.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("bucket"))
+    bucketed.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), Seq("bucket"))
+      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: LSH-bucket self-join (no O(n²) cross
+    * product), exact cosine confirm above a threshold. This is the
+    * embedding-cosine near-dup path of the dedup mandate.
+    */
+  def nearDupPairs(s: SparkSession, d: String, threshold: Double = 0.95,
+      bits: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val b = e.withColumn("bucket", lshBucket(col("embedding"), bits))
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+}

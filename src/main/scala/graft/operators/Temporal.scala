@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal / event-time operators (SURVEY §2.D Q-T01/Q-T02). These are the
+  * batch analogs of the streaming windows in [[graft.streaming.StreamOps]];
+  * the semantics (tumbling bucket, 30-minute session gap) are shared so the
+  * streaming path can be validated against these oracle-checked versions.
+  */
+object Temporal {
+
+  /** Q-T01 — tumbling window as a batch query: events per (hour, type).
+    * date_trunc keeps the bucket computation inside codegen; the aggregate
+    * is an ordinary partial+final hash agg, so it scales linearly.
+    */
+  def qT01(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("users"))
+      .orderBy("hr", "event_type")
+
+  /** Q-T02 — batch sessionization: a session breaks when the per-user gap
+    * exceeds 30 minutes. All arithmetic on epoch microseconds (exact
+    * integers), so the result is engine-independent. The single shuffle is
+    * the window partition by user_id; session counting is then a hash agg
+    * on the same key, which Catalyst schedules without a second shuffle.
+    */
+  def qT02(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg((sum(col("new_session")) + 1).cast("long").as("sessions"),
+        count(lit(1)).as("events"))
+      .orderBy("user_id")
+  }
+}
