@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.PolyHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,32 +31,11 @@ object LLMOps {
         i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j + 1))): _*)))
       .otherwise(array(array_join(w, " ")))
 
-  /** Portable polynomial string hash: fold over char codes, mod P. The
-    * DuckDB oracle computes the identical fold (list_reduce over ord()),
-    * which is why this exists alongside xxhash64.
+  /** Portable polynomial string hash (native codegen expression; the DuckDB
+    * oracle computes the identical fold with list_reduce over ord()), which
+    * is why this exists alongside xxhash64.
     */
-  def charHash(sh: Column): Column =
-    aggregate(sequence(lit(1), length(sh)), lit(0L),
-      (acc, i) => (acc * 31L + ascii(sh.substr(i, lit(1)))) % P)
-
-  /** MinHash signature: numHashes affine permutations of the shingle hash,
-    * min per permutation. One pass over the shingles per doc.
-    */
-  def minhashSig(shingleHashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(shingleHashes,
-        h => ((lit(31L) + lit(17L) * k) * h + lit(7L) + lit(11L) * k) % P)))
-
-  /** LSH band keys: signature split into bands of `r`, each rendered as a
-    * "bandIdx:sig:sig:..." string so candidates join on a single key column.
-    */
-  def bandKeys(sig: Column, numHashes: Int, r: Int): Column = {
-    val bands = (0 until numHashes / r).map { b =>
-      concat_ws(":", (lit(b) +: (0 until r).map(j =>
-        element_at(sig, b * r + j + 1))).map(_.cast("string")): _*)
-    }
-    array(bands: _*)
-  }
+  def charHash(sh: Column): Column = PolyHash(sh)
 
   // ---------------------------------------------------------------- queries
 
@@ -114,20 +94,29 @@ object LLMOps {
   }
 
   /** Q-L06 — MinHash + LSH dedup candidates (16 hashes, 4 bands of 4):
-    * shingle → portable hash → minhash signature → band keys → bucket
-    * self-join. The only shuffle is the band-key join; signature
-    * computation is map-side. This is the shape that survives 100 TB —
-    * candidate generation never compares all pairs.
+    * explode shingles → portable hash (codegen) → 16 min-aggregates build
+    * the signature in one partial+final hash agg → band keys → bucket
+    * self-join. Signature computation is map-side combined; the only
+    * shuffles are the per-doc agg and the band-key join. This is the shape
+    * that survives 100 TB — candidate generation never compares all pairs.
     */
   def qL06(s: SparkSession, d: String): DataFrame = {
     val numHashes = 16
     val r = 4
-    val sig = Tables.documents(s, d)
-      .select(col("doc_id"),
-        minhashSig(transform(shingles(tokens(col("text")), 3), charHash _), numHashes).as("sig"))
-      .select(col("doc_id"), explode(bandKeys(col("sig"), numHashes, r)).as("band_key"))
-    val a = sig.select(col("band_key"), col("doc_id").as("doc_a"))
-    val b = sig.select(col("band_key"), col("doc_id").as("doc_b"))
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), charHash(col("sh")).as("h"))
+    val minAggs = (0 until numHashes).map { k =>
+      min((lit(31L + 17L * k) * col("h") + lit(7L + 11L * k)) % P).as(s"m$k")
+    }
+    val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until numHashes / r).map { b =>
+      concat_ws(":", (lit(b) +: (0 until r).map(j => col(s"m${b * r + j}")))
+        .map(_.cast("string")): _*)
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+    val a = bands.select(col("band_key"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band_key"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -135,30 +124,27 @@ object LLMOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash (64-bit) per doc: per-token xxhash64, signed bit-vote, sign →
-    * bit. Docs sharing the signature are near-dup candidates. xxhash64 has
-    * no cross-engine oracle → rows-only check.
+  /** Q-L07 — SimHash (64-bit) dedup groups (rows-only): explode tokens →
+    * xxhash64 → 64 signed bit-vote sums in one partial+final hash agg →
+    * sign → bit → group by signature. All codegen'd; two shuffles total
+    * (per-doc agg keyed on doc_id, then the tiny per-signature agg).
     */
-  def simhash(textCol: Column): Column = {
-    val votes = aggregate(
-      tokens(textCol),
-      array_repeat(lit(0), 64),
-      (acc, t) => array((0 until 64).map(j =>
-        element_at(acc, j + 1) +
-          when(shiftright(xxhash64(t), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)): _*))
-    (0 until 64).map(j =>
-      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-  }
-
-  /** Q-L07 — SimHash dedup groups (rows-only): signature → group size. */
-  def qL07(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), simhash(col("text")).as("sh"))
+  def qL07(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val voteAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$j")
+    }
+    val votes = tok.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("doc_id"), sig.as("sh"))
       .groupBy("sh")
       .agg(count(lit(1)).as("members"), min(col("doc_id")).as("keeper_id"))
       .filter(col("members") > 1)
       .orderBy("keeper_id")
+  }
 
   /** Q-L08 — language ID by stopword-ratio heuristic, scored against the
     * labeled lang column (confusion counts).
