@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{LLMOps, Relational, Similarity, Temporal}
+import graft.operators.{LLMOps, Multimodal, Relational, Similarity, Temporal}
+import graft.pipeline.ClonePipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + §7.
   *
@@ -63,6 +64,12 @@ object SparkEntry {
     // similarity scale path (xxhash64-based → rows-only checks)
     "q_l12_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_l13_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+    // clone surface (Q-M01: schema introspection → DDL; rows-only)
+    "q_m01_clone_ddl"      -> (ClonePipeline.qM01 _),
+    // multimodal plumbing (rows-only: stubbed decode, real schema/partitioning)
+    "q_mm01_media_meta"    -> (Multimodal.qMM01 _),
+    "q_mm02_features"      -> (Multimodal.qMM02 _),
+    "q_mm03_frame_sample"  -> (Multimodal.qMM03 _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver rows-only check).

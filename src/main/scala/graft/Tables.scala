@@ -38,7 +38,11 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Canonical accessor by name (events gets its nanos normalization). */
+  def table(s: SparkSession, d: String, name: String): DataFrame =
+    if (name == "events") events(s, d) else load(s, d, name)
+
   /** Register every corpus table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -1,0 +1,40 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source readers (SURVEY §2.A A16, §2.C sources rows).
+  *
+  * The reference's extract is `SELECT * FROM [s].[t]` fully materialized in
+  * driver memory (/root/reference/Program.cs:611 — and a second time at 692).
+  * Here every source is a distributed scan: parquet/csv/json files are
+  * splittable reads, and JDBC tables are range-partitioned on a numeric key
+  * so N executor tasks stream N disjoint slices — nothing ever lands on the
+  * driver.
+  */
+object Readers {
+
+  def parquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+
+  def csv(s: SparkSession, path: String, header: Boolean = true,
+      inferSchema: Boolean = true): DataFrame =
+    s.read.option("header", header).option("inferSchema", inferSchema).csv(path)
+
+  def json(s: SparkSession, path: String): DataFrame = s.read.json(path)
+
+  /** Partitioned JDBC scan. `partitionColumn` should be the PK/identity
+    * column — the reference's identity seed/increment metadata
+    * (Program.cs:169-170) gives natural bounds. With no partition column
+    * the scan degrades to a single task (small/dimension tables only).
+    */
+  def jdbc(s: SparkSession, url: String, table: String,
+      props: java.util.Properties,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0L, upperBound: Long = 0L,
+      numPartitions: Int = 32): DataFrame =
+    partitionColumn match {
+      case Some(col) =>
+        s.read.jdbc(url, table, col, lowerBound, upperBound, numPartitions, props)
+      case None =>
+        s.read.jdbc(url, table, props)
+    }
+}

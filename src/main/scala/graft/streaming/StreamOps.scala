@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY §2.C streaming row; the reference
+  * has no streams, so this is the driver-mandated extension). The batch
+  * twins live in [[graft.operators.Temporal]] and are oracle-checked; these
+  * transformations share their semantics (same bucket/gap constants) so the
+  * streaming path is validated against the batch results on the same data.
+  *
+  * All of these are *unbounded-input* designs: watermarks bound state, and
+  * every aggregation is keyed so state partitions across executors.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour count per event type with a 10-minute watermark —
+    * streaming Q-T01. Late events beyond the watermark are dropped;
+    * in-watermark late data updates its window (Append emits only closed
+    * windows).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        approx_count_distinct("user_id").as("approx_users"))
+      .select(col("window.start").as("hr"), col("event_type"), col("cnt"),
+        col("approx_users"))
+
+  /** Sliding window: 1-hour windows advancing every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("cnt"))
+
+  /** Session windows with a 30-minute gap — streaming Q-T02 via the
+    * built-in session_window (SURVEY §7.4 item 5: no custom state needed
+    * for plain sessionization).
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("events"))
+
+  // ---- custom stateful path: flatMapGroupsWithState ----------------------
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionState(sessionStartUs: Long, lastSeenUs: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState — the escape hatch
+    * for session payloads session_window can't express (e.g. carrying
+    * custom per-session aggregates). Emits a session when its gap timeout
+    * expires. State per user is O(1); the watermark bounds total state.
+    */
+  def statefulSessions(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        // gap timeout expired with no new events: close and emit the session
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userId, new Timestamp(s.sessionStartUs / 1000L),
+          new Timestamp(s.lastSeenUs / 1000L), s.nEvents))
+      } else {
+        var out = List.empty[SessionOut]
+        var st = state.getOption
+        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val us = e.ts.getTime * 1000L
+          st match {
+            case Some(s) if us - s.lastSeenUs <= gapUs =>
+              st = Some(s.copy(lastSeenUs = us, nEvents = s.nEvents + 1))
+            case Some(s) => // gap exceeded: close previous session, open new
+              out ::= SessionOut(userId, new Timestamp(s.sessionStartUs / 1000L),
+                new Timestamp(s.lastSeenUs / 1000L), s.nEvents)
+              st = Some(SessionState(us, us, 1L))
+            case None =>
+              st = Some(SessionState(us, us, 1L))
+          }
+        }
+        st.foreach { s =>
+          state.update(s)
+          // the timeout must not trail the watermark (Spark rejects that);
+          // a session already older than the watermark times out next batch
+          val timeoutMs = s.lastSeenUs / 1000L + gapMinutes * 60L * 1000L
+          state.setTimeoutTimestamp(math.max(timeoutMs, state.getCurrentWatermarkMs() + 1000L))
+        }
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .selectExpr("user_id", "ts", "event_type")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

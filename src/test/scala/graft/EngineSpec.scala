@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.PolyHash
+import graft.io.Writers
+import graft.operators.Multimodal
+import graft.pipeline.ClonePipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Spark-backed specs over the sf0.001 corpus: the custom expression, the
+  * date-clamp normalizer, the clone round-trip and the multimodal plumbing.
+  */
+class EngineSpec extends AnyFunSuite with SparkFixture {
+
+  test("PolyHash matches the reference fold and handles edge cases") {
+    def naive(s: String): Long = {
+      var acc = 0L
+      s.codePoints().toArray.foreach(cp => acc = (acc * 31 + cp) % 1000000007L)
+      acc
+    }
+    import spark.implicits._
+    val cases = Seq("", "a", "hello world", "é€ñ", "x" * 10000)
+    val got = cases.toDF("s").select(PolyHash(col("s")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(naive))
+  }
+
+  test("PolyHash stays inside whole-stage codegen") {
+    // use range (not a local Seq) so ConvertToLocalRelation can't
+    // constant-fold the projection away before physical planning
+    val plan = spark.range(10)
+      .select(PolyHash(concat(lit("doc-"), col("id").cast("string"))).as("h"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+  }
+
+  test("clampDatetimes clamps to SQL Server datetime domain and is idempotent") {
+    import spark.implicits._
+    val df = Seq(
+      java.sql.Timestamp.valueOf("1700-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-06-15 12:00:00"),
+      java.sql.Timestamp.valueOf("9999-12-31 23:59:59.999")
+    ).toDF("ts")
+    val once = Writers.clampDatetimes(df)
+    val twice = Writers.clampDatetimes(once)
+    val vals = once.collect().map(_.getTimestamp(0))
+    assert(vals(0) == Writers.MinDatetime)
+    assert(vals(1) == java.sql.Timestamp.valueOf("2024-06-15 12:00:00"))
+    assert(vals(2) == Writers.MaxDatetime)
+    assert(twice.collect().map(_.getTimestamp(0)).toSeq == vals.toSeq)
+  }
+
+  test("ClonePipeline: parquet clone preserves row counts and schemas; DDL renders per table") {
+    val tgt = Files.createTempDirectory("graft-clone").toString
+    val report = ClonePipeline.clone(spark, sfDir, tgt,
+      tables = Seq("region", "nation", "customer"))
+    assert(report.rowCounts("region") == 5)
+    assert(report.rowCounts("nation") == 25)
+    Seq("region", "nation", "customer").foreach { t =>
+      val src = Tables.load(spark, sfDir, t)
+      val cloned = spark.read.parquet(s"$tgt/$t.parquet")
+      assert(cloned.schema == src.schema, s"schema drift for $t")
+      assert(cloned.count() == src.count())
+      val ddl = report.ddl(t)
+      assert(ddl.contains(s"CREATE TABLE [dbo].[$t]"))
+      assert(ddl.contains("IF OBJECT_ID"))
+    }
+  }
+
+  test("multimodal: feature extraction yields fixed-dim vectors for every doc") {
+    val docs = Tables.documents(spark, sfDir)
+    val feats = Multimodal.extractFeatures(spark, Multimodal.withMedia(docs), dim = 16)
+    assert(feats.count() == docs.count())
+    val dims = feats.select(size(col("features"))).distinct().collect().map(_.getInt(0))
+    assert(dims.toSeq == Seq(16))
+    // deterministic: same input → same features
+    val a = Multimodal.qMM02(spark, sfDir).collect().toSeq
+    val b = Multimodal.qMM02(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("multimodal: frame sampling emits every 10th frame for mp4 rows only") {
+    val media = Multimodal.withMedia(Tables.documents(spark, sfDir))
+    val mp4 = media.filter(col("meta.format") === "mp4")
+    val sampled = Multimodal.sampleFrames(media)
+    val expected = mp4.select((floor((col("meta.n_frames") - 1) / 10) + 1).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(sampled.count() == expected)
+  }
+}

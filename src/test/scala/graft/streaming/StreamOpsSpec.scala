@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Streaming smoke (SURVEY §5.2 t1): windows + watermark + custom state over
+  * a MemoryStream, validated against the batch twins' semantics.
+  */
+class StreamOpsSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, ts("2024-01-01 10:05:00"), "click"),
+    (1L, ts("2024-01-01 10:20:00"), "click"),
+    (2L, ts("2024-01-01 10:45:00"), "view"),
+    // > 30 min gap for user 1 → second session
+    (1L, ts("2024-01-01 11:30:00"), "click"),
+    (2L, ts("2024-01-01 11:50:00"), "view"))
+
+  test("tumbling window counts per hour/type (streaming Q-T01)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = StreamOps.tumblingCounts(events).writeStream
+      .format("memory").queryName("tumbling").outputMode("update").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .select("hr", "event_type", "cnt")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 10:00:00"), "view", 1L),
+        (ts("2024-01-01 11:00:00"), "click", 1L),
+        (ts("2024-01-01 11:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session_window sessionization (streaming Q-T02)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = StreamOps.sessionCounts(events).writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+        .as[(Long, Long)].collect().toMap
+      // user 1: 10:05+10:20 merge (15 min gap), 11:30 separate → 2 sessions
+      // user 2: 10:45 and 11:50 are > 30 min apart → 2 sessions
+      assert(got == Map(1L -> 2L, 2L -> 2L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState custom sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = StreamOps.statefulSessions(spark, events).writeStream
+      .format("memory").queryName("stateful").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // push the watermark far forward so open sessions time out and emit
+      mem.addData((99L, ts("2024-01-02 12:00:00"), "tick"))
+      q.processAllAvailable()
+      mem.addData((99L, ts("2024-01-03 12:00:00"), "tick"))
+      q.processAllAvailable()
+      val got = spark.table("stateful").as[StreamOps.SessionOut].collect()
+        .map(s => (s.user_id, s.session_start, s.n_events)).toSet
+      assert(got.contains((1L, ts("2024-01-01 10:05:00"), 2L))) // merged pair
+      assert(got.contains((1L, ts("2024-01-01 11:30:00"), 1L))) // post-gap
+      assert(got.contains((2L, ts("2024-01-01 10:45:00"), 1L)))
+    } finally q.stop()
+  }
+}
