@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.PolyHash
+import graft.functions.{PolyHash, ShingleHash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,8 +104,7 @@ object LLMOps {
     val numHashes = 16
     val r = 4
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
-      .select(col("doc_id"), charHash(col("sh")).as("h"))
+      .select(col("doc_id"), explode(ShingleHash(col("text"), 3)).as("h"))
     val minAggs = (0 until numHashes).map { k =>
       min((lit(31L + 17L * k) * col("h") + lit(7L + 11L * k)) % P).as(s"m$k")
     }

@@ -38,6 +38,18 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }.nonEmpty)
   }
 
+  test("ShingleHash matches the unfused shingle-string → PolyHash path") {
+    import graft.operators.LLMOps
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val unfused = docs.select(col("doc_id"),
+      explode(LLMOps.shingles(LLMOps.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), PolyHash(col("sh")).as("h"))
+    val fused = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHash(col("text"), 3)).as("h"))
+    assert(fused.count() == unfused.count())
+    assert(fused.except(unfused).isEmpty && unfused.except(fused).isEmpty)
+  }
+
   test("clampDatetimes clamps to SQL Server datetime domain and is idempotent") {
     import spark.implicits._
     val df = Seq(
