@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{LLMOps, Multimodal, Relational, Similarity, Temporal}
+import graft.operators.{LLMOps, Multimodal, Relational, Scale, Similarity, Temporal}
 import graft.pipeline.ClonePipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + §7.
@@ -64,6 +64,9 @@ object SparkEntry {
     // similarity scale path (xxhash64-based → rows-only checks)
     "q_l12_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_l13_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+    // approximate scale twins (sketch values are engine-specific → rows-only)
+    "q_a06_approx_distinct" -> (Scale.qA06 _),
+    "q_a07_approx_quantiles" -> (Scale.qA07 _),
     // clone surface (Q-M01: schema introspection → DDL; rows-only)
     "q_m01_clone_ddl"      -> (ClonePipeline.qM01 _),
     // multimodal plumbing (rows-only: stubbed decode, real schema/partitioning)

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns for the 100 TB posture (SURVEY §7.4 item 6): explicit
+  * skew-salting for when AQE's runtime skew-join split isn't available
+  * (e.g. a skewed key joined against a non-shuffle-join), and approximate
+  * twins of exact aggregates whose shuffled state would be unbounded.
+  */
+object Scale {
+
+  /** Salted equi-join for a skewed key: the large side gets a pseudo-random
+    * salt in [0, buckets), the small side is replicated across every salt
+    * bucket, and the join key becomes (key, salt) — one hot key fans out
+    * over `buckets` reducers instead of one. Produces exactly the rows of
+    * `large.join(small, key)`: every large row lands in precisely one
+    * bucket and every small row is present in all of them.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 16): DataFrame = {
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Q-A06 — approximate distinct counts (HyperLogLog++): the 100 TB twin
+    * of Q-A03's exact COUNT(DISTINCT). Sketches merge associatively, so
+    * the shuffle carries fixed-size state per group instead of every
+    * distinct value. rsd 0.01 ⇒ ~1% relative error. Engine-specific sketch
+    * values → rows-only check; the exact query remains the oracle-checked
+    * one.
+    */
+  def qA06(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx_custkeys"),
+        approx_count_distinct(col("o_orderpriority"), 0.01).as("approx_priorities"))
+
+  /** Q-A07 — approximate quantiles over order totals via percentile_approx
+    * (mergeable t-digest-style sketch, same bounded-state argument).
+    */
+  def qA07(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(10000))
+        .as("price_quartiles"))
+}

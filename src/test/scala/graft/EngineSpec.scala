@@ -83,6 +83,25 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("saltedJoin produces exactly the plain-join rows") {
+    import graft.operators.Scale
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey")
+    val plain = o.join(c, Seq("o_custkey")).select("o_orderkey", "c_name")
+    val salted = Scale.saltedJoin(o, c, "o_custkey", buckets = 8)
+      .select("o_orderkey", "c_name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("approx distinct twin lands within 5% of exact") {
+    import graft.operators.Scale
+    val approx = Scale.qA06(spark, sfDir).collect()(0).getLong(0)
+    val exact = Tables.orders(spark, sfDir)
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("multimodal: feature extraction yields fixed-dim vectors for every doc") {
     val docs = Tables.documents(spark, sfDir)
     val feats = Multimodal.extractFeatures(spark, Multimodal.withMedia(docs), dim = 16)
