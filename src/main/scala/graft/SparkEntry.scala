@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{LLMOps, Multimodal, Relational, Scale, Similarity, Temporal}
+import graft.operators.{AsOf, Ivf, LLMOps, Multimodal, Relational, Scale, Similarity, Temporal}
 import graft.pipeline.ClonePipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + §7.
@@ -32,6 +32,7 @@ object SparkEntry {
     "q_j04_semi_join"      -> (Relational.qJ04 _),
     "q_j05_anti_join"      -> (Relational.qJ05 _),
     "q_j06_range_join"     -> (Relational.qJ06 _),
+    "q_j07_asof_join"      -> (AsOf.qJ07 _),
     "q_q01_corr_subquery"  -> (Relational.qQ01 _),
     "q_w01_rank"           -> (Relational.qW01 _),
     "q_w02_running_sum"    -> (Relational.qW02 _),
@@ -64,6 +65,8 @@ object SparkEntry {
     // similarity scale path (xxhash64-based → rows-only checks)
     "q_l12_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_l13_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+    // IVF ANN scale path (approximate by construction → rows-only)
+    "q_l14_ivf_ann"        -> (Ivf.qL14 _),
     // approximate scale twins (sketch values are engine-specific → rows-only)
     "q_a06_approx_distinct" -> (Scale.qA06 _),
     "q_a07_approx_quantiles" -> (Scale.qA07 _),
@@ -103,6 +106,8 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
     "q_j06_range_join" ->
       """SELECT p_brand, COUNT(*) AS cnt FROM part JOIN lineitem ON p_partkey = l_partkey AND l_extendedprice BETWEEN p_retailprice * 0.5 AND p_retailprice * 2.0 GROUP BY p_brand ORDER BY p_brand""",
+    "q_j07_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) SELECT e.user_id, e.event_id, o.o_orderkey AS last_order_key FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY user_id, event_id""",
     "q_q01_corr_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c_custkey""",
     "q_w01_rank" ->

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorCentroid
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-flavored approximate nearest neighbor (driver mandate: "an IVF or
+  * LSH-bucketed variant as the scale path" — LSH lives in
+  * [[Similarity]]; this is the inverted-file variant).
+  *
+  * Train: one centroid per cell via the [[VectorCentroid]] typed
+  * aggregator (cells seeded from the corpus label — a stand-in coarse
+  * quantizer; k-means iterations would reuse exactly this
+  * assign→re-centroid loop). Index: each vector assigned to its nearest
+  * centroid cell — one narrow (cell, vec) table, broadcast-joined against
+  * the tiny centroid set. Search: rank cells by query-to-centroid
+  * similarity, scan only the top `nprobe` cells, exact cosine re-rank
+  * inside. At 100 TB the index table is partitioned by cell, so a probe
+  * touches nprobe partitions instead of the corpus.
+  */
+object Ivf {
+
+  /** Centroids per cell: (cell, centroid: array<float>). */
+  def trainCentroids(s: SparkSession, embeddings: DataFrame,
+      cellCol: String = "label"): DataFrame = {
+    import s.implicits._
+    embeddings.select(col(cellCol).cast("string").as("cell"), col("embedding"))
+      .as[(String, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(VectorCentroid.toColumn.name("centroid"))
+      .toDF("cell", "centroid")
+  }
+
+  /** Assign every vector to its nearest centroid (broadcast the centroids,
+    * one pass over the corpus).
+    */
+  def buildIndex(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("centroid")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+  }
+
+  /** ANN query: probe the `nprobe` cells nearest the query vector. */
+  def annIvf(s: SparkSession, d: String, queryVecId: Long = 0,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val centroids = trainCentroids(s, e)
+    val index = buildIndex(e, centroids)
+    val q = index.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val probeCells = centroids.crossJoin(broadcast(q))
+      .withColumn("c_sim", Similarity.cosine(col("centroid"), col("q_emb")))
+      .orderBy(col("c_sim").desc).limit(nprobe)
+      .select("cell")
+    index.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probeCells), Seq("cell"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Q-L14 — IVF ANN top-10 (rows-only: approximate by construction). */
+  def qL14(s: SparkSession, d: String): DataFrame = annIvf(s, d)
+}

@@ -83,6 +83,45 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("asofJoin picks the latest left row at or before each right timestamp") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 110L),
+      (2L, ts("2024-01-01 10:30:00"), 200L)
+    ).toDF("key", "qt", "quote_id")
+    val trades = Seq(
+      (1L, ts("2024-01-01 09:59:00"), "t1"), // before any quote → null
+      (1L, ts("2024-01-01 10:00:00"), "t2"), // exactly at quote → inclusive
+      (1L, ts("2024-01-01 12:00:00"), "t3"), // after both → latest
+      (2L, ts("2024-01-01 10:45:00"), "t4"),
+      (3L, ts("2024-01-01 10:00:00"), "t5")  // key with no quotes
+    ).toDF("key", "tt", "trade")
+    val got = AsOf.asofJoin(quotes, trades, "key", "qt", "tt", "quote_id")
+      .select("trade", "__asof").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(got == Map(
+      "t1" -> None, "t2" -> Some(100L), "t3" -> Some(110L),
+      "t4" -> Some(200L), "t5" -> None))
+  }
+
+  test("IVF ANN: centroid aggregator trains per cell; probe returns k results") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = Ivf.trainCentroids(spark, e)
+    assert(centroids.count() == e.select("label").distinct().count())
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    assert(centroids.select(size(col("centroid"))).distinct().first().getInt(0) == dim)
+    val topk = Ivf.annIvf(spark, sfDir, queryVecId = 0, k = 10, nprobe = 2)
+    val rows = topk.collect()
+    assert(rows.length == 10)
+    // descending similarity, deterministic tie-break
+    val sims = rows.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
   test("saltedJoin produces exactly the plain-join rows") {
     import graft.operators.Scale
     val o = Tables.orders(spark, sfDir)
