@@ -103,7 +103,7 @@ object SparkEntry {
     "q_j04_semi_join" ->
       """SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
     "q_j05_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
+      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998) ORDER BY c_custkey""",
     "q_j06_range_join" ->
       """SELECT p_brand, COUNT(*) AS cnt FROM part JOIN lineitem ON p_partkey = l_partkey AND l_extendedprice BETWEEN p_retailprice * 0.5 AND p_retailprice * 2.0 GROUP BY p_brand ORDER BY p_brand""",
     "q_j07_asof_join" ->
@@ -123,7 +123,7 @@ object SparkEntry {
     "q_u02_intersect" ->
       """SELECT c_custkey AS custkey FROM customer INTERSECT SELECT o_custkey FROM orders ORDER BY custkey""",
     "q_u03_except" ->
-      """SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""",
+      """SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998 ORDER BY custkey""",
     "q_f01_string_fns" ->
       """SELECT c_custkey, upper(c_name) AS up_name, substring(c_name, 1, 8) AS prefix8, CAST(length(c_name) AS BIGINT) AS name_len, replace(c_name, 'Customer', 'Cust') AS short_name, trim(c_name) AS trimmed, (c_name LIKE 'Customer%') AS is_customer FROM customer ORDER BY c_custkey""",
     "q_f02_date_fns" ->
@@ -149,7 +149,7 @@ object SparkEntry {
     "q_l04_dedup_keepers" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS copies FROM documents GROUP BY text ORDER BY keeper_id""",
     "q_l05_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents WHERE doc_id < 100), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(shl) AS sh FROM sl) u), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.2 ORDER BY doc_a, doc_b""",
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(shl) AS sh FROM sl) u), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.2 ORDER BY doc_a, doc_b""",
     "q_l06_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), h AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM h), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig) SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b""",
     "q_l08_lang_id" ->

@@ -66,14 +66,14 @@ object LLMOps {
       .select("keeper_id", "copies")
       .orderBy("keeper_id")
 
-  /** Q-L05 — n-gram (3-word shingle) Jaccard similarity on candidate pairs,
-    * bounded to doc_id < 100 (the exact-verification stage of a dedup
-    * pipeline; at scale the candidate set comes from MinHash LSH instead of
-    * an id-range — see qL06).
+  /** Q-L05 — n-gram (3-word shingle) Jaccard similarity: candidate pairs
+    * share at least one shingle, confirmed pairs have J ≥ 0.2 — the
+    * exact-verification stage of a dedup pipeline (at planetary scale the
+    * candidate set comes from MinHash LSH instead of the shingle
+    * self-join — see qL06, which emits exactly these pairs).
     */
   def qL05(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
-      .filter(col("doc_id") < 100)
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -137,10 +137,15 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** Q-J05 — left anti join (NOT EXISTS). */
+  /** Q-J05 — left anti join (NOT EXISTS): customers with no 1998 order.
+    * (Every customer has *some* order in the corpus, so the unfiltered
+    * anti join would be a vacuous 0-row check.)
+    */
   def qJ05(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
-    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    val o = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1998)
+      .select(col("o_custkey").as("c_custkey"))
     c.join(o, Seq("c_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -231,9 +236,13 @@ object Relational {
     c.intersect(o).orderBy("custkey")
   }
 
-  /** Q-U03 — EXCEPT: customers that never ordered. */
+  /** Q-U03 — EXCEPT: customer keys minus keys with a 1998 order (the
+    * unrestricted difference is empty in this corpus).
+    */
   def qU03(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+    val o = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1998)
+      .select(col("o_custkey").as("custkey"))
     val c = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
     c.except(o).orderBy("custkey")
   }
