@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Ivf, LLMOps, Multimodal, Relational, Scale, Similarity, Temporal}
+import graft.operators.{AsOf, FullText, Ivf, LLMOps, Multimodal, Relational, Scale, Similarity, Temporal}
 import graft.pipeline.ClonePipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + §7.
@@ -62,6 +62,7 @@ object SparkEntry {
     "q_l09_quality_hist"   -> (LLMOps.qL09 _),
     "q_l10_token_stats"    -> (LLMOps.qL10 _),
     "q_l11_fingerprint"    -> (LLMOps.qL11 _),
+    "q_l15_fulltext_and"   -> (FullText.qL15 _),
     // similarity scale path (xxhash64-based → rows-only checks)
     "q_l12_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_l13_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
@@ -158,6 +159,8 @@ object SparkEntry {
       """WITH s AS (SELECT CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_ratio, CAST(length(text) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_tok_len, CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 30 AND 1000 THEN 1.0 ELSE 0.0 END AS length_ok FROM documents) SELECT CAST(floor((least(stop_ratio * 5.0, 1.0) + least(mean_tok_len / 10.0, 1.0) + length_ok) / 3.0 * 10) AS BIGINT) AS bucket, COUNT(*) AS docs FROM s GROUP BY bucket ORDER BY bucket""",
     "q_l10_token_stats" ->
       """SELECT source, COUNT(*) AS docs, CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source ORDER BY source""",
+    "q_l15_fulltext_and" ->
+      """SELECT doc_id FROM documents WHERE list_contains(string_split(lower(text), ' '), 'the') AND list_contains(string_split(lower(text), ' '), 'data') ORDER BY doc_id""",
     "q_l11_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id""",
   )

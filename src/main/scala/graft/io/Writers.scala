@@ -36,6 +36,20 @@ object Writers {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
 
+  /** Bucketed catalog table: pre-shuffles once at write time so every
+    * later equi-join/aggregation on `bucketCol` against a like-bucketed table
+    * is exchange-free — the persistent-layout answer to the reference's
+    * CLUSTERED indexes (SURVEY A13: index metadata becomes physical
+    * layout, not a b-tree).
+    */
+  def bucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** JDBC append with the reference's batch/timeout profile
     * (batchsize 1000|3000, queryTimeout 600 — Program.cs:631,695,662,703).
     * `identityInsert` reproduces the identity write path: the ON/OFF wrap

@@ -141,6 +141,42 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("bucketed tables join without a shuffle") {
+    import graft.io.Writers
+    Writers.bucketed(Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice"), "orders_b", "o_custkey", 8)
+    Writers.bucketed(Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name"), "customer_b", "c_custkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Tables.orders(spark, sfDir).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("csv and json sources round-trip through Readers") {
+    import graft.io.{Readers, Writers}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val nation = Tables.nation(spark, sfDir)
+    nation.write.option("header", true).csv(s"$tmp/nation_csv")
+    nation.write.json(s"$tmp/nation_json")
+    val fromCsv = Readers.csv(spark, s"$tmp/nation_csv")
+    val fromJson = Readers.json(spark, s"$tmp/nation_json")
+    assert(fromCsv.count() == 25 && fromJson.count() == 25)
+    val exp = nation.select("n_nationkey", "n_name").orderBy("n_nationkey")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(fromCsv.select("n_nationkey", "n_name").orderBy("n_nationkey")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq == exp)
+    assert(fromJson.selectExpr("cast(n_nationkey as int)", "n_name").orderBy("n_nationkey")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq == exp)
+  }
+
   test("multimodal: feature extraction yields fixed-dim vectors for every doc") {
     val docs = Tables.documents(spark, sfDir)
     val feats = Multimodal.extractFeatures(spark, Multimodal.withMedia(docs), dim = 16)
