@@ -33,6 +33,38 @@ object Ivf {
       .toDF("cell", "centroid")
   }
 
+  /** Lloyd's k-means refinement of the coarse quantizer: `iters` rounds of
+    * assign (broadcast centroids, one corpus pass) → re-centroid (the
+    * VectorCentroid aggregator). Only the k centroid vectors — O(cells)
+    * metadata, not data — ever reach the driver. Initial centroids come
+    * from the deterministic per-label means, so every run converges
+    * identically.
+    */
+  def kmeans(s: SparkSession, embeddings: DataFrame, initial: DataFrame,
+      iters: Int = 3): DataFrame = {
+    import s.implicits._
+    var centroids = initial
+    (0 until iters).foreach { _ =>
+      val assigned = buildIndex(embeddings, centroids)
+      centroids = assigned.select(col("cell"), col("embedding"))
+        .as[(String, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(VectorCentroid.toColumn.name("centroid"))
+        .toDF("cell", "centroid")
+    }
+    centroids
+  }
+
+  /** Mean within-cell cosine distance — the k-means objective, used to
+    * check refinement actually tightens the cells.
+    */
+  def distortion(embeddings: DataFrame, centroids: DataFrame): Double =
+    buildIndex(embeddings, centroids)
+      .join(broadcast(centroids), Seq("cell"))
+      .select(avg(lit(1.0) - Similarity.cosine(col("embedding"), col("centroid"))))
+      .first().getDouble(0)
+
   /** Assign every vector to its nearest centroid (broadcast the centroids,
     * one pass over the corpus).
     */

@@ -122,6 +122,16 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("k-means refinement does not worsen the IVF objective") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir)
+    val init = Ivf.trainCentroids(spark, e)
+    val before = Ivf.distortion(e, init)
+    val refined = Ivf.kmeans(spark, e, init, iters = 2)
+    val after = Ivf.distortion(e, refined)
+    assert(after <= before + 1e-9, s"distortion rose: $before -> $after")
+  }
+
   test("saltedJoin produces exactly the plain-join rows") {
     import graft.operators.Scale
     val o = Tables.orders(spark, sfDir)
@@ -143,6 +153,16 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
 
   test("bucketed tables join without a shuffle") {
     import graft.io.Writers
+    // a fresh session's catalog doesn't know tables left in the warehouse
+    // dir by a previous JVM — clear both catalog entry and location
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Writers.bucketed(Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_totalprice"), "orders_b", "o_custkey", 8)
     Writers.bucketed(Tables.customer(spark, sfDir)
