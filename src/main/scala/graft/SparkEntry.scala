@@ -26,6 +26,8 @@ object SparkEntry {
     "q_a03_distinct_agg"   -> (Relational.qA03 _),
     "q_a04_rollup"         -> (Relational.qA04 _),
     "q_a05_string_agg"     -> (Relational.qA05 _),
+    "q_a08_cube"           -> (Relational.qA08 _),
+    "q_a09_argminmax"      -> (Relational.qA09 _),
     "q_j01_inner_join"     -> (Relational.qJ01 _),
     "q_j02_join4"          -> (Relational.qJ02 _),
     "q_j03_left_join"      -> (Relational.qJ03 _),
@@ -34,13 +36,17 @@ object SparkEntry {
     "q_j06_range_join"     -> (Relational.qJ06 _),
     "q_j07_asof_join"      -> (AsOf.qJ07 _),
     "q_q01_corr_subquery"  -> (Relational.qQ01 _),
+    "q_q02_corr_sql"       -> (Relational.qQ02 _),
     "q_w01_rank"           -> (Relational.qW01 _),
     "q_w02_running_sum"    -> (Relational.qW02 _),
     "q_w03_lag"            -> (Relational.qW03 _),
+    "q_w04_range_frame"    -> (Relational.qW04 _),
+    "q_w05_distribution"   -> (Relational.qW05 _),
     "q_s01_topk"           -> (Relational.qS01 _),
     "q_u01_union"          -> (Relational.qU01 _),
     "q_u02_intersect"      -> (Relational.qU02 _),
     "q_u03_except"         -> (Relational.qU03 _),
+    "q_u04_union_all"      -> (Relational.qU04 _),
     "q_f01_string_fns"     -> (Relational.qF01 _),
     "q_f02_date_fns"       -> (Relational.qF02 _),
     "q_f03_math_fns"       -> (Relational.qF03 _),
@@ -95,6 +101,10 @@ object SparkEntry {
       """SELECT n_regionkey, n_nationkey, COUNT(*) AS cnt FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey) ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
     "q_a05_string_agg" ->
       """SELECT n_name, string_agg(c_name, ', ' ORDER BY c_name) AS customers FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name""",
+    "q_a08_cube" ->
+      """SELECT n_regionkey, n_nationkey, COUNT(*) AS cnt FROM nation GROUP BY CUBE(n_regionkey, n_nationkey) ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+    "q_a09_argminmax" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin FROM orders) SELECT o_orderpriority, MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_order, MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_order FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_j01_inner_join" ->
       """SELECT o_orderkey, o_totalprice, c_name FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""",
     "q_j02_join4" ->
@@ -111,6 +121,12 @@ object SparkEntry {
       """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) SELECT e.user_id, e.event_id, o.o_orderkey AS last_order_key FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY user_id, event_id""",
     "q_q01_corr_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c_custkey""",
+    "q_q02_corr_sql" ->
+      """SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c_custkey""",
+    "q_w04_range_frame" ->
+      """SELECT o_custkey, o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total, COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS near_cnt FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_w05_distribution" ->
+      """SELECT o_orderpriority, o_orderkey, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd, ntile(4) OVER w AS quartile FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderpriority, o_orderkey""",
     "q_w01_rank" ->
       """SELECT o_custkey, o_orderkey, rn, rnk FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn, RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_w02_running_sum" ->
@@ -125,6 +141,8 @@ object SparkEntry {
       """SELECT c_custkey AS custkey FROM customer INTERSECT SELECT o_custkey FROM orders ORDER BY custkey""",
     "q_u03_except" ->
       """SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998 ORDER BY custkey""",
+    "q_u04_union_all" ->
+      """SELECT custkey, COUNT(*) AS appearances FROM (SELECT o_custkey AS custkey FROM orders UNION ALL SELECT c_custkey FROM customer) u GROUP BY custkey ORDER BY custkey""",
     "q_f01_string_fns" ->
       """SELECT c_custkey, upper(c_name) AS up_name, substring(c_name, 1, 8) AS prefix8, CAST(length(c_name) AS BIGINT) AS name_len, replace(c_name, 'Customer', 'Cust') AS short_name, trim(c_name) AS trimmed, (c_name LIKE 'Customer%') AS is_customer FROM customer ORDER BY c_custkey""",
     "q_f02_date_fns" ->

@@ -76,6 +76,25 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("n_regionkey"), asc_nulls_first("n_nationkey"))
 
+  /** Q-A08 — CUBE grouping sets (all four group-by combinations). */
+  def qA08(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .cube(col("n_regionkey"), col("n_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("n_regionkey"), asc_nulls_first("n_nationkey"))
+
+  /** Q-A09 — argmin/argmax aggregates: per priority, the order key holding
+    * the extreme total price (ties broken by max price being unique-ish;
+    * min_by/max_by on (price, key) struct makes the pick deterministic).
+    */
+  def qA09(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("max_order"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("min_order"))
+      .orderBy("o_orderpriority")
+
   /** Q-A05 — ordered string aggregation: the reference's signature idiom
     * (STUFF(... FOR XML PATH('')) at Program.cs:255-292), Spark-first as
     * collect_list → array_sort → array_join (order-independent because the
@@ -177,6 +196,20 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Q-Q02 — the correlated scalar subquery written literally in SQL over
+    * registered views: exercises the SQL parser and Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelation (SURVEY B8) — the same
+    * semantics qQ01 expresses with the pre-aggregate+join DataFrame form.
+    */
+  def qQ02(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c_custkey, c_acctbal FROM customer_v c
+      WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer_v c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey""")
+  }
+
   /** Q-W01 — ranking window (ROW_NUMBER/RANK); deterministic because the
     * window order ends in the unique o_orderkey.
     */
@@ -204,6 +237,35 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Q-W04 — RANGE frame: running sum over all orders of the customer
+    * whose total price is within 10000 below the current row's (a value
+    * window, not a row window — rows with equal order keys share frames).
+    */
+  def qW04(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-10000L, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("near_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .withColumn("near_cnt", count(lit(1)).over(w))
+      .select("o_custkey", "o_orderkey", "near_total", "near_cnt")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q-W05 — distribution windows: percent_rank / cume_dist / ntile. */
+  def qW05(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** Q-W03 — LAG over event time (per-user delta). */
   def qW03(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -227,6 +289,14 @@ object Relational {
     val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
     val c = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
     o.union(c).distinct().orderBy("custkey")
+  }
+
+  /** Q-U04 — UNION ALL (bag semantics): per-key multiplicity preserved. */
+  def qU04(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+    o.unionAll(c).groupBy("custkey").agg(count(lit(1)).as("appearances"))
+      .orderBy("custkey")
   }
 
   /** Q-U02 — INTERSECT. */
