@@ -28,6 +28,7 @@ object SparkEntry {
     "q_a05_string_agg"     -> (Relational.qA05 _),
     "q_a08_cube"           -> (Relational.qA08 _),
     "q_a09_argminmax"      -> (Relational.qA09 _),
+    "q_a10_pivot"          -> (Relational.qA10 _),
     "q_j01_inner_join"     -> (Relational.qJ01 _),
     "q_j02_join4"          -> (Relational.qJ02 _),
     "q_j03_left_join"      -> (Relational.qJ03 _),
@@ -121,6 +122,8 @@ object SparkEntry {
       """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) SELECT e.user_id, e.event_id, o.o_orderkey AS last_order_key FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY user_id, event_id""",
     "q_q01_corr_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c_custkey""",
+    "q_a10_pivot" ->
+      """SELECT o_orderpriority, CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1995, CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS y1996, CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS y1997, CAST(SUM(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS y1998, CAST(SUM(CASE WHEN year(o_orderdate) = 1999 THEN 1 ELSE 0 END) AS BIGINT) AS y1999, CAST(SUM(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END) AS BIGINT) AS y2000, CAST(SUM(CASE WHEN year(o_orderdate) = 2001 THEN 1 ELSE 0 END) AS BIGINT) AS y2001 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_q02_corr_sql" ->
       """SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c_custkey""",
     "q_w04_range_frame" ->
@@ -168,7 +171,7 @@ object SparkEntry {
     "q_l04_dedup_keepers" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS copies FROM documents GROUP BY text ORDER BY keeper_id""",
     "q_l05_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(shl) AS sh FROM sl) u), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.2 ORDER BY doc_a, doc_b""",
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), hs AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hh), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM hh), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c JOIN hs x ON x.doc_id = c.doc_a JOIN hs y ON y.doc_id = c.doc_b AND y.h = x.h GROUP BY 1, 2) SELECT i.doc_a, i.doc_b, CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2 ORDER BY doc_a, doc_b""",
     "q_l06_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), h AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM h), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig) SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b""",
     "q_l08_lang_id" ->

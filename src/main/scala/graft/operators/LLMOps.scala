@@ -66,21 +66,51 @@ object LLMOps {
       .select("keeper_id", "copies")
       .orderBy("keeper_id")
 
-  /** Q-L05 — n-gram (3-word shingle) Jaccard similarity: candidate pairs
-    * share at least one shingle, confirmed pairs have J ≥ 0.2 — the
-    * exact-verification stage of a dedup pipeline (at planetary scale the
-    * candidate set comes from MinHash LSH instead of the shingle
-    * self-join — see qL06, which emits exactly these pairs).
+  /** Distinct (doc_id, shingle-hash) postings — shared by candidate
+    * generation (qL06) and exact verification (qL05).
+    */
+  def shinglePostings(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(ShingleHash(col("text"), 3)).as("h"))
+      .distinct()
+
+  /** MinHash band keys per doc (16 hashes, bands of 4) from the postings. */
+  def minhashBands(postings: DataFrame, numHashes: Int = 16, r: Int = 4): DataFrame = {
+    val minAggs = (0 until numHashes).map { k =>
+      min((lit(31L + 17L * k) * col("h") + lit(7L + 11L * k)) % P).as(s"m$k")
+    }
+    val sig = postings.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until numHashes / r).map { b =>
+      concat_ws(":", (lit(b) +: (0 until r).map(j => col(s"m${b * r + j}")))
+        .map(_.cast("string")): _*)
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+  }
+
+  /** LSH candidate pairs (doc_a < doc_b, distinct). */
+  def minhashCandidates(postings: DataFrame): DataFrame = {
+    val bands = minhashBands(postings)
+    val a = bands.select(col("band_key"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band_key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Q-L05 — exact n-gram Jaccard verification of the MinHash-LSH
+    * candidates: the two-stage dedup pipeline (candidate generation never
+    * compares all pairs; the exact set-intersection join touches only
+    * candidate docs). Confirmed pairs have J ≥ 0.2 over distinct shingle
+    * hashes — the DuckDB oracle reproduces the identical hash math.
     */
   def qL05(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val inter = a.join(b, Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
+    val postings = shinglePostings(s, d)
+    val cand = minhashCandidates(postings)
+    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(postings.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
@@ -100,28 +130,8 @@ object LLMOps {
     * shuffles are the per-doc agg and the band-key join. This is the shape
     * that survives 100 TB — candidate generation never compares all pairs.
     */
-  def qL06(s: SparkSession, d: String): DataFrame = {
-    val numHashes = 16
-    val r = 4
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(ShingleHash(col("text"), 3)).as("h"))
-    val minAggs = (0 until numHashes).map { k =>
-      min((lit(31L + 17L * k) * col("h") + lit(7L + 11L * k)) % P).as(s"m$k")
-    }
-    val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = (0 until numHashes / r).map { b =>
-      concat_ws(":", (lit(b) +: (0 until r).map(j => col(s"m${b * r + j}")))
-        .map(_.cast("string")): _*)
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
-    val a = bands.select(col("band_key"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band_key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-      .orderBy("doc_a", "doc_b")
-  }
+  def qL06(s: SparkSession, d: String): DataFrame =
+    minhashCandidates(shinglePostings(s, d)).orderBy("doc_a", "doc_b")
 
   /** Q-L07 — SimHash (64-bit) dedup groups (rows-only): explode tokens →
     * xxhash64 → 64 signed bit-vote sums in one partial+final hash agg →

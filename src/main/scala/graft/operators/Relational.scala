@@ -95,6 +95,22 @@ object Relational {
         min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("min_order"))
       .orderBy("o_orderpriority")
 
+  /** Q-A10 — pivot: order counts per priority × year, years widened to
+    * columns. Explicit pivot values keep the plan a single pass (no
+    * distinct-values pre-query) — the form that scales.
+    */
+  def qA10(s: SparkSession, d: String): DataFrame = {
+    val years = Seq(1995, 1996, 1997, 1998, 1999, 2000, 2001)
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy("o_orderpriority")
+      .pivot("yr", years)
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority") +: years.map(y =>
+        coalesce(col(y.toString), lit(0L)).as(s"y$y")): _*)
+      .orderBy("o_orderpriority")
+  }
+
   /** Q-A05 — ordered string aggregation: the reference's signature idiom
     * (STUFF(... FOR XML PATH('')) at Program.cs:255-292), Spark-first as
     * collect_list → array_sort → array_join (order-independent because the
