@@ -36,7 +36,9 @@ object PlanAudit {
         val plan = Files.readString(p)
         val flags = Seq(
           if (plan.contains("CartesianProduct")) Some("CARTESIAN") else None,
-          if (plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"))
+          // FormattedMode prints "Exchange (n)" + "Arguments: hashpartitioning"
+          // on separate lines; flag an SMJ only when no Exchange node exists
+          if (plan.contains("SortMergeJoin") && !plan.contains("Exchange"))
             Some("SMJ-no-exchange?") else None,
           if (plan.contains("BroadcastNestedLoopJoin")) Some("BNLJ") else None
         ).flatten

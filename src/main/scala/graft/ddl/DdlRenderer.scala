@@ -42,14 +42,18 @@ object DdlRenderer {
 
   private def q(id: String): String = "[" + id.replace("]", "]]") + "]"
   private def qt(schema: String, table: String): String = s"${q(schema)}.${q(table)}"
+  /** Escape for use inside a single-quoted SQL string literal (guards and
+    * EXEC bodies) — identifiers may legally contain apostrophes.
+    */
+  private def nq(s: String): String = s.replace("'", "''")
 
   /** A8 — CREATE SCHEMA, guarded (Program.cs:119-143); dbo/sys excluded at
     * the caller per Program.cs:124-129.
     */
   def createSchemas(schemas: Seq[String]): String =
     schemas.map { sch =>
-      s"""IF NOT EXISTS (SELECT 1 FROM sys.schemas WHERE name = N'$sch')
-         |    EXEC('CREATE SCHEMA ${q(sch)}');
+      s"""IF NOT EXISTS (SELECT 1 FROM sys.schemas WHERE name = N'${nq(sch)}')
+         |    EXEC('CREATE SCHEMA ${nq(q(sch))}');
          |GO""".stripMargin
     }.mkString("\n")
 
@@ -69,7 +73,7 @@ object DdlRenderer {
           sb.toString
       }
     }
-    s"""IF OBJECT_ID(N'${t.schema}.${t.name}', N'U') IS NULL
+    s"""IF OBJECT_ID(N'${nq(t.schema)}.${nq(t.name)}', N'U') IS NULL
        |BEGIN
        |CREATE TABLE ${qt(t.schema, t.name)} (
        |${colDefs.mkString(",\n")}
@@ -84,11 +88,11 @@ object DdlRenderer {
   def fromStructType(schema: String, table: String, st: StructType): TableSpec =
     TableSpec(schema, table, st.fields.toSeq.map { f =>
       val m = f.metadata
-      SqlColumn(
-        name = f.name,
-        typeName = TypeMapper.renderSqlType(f).takeWhile(_ != '('),
-        maxLength = if (TypeMapper.renderSqlType(f).contains("(max)")) -1 else 0,
-        nullable = f.nullable,
+      // parse the rendered type so precision/scale and (byte) lengths are
+      // preserved — naive name-prefix extraction rendered decimal(0,0)
+      val parsed = TypeMapper.parseSqlType(f.name, TypeMapper.renderSqlType(f),
+        nullable = f.nullable)
+      parsed.copy(
         identity =
           if (m.contains("identitySeed"))
             Some((m.getLong("identitySeed"), m.getLong("identityIncrement")))
@@ -107,7 +111,7 @@ object DdlRenderer {
       s"    ${q(f.name)} ${TypeMapper.renderSqlType(f)}" +
         (if (f.nullable) " NULL" else " NOT NULL")
     }
-    s"""IF OBJECT_ID(N'$schema.$table', N'U') IS NULL
+    s"""IF OBJECT_ID(N'${nq(schema)}.${nq(table)}', N'U') IS NULL
        |BEGIN
        |CREATE TABLE ${qt(schema, table)} (
        |${colDefs.mkString(",\n")}
@@ -120,13 +124,13 @@ object DdlRenderer {
     * (Program.cs:237-309); column order = key_ordinal order.
     */
   def addKeyConstraint(k: KeyConstraint): String =
-    s"""IF NOT EXISTS (SELECT 1 FROM sys.key_constraints WHERE name = N'${k.name}')
+    s"""IF NOT EXISTS (SELECT 1 FROM sys.key_constraints WHERE name = N'${nq(k.name)}')
        |    ALTER TABLE ${qt(k.schema, k.table)} ADD CONSTRAINT ${q(k.name)} ${k.kind.sql} (${k.cols.map(q).mkString(", ")});
        |GO""".stripMargin
 
   /** A11 — CHECK constraints (Program.cs:315-342). */
   def addCheckConstraint(c: CheckConstraint): String =
-    s"""IF NOT EXISTS (SELECT 1 FROM sys.check_constraints WHERE name = N'${c.name}')
+    s"""IF NOT EXISTS (SELECT 1 FROM sys.check_constraints WHERE name = N'${nq(c.name)}')
        |    ALTER TABLE ${qt(c.schema, c.table)} ADD CONSTRAINT ${q(c.name)} CHECK ${c.definition};
        |GO""".stripMargin
 
@@ -141,7 +145,7 @@ object DdlRenderer {
 
   def addForeignKey(fk: ForeignKey): String = {
     val name = fkName(fk.name)
-    s"""IF NOT EXISTS (SELECT 1 FROM sys.foreign_keys WHERE name = N'$name')
+    s"""IF NOT EXISTS (SELECT 1 FROM sys.foreign_keys WHERE name = N'${nq(name)}')
        |    ALTER TABLE ${qt(fk.schema, fk.table)} ADD CONSTRAINT ${q(name)} FOREIGN KEY (${fk.cols.map(q).mkString(", ")}) REFERENCES ${qt(fk.refSchema, fk.refTable)} (${fk.refCols.map(q).mkString(", ")});
        |GO""".stripMargin
   }
@@ -158,7 +162,7 @@ object DdlRenderer {
     val include =
       if (ix.includeCols.nonEmpty) s" INCLUDE (${ix.includeCols.map(q).mkString(", ")})" else ""
     val where = ix.filter.map(f => s" WHERE $f").getOrElse("")
-    s"""IF NOT EXISTS (SELECT 1 FROM sys.indexes WHERE name = N'${ix.name}' AND object_id = OBJECT_ID(N'${ix.schema}.${ix.table}'))
+    s"""IF NOT EXISTS (SELECT 1 FROM sys.indexes WHERE name = N'${nq(ix.name)}' AND object_id = OBJECT_ID(N'${nq(ix.schema)}.${nq(ix.table)}'))
        |    CREATE $unique$kind INDEX ${q(ix.name)} ON ${qt(ix.schema, ix.table)} (${ix.keyCols.map(q).mkString(", ")})$include$where;
        |GO""".stripMargin
   }
@@ -169,7 +173,7 @@ object DdlRenderer {
   def createTrigger(t: TriggerSpec): String = {
     val disable =
       if (t.disabled) s"\nDISABLE TRIGGER ${q(t.name)} ON ${qt(t.schema, t.table)};\nGO" else ""
-    s"""IF OBJECT_ID(N'${t.schema}.${t.name}', N'TR') IS NULL
+    s"""IF OBJECT_ID(N'${nq(t.schema)}.${nq(t.name)}', N'TR') IS NULL
        |BEGIN
        |EXEC('${t.definition.replace("'", "''")}');
        |END

@@ -50,7 +50,8 @@ object Literals {
     * SQL literals care about, '.' decimal separator always.
     */
   private def fmtFloating(d: Double): String =
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) {
+    if (d.isNaN || d.isInfinite) "NULL" // SQL Server float has no NaN/Inf
+    else if (d == d.floor && math.abs(d) < 1e15) {
       val l = d.toLong
       if (l == d) l.toString else java.math.BigDecimal.valueOf(d).toPlainString
     } else java.math.BigDecimal.valueOf(d).toPlainString

@@ -52,23 +52,70 @@ object Writers {
 
   /** JDBC append with the reference's batch/timeout profile
     * (batchsize 1000|3000, queryTimeout 600 — Program.cs:631,695,662,703).
-    * `identityInsert` reproduces the identity write path: the ON/OFF wrap
-    * is session-scoped in SQL Server, so it must run on the same
-    * connection as the inserts — handled via sessionInitStatement (ON is
-    * issued per executor connection; OFF is implicit at connection close).
+    * For identity tables use [[jdbcWithSessionSetup]] — Spark's writer has
+    * no per-connection init hook (`sessionInitStatement` is a *read-path*
+    * option), so the ON/OFF wrap needs the explicit partition writer.
     */
   def jdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties,
       batchSize: Int = 3000,
-      identityInsert: Boolean = false,
       clampDates: Boolean = false): Unit = {
     val data = if (clampDates) clampDatetimes(df) else df
-    val w = data.write.mode(SaveMode.Append)
+    data.write.mode(SaveMode.Append)
       .option("batchsize", batchSize)
       .option("queryTimeout", 600)
-    val w2 = if (identityInsert)
-      w.option("sessionInitStatement", s"SET IDENTITY_INSERT $table ON")
-    else w
-    w2.jdbc(url, table, props)
+      .jdbc(url, table, props)
+  }
+
+  /** Identity-aware JDBC append: per partition, open a connection, run
+    * `setup` (e.g. `SET IDENTITY_INSERT [t] ON` — session-scoped in SQL
+    * Server, so it MUST share the insert connection, mirroring
+    * Program.cs:625-629/670-674), then write prepared-statement batches.
+    * Distributed: one connection+transaction per partition, no driver
+    * materialization.
+    */
+  def jdbcWithSessionSetup(df: DataFrame, url: String, table: String,
+      props: java.util.Properties,
+      setup: Seq[String],
+      teardown: Seq[String] = Nil,
+      batchSize: Int = 1000): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val propsMap = {
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val p = new java.util.Properties()
+        propsMap.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn = java.sql.DriverManager.getConnection(url, p)
+        try {
+          conn.setAutoCommit(false)
+          setup.foreach { s =>
+            val st = conn.createStatement(); try st.execute(s) finally st.close()
+          }
+          val ps = conn.prepareStatement(insertSql)
+          try {
+            var n = 0
+            rows.foreach { row =>
+              var i = 0
+              while (i < cols.length) {
+                ps.setObject(i + 1, row.get(i)); i += 1
+              }
+              ps.addBatch()
+              n += 1
+              if (n % batchSize == 0) ps.executeBatch()
+            }
+            if (n % batchSize != 0) ps.executeBatch()
+          } finally ps.close()
+          teardown.foreach { s =>
+            val st = conn.createStatement(); try st.execute(s) finally st.close()
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
   }
 }

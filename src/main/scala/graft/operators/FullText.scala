@@ -23,12 +23,16 @@ object FullText {
   /** AND-search: documents containing every query term (posting-list
     * intersection via groupBy count, one shuffle).
     */
-  def searchAll(index: DataFrame, terms: Seq[String]): DataFrame =
-    index.filter(col("token").isin(terms.map(_.toLowerCase): _*))
+  def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
+    // postings are distinct per (token, doc): compare against the count of
+    // DISTINCT normalized terms or duplicate query terms never match
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    index.filter(col("token").isin(distinctTerms: _*))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("matched"))
-      .filter(col("matched") === terms.length)
+      .filter(col("matched") === distinctTerms.length)
       .select("doc_id")
+  }
 
   /** OR-search with a tf ranking: documents containing any term, ranked by
     * how many distinct terms matched.

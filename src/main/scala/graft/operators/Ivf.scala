@@ -62,7 +62,7 @@ object Ivf {
   def distortion(embeddings: DataFrame, centroids: DataFrame): Double =
     buildIndex(embeddings, centroids)
       .join(broadcast(centroids), Seq("cell"))
-      .select(avg(lit(1.0) - Similarity.cosine(col("embedding"), col("centroid"))))
+      .select(avg(lit(1.0) - Similarity.cosineSafe(col("embedding"), col("centroid"))))
       .first().getDouble(0)
 
   /** Assign every vector to its nearest centroid (broadcast the centroids,
@@ -70,7 +70,7 @@ object Ivf {
     */
   def buildIndex(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("sim", Similarity.cosine(col("embedding"), col("centroid")))
+      .withColumn("sim", Similarity.cosineSafe(col("embedding"), col("centroid")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
     scored.withColumn("rn", row_number().over(w))
@@ -87,13 +87,13 @@ object Ivf {
     val q = index.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"))
     val probeCells = centroids.crossJoin(broadcast(q))
-      .withColumn("c_sim", Similarity.cosine(col("centroid"), col("q_emb")))
+      .withColumn("c_sim", Similarity.cosineSafe(col("centroid"), col("q_emb")))
       .orderBy(col("c_sim").desc).limit(nprobe)
       .select("cell")
     index.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(probeCells), Seq("cell"))
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("q_emb")).as("sim"))
+      .select(col("vec_id"), Similarity.cosineSafe(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

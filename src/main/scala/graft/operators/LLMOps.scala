@@ -113,9 +113,12 @@ object LLMOps {
       .join(postings.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
+    // sizes has one row per DOCUMENT — unbounded at corpus scale, so no
+    // broadcast hint: let AQE pick (it will broadcast at small SF and
+    // shuffle-join at large, where a broadcast would OOM the driver)
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
           .as("jaccard"))

@@ -81,18 +81,15 @@ object Multimodal {
       .toDF()
   }
 
-  /** "Resize": byte-level downsample of the blob to at most `maxBytes`,
-    * keeping every k-th byte — the plumbing twin of an image resize
-    * (payload shrinks, schema unchanged). Pure expression, stays in codegen.
+  /** "Resize": crop the blob to its first `maxBytes` bytes — the plumbing
+    * twin of an image resize (payload shrinks, schema unchanged; a real
+    * codec-aware resize replaces the expression, not the plan). Pure
+    * expression, stays in codegen.
     */
-  def resize(media: DataFrame, maxBytes: Int = 1024): DataFrame = {
-    val len = length(col("blob"))
-    val k = greatest(ceil(len.cast("double") / maxBytes).cast("int"), lit(1))
+  def resize(media: DataFrame, maxBytes: Int = 1024): DataFrame =
     media.withColumn("blob_small",
-      when(len <= maxBytes, col("blob"))
+      when(length(col("blob")) <= maxBytes, col("blob"))
         .otherwise(substring(col("blob"), 1, maxBytes)))
-      .withColumn("sample_stride", k)
-  }
 
   /** Frame sampling for "video" rows: explode n_frames into every k-th
     * frame index with a per-frame byte-window into the blob — the shape of

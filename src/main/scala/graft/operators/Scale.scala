@@ -20,8 +20,12 @@ object Scale {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       buckets: Int = 16): DataFrame = {
+    // salt from row CONTENT (not monotonically_increasing_id): ids are
+    // assigned by in-partition position, which is not stable when a lost
+    // post-shuffle task is recomputed — a row could change buckets between
+    // the original and replayed attempt, dropping/duplicating join rows
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets)).cast("int"))
+      pmod(xxhash64(large.columns.map(col): _*), lit(buckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

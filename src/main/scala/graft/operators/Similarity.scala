@@ -27,7 +27,20 @@ object Similarity {
       transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, z) => acc + z))
 
+  /** Raw cosine. Under Spark 4's default ANSI mode a zero-norm input makes
+    * the 0/0 division ERROR out rather than produce NaN — kept only for the
+    * oracle-checked qL02 over a corpus with no zero vectors; every ANN /
+    * near-dup path uses [[cosineSafe]].
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Zero-safe cosine: try_divide maps the zero-norm case to NULL, which
+    * coalesces to -1 (ranks last). Without the guard a zero vector either
+    * crashes the query (ANSI on) or — ANSI off — becomes NaN, which Spark
+    * sorts as the LARGEST double and would top every descending top-k.
+    */
+  def cosineSafe(a: Column, b: Column): Column =
+    coalesce(try_divide(dot(a, b), l2norm(a) * l2norm(b)), lit(-1.0))
 
   /** Q-L02 — exact cosine top-k against a single query vector (vec_id = 0).
     * The 1-row query side is broadcast; the scan side streams, so this is a
@@ -74,7 +87,7 @@ object Similarity {
       .select(col("embedding").as("q_emb"), col("bucket"))
     bucketed.filter(col("vec_id") =!= 0)
       .join(broadcast(q), Seq("bucket"))
-      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("sim"))
+      .select(col("vec_id"), cosineSafe(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -91,7 +104,7 @@ object Similarity {
     val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .select(col("id_a"), col("id_b"), cosineSafe(col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy("id_a", "id_b")
   }

@@ -197,6 +197,30 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq == exp)
   }
 
+  test("cosineSafe ranks zero-norm vectors last instead of NaN-first") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)), // zero vector: raw cosine is NaN
+      (3L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_emb")
+    val ranked = df.crossJoin(q)
+      .select(col("vec_id"), Similarity.cosineSafe(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranked.last == 2L, s"zero vector not ranked last: $ranked")
+  }
+
+  test("full-text AND search tolerates duplicate/case-colliding query terms") {
+    import graft.operators.FullText
+    val idx = FullText.invertedIndex(Tables.documents(spark, sfDir))
+    val once = FullText.searchAll(idx, Seq("the")).count()
+    val duped = FullText.searchAll(idx, Seq("The", "the", "THE")).count()
+    assert(once > 0 && duped == once)
+  }
+
   test("multimodal: feature extraction yields fixed-dim vectors for every doc") {
     val docs = Tables.documents(spark, sfDir)
     val feats = Multimodal.extractFeatures(spark, Multimodal.withMedia(docs), dim = 16)

@@ -70,6 +70,29 @@ class DdlRendererSpec extends AnyFunSuite {
     val ddl = createTable(t)
     assert(ddl.contains("[we]]ird]") && ddl.contains("[c]]ol]"))
   }
+
+  test("apostrophes in identifiers are escaped inside string-literal guards") {
+    val s = createSchemas(Seq("O'Brien"))
+    assert(s.contains("WHERE name = N'O''Brien'"))
+    assert(s.contains("EXEC('CREATE SCHEMA [O''Brien]');"))
+    val pk = addKeyConstraint(KeyConstraint("dbo", "t", "pk'x", PrimaryKey, Seq("a")))
+    assert(pk.contains("WHERE name = N'pk''x'"))
+    val ct = createTable(TableSpec("dbo", "it's", Seq(SqlColumn("c", "int"))))
+    assert(ct.contains("OBJECT_ID(N'dbo.it''s', N'U')"))
+  }
+
+  test("fromStructType preserves decimal precision/scale and lengths") {
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("amount", DecimalType(18, 2)),
+      StructField("name", StringType, nullable = true,
+        new MetadataBuilder().putString("sqlType", "nvarchar(100)").build()),
+      StructField("n", IntegerType, nullable = false)))
+    val ddl = createTable(fromStructType("dbo", "t", st))
+    assert(ddl.contains("[amount] decimal(18,2)"), ddl)
+    assert(ddl.contains("[name] nvarchar(100)"), ddl)
+    assert(ddl.contains("[n] int NOT NULL"), ddl)
+  }
 }
 
 /** Helper: count GO batches via the real splitter (keeps the two units in sync). */

@@ -49,4 +49,27 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
       assert(got == exp)
     } finally conn.close()
   }
+
+  test("jdbcWithSessionSetup runs per-connection setup and batches inserts") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      ScriptExecutor.execute(conn,
+        """CREATE TABLE REGION_ID (R_REGIONKEY INT, R_NAME VARCHAR(32))
+          |GO
+          |CREATE TABLE SETUP_MARKER (X INT)
+          |GO""".stripMargin)
+      val region = Tables.region(spark, sfDir)
+        .selectExpr("cast(r_regionkey as int) r_regionkey", "r_name")
+      val props = new Properties()
+      // setup runs on the SAME connection as the inserts (the identity-wrap
+      // contract); observable side effect: a marker row per partition
+      Writers.jdbcWithSessionSetup(region.coalesce(1), url, "REGION_ID", props,
+        setup = Seq("INSERT INTO SETUP_MARKER VALUES (1)"),
+        batchSize = 2)
+      val back = Readers.jdbc(spark, url, "REGION_ID", props)
+      assert(back.count() == region.count())
+      val markers = Readers.jdbc(spark, url, "SETUP_MARKER", props).count()
+      assert(markers == 1) // one partition → setup ran exactly once
+    } finally conn.close()
+  }
 }

@@ -50,6 +50,13 @@ class LiteralsSpec extends AnyFunSuite {
     assert(!Literals.toSqlLiteral(1234567.89).contains(","))
   }
 
+  test("NaN/Infinity render NULL (SQL Server float has neither)") {
+    assert(Literals.toSqlLiteral(Double.NaN) == "NULL")
+    assert(Literals.toSqlLiteral(Double.PositiveInfinity) == "NULL")
+    assert(Literals.toSqlLiteral(Double.NegativeInfinity) == "NULL")
+    assert(Literals.toSqlLiteral(Float.NaN) == "NULL")
+  }
+
   test("property: string escape round-trip (500 cases)") {
     val rnd = new scala.util.Random(7)
     (1 to 500).foreach { _ =>
