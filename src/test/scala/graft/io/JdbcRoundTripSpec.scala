@@ -50,6 +50,28 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     } finally conn.close()
   }
 
+  test("Introspector reads a live catalog into TableSpec and renders DDL") {
+    import graft.catalog.Introspector
+    import graft.ddl.DdlRenderer
+    val conn = DriverManager.getConnection(url)
+    try {
+      ScriptExecutor.execute(conn,
+        """CREATE TABLE INTRO_T (ID INT NOT NULL GENERATED ALWAYS AS IDENTITY, NAME VARCHAR(40), AMOUNT DECIMAL(12,3) DEFAULT 0.0)
+          |GO""".stripMargin)
+      val found = Introspector.tables(conn, excludeSchemas = Set("SYS", "SYSIBM"))
+      assert(found.exists(_._2 == "INTRO_T"))
+      val spec = Introspector.tableSpec(conn, "APP", "INTRO_T")
+      val byName = spec.cols.map(c => c.name -> c).toMap
+      assert(!byName("ID").nullable && byName("ID").identity.isDefined)
+      assert(byName("NAME").typeName == "varchar" && byName("NAME").maxLength == 40)
+      assert(byName("AMOUNT").precision == 12 && byName("AMOUNT").scale == 3)
+      val ddl = DdlRenderer.createTable(spec)
+      assert(ddl.contains("[ID] int IDENTITY(1,1) NOT NULL"))
+      assert(ddl.contains("[NAME] varchar(40) NULL"))
+      assert(ddl.contains("[AMOUNT] decimal(12,3) NULL DEFAULT"))
+    } finally conn.close()
+  }
+
   test("jdbcWithSessionSetup runs per-connection setup and batches inserts") {
     val conn = DriverManager.getConnection(url)
     try {
