@@ -114,7 +114,11 @@ object Relational {
   /** Q-A05 — ordered string aggregation: the reference's signature idiom
     * (STUFF(... FOR XML PATH('')) at Program.cs:255-292), Spark-first as
     * collect_list → array_sort → array_join (order-independent because the
-    * sort happens after collection).
+    * sort happens after collection). Scale note: string-agg state is
+    * inherently O(group size) — at 100 TB cap the group first (e.g.
+    * slice(array_sort(collect_list(...)), 1, K)) or the aggregate state
+    * itself becomes the bottleneck; the unbounded form here is the
+    * reference's contract.
     */
   def qA05(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
