@@ -76,17 +76,23 @@ object Similarity {
       .reduce(_ + _)
   }
 
-  /** ANN via LSH buckets: candidates share the query's bucket; exact cosine
-    * re-rank inside the bucket. Falls back to fewer results than k when the
-    * bucket is small (the recall/latency tradeoff of IVF/LSH ANN).
+  /** ANN via multi-table LSH: candidates share the query's bucket in ANY
+    * of `tables` hash tables (OR-amplified recall, same construction as
+    * [[nearDupPairs]]); exact cosine re-ranks the distinct candidate set.
+    * Recall/latency tune: more tables or fewer bits → more candidates.
     */
-  def annLsh(s: SparkSession, d: String, k: Int = 10, bits: Int = 8): DataFrame = {
+  def annLsh(s: SparkSession, d: String, k: Int = 10, bits: Int = 6,
+      tables: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val bucketed = e.withColumn("bucket", lshBucket(col("embedding"), bits))
-    val q = bucketed.filter(col("vec_id") === 0)
+    val bucketed = e.withColumn("bucket",
+      explode(array((0 until tables).map(t =>
+        concat_ws(":", lit(t), lshBucket(col("embedding"), bits, seed = t * 1000))): _*)))
+    val q2 = bucketed.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"), col("bucket"))
     bucketed.filter(col("vec_id") =!= 0)
-      .join(broadcast(q), Seq("bucket"))
+      .join(broadcast(q2), Seq("bucket"))
+      .select(col("vec_id"), col("embedding"), col("q_emb"))
+      .distinct() // candidate may collide in several tables
       .select(col("vec_id"), cosineSafe(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
