@@ -72,7 +72,9 @@ object SparkEntry {
     "q_l15_fulltext_and"   -> (FullText.qL15 _),
     // similarity scale path (xxhash64-based → rows-only checks)
     "q_l12_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
-    "q_l13_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+    // corpus-tuned: the synthetic embeddings top out near cosine 0.5, so the
+    // production 0.9 threshold would be vacuously empty
+    "q_l13_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d, threshold = 0.45, bits = 6, tables = 8)),
     // IVF ANN scale path (approximate by construction → rows-only)
     "q_l14_ivf_ann"        -> (Ivf.qL14 _),
     // approximate scale twins (sketch values are engine-specific → rows-only)

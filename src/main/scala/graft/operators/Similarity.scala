@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.{CosineSim, LshBuckets}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,20 +28,17 @@ object Similarity {
       transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, z) => acc + z))
 
-  /** Raw cosine. Under Spark 4's default ANSI mode a zero-norm input makes
-    * the 0/0 division ERROR out rather than produce NaN — kept only for the
-    * oracle-checked qL02 over a corpus with no zero vectors; every ANN /
-    * near-dup path uses [[cosineSafe]].
+  /** Raw cosine (codegen expression): zero-norm inputs give 0/0 = NaN,
+    * which Spark and DuckDB both order as the largest double — the
+    * oracle-parity behavior for qL02. ANN paths use [[cosineSafe]].
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  def cosine(a: Column, b: Column): Column = CosineSim(a, b, safe = false)
 
-  /** Zero-safe cosine: try_divide maps the zero-norm case to NULL, which
-    * coalesces to -1 (ranks last). Without the guard a zero vector either
-    * crashes the query (ANSI on) or — ANSI off — becomes NaN, which Spark
-    * sorts as the LARGEST double and would top every descending top-k.
+  /** Zero-safe cosine (codegen expression): zero-norm vectors score -1 and
+    * rank last, instead of NaN topping every descending top-k (or, under
+    * ANSI SQL division, erroring the query).
     */
-  def cosineSafe(a: Column, b: Column): Column =
-    coalesce(try_divide(dot(a, b), l2norm(a) * l2norm(b)), lit(-1.0))
+  def cosineSafe(a: Column, b: Column): Column = CosineSim(a, b, safe = true)
 
   /** Q-L02 — exact cosine top-k against a single query vector (vec_id = 0).
     * The 1-row query side is broadcast; the scan side streams, so this is a
@@ -62,19 +60,8 @@ object Similarity {
     * xxhash64 — deterministic, data-independent, no stored model. At scale
     * this turns the O(n²) all-pairs problem into a per-bucket problem.
     */
-  def lshBucket(emb: Column, bits: Int, seed: Int = 0): Column = {
-    // hyperplane h, component i ∈ [-0.5, 0.5): hash-derived pseudo-random
-    def plane(h: Int): Column =
-      aggregate(
-        zip_with(
-          emb,
-          sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast("double") *
-            ((pmod(xxhash64(lit(seed + h), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
-        lit(0.0), (acc, z) => acc + z)
-    (0 until bits).map(h => when(plane(h) >= 0, 1L << h).otherwise(0L))
-      .reduce(_ + _)
-  }
+  def lshBucket(emb: Column, bits: Int, seed: Int = 0): Column =
+    element_at(LshBuckets(emb, bits, tables = 1, seed = seed.toLong), 1)
 
   /** ANN via multi-table LSH: candidates share the query's bucket in ANY
     * of `tables` hash tables (OR-amplified recall, same construction as
@@ -85,8 +72,7 @@ object Similarity {
       tables: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, d)
     val bucketed = e.withColumn("bucket",
-      explode(array((0 until tables).map(t =>
-        concat_ws(":", lit(t), lshBucket(col("embedding"), bits, seed = t * 1000))): _*)))
+      explode(LshBuckets(col("embedding"), bits, tables)))
     val q2 = bucketed.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"), col("bucket"))
     bucketed.filter(col("vec_id") =!= 0)
@@ -105,15 +91,15 @@ object Similarity {
     * L tables lift it to 1-(1-p)^L). Candidates get an exact cosine
     * confirm above the threshold. No O(n²) cross product at any stage; at
     * corpus scale each table's bucket join is an independent shuffle.
-    * The default threshold is tuned to this corpus (max pairwise cosine
-    * ≈0.51 — the synthetic embeddings have no true 0.9+ duplicates).
+    * Defaults are production-shaped (0.9+ near-dups, 8-bit tables);
+    * bucket width should track corpus size — bits ≈ log2(n / desired
+    * bucket size) — or bucket joins go quadratic.
     */
-  def nearDupPairs(s: SparkSession, d: String, threshold: Double = 0.45,
-      bits: Int = 4, tables: Int = 6): DataFrame = {
+  def nearDupPairs(s: SparkSession, d: String, threshold: Double = 0.9,
+      bits: Int = 8, tables: Int = 6): DataFrame = {
     val e = Tables.embeddings(s, d)
     val withBuckets = e.withColumn("bucket",
-      explode(array((0 until tables).map(t =>
-        concat_ws(":", lit(t), lshBucket(col("embedding"), bits, seed = t * 1000))): _*)))
+      explode(LshBuckets(col("embedding"), bits, tables)))
     val l = withBuckets.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val r = withBuckets.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     l.join(r, Seq("bucket"))

@@ -43,6 +43,25 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("sliding window: each event lands in window_size/slide windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = StreamOps.slidingCounts(events).writeStream
+      .format("memory").queryName("sliding").outputMode("update").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:20:00"), "click"))
+      q.processAllAvailable()
+      val got = spark.table("sliding")
+        .select("w_start", "cnt").as[(Timestamp, Long)].collect().toSet
+      // 1h window sliding every 15min → the event is in 4 windows
+      assert(got == Set(
+        (ts("2024-01-01 09:30:00"), 1L), (ts("2024-01-01 09:45:00"), 1L),
+        (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:15:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("session_window sessionization (streaming Q-T02)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
