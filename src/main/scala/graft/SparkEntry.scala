@@ -183,7 +183,7 @@ object SparkEntry {
     "q_l10_token_stats" ->
       """SELECT source, COUNT(*) AS docs, CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source ORDER BY source""",
     "q_l15_fulltext_and" ->
-      """SELECT doc_id FROM documents WHERE list_contains(string_split(lower(text), ' '), 'the') AND list_contains(string_split(lower(text), ' '), 'data') ORDER BY doc_id""",
+      """SELECT doc_id FROM documents WHERE list_contains(string_split_regex(lower(text), '\W+'), 'the') AND list_contains(string_split_regex(lower(text), '\W+'), 'data') ORDER BY doc_id""",
     "q_l11_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id""",
   )

@@ -33,13 +33,27 @@ case class CosineSim(left: Expression, right: Expression, safe: Boolean)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // mismatched dimensions yield NULL (matching the zip_with null-padding
+  // semantics this replaced), so the expression is nullable even for
+  // non-null inputs
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.sim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], safe)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else CosineSim.sim(x, y, safe)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.CosineSim.sim($a, $b, $safe)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.CosineSim.sim($a, $b, $safe);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
@@ -52,7 +66,8 @@ object CosineSim {
     * formulation, so results are bit-identical across both paths.
     */
   def sim(a: ArrayData, b: ArrayData, safe: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // equal dimensions are enforced by the expression (mismatch → NULL)
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -22,6 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class LshBuckets(child: Expression, bits: Int, tables: Int, seed: Long)
     extends UnaryExpression {
 
+  // sig occupies bits 0..bits-1 and the table id bits 32+; more than 32
+  // signature bits would silently overlap the table field
+  require(bits >= 1 && bits <= 32, s"lsh_buckets: bits must be in [1,32], got $bits")
+  require(tables >= 1, s"lsh_buckets: tables must be >= 1, got $tables")
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) =>

@@ -15,6 +15,8 @@ object VectorCentroid extends Aggregator[Array[Float], (Array[Double], Long), Ar
 
   override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
     val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    require(acc.length == v.length,
+      s"VectorCentroid: mixed dimensions in one group (${acc.length} vs ${v.length})")
     var i = 0
     while (i < v.length) { acc(i) += v(i); i += 1 }
     (acc, b._2 + 1)
@@ -24,6 +26,8 @@ object VectorCentroid extends Aggregator[Array[Float], (Array[Double], Long), Ar
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      require(a._1.length == b._1.length,
+        s"VectorCentroid: mixed dimensions across partitions (${a._1.length} vs ${b._1.length})")
       var i = 0
       while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)

@@ -78,10 +78,29 @@ object Writers {
       props: java.util.Properties,
       setup: Seq[String],
       teardown: Seq[String] = Nil,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000,
+      quote: String => String = identity): Unit = {
     val schema = df.schema
     val cols = schema.fieldNames
-    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    // pass quote = s => s"[$s]" (SQL Server) / "\"" + _ + "\"" when
+    // identifiers are reserved words or contain specials; default unquoted
+    // so case-insensitive engines resolve mixed-case frame/table names
+    val insertSql = s"INSERT INTO ${quote(table)} (${cols.map(quote).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    // JDBC type per column for typed setNull — untyped setObject(null)
+    // fails on drivers that cannot infer the SQL type (Derby, Postgres)
+    val sqlTypes: Array[Int] = schema.fields.map(f => f.dataType match {
+      case org.apache.spark.sql.types.IntegerType   => java.sql.Types.INTEGER
+      case org.apache.spark.sql.types.LongType      => java.sql.Types.BIGINT
+      case org.apache.spark.sql.types.ShortType     => java.sql.Types.SMALLINT
+      case org.apache.spark.sql.types.BooleanType   => java.sql.Types.BOOLEAN
+      case org.apache.spark.sql.types.DoubleType    => java.sql.Types.DOUBLE
+      case org.apache.spark.sql.types.FloatType     => java.sql.Types.REAL
+      case _: org.apache.spark.sql.types.DecimalType => java.sql.Types.DECIMAL
+      case org.apache.spark.sql.types.TimestampType => java.sql.Types.TIMESTAMP
+      case org.apache.spark.sql.types.DateType      => java.sql.Types.DATE
+      case org.apache.spark.sql.types.BinaryType    => java.sql.Types.VARBINARY
+      case _                                        => java.sql.Types.VARCHAR
+    })
     val propsMap = {
       import scala.jdk.CollectionConverters._
       props.asScala.toMap
@@ -102,7 +121,9 @@ object Writers {
             rows.foreach { row =>
               var i = 0
               while (i < cols.length) {
-                ps.setObject(i + 1, row.get(i)); i += 1
+                if (row.isNullAt(i)) ps.setNull(i + 1, sqlTypes(i))
+                else ps.setObject(i + 1, row.get(i))
+                i += 1
               }
               ps.addBatch()
               n += 1

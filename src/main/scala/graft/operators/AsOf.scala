@@ -27,7 +27,10 @@ object AsOf {
       leftTime: String, rightTime: String, payloadCol: String): DataFrame = {
     val rightExtras = right.columns.filterNot(_ == key).toSeq
     val payloadType = left.schema(payloadCol).dataType
-    val l = left.select(
+    // a null left timestamp would sort to the partition head (asc = nulls
+    // first) and masquerade as "earliest state" — it can never satisfy
+    // leftTime <= rightTime, so drop it
+    val l = left.filter(col(leftTime).isNotNull).select(
       Seq(col(key), col(leftTime).as("__t"), lit(1).as("__is_left"),
         col(payloadCol).as("__payload")) ++
         rightExtras.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)

@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object FullText {
 
-  /** Build the inverted index: distinct (token, doc_id) postings. */
+  /** Build the inverted index: distinct (token, doc_id) postings. Tokens
+    * split on non-word runs (`\W+`), so punctuation/tabs/newlines don't
+    * stay glued to words — "big data." must be findable by "data".
+    */
   def invertedIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+    docs.select(col("doc_id"), explode(split(lower(col("text")), "\\W+")).as("token"))
       .filter(length(col("token")) > 0)
       .distinct()
 

@@ -21,17 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Centroids per cell: (cell, centroid: array<float>). */
-  def trainCentroids(s: SparkSession, embeddings: DataFrame,
-      cellCol: String = "label"): DataFrame = {
+  /** Shared re-centroid step: (cell, embedding) rows → (cell, centroid). */
+  private def centroidsOf(s: SparkSession, assigned: DataFrame): DataFrame = {
     import s.implicits._
-    embeddings.select(col(cellCol).cast("string").as("cell"), col("embedding"))
+    assigned.select(col("cell").cast("string"), col("embedding"))
       .as[(String, Array[Float])]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(VectorCentroid.toColumn.name("centroid"))
       .toDF("cell", "centroid")
   }
+
+  /** Centroids per cell: (cell, centroid: array<float>). */
+  def trainCentroids(s: SparkSession, embeddings: DataFrame,
+      cellCol: String = "label"): DataFrame =
+    centroidsOf(s, embeddings.select(col(cellCol).as("cell"), col("embedding")))
 
   /** Lloyd's k-means refinement of the coarse quantizer: `iters` rounds of
     * assign (broadcast centroids, one corpus pass) → re-centroid (the
@@ -42,16 +46,14 @@ object Ivf {
     */
   def kmeans(s: SparkSession, embeddings: DataFrame, initial: DataFrame,
       iters: Int = 3): DataFrame = {
-    import s.implicits._
     var centroids = initial
     (0 until iters).foreach { _ =>
       val assigned = buildIndex(embeddings, centroids)
-      centroids = assigned.select(col("cell"), col("embedding"))
-        .as[(String, Array[Float])]
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(VectorCentroid.toColumn.name("centroid"))
-        .toDF("cell", "centroid")
+      val recomputed = centroidsOf(s, assigned)
+      // a cell that captured no vectors this round would silently vanish
+      // (shrinking k); carry its previous centroid forward instead
+      val kept = centroids.join(recomputed, Seq("cell"), "left_anti")
+      centroids = recomputed.unionByName(kept)
     }
     centroids
   }
@@ -78,13 +80,17 @@ object Ivf {
       .select(col("cell"), col("vec_id"), col("embedding"))
   }
 
-  /** ANN query: probe the `nprobe` cells nearest the query vector. */
+  /** ANN query: probe the `nprobe` cells nearest the query vector. The
+    * query embedding comes from the raw table (one pushed-filter scan, not
+    * the index lineage) and the centroid set — O(cells) — is cached so the
+    * index and probe branches don't recompute the training aggregation.
+    */
   def annIvf(s: SparkSession, d: String, queryVecId: Long = 0,
       k: Int = 10, nprobe: Int = 2): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val centroids = trainCentroids(s, e)
+    val centroids = trainCentroids(s, e).cache()
     val index = buildIndex(e, centroids)
-    val q = index.filter(col("vec_id") === queryVecId)
+    val q = e.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"))
     val probeCells = centroids.crossJoin(broadcast(q))
       .withColumn("c_sim", Similarity.cosineSafe(col("centroid"), col("q_emb")))
