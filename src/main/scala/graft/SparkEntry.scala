@@ -57,6 +57,7 @@ object SparkEntry {
     // temporal (batch analogs of the streaming windows)
     "q_t01_tumbling"       -> (Temporal.qT01 _),
     "q_t02_sessionize"     -> (Temporal.qT02 _),
+    "q_t03_sliding"        -> (Temporal.qT03 _),
     // LLM-data-pipeline mandate
     "q_l01_dedup_counts"   -> (LLMOps.qL01 _),
     "q_l02_cosine_topk"    -> (Similarity.qL02 _),
@@ -164,6 +165,8 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
     "q_t02_sessionize" ->
       """WITH g AS (SELECT user_id, CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_session FROM events) SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS sessions, COUNT(*) AS events FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_t03_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - i.i * INTERVAL '15 minutes' AS w_start, event_type, COUNT(*) AS cnt FROM events, (SELECT unnest(range(0, 4)) AS i) i GROUP BY w_start, event_type ORDER BY w_start, event_type""",
     "q_l01_dedup_counts" ->
       """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT text) AS distinct_docs FROM documents""",
     "q_l02_cosine_topk" ->

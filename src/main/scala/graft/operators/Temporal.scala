@@ -24,6 +24,19 @@ object Temporal {
       .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("users"))
       .orderBy("hr", "event_type")
 
+  /** Q-T03 — sliding window as a batch query: 1-hour windows advancing
+    * every 15 minutes (each event lands in 4 windows). Spark's batch
+    * `window()` explodes the covered windows before the hash agg — the
+    * same operator Structured Streaming uses, so batch and stream share
+    * bucket semantics exactly.
+    */
+  def qT03(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+      .orderBy("w_start", "event_type")
+
   /** Q-T02 — batch sessionization: a session breaks when the per-user gap
     * exceeds 30 minutes. All arithmetic on epoch microseconds (exact
     * integers), so the result is engine-independent. The single shuffle is
