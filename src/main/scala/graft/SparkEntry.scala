@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, FullText, Ivf, LLMOps, Multimodal, Relational, Scale, Similarity, Temporal}
+import graft.operators.{AsOf, FullText, Ivf, LLMOps, Multimodal, Profiler, Relational, Scale, Similarity, Temporal}
 import graft.pipeline.ClonePipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + §7.
@@ -83,6 +83,7 @@ object SparkEntry {
     "q_a07_approx_quantiles" -> (Scale.qA07 _),
     // clone surface (Q-M01: schema introspection → DDL; rows-only)
     "q_m01_clone_ddl"      -> (ClonePipeline.qM01 _),
+    "q_m02_profile"        -> (Profiler.qM02 _),
     // multimodal plumbing (rows-only: stubbed decode, real schema/partitioning)
     "q_mm01_media_meta"    -> (Multimodal.qMM01 _),
     "q_mm02_features"      -> (Multimodal.qMM02 _),

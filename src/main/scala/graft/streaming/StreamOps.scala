@@ -52,6 +52,17 @@ object StreamOps {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("events"))
 
+  /** Streaming exact dedup: drop events whose `keyCols` were already seen,
+    * with state bounded by the watermark (a duplicate arriving later than
+    * the watermark delay is passed through rather than state growing
+    * forever — the streaming twin of the batch dropDuplicates dedup).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---- custom stateful path: flatMapGroupsWithState ----------------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)

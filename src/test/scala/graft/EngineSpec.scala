@@ -221,6 +221,19 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(once > 0 && duped == once)
   }
 
+  test("profiler: one row per column with consistent counts") {
+    import graft.operators.Profiler
+    val nation = Tables.nation(spark, sfDir)
+    val prof = Profiler.profile(nation).collect()
+    assert(prof.length == nation.schema.fields.length)
+    val byCol = prof.map(r => r.getAs[String]("column") -> r).toMap
+    assert(byCol("n_nationkey").getAs[Long]("row_count") == 25L)
+    assert(byCol("n_nationkey").getAs[Long]("null_count") == 0L)
+    assert(byCol("n_nationkey").getAs[String]("min_value") == "0")
+    assert(byCol("n_nationkey").getAs[String]("max_value") == "24")
+    assert(byCol("n_name").getAs[Any]("mean") == null) // non-numeric
+  }
+
   test("multimodal: feature extraction yields fixed-dim vectors for every doc") {
     val docs = Tables.documents(spark, sfDir)
     val feats = Multimodal.extractFeatures(spark, Multimodal.withMedia(docs), dim = 16)

@@ -81,6 +81,27 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = StreamOps.streamingDedup(events, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "click"),
+        (1L, ts("2024-01-01 10:01:00"), "click"), // dup (same user+type)
+        (1L, ts("2024-01-01 10:02:00"), "view"),
+        (2L, ts("2024-01-01 10:03:00"), "click"))
+      q.processAllAvailable()
+      val got = spark.table("dedup").select("user_id", "event_type")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "click"), (1L, "view"), (2L, "click")))
+      assert(spark.table("dedup").count() == 3)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState custom sessionization emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
