@@ -1,6 +1,7 @@
 package graft.catalog
 
-import graft.ddl.DdlRenderer.TableSpec
+import graft.ddl.DdlRenderer
+import graft.ddl.DdlRenderer.{ForeignKey, IndexSpec, KeyConstraint, PrimaryKey, TableSpec}
 import graft.types.TypeMapper.SqlColumn
 
 import java.sql.{Connection, DatabaseMetaData}
@@ -100,4 +101,79 @@ object Introspector {
   /** Full TableSpec, ready for the DDL renderer. */
   def tableSpec(conn: Connection, schema: String, table: String): TableSpec =
     TableSpec(schema, table, columns(conn, schema, table))
+
+  /** Primary key as a KeyConstraint, columns in KEY_SEQ order — the A10
+    * introspection half (the reference's key_ordinal-ordered STUFF query,
+    * Program.cs:255-292). None when the table has no PK.
+    */
+  def primaryKey(conn: Connection, schema: String, table: String): Option[KeyConstraint] = {
+    val rs = conn.getMetaData.getPrimaryKeys(null, schema, table)
+    val cols = ArrayBuffer.empty[(Short, String, String)]
+    try {
+      while (rs.next())
+        cols += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME"),
+          Option(rs.getString("PK_NAME")).getOrElse(s"PK_$table")))
+    } finally rs.close()
+    if (cols.isEmpty) None
+    else Some(KeyConstraint(schema, table, cols.head._3, PrimaryKey,
+      cols.sortBy(_._1).map(_._2).toSeq))
+  }
+
+  /** Foreign keys grouped per constraint, parent/referenced column lists
+    * index-aligned in KEY_SEQ order — the A12 introspection half
+    * (Program.cs:348-401).
+    */
+  def foreignKeys(conn: Connection, schema: String, table: String): Seq[ForeignKey] = {
+    val rs = conn.getMetaData.getImportedKeys(null, schema, table)
+    val rows = ArrayBuffer.empty[(String, Short, String, String, String, String)]
+    try {
+      while (rs.next())
+        rows += ((Option(rs.getString("FK_NAME")).getOrElse(s"FK_$table"),
+          rs.getShort("KEY_SEQ"), rs.getString("FKCOLUMN_NAME"),
+          Option(rs.getString("PKTABLE_SCHEM")).getOrElse(""),
+          rs.getString("PKTABLE_NAME"), rs.getString("PKCOLUMN_NAME")))
+    } finally rs.close()
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (name, grp) =>
+      val ordered = grp.sortBy(_._2)
+      ForeignKey(schema, table, name,
+        cols = ordered.map(_._3).toSeq,
+        refSchema = ordered.head._4, refTable = ordered.head._5,
+        refCols = ordered.map(_._6).toSeq)
+    }
+  }
+
+  /** Secondary (non-PK) indexes with unique flags and ORDINAL_POSITION
+    * column order — the A13 introspection half (Program.cs:408-469).
+    * INCLUDE columns and filtered predicates are SQL Server catalog
+    * extensions not exposed by DatabaseMetaData; on that engine they come
+    * from a sys.indexes scan via Readers.jdbc.
+    */
+  def indexes(conn: Connection, schema: String, table: String): Seq[IndexSpec] = {
+    val pkName = primaryKey(conn, schema, table).map(_.name).getOrElse("")
+    val rs = conn.getMetaData.getIndexInfo(null, schema, table, false, false)
+    val rows = ArrayBuffer.empty[(String, Boolean, Short, String)]
+    try {
+      while (rs.next()) {
+        val name = rs.getString("INDEX_NAME")
+        val colName = rs.getString("COLUMN_NAME")
+        if (name != null && colName != null && name != pkName)
+          rows += ((name, !rs.getBoolean("NON_UNIQUE"),
+            rs.getShort("ORDINAL_POSITION"), colName))
+      }
+    } finally rs.close()
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (name, grp) =>
+      IndexSpec(schema, table, name, unique = grp.head._2, clustered = false,
+        keyCols = grp.sortBy(_._3).map(_._4).toSeq)
+    }
+  }
+
+  /** Full constraint/index DDL for one table — the introspect→render loop
+    * the reference runs as phases 4-7 (Program.cs:84-100).
+    */
+  def constraintDdl(conn: Connection, schema: String, table: String): String = {
+    val pk = primaryKey(conn, schema, table).map(DdlRenderer.addKeyConstraint)
+    val fks = foreignKeys(conn, schema, table).map(DdlRenderer.addForeignKey)
+    val ixs = indexes(conn, schema, table).map(DdlRenderer.createIndex)
+    (pk.toSeq ++ fks ++ ixs).mkString("\n")
+  }
 }

@@ -72,6 +72,34 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     } finally conn.close()
   }
 
+  test("Introspector reads PK/FK/indexes and renders the constraint DDL") {
+    import graft.catalog.Introspector
+    val conn = DriverManager.getConnection(url)
+    try {
+      ScriptExecutor.execute(conn,
+        """CREATE TABLE PARENT_T (PID INT NOT NULL, SID INT NOT NULL, V VARCHAR(10), PRIMARY KEY (PID, SID))
+          |GO
+          |CREATE TABLE CHILD_T (CID INT NOT NULL PRIMARY KEY, PPID INT NOT NULL, PSID INT NOT NULL, CONSTRAINT FK_CHILD FOREIGN KEY (PPID, PSID) REFERENCES PARENT_T (PID, SID))
+          |GO
+          |CREATE INDEX IX_CHILD_PSID ON CHILD_T (PSID, CID)
+          |GO""".stripMargin)
+      val pk = Introspector.primaryKey(conn, "APP", "PARENT_T")
+      assert(pk.exists(_.cols == Seq("PID", "SID"))) // KEY_SEQ order kept
+      val fks = Introspector.foreignKeys(conn, "APP", "CHILD_T")
+      assert(fks.map(_.name) == Seq("FK_CHILD"))
+      assert(fks.head.cols == Seq("PPID", "PSID")
+        && fks.head.refTable == "PARENT_T"
+        && fks.head.refCols == Seq("PID", "SID"))
+      val ixs = Introspector.indexes(conn, "APP", "CHILD_T")
+      // note: an index duplicating the FK's backing columns would be merged
+      // into the FK conglomerate by Derby; use a distinct column set
+      assert(ixs.exists(ix => ix.name == "IX_CHILD_PSID" && ix.keyCols == Seq("PSID", "CID")))
+      val ddl = Introspector.constraintDdl(conn, "APP", "CHILD_T")
+      assert(ddl.contains("FOREIGN KEY ([PPID], [PSID]) REFERENCES [APP].[PARENT_T] ([PID], [SID])"))
+      assert(ddl.contains("CREATE NONCLUSTERED INDEX [IX_CHILD_PSID]"))
+    } finally conn.close()
+  }
+
   test("jdbcWithSessionSetup runs per-connection setup and batches inserts") {
     val conn = DriverManager.getConnection(url)
     try {
