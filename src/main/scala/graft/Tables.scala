@@ -25,6 +25,11 @@ object Tables {
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
     * natively; read it as raw nanos and floor-truncate to a µs timestamp —
     * exactly what DuckDB does when it maps ns → TIMESTAMP (FIXTURES.md note).
+    * Side effect (deliberate): this sets the session-wide legacy
+    * nanosAsLong flag, because the scan consults it at EXECUTION time —
+    * restoring it after schema resolution would break the deferred read.
+    * Other ns-parquet reads in the session will therefore surface ns
+    * columns as LongType instead of erroring.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

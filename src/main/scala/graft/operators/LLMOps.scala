@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * production path and are checked structurally (rows-only).
   */
 object LLMOps {
-  private val P = 1000000007L // modulus for portable polynomial hashing
+  private val P = PolyHash.Mod // portable polynomial-hash modulus
+
+  /** Stopword list for lang-ID / quality scoring — mirrored verbatim in the
+    * q_l08/q_l09 oracle SQL; edit all sites together or parity breaks.
+    */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
   /** Whitespace tokens of lowercased text. */
   def tokens(c: Column): Column = split(lower(c), " ")
@@ -162,7 +167,7 @@ object LLMOps {
     * labeled lang column (confusion counts).
     */
   def qL08(s: SparkSession, d: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val stop = stopwords
     val w = tokens(col("text"))
     val ratio = size(filter(w, t => t.isin(stop: _*))).cast("double") /
       size(w).cast("double")
@@ -179,7 +184,7 @@ object LLMOps {
     * aggregate is integer-exact.
     */
   def qL09(s: SparkSession, d: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val stop = stopwords
     val w = tokens(col("text"))
     val stopRatio = size(filter(w, t => t.isin(stop: _*))).cast("double") /
       size(w).cast("double")

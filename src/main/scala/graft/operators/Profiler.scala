@@ -31,9 +31,8 @@ object Profiler {
         (if (isNum) avg(c.cast("double")) else lit(null).cast("double"))
           .as(s"${f.name}__mean"))
     }
-    val aggs = cols.flatMap(statsFor)
-    val row = df.agg(aggs.head, aggs.tail: _*).withColumn("__rows", lit(1))
-    val total = df.count()
+    val aggs = count(lit(1)).cast("long").as("__rows") +: cols.flatMap(statsFor)
+    val row = df.agg(aggs.head, aggs.tail: _*)
     // unpivot: one struct per column, exploded to a row each
     val entries = cols.map { f =>
       struct(
@@ -45,8 +44,8 @@ object Profiler {
         col(s"${f.name}__max").as("max_value"),
         col(s"${f.name}__mean").as("mean"))
     }
-    row.select(explode(array(entries: _*)).as("p"))
-      .select(lit(total).as("row_count"), col("p.*"))
+    row.select(col("__rows").as("row_count"), explode(array(entries: _*)).as("p"))
+      .select(col("row_count"), col("p.*"))
       .orderBy("column")
   }
 

@@ -129,26 +129,30 @@ object Relational {
       .orderBy("n_name")
   }
 
-  /** Q-J01 — inner equi-join; customer is small → broadcast hash join. */
+  /** Q-J01 — inner equi-join. customer GROWS with the scale factor, so no
+    * broadcast hint: AQE broadcasts it while it fits and shuffle-joins
+    * beyond (a forced hint would OOM the driver at large SF).
+    */
   def qJ01(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .select("o_orderkey", "o_totalprice", "c_name")
       .orderBy("o_orderkey")
   }
 
   /** Q-J02 — 4-way join (cf. the triggers query, Program.cs:553-556):
     * region ⋈ nation ⋈ customer ⋈ orders, revenue per region. The three
-    * dimension tables broadcast; only orders (the fact side) stays
-    * partitioned, so the whole join tree is shuffle-free at any scale.
+    * fixed-size dimensions (nation, region) broadcast; customer scales
+    * with SF so its join is left to AQE (broadcast while small,
+    * shuffle-join at scale).
     */
   def qJ02(s: SparkSession, d: String): DataFrame = {
     val r = Tables.region(s, d)
     val n = Tables.nation(s, d)
     val c = Tables.customer(s, d)
     val o = Tables.orders(s, d)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name")

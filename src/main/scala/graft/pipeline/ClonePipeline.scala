@@ -60,7 +60,7 @@ object ClonePipeline {
           // empty-table short circuit (Program.cs:612-616) is a no-op for
           // parquet writes, so we just write; count is read from the
           // written files' footers (no second scan of the source).
-          df.write.mode(SaveMode.Overwrite).parquet(s"$tgtDir/$t.parquet")
+          Writers.parquet(df, s"$tgtDir/$t.parquet")
           t -> spark.read.parquet(s"$tgtDir/$t.parquet").count()
         }
       }

@@ -91,11 +91,21 @@ object StreamOps {
       } else {
         var out = List.empty[SessionOut]
         var st = state.getOption
-        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          val us = e.ts.getTime * 1000L
+        // true microseconds: Timestamp.getTime is whole millis (sub-ms
+        // precision lives in getNanos) — ms truncation would diverge from
+        // the µs-exact batch twin Temporal.qT02
+        def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+          val us = micros(e.ts)
           st match {
             case Some(s) if us - s.lastSeenUs <= gapUs =>
-              st = Some(s.copy(lastSeenUs = us, nEvents = s.nEvents + 1))
+              // max(): a late in-watermark event from an earlier batch must
+              // not move the session's high-water mark backwards (that
+              // would cause false splits and regressed session ends)
+              st = Some(s.copy(
+                sessionStartUs = math.min(s.sessionStartUs, us),
+                lastSeenUs = math.max(s.lastSeenUs, us),
+                nEvents = s.nEvents + 1))
             case Some(s) => // gap exceeded: close previous session, open new
               out ::= SessionOut(userId, new Timestamp(s.sessionStartUs / 1000L),
                 new Timestamp(s.lastSeenUs / 1000L), s.nEvents)
