@@ -29,6 +29,7 @@ object SparkEntry {
     "q_a08_cube"           -> (Relational.qA08 _),
     "q_a09_argminmax"      -> (Relational.qA09 _),
     "q_a10_pivot"          -> (Relational.qA10 _),
+    "q_a11_grouping_id"    -> (Relational.qA11 _),
     "q_j01_inner_join"     -> (Relational.qJ01 _),
     "q_j02_join4"          -> (Relational.qJ02 _),
     "q_j03_left_join"      -> (Relational.qJ03 _),
@@ -36,6 +37,7 @@ object SparkEntry {
     "q_j05_anti_join"      -> (Relational.qJ05 _),
     "q_j06_range_join"     -> (Relational.qJ06 _),
     "q_j07_asof_join"      -> (AsOf.qJ07 _),
+    "q_j08_tpch_q3"        -> (Relational.qJ08 _),
     "q_q01_corr_subquery"  -> (Relational.qQ01 _),
     "q_q02_corr_sql"       -> (Relational.qQ02 _),
     "q_w01_rank"           -> (Relational.qW01 _),
@@ -43,6 +45,7 @@ object SparkEntry {
     "q_w03_lag"            -> (Relational.qW03 _),
     "q_w04_range_frame"    -> (Relational.qW04 _),
     "q_w05_distribution"   -> (Relational.qW05 _),
+    "q_w06_first_last"     -> (Relational.qW06 _),
     "q_s01_topk"           -> (Relational.qS01 _),
     "q_u01_union"          -> (Relational.qU01 _),
     "q_u02_intersect"      -> (Relational.qU02 _),
@@ -128,6 +131,12 @@ object SparkEntry {
       """SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c_custkey""",
     "q_a10_pivot" ->
       """SELECT o_orderpriority, CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1995, CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS y1996, CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS y1997, CAST(SUM(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS y1998, CAST(SUM(CASE WHEN year(o_orderdate) = 1999 THEN 1 ELSE 0 END) AS BIGINT) AS y1999, CAST(SUM(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END) AS BIGINT) AS y2000, CAST(SUM(CASE WHEN year(o_orderdate) = 2001 THEN 1 ELSE 0 END) AS BIGINT) AS y2001 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_a11_grouping_id" ->
+      """SELECT n_regionkey, n_nationkey, CAST(GROUPING(n_regionkey, n_nationkey) AS BIGINT) AS gid, COUNT(*) AS cnt FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey) ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+    "q_j08_tpch_q3" ->
+      """SELECT o_orderkey, o_orderdate, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q_w06_first_last" ->
+      """SELECT o_custkey, o_orderkey, first_value(o_orderkey) OVER w AS first_order, last_value(o_orderkey) OVER w AS last_order, nth_value(o_orderkey, 2) OVER w AS second_order FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_custkey, o_orderkey""",
     "q_q02_corr_sql" ->
       """SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) ORDER BY c_custkey""",
     "q_w04_range_frame" ->

@@ -95,6 +95,16 @@ object Relational {
         min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("min_order"))
       .orderBy("o_orderpriority")
 
+  /** Q-A11 — grouping_id over ROLLUP: distinguishes the aggregation level
+    * of each grouping-sets row (the bitmask both engines define
+    * identically).
+    */
+  def qA11(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .rollup(col("n_regionkey"), col("n_nationkey"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("n_regionkey"), asc_nulls_first("n_nationkey"))
+
   /** Q-A10 — pivot: order counts per priority × year, years widened to
     * columns. Explicit pivot values keep the plan a single pass (no
     * distinct-values pre-query) — the form that scales.
@@ -158,6 +168,24 @@ object Relational {
       .groupBy("r_name")
       .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("order_cnt"))
       .orderBy("r_name")
+  }
+
+  /** Q-J08 — TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date
+    * predicates on both fact sides, revenue per order, top-10. The two
+    * filters reach their parquet scans as PushedFilters; the final top-k
+    * is TakeOrderedAndProject (per-partition heaps, no total sort).
+    */
+  def qJ08(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+    val c = Tables.customer(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderkey").as("o_orderkey"), col("o_orderdate"))
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
   }
 
   /** Q-J03 — left outer join + COALESCE (B4 + B12, Program.cs:176-182,168). */
@@ -288,6 +316,22 @@ object Relational {
         cume_dist().over(w).as("cd"),
         ntile(4).over(w).cast("long").as("quartile"))
       .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** Q-W06 — first_value / last_value / nth_value over the full partition
+    * frame (first, latest and second order per customer).
+    */
+  def qW06(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Q-W03 — LAG over event time (per-user delta). */
