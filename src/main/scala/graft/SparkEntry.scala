@@ -56,6 +56,8 @@ object SparkEntry {
     "q_f03_math_fns"       -> (Relational.qF03 _),
     "q_f04_json"           -> (Relational.qF04 _),
     "q_f05_full_join"      -> (Relational.qF05 _),
+    "q_f06_conditional"    -> (Relational.qF06 _),
+    "q_f08_date_arith"     -> (Relational.qF08 _),
     "q_v01_array_ops"      -> (Relational.qV01 _),
     // temporal (batch analogs of the streaming windows)
     "q_t01_tumbling"       -> (Temporal.qT01 _),
@@ -169,6 +171,10 @@ object SparkEntry {
       """SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt FROM events GROUP BY k_val ORDER BY k_val NULLS FIRST""",
     "q_f05_full_join" ->
       """SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey, COUNT(s_suppkey) AS supp_rows, COUNT(c_custkey) AS cust_rows FROM supplier FULL OUTER JOIN customer ON s_nationkey = c_nationkey GROUP BY 1 ORDER BY nationkey NULLS FIRST""",
+    "q_f06_conditional" ->
+      """SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS prio_or_null, LEAST(o_totalprice, 100000.0) AS capped, GREATEST(o_totalprice, 50000.0) AS floored, CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS bucket FROM orders ORDER BY o_orderkey""",
+    "q_f08_date_arith" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS plus30, CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999, CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m FROM orders ORDER BY o_orderkey""",
     "q_v01_array_ops" ->
       """SELECT label, CAST(len(embedding) AS BIGINT) AS dim, CAST(SUM(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonneg_first, COUNT(*) AS cnt FROM embeddings GROUP BY label, dim ORDER BY label, dim""",
     "q_t01_tumbling" ->

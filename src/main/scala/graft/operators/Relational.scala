@@ -437,6 +437,30 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("k_val"))
 
+  /** Q-F06 — conditional scalar functions: NULLIF / LEAST / GREATEST and a
+    * two-branch IF, all codegen'd.
+    */
+  def qF06(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio_or_null"),
+        least(col("o_totalprice"), lit(100000.0)).as("capped"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("floored"),
+        when(col("o_totalprice") > 150000, "big").otherwise("small").as("bucket"))
+      .orderBy("o_orderkey")
+
+  /** Q-F08 — date arithmetic: day offsets, day diffs, month adds. */
+  def qF08(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_1999"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"))
+      .orderBy("o_orderkey")
+
   /** Q-F05 — full outer join aggregated per nation key. */
   def qF05(s: SparkSession, d: String): DataFrame = {
     val su = Tables.supplier(s, d)
