@@ -59,6 +59,8 @@ object SparkEntry {
     "q_f06_conditional"    -> (Relational.qF06 _),
     "q_f08_date_arith"     -> (Relational.qF08 _),
     "q_v01_array_ops"      -> (Relational.qV01 _),
+    "q_v02_array_fns"      -> (Relational.qV02 _),
+    "q_f09_regexp"         -> (Relational.qF09 _),
     // temporal (batch analogs of the streaming windows)
     "q_t01_tumbling"       -> (Temporal.qT01 _),
     "q_t02_sessionize"     -> (Temporal.qT02 _),
@@ -177,6 +179,10 @@ object SparkEntry {
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS plus30, CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999, CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m FROM orders ORDER BY o_orderkey""",
     "q_v01_array_ops" ->
       """SELECT label, CAST(len(embedding) AS BIGINT) AS dim, CAST(SUM(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonneg_first, COUNT(*) AS cnt FROM embeddings GROUP BY label, dim ORDER BY label, dim""",
+    "q_v02_array_fns" ->
+      """SELECT vec_id, CAST(len(embedding[1:8]) AS BIGINT) AS slice_len, round(CAST(list_reverse(embedding)[1] AS DOUBLE), 4) AS last_elem, round(CAST(list_sort(embedding)[1] AS DOUBLE), 4) AS min_elem, CAST(len(list_distinct(list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10, 0)))) AS BIGINT) AS coarse_distinct FROM embeddings ORDER BY vec_id""",
+    "q_f09_regexp" ->
+      """SELECT c_custkey, CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id, CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS digit_runs, regexp_replace(c_name, '[0-9]', '#', 'g') AS masked FROM customer ORDER BY c_custkey""",
     "q_t01_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
     "q_t02_sessionize" ->

@@ -473,6 +473,33 @@ object Relational {
       .orderBy(asc_nulls_first("nationkey"))
   }
 
+  /** Q-V02 — deeper array functions over embeddings: slice, reverse,
+    * element sorting and distinct counting, with decimal-rounded values so
+    * the float comparisons are engine-stable.
+    */
+  def qV02(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(slice(col("embedding"), 1, 8)).cast("long").as("slice_len"),
+        round(element_at(reverse(col("embedding")), 1).cast("double"), 4).as("last_elem"),
+        round(element_at(array_sort(col("embedding")), 1).cast("double"), 4).as("min_elem"),
+        size(array_distinct(transform(col("embedding"),
+          x => round(x.cast("double") * 10, 0)))).cast("long").as("coarse_distinct"))
+      .orderBy("vec_id")
+
+  /** Q-F09 — regexp functions: extract the numeric id from c_name
+    * ('Customer#000000042') and count digit runs.
+    */
+  def qF09(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("name_id"),
+        regexp_count(col("c_name"), lit("[0-9]+")).cast("long").as("digit_runs"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"))
+      .orderBy("c_custkey")
+
   /** Q-V01 — array ops over the embeddings fixture (§2.C array row). */
   def qV01(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
