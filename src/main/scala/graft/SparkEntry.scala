@@ -61,6 +61,7 @@ object SparkEntry {
     "q_v01_array_ops"      -> (Relational.qV01 _),
     "q_v02_array_fns"      -> (Relational.qV02 _),
     "q_f09_regexp"         -> (Relational.qF09 _),
+    "q_f10_map_fns"        -> (Relational.qF10 _),
     // temporal (batch analogs of the streaming windows)
     "q_t01_tumbling"       -> (Temporal.qT01 _),
     "q_t02_sessionize"     -> (Temporal.qT02 _),
@@ -183,6 +184,8 @@ object SparkEntry {
       """SELECT vec_id, CAST(len(embedding[1:8]) AS BIGINT) AS slice_len, round(CAST(list_reverse(embedding)[1] AS DOUBLE), 4) AS last_elem, round(CAST(list_sort(embedding)[1] AS DOUBLE), 4) AS min_elem, CAST(len(list_distinct(list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10, 0)))) AS BIGINT) AS coarse_distinct FROM embeddings ORDER BY vec_id""",
     "q_f09_regexp" ->
       """SELECT c_custkey, CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id, CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS digit_runs, regexp_replace(c_name, '[0-9]', '#', 'g') AS masked FROM customer ORDER BY c_custkey""",
+    "q_f10_map_fns" ->
+      """SELECT key, COUNT(*) AS cnt, CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS total FROM (SELECT props, unnest(json_keys(props)) AS key FROM events) t GROUP BY key ORDER BY key""",
     "q_t01_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
     "q_t02_sessionize" ->

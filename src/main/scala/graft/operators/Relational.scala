@@ -461,6 +461,19 @@ object Relational {
         add_months(col("o_orderdate").cast("date"), 3).as("plus3m"))
       .orderBy("o_orderkey")
 
+  /** Q-F10 — map functions: parse events.props into a MapType, explode
+    * entries, aggregate per key (map_keys/map_values surface; generic over
+    * whatever keys the JSON carries).
+    */
+  def qF10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    Tables.events(s, d)
+      .select(explode(from_json(col("props"), MapType(StringType, LongType))))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .orderBy("key")
+  }
+
   /** Q-F05 — full outer join aggregated per nation key. */
   def qF05(s: SparkSession, d: String): DataFrame = {
     val su = Tables.supplier(s, d)
