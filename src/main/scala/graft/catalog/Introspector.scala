@@ -149,7 +149,8 @@ object Introspector {
     * from a sys.indexes scan via Readers.jdbc.
     */
   def indexes(conn: Connection, schema: String, table: String): Seq[IndexSpec] = {
-    val pkName = primaryKey(conn, schema, table).map(_.name).getOrElse("")
+    val pk = primaryKey(conn, schema, table)
+    val pkName = pk.map(_.name).getOrElse("")
     val rs = conn.getMetaData.getIndexInfo(null, schema, table, false, false)
     val rows = ArrayBuffer.empty[(String, Boolean, Short, String)]
     try {
@@ -164,6 +165,11 @@ object Introspector {
     rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (name, grp) =>
       IndexSpec(schema, table, name, unique = grp.head._2, clustered = false,
         keyCols = grp.sortBy(_._3).map(_._4).toSeq)
+    }.filterNot { ix =>
+      // on engines that give the PK's backing index a generated name (e.g.
+      // Derby) the name test above misses it — a unique index on exactly the
+      // PK's column list is that backing index, not a secondary index
+      ix.unique && pk.exists(_.cols == ix.keyCols)
     }
   }
 

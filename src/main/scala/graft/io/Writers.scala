@@ -135,6 +135,12 @@ object Writers {
             val st = conn.createStatement(); try st.execute(s) finally st.close()
           }
           conn.commit()
+        } catch { case e: Throwable =>
+          // JDBC leaves close-with-open-transaction behavior driver-defined
+          // (some drivers commit); roll back explicitly so a failed partition
+          // can never persist a partial batch
+          try conn.rollback() catch { case _: Throwable => () }
+          throw e
         } finally conn.close()
       }
     }

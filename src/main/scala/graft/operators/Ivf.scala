@@ -88,7 +88,13 @@ object Ivf {
   def annIvf(s: SparkSession, d: String, queryVecId: Long = 0,
       k: Int = 10, nprobe: Int = 2): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val centroids = trainCentroids(s, e).cache()
+    // the centroid set is O(cells) metadata — localize it once instead of
+    // caching the training lineage, so repeated ANN queries in a long-lived
+    // session hold no executor cache (and the index + probe branches still
+    // share one materialization)
+    val trained = trainCentroids(s, e)
+    val centroids = s.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
     val index = buildIndex(e, centroids)
     val q = e.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"))
