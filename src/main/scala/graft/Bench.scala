@@ -34,7 +34,11 @@ object Bench {
     }
 
     run("q_a01_hash_agg") // warm-up, not charged
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // SPARK_GRAFT_ONLY=q_x,q_y — time a subset while iterating
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n))).map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

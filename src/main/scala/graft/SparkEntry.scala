@@ -92,6 +92,7 @@ object SparkEntry {
     // clone surface (Q-M01: schema introspection → DDL; rows-only)
     "q_m01_clone_ddl"      -> (ClonePipeline.qM01 _),
     "q_m02_profile"        -> (Profiler.qM02 _),
+    "q_m03_distinct_profile" -> (Profiler.qM03 _),
     // multimodal plumbing (rows-only: stubbed decode, real schema/partitioning)
     "q_mm01_media_meta"    -> (Multimodal.qMM01 _),
     "q_mm02_features"      -> (Multimodal.qMM02 _),
@@ -214,5 +215,40 @@ object SparkEntry {
       """SELECT doc_id FROM documents WHERE list_contains(string_split_regex(lower(text), '\W+'), 'the') AND list_contains(string_split_regex(lower(text), '\W+'), 'data') ORDER BY doc_id""",
     "q_l11_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id""",
+    // q_m02: every stat is rendered engine-portably (numerics via
+    // DECIMAL(18,2); mean = exact decimal sum, one double division)
+    "q_m02_profile" ->
+      ("""WITH a AS (SELECT COUNT(*) AS rc, """ +
+        Seq("l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+          "l_linenumber" -> "num", "l_quantity" -> "num",
+          "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+          "l_returnflag" -> "other", "l_linestatus" -> "other",
+          "l_shipdate" -> "other").zipWithIndex.map { case ((c, kind), i) =>
+          val mm = if (kind == "num")
+            s"CAST(CAST(MIN($c) AS DECIMAL(18,2)) AS VARCHAR) AS mn$i, CAST(CAST(MAX($c) AS DECIMAL(18,2)) AS VARCHAR) AS mx$i"
+          else
+            s"CAST(MIN($c) AS VARCHAR) AS mn$i, CAST(MAX($c) AS VARCHAR) AS mx$i"
+          val me = if (kind == "num")
+            s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c) AS me$i"
+          else s"CAST(NULL AS DOUBLE) AS me$i"
+          s"COUNT($c) AS nn$i, $mm, $me"
+        }.mkString(", ") +
+        """ FROM lineitem) """ +
+        Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+          "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+          "l_quantity" -> "double", "l_extendedprice" -> "double",
+          "l_discount" -> "double", "l_tax" -> "double",
+          "l_returnflag" -> "string", "l_linestatus" -> "string",
+          "l_shipdate" -> "timestamp_ntz").zipWithIndex.map { case ((c, dt), i) =>
+          s"""SELECT rc AS row_count, '$c' AS "column", '$dt' AS data_type, rc - nn$i AS null_count, mn$i AS min_value, mx$i AS max_value, me$i AS mean FROM a"""
+        }.mkString(" UNION ALL ") +
+        """ ORDER BY "column""""),
+    "q_m03_distinct_profile" ->
+      ("""SELECT * FROM (VALUES """ +
+        Seq("l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",
+          "l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+          "l_shipdate", "l_suppkey", "l_tax")
+          .map(c => s"('$c', true)").mkString(", ") +
+        """) t("column", within_bound) ORDER BY "column""""),
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,36 +12,51 @@ import org.apache.spark.sql.types._
   * after a clone, and skew diagnosis before a join). One pass over the
   * table computes every column's profile in a single aggregate row, then
   * unpivots to one row per column — no per-column scans.
+  *
+  * The distinct-count sketch lives in a SEPARATE pass: each
+  * approx_count_distinct carries an HLL register buffer (dozens of
+  * aggregation-buffer words per column), and folding all of them into the
+  * same aggregate as the cheap min/max/mean stats pushes the combined
+  * buffer past codegen limits — the whole profile then runs interpreted.
+  * Splitting keeps the deterministic pass inside WholeStageCodegen.
   */
 object Profiler {
 
-  /** Per-column stats: nulls, approx distinct, min/max rendered as strings
-    * (heterogeneous column types in one result). Numeric columns add mean.
+  /** Rendering used for min/max so the result is engine-portable:
+    * numerics via DECIMAL(18,2) (exact, no double-formatting drift),
+    * everything else via a plain string cast.
     */
-  def profile(df: DataFrame): DataFrame = {
+  private def asPortableString(c: Column, dt: DataType): Column = dt match {
+    case _: NumericType => c.cast(DecimalType(18, 2)).cast("string")
+    case _ => c.cast("string")
+  }
+
+  /** Deterministic per-column stats: nulls, min/max (portable strings),
+    * mean. Mean is an exact decimal sum divided once in double — identical
+    * across engines regardless of row order (no float-sum reassociation).
+    */
+  def profileDeterministic(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.toSeq
-    def statsFor(f: StructField): Seq[org.apache.spark.sql.Column] = {
+    // typed min/max in the aggregate, portable rendering in the projection
+    val aggs = count(lit(1)).cast("long").as("__rows") +: cols.flatMap { f =>
       val c = col(f.name)
       val isNum = f.dataType.isInstanceOf[NumericType]
       Seq(
-        count(when(c.isNull, 1)).cast("long").as(s"${f.name}__nulls"),
-        approx_count_distinct(c).cast("long").as(s"${f.name}__distinct"),
-        min(c).cast("string").as(s"${f.name}__min"),
-        max(c).cast("string").as(s"${f.name}__max"),
-        (if (isNum) avg(c.cast("double")) else lit(null).cast("double"))
-          .as(s"${f.name}__mean"))
+        count(c).cast("long").as(s"${f.name}__nonnull"),
+        min(c).as(s"${f.name}__minv"),
+        max(c).as(s"${f.name}__maxv"),
+        (if (isNum)
+           sum(c.cast(DecimalType(18, 2))).cast("double") / count(c)
+         else lit(null).cast("double")).as(s"${f.name}__mean"))
     }
-    val aggs = count(lit(1)).cast("long").as("__rows") +: cols.flatMap(statsFor)
     val row = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot: one struct per column, exploded to a row each
     val entries = cols.map { f =>
       struct(
         lit(f.name).as("column"),
         lit(f.dataType.catalogString).as("data_type"),
-        col(s"${f.name}__nulls").as("null_count"),
-        col(s"${f.name}__distinct").as("approx_distinct"),
-        col(s"${f.name}__min").as("min_value"),
-        col(s"${f.name}__max").as("max_value"),
+        (col("__rows") - col(s"${f.name}__nonnull")).as("null_count"),
+        asPortableString(col(s"${f.name}__minv"), f.dataType).as("min_value"),
+        asPortableString(col(s"${f.name}__maxv"), f.dataType).as("max_value"),
         col(s"${f.name}__mean").as("mean"))
     }
     row.select(col("__rows").as("row_count"), explode(array(entries: _*)).as("p"))
@@ -49,9 +64,52 @@ object Profiler {
       .orderBy("column")
   }
 
-  /** Q-M02 — profile of the lineitem table (rows-only: approx_distinct is
-    * engine-specific).
+  /** Full profile including the approx-distinct sketch (`rsd` relative
+    * error; 0.1 keeps HLL buffers small — tighten only when needed).
+    */
+  def profile(df: DataFrame, rsd: Double = 0.1): DataFrame = {
+    val det = profileDeterministic(df)
+    val cols = df.schema.fields.toSeq
+    val aggs = cols.map(f =>
+      approx_count_distinct(col(f.name), rsd).cast("long").as(f.name))
+    val sketchRow = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { f =>
+      struct(lit(f.name).as("column"), col(f.name).as("approx_distinct"))
+    }
+    val sketch = sketchRow
+      .select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+    det.join(broadcast(sketch), Seq("column"))
+      .orderBy("column")
+  }
+
+  /** Per-column sketch-accuracy check: HLL estimate within `tol` of the
+    * exact distinct count. The exact counts expand the input once per
+    * column — a test-scale cross-check for the sketch, not the 100 TB path
+    * (there you run only the sketch pass).
+    */
+  def distinctBounds(df: DataFrame, rsd: Double = 0.05, tol: Double = 0.15): DataFrame = {
+    val cols = df.schema.fields.toSeq
+    val aggs = cols.flatMap(f => Seq(
+      approx_count_distinct(col(f.name), rsd).cast("long").as(s"${f.name}__approx"),
+      countDistinct(col(f.name)).cast("long").as(s"${f.name}__exact")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { f =>
+      struct(
+        lit(f.name).as("column"),
+        (abs(col(s"${f.name}__approx") - col(s"${f.name}__exact")) <=
+          col(s"${f.name}__exact") * tol).as("within_bound"))
+    }
+    row.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+      .orderBy("column")
+  }
+
+  /** Q-M02 — deterministic profile of the lineitem table (DuckDB-oracle
+    * hash-matched: every stat is engine-portable by construction).
     */
   def qM02(s: SparkSession, d: String): DataFrame =
-    profile(Tables.lineitem(s, d))
+    profileDeterministic(Tables.lineitem(s, d))
+
+  /** Q-M03 — HLL distinct-count sketch accuracy vs exact, per column. */
+  def qM03(s: SparkSession, d: String): DataFrame =
+    distinctBounds(Tables.lineitem(s, d))
 }

@@ -229,9 +229,18 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val byCol = prof.map(r => r.getAs[String]("column") -> r).toMap
     assert(byCol("n_nationkey").getAs[Long]("row_count") == 25L)
     assert(byCol("n_nationkey").getAs[Long]("null_count") == 0L)
-    assert(byCol("n_nationkey").getAs[String]("min_value") == "0")
-    assert(byCol("n_nationkey").getAs[String]("max_value") == "24")
+    // numerics render via DECIMAL(18,2) so the string is engine-portable
+    assert(byCol("n_nationkey").getAs[String]("min_value") == "0.00")
+    assert(byCol("n_nationkey").getAs[String]("max_value") == "24.00")
+    assert(byCol("n_nationkey").getAs[Long]("approx_distinct") > 20L)
     assert(byCol("n_name").getAs[Any]("mean") == null) // non-numeric
+  }
+
+  test("profiler: HLL estimate within bound of exact distinct on every column") {
+    import graft.operators.Profiler
+    val ok = Profiler.distinctBounds(Tables.nation(spark, sfDir)).collect()
+    assert(ok.length == Tables.nation(spark, sfDir).schema.fields.length)
+    assert(ok.forall(_.getAs[Boolean]("within_bound")))
   }
 
   test("multimodal: feature extraction yields fixed-dim vectors for every doc") {
