@@ -83,24 +83,21 @@ object Profiler {
   }
 
   /** Per-column sketch-accuracy check: HLL estimate within `tol` of the
-    * exact distinct count. The exact counts expand the input once per
-    * column — a test-scale cross-check for the sketch, not the 100 TB path
-    * (there you run only the sketch pass).
+    * exact distinct count. One aggregation per column, unioned — NOT one
+    * aggregate with N countDistincts, which plans as an Expand (N× row
+    * multiplication) over a combined buffer too large for codegen; per-
+    * column passes each prune the scan to a single parquet column and stay
+    * in WholeStageCodegen, so the work scales with data read, not N².
     */
   def distinctBounds(df: DataFrame, rsd: Double = 0.05, tol: Double = 0.15): DataFrame = {
-    val cols = df.schema.fields.toSeq
-    val aggs = cols.flatMap(f => Seq(
-      approx_count_distinct(col(f.name), rsd).cast("long").as(s"${f.name}__approx"),
-      countDistinct(col(f.name)).cast("long").as(s"${f.name}__exact")))
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val entries = cols.map { f =>
-      struct(
+    val perCol = df.schema.fields.toSeq.map { f =>
+      df.select(col(f.name)).agg(
         lit(f.name).as("column"),
-        (abs(col(s"${f.name}__approx") - col(s"${f.name}__exact")) <=
-          col(s"${f.name}__exact") * tol).as("within_bound"))
+        (abs(approx_count_distinct(col(f.name), rsd).cast("long") -
+          countDistinct(col(f.name)).cast("long")) <=
+          countDistinct(col(f.name)).cast("long") * tol).as("within_bound"))
     }
-    row.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
-      .orderBy("column")
+    perCol.reduce(_.unionAll(_)).orderBy("column")
   }
 
   /** Q-M02 — deterministic profile of the lineitem table (DuckDB-oracle
