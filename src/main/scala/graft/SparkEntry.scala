@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, FullText, Ivf, LLMOps, Multimodal, Profiler, Relational, Scale, Similarity, Temporal}
+import graft.operators.{AsOf, ExtensionShowcase, FullText, Ivf, LLMOps, Multimodal, Profiler, Relational, Scale, Similarity, Temporal}
 import graft.pipeline.ClonePipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + §7.
@@ -97,6 +97,11 @@ object SparkEntry {
     "q_mm01_media_meta"    -> (Multimodal.qMM01 _),
     "q_mm02_features"      -> (Multimodal.qMM02 _),
     "q_mm03_frame_sample"  -> (Multimodal.qMM03 _),
+    // Catalyst extension surface (custom strategy / SQL registry / rewrite
+    // rule; q_x02 is approximate-by-construction → rows-only + spec)
+    "q_s02_group_topk"     -> (ExtensionShowcase.qS02 _),
+    "q_x01_sql_cosine"     -> (ExtensionShowcase.qX01 _),
+    "q_x02_lsh_rewrite"    -> (ExtensionShowcase.qX02 _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver rows-only check).
@@ -250,5 +255,9 @@ object SparkEntry {
           "l_shipdate", "l_suppkey", "l_tax")
           .map(c => s"('$c', true)").mkString(", ") +
         """) t("column", within_bound) ORDER BY "column""""),
+    "q_s02_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
+    "q_x01_sql_cosine" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings, q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
   )
 }

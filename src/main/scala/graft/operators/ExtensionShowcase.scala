@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Tables
+import graft.plans.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries driving the Catalyst extension surface (graft.plans): the
+  * custom group-top-k operator, the SQL-registered custom expressions, and
+  * the opt-in LSH similarity-join rewrite.
+  */
+object ExtensionShowcase {
+
+  /** Q-S02 — top-3 orders per customer via the custom [[graft.plans.GroupTopK]]
+    * operator (partial heap → shuffle of winners only → final heap),
+    * replacing the window row_number ≤ k idiom that shuffles and sorts the
+    * whole input. Total tie-break (price desc, then key) makes the
+    * retained set deterministic.
+    */
+  def qS02(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    Graft.groupTopK(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q-X01 — the custom cosine expression invoked from SQL text through
+    * the function registry (injectFunction surface): brute-force top-10
+    * against vec_id 0, same semantics as Q-L02 but arriving via the
+    * parser instead of the Column API.
+    */
+  def qX01(s: SparkSession, d: String): DataFrame = {
+    Graft.ensureRegistered(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+    s.sql(
+      """SELECT vec_id,
+        |       cosine_sim(embedding,
+        |         (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+  }
+
+  /** Q-X02 — the near-dup pair query written NAIVELY (cross join + cosine
+    * threshold filter), rewritten by [[graft.plans.SimilarityJoinRewrite]]
+    * into the LSH banding plan. 3 bits × 24 tables ⇒ ~99.96% recall per
+    * true pair at cosine 0.45; precision is exact (the original predicate
+    * re-verifies every candidate). The rewrite flag is scoped to this
+    * query's shape — nothing else in the suite joins on a cosine
+    * threshold.
+    */
+  def qX02(s: SparkSession, d: String): DataFrame = {
+    Graft.ensureRegistered(s)
+    s.conf.set("spark.graft.lsh.rewrite", "true")
+    s.conf.set("spark.graft.lsh.bits", "3")
+    s.conf.set("spark.graft.lsh.tables", "24")
+    naiveCosineJoin(s, d, 0.45)
+  }
+
+  /** The naive declarative form: what a user writes; what the optimizer
+    * sees. With the rewrite disabled this really is a cartesian product.
+    */
+  def naiveCosineJoin(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("emb1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("emb2"))
+    a.crossJoin(b)
+      .where(col("id1") < col("id2") &&
+        Similarity.cosineSafe(col("emb1"), col("emb2")) >= threshold)
+      .select(col("id1"), col("id2"),
+        round(Similarity.cosineSafe(col("emb1"), col("emb2")), 4).as("sim"))
+      .orderBy("id1", "id2")
+  }
+}
