@@ -97,6 +97,14 @@ object SparkEntry {
     "q_mm01_media_meta"    -> (Multimodal.qMM01 _),
     "q_mm02_features"      -> (Multimodal.qMM02 _),
     "q_mm03_frame_sample"  -> (Multimodal.qMM03 _),
+    // statistical / percentile / bitwise / hash breadth and deeper TPC-H
+    // join shapes
+    "q_a12_corr_moments"   -> (Relational.qA12 _),
+    "q_a13_percentiles"    -> (Relational.qA13 _),
+    "q_j09_tpch_q5"        -> (Relational.qJ09 _),
+    "q_j10_tpch_q10"       -> (Relational.qJ10 _),
+    "q_f11_bit_aggs"       -> (Relational.qF11 _),
+    "q_f12_hash_fns"       -> (Relational.qF12 _),
     // Catalyst extension surface (custom strategy / SQL registry / rewrite
     // rule; q_x02 is approximate-by-construction → rows-only + spec)
     "q_s02_group_topk"     -> (ExtensionShowcase.qS02 _),
@@ -255,6 +263,18 @@ object SparkEntry {
           "l_shipdate", "l_suppkey", "l_tax")
           .map(c => s"('$c', true)").mkString(", ") +
         """) t("column", within_bound) ORDER BY "column""""),
+    "q_a12_corr_moments" ->
+      """WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price, ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty FROM m ORDER BY l_returnflag""",
+    "q_a13_percentiles" ->
+      """SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price, ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_j09_tpch_q5" ->
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_j10_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY c_custkey, c_name, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_f11_bit_aggs" ->
+      """SELECT l_orderkey, bit_and(l_linenumber) AS ln_and, bit_or(l_linenumber) AS ln_or, bit_xor(l_linenumber) AS ln_xor FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "q_f12_hash_fns" ->
+      """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256 FROM customer ORDER BY c_custkey""",
     "q_s02_group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
     "q_x01_sql_cosine" ->

@@ -523,4 +523,109 @@ object Relational {
       .groupBy("label", "dim")
       .agg(sum(col("first_nonneg")).as("nonneg_first"), count(lit(1)).as("cnt"))
       .orderBy("label", "dim")
+
+  /** Q-A12 — correlation / stddev via exact decimal moment sums: the five
+    * sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL (associative,
+    * partition-order-independent, one pass), and the statistics are then
+    * derived in double from identical expressions on both engines — unlike
+    * the built-in corr/stddev whose streaming-update floating point is
+    * engine- and order-specific. This is also the 100 TB formulation: a
+    * single partial+final aggregate, no second pass.
+    */
+  def qA12(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val x = col("l_quantity").cast(dec)
+    val y = col("l_extendedprice").cast(dec)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(
+        col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1)), 6).as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q-A13 — exact interpolated percentiles (median / p90): both engines
+    * use the same p·(n−1) linear-interpolation definition, so exact
+    * percentile is portable where streaming variance is not. The scale
+    * twin is Q-A07's mergeable sketch; this is the oracle-checked form.
+    */
+  def qA13(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))
+      .orderBy("o_orderpriority")
+
+  /** Q-J09 — TPC-H Q5 shape: 6-way join (3 broadcast dims), revenue of
+    * lineitems sold by a supplier in the customer's nation, one region,
+    * one order-date year. Date predicate reaches the orders scan pushed
+    * down; nation/region/supplier broadcast.
+    */
+  def qJ09(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q-J10 — TPC-H Q10 shape: revenue lost to returned items per customer
+    * in one quarter, top-20. Returnflag predicate pushed to the lineitem
+    * scan; the final top-k is TakeOrderedAndProject.
+    */
+  def qJ10(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q-F11 — bitwise aggregates over the line numbers of each order. */
+  def qF11(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(
+        expr("bit_and(l_linenumber)").as("ln_and"),
+        expr("bit_or(l_linenumber)").as("ln_or"),
+        expr("bit_xor(l_linenumber)").as("ln_xor"))
+      .orderBy("l_orderkey")
+
+  /** Q-F12 — cryptographic hash functions (portable hex renderings). */
+  def qF12(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("h_md5"),
+        sha2(col("c_name").cast("binary"), 256).as("h_sha256"))
+      .orderBy("c_custkey")
 }
