@@ -21,6 +21,11 @@ object Readers {
 
   def json(s: SparkSession, path: String): DataFrame = s.read.json(path)
 
+  /** ORC source (columnar like parquet: pushdown + pruning apply; Avro is
+    * omitted — the spark-avro datasource module isn't on this classpath).
+    */
+  def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
   /** Partitioned JDBC scan. `partitionColumn` should be the PK/identity
     * column — the reference's identity seed/increment metadata
     * (Program.cs:169-170) gives natural bounds. With no partition column

@@ -36,6 +36,23 @@ object Writers {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
 
+  /** ORC sink (columnar twin of [[parquet]]). */
+  def orc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** Hive-style partitioned parquet: one directory per `partitionCols`
+    * value combination, so a filter on those columns prunes whole
+    * directories before any file is opened — at 100 TB the difference
+    * between scanning a day and scanning the archive. Low-cardinality
+    * columns only (each combination is a directory); high-cardinality
+    * layout wants [[bucketed]] instead.
+    */
+  def partitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed catalog table: pre-shuffles once at write time so every
     * later equi-join/aggregation on `bucketCol` against a like-bucketed table
     * is exchange-free — the persistent-layout answer to the reference's

@@ -63,6 +63,31 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment join: the static side is planned per
+    * micro-batch (broadcast when small), no watermark or state needed —
+    * the streaming twin of the clone pipeline's dimension joins. At scale
+    * the static side should be a broadcast-able dim or a bucketed table
+    * co-partitioned with the stream's shuffle.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      joinCols: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), joinCols)
+
+  /** Micro-batch JDBC sink via foreachBatch: each batch goes through the
+    * batch [[graft.io.Writers.jdbc]] path (batched prepared statements,
+    * the reference's bulk-copy profile), giving the streaming pipeline the
+    * same sink surface as the clone pipeline. foreachBatch is at-least-
+    * once; pair with an idempotent or keyed target for exactly-once.
+    */
+  def foreachBatchJdbc(events: DataFrame, url: String, table: String,
+      props: java.util.Properties, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.Writers.jdbc(batch, url, table, props)
+      }
+
   // ---- custom stateful path: flatMapGroupsWithState ----------------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)

@@ -197,6 +197,41 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq == exp)
   }
 
+  test("orc source/sink round-trips with parity to parquet") {
+    import graft.io.{Readers, Writers}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val nation = Tables.nation(spark, sfDir)
+    Writers.orc(nation, s"$tmp/nation_orc")
+    val back = Readers.orc(spark, s"$tmp/nation_orc")
+    assert(back.schema == nation.schema)
+    assert(back.orderBy("n_nationkey").collect()
+      .sameElements(nation.orderBy("n_nationkey").collect()))
+    // columnar pushdown applies to orc like parquet
+    val plan = back.filter(col("n_regionkey") === 1)
+      .select("n_name").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]"), plan)
+  }
+
+  test("partitioned write prunes partitions at read time") {
+    import graft.io.Writers
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = Tables.events(spark, sfDir)
+    Writers.partitionedParquet(events, s"$tmp/events_by_type", Seq("event_type"))
+    val types = new java.io.File(s"$tmp/events_by_type")
+      .listFiles().map(_.getName).filter(_.startsWith("event_type="))
+    assert(types.length > 1, types.mkString(","))
+    val one = spark.read.parquet(s"$tmp/events_by_type")
+      .filter(col("event_type") === "click")
+    val plan = one.queryExecution.executedPlan.toString
+    // the filter lands in PartitionFilters (directory pruning), not in
+    // PushedFilters (row-group pruning inside opened files)
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("""(?s).*PartitionFilters: \[([^\]]*)\].*""", "$1")
+        .contains("event_type"), plan)
+    assert(one.count() ==
+      events.filter(col("event_type") === "click").count())
+  }
+
   test("cosineSafe ranks zero-norm vectors last instead of NaN-first") {
     import spark.implicits._
     import graft.operators.Similarity

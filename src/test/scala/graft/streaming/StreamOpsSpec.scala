@@ -102,6 +102,55 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events with dimension rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "interaction"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = StreamOps.enrichWithDim(events, dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("user_id", "event_type", "category")
+        .as[(Long, String, String)].collect()
+      assert(got.length == rows.length)
+      assert(got.forall { case (_, t, c) =>
+        (t == "click" && c == "interaction") || (t == "view" && c == "impression")
+      })
+    } finally q.stop()
+  }
+
+  test("foreachBatch streams micro-batches through the jdbc writer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE EVENTS_SINK (USER_ID BIGINT, TS TIMESTAMP, EVENT_TYPE VARCHAR(32))")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val events = mem.toDF().toDF("user_id", "ts", "event_type")
+      val q = StreamOps.foreachBatchJdbc(events, url, "EVENTS_SINK",
+        new java.util.Properties(), ckpt).start()
+      try {
+        mem.addData(rows.take(3): _*)
+        q.processAllAvailable()
+        mem.addData(rows.drop(3): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rs = conn.createStatement()
+        .executeQuery("SELECT COUNT(*) FROM EVENTS_SINK")
+      rs.next()
+      assert(rs.getInt(1) == rows.length)
+    } finally conn.close()
+  }
+
   test("flatMapGroupsWithState custom sessionization emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
