@@ -97,6 +97,8 @@ object SparkEntry {
     "q_mm01_media_meta"    -> (Multimodal.qMM01 _),
     "q_mm02_features"      -> (Multimodal.qMM02 _),
     "q_mm03_frame_sample"  -> (Multimodal.qMM03 _),
+    // custom UDTF (Generator) leg of the extension surface
+    "q_l16_ngram_top20"    -> (LLMOps.qL16 _),
     // statistical / percentile / bitwise / hash breadth and deeper TPC-H
     // join shapes
     "q_a12_corr_moments"   -> (Relational.qA12 _),
@@ -263,6 +265,8 @@ object SparkEntry {
           "l_shipdate", "l_suppkey", "l_tax")
           .map(c => s"('$c', true)").mkString(", ") +
         """) t("column", within_bound) ORDER BY "column""""),
+    "q_l16_ngram_top20" ->
+      """SELECT ngram, COUNT(*) AS cnt FROM (SELECT unnest(list_transform(range(1, length(lower(text)) - 1), i -> substr(lower(text), i, 3))) AS ngram FROM documents) t GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""",
     "q_a12_corr_moments" ->
       """WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price, ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty FROM m ORDER BY l_returnflag""",
     "q_a13_percentiles" ->

@@ -216,4 +216,17 @@ object LLMOps {
     Tables.documents(s, d)
       .select(col("doc_id"), charHash(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Q-L16 — top-20 character 3-grams via the custom
+    * [[graft.functions.NGramGenerator]] UDTF: shingles stream out of the
+    * generator one at a time instead of materializing an array<string> of
+    * every n-gram per document before the explode.
+    */
+  def qL16(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(graft.functions.NGramGenerator(lower(col("text")), 3).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(20)
 }

@@ -34,15 +34,17 @@ object Scale {
   /** Q-A06 — approximate distinct counts (HyperLogLog++): the 100 TB twin
     * of Q-A03's exact COUNT(DISTINCT). Sketches merge associatively, so
     * the shuffle carries fixed-size state per group instead of every
-    * distinct value. rsd 0.01 ⇒ ~1% relative error. Engine-specific sketch
-    * values → rows-only check; the exact query remains the oracle-checked
-    * one.
+    * distinct value. rsd 0.02 ⇒ ~2% relative error; tighter rsd grows the
+    * register file quadratically and Spark flattens it into one aggregate-
+    * buffer attribute per word (rsd 0.01 ⇒ 3278 buffer columns, ~2 s of
+    * codegen compile alone). Engine-specific sketch values → rows-only
+    * check; the exact query remains the oracle-checked one.
     */
   def qA06(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .agg(
-        approx_count_distinct(col("o_custkey"), 0.01).as("approx_custkeys"),
-        approx_count_distinct(col("o_orderpriority"), 0.01).as("approx_priorities"))
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_custkeys"),
+        approx_count_distinct(col("o_orderpriority"), 0.02).as("approx_priorities"))
 
   /** Q-A07 — approximate quantiles over order totals via percentile_approx
     * (mergeable t-digest-style sketch, same bounded-state argument).
