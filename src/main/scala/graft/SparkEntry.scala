@@ -99,6 +99,11 @@ object SparkEntry {
     "q_mm03_frame_sample"  -> (Multimodal.qMM03 _),
     // custom UDTF (Generator) leg of the extension surface
     "q_l16_ngram_top20"    -> (LLMOps.qL16 _),
+    // SQL-surface breadth: gap-fill, lateral, recursive CTE, unpivot
+    "q_t04_gapfill"        -> (Temporal.qT04 _),
+    "q_q03_lateral"        -> (Relational.qQ03 _),
+    "q_q04_recursive_cte"  -> (Relational.qQ04 _),
+    "q_a14_unpivot"        -> (Relational.qA14 _),
     // statistical / percentile / bitwise / hash breadth and deeper TPC-H
     // join shapes
     "q_a12_corr_moments"   -> (Relational.qA12 _),
@@ -265,6 +270,14 @@ object SparkEntry {
           "l_shipdate", "l_suppkey", "l_tax")
           .map(c => s"('$c', true)").mkString(", ") +
         """) t("column", within_bound) ORDER BY "column""""),
+    "q_t04_gapfill" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt FROM events GROUP BY 1), s AS (SELECT unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h FROM c) SELECT s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt FROM s LEFT JOIN c ON s.h = c.h ORDER BY s.h""",
+    "q_q03_lateral" ->
+      """SELECT n_name, c.c_name, c.c_acctbal FROM nation, LATERAL (SELECT c_name, c_acctbal FROM customer WHERE c_nationkey = n_nationkey ORDER BY c_acctbal DESC, c_name LIMIT 2) c ORDER BY n_name, c_name""",
+    "q_q04_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (SELECT TIMESTAMP '1995-01-01 00:00:00' UNION ALL SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-08-01 00:00:00'), c AS (SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS cnt FROM orders GROUP BY date_trunc('month', o_orderdate)) SELECT months.m, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt FROM months LEFT JOIN c ON months.m = c.m ORDER BY months.m""",
+    "q_a14_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part) ON p_size, p_retailprice INTO NAME metric VALUE value) ORDER BY p_partkey, metric""",
     "q_l16_ngram_top20" ->
       """SELECT ngram, COUNT(*) AS cnt FROM (SELECT unnest(list_transform(range(1, length(lower(text)) - 1), i -> substr(lower(text), i, 3))) AS ngram FROM documents) t GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""",
     "q_a12_corr_moments" ->

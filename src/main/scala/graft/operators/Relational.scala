@@ -620,6 +620,55 @@ object Relational {
         expr("bit_xor(l_linenumber)").as("ln_xor"))
       .orderBy("l_orderkey")
 
+  /** Q-Q03 — correlated LATERAL subquery with per-row ORDER BY + LIMIT:
+    * top-2 customers by balance per nation. Catalyst decorrelates the
+    * lateral into a ranked window under the hood — the declarative SQL
+    * spelling of the GroupTopK operator's semantics.
+    */
+  def qQ03(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, c_name""".stripMargin)
+  }
+
+  /** Q-Q04 — recursive CTE (Spark 4 WITH RECURSIVE): a month ladder over
+    * the order-date domain, left-joined to per-month counts so empty
+    * months surface as zeros. The recursion generates the 80-row spine on
+    * the driver side of the plan — data-size-independent.
+    */
+  def qQ04(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < TIMESTAMP '2001-08-01 00:00:00'),
+        |c AS (SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS cnt
+        |      FROM orders GROUP BY date_trunc('month', o_orderdate))
+        |SELECT months.m, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt
+        |FROM months LEFT JOIN c ON months.m = c.m
+        |ORDER BY months.m""".stripMargin)
+  }
+
+  /** Q-A14 — UNPIVOT/melt: wide part metrics to long (column, value)
+    * form — the inverse of Q-A10's pivot, via the native unpivot operator
+    * (an Expand node: no shuffle, rows × metrics emitted inline).
+    */
+  def qA14(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")), "metric", "value")
+      .orderBy("p_partkey", "metric")
+
   /** Q-F12 — cryptographic hash functions (portable hex renderings). */
   def qF12(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)

@@ -54,4 +54,23 @@ object Temporal {
         count(lit(1)).as("events"))
       .orderBy("user_id")
   }
+
+  /** Q-T04 — gap-fill: the dense hour spine is generated with
+    * `sequence` + explode from the observed min/max (a 2-row broadcast),
+    * then left-joined to the hourly counts so silent gaps become explicit
+    * zeros. At scale the spine is tiny (hours, not events) — the join
+    * broadcasts the counts' dimension, never re-shuffling the fact scan's
+    * aggregate output by anything new.
+    */
+  def qT04(s: SparkSession, d: String): DataFrame = {
+    val hours = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"))
+    val counts = hours.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val spine = counts.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+    spine.join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("h")
+  }
 }
