@@ -46,11 +46,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // SPARK_GRAFT_ONLY=q_x,q_y — time a subset while iterating
+    // SPARK_GRAFT_ONLY=q_x,q_y — time a subset while iterating; full
+    // query names or the short ids the JSON emits both select
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.forall(s => s.contains(n) ||
+        s.contains(n.split("_").take(2).mkString("_"))))
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${only.mkString} selects no query — use full " +
+        "names (q_a05_string_agg) or short ids (q_a05)")
     val shortId = names.map(n => n -> n.split("_").take(2).mkString("_")).toMap
     require(shortId.values.toSet.size == names.size,
       "short query ids collide; bench JSON keys must stay unique")

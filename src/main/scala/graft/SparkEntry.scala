@@ -245,11 +245,11 @@ object SparkEntry {
           "l_returnflag" -> "other", "l_linestatus" -> "other",
           "l_shipdate" -> "other").zipWithIndex.map { case ((c, kind), i) =>
           val mm = if (kind == "num")
-            s"CAST(CAST(MIN($c) AS DECIMAL(18,2)) AS VARCHAR) AS mn$i, CAST(CAST(MAX($c) AS DECIMAL(18,2)) AS VARCHAR) AS mx$i"
+            s"CAST(CAST(MIN($c) AS DECIMAL(38,2)) AS VARCHAR) AS mn$i, CAST(CAST(MAX($c) AS DECIMAL(38,2)) AS VARCHAR) AS mx$i"
           else
             s"CAST(MIN($c) AS VARCHAR) AS mn$i, CAST(MAX($c) AS VARCHAR) AS mx$i"
           val me = if (kind == "num")
-            s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c) AS me$i"
+            s"CAST(SUM(CAST($c AS DECIMAL(38,2))) AS DOUBLE) / COUNT($c) AS me$i"
           else s"CAST(NULL AS DOUBLE) AS me$i"
           s"COUNT($c) AS nn$i, $mm, $me"
         }.mkString(", ") +

@@ -15,11 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=q_a01,q_b02 — iterate on a subset (dump + oracle
-    // json are filtered together so compare.py sees a consistent set)
+    // SPARK_GRAFT_ONLY=q_a01,q_b02_full_name — iterate on a subset, by
+    // full query name or short id (dump + oracle json are filtered
+    // together so compare.py sees a consistent set)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    def selected(name: String) = only.forall(_.contains(name))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String) =
+      only.forall(s => s.contains(name) ||
+        s.contains(name.split("_").take(2).mkString("_")))
+    require(SparkEntry.queries.keys.exists(selected),
+      s"SPARK_GRAFT_ONLY=${only.mkString} selects no query — use full " +
+        "names (q_a05_string_agg) or short ids (q_a05)")
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -50,11 +50,16 @@ object ExtensionShowcase {
     * threshold.
     */
   def qX02(s: SparkSession, d: String): DataFrame = {
-    Graft.ensureRegistered(s)
-    s.conf.set("spark.graft.lsh.rewrite", "true")
-    s.conf.set("spark.graft.lsh.bits", "3")
-    s.conf.set("spark.graft.lsh.tables", "24")
-    naiveCosineJoin(s, d, 0.45)
+    // child session: same SparkContext, separate conf + extensions, so
+    // the opt-in rewrite and its aggressive tuning never leak into the
+    // caller's session (where a later cosine-threshold join would
+    // otherwise silently turn recall-approximate)
+    val iso = s.newSession()
+    Graft.ensureRegistered(iso)
+    iso.conf.set("spark.graft.lsh.rewrite", "true")
+    iso.conf.set("spark.graft.lsh.bits", "3")
+    iso.conf.set("spark.graft.lsh.tables", "24")
+    naiveCosineJoin(iso, d, 0.45)
   }
 
   /** The naive declarative form: what a user writes; what the optimizer

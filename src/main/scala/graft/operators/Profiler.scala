@@ -23,11 +23,14 @@ import org.apache.spark.sql.types._
 object Profiler {
 
   /** Rendering used for min/max so the result is engine-portable:
-    * numerics via DECIMAL(18,2) (exact, no double-formatting drift),
-    * everything else via a plain string cast.
+    * numerics via DECIMAL(38,2) (exact, no double-formatting drift; full
+    * precision so bigint surrogate keys or >1e16 doubles don't overflow to
+    * null — 2-decimal rendering is the profile's contract, so sub-0.01
+    * magnitudes round to 0.00 by design), everything else via a plain
+    * string cast.
     */
   private def asPortableString(c: Column, dt: DataType): Column = dt match {
-    case _: NumericType => c.cast(DecimalType(18, 2)).cast("string")
+    case _: NumericType => c.cast(DecimalType(38, 2)).cast("string")
     case _ => c.cast("string")
   }
 
@@ -46,7 +49,7 @@ object Profiler {
         min(c).as(s"${f.name}__minv"),
         max(c).as(s"${f.name}__maxv"),
         (if (isNum)
-           sum(c.cast(DecimalType(18, 2))).cast("double") / count(c)
+           sum(c.cast(DecimalType(38, 2))).cast("double") / count(c)
          else lit(null).cast("double")).as(s"${f.name}__mean"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)

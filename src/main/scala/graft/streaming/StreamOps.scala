@@ -64,14 +64,19 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stream-static enrichment join: the static side is planned per
-    * micro-batch (broadcast when small), no watermark or state needed —
-    * the streaming twin of the clone pipeline's dimension joins. At scale
-    * the static side should be a broadcast-able dim or a bucketed table
-    * co-partitioned with the stream's shuffle.
+    * micro-batch, no watermark or state needed — the streaming twin of
+    * the clone pipeline's dimension joins. `broadcastDim = true` hints
+    * the static side for broadcast (correct for genuine dimension
+    * tables); pass false for a large static side and let Spark's
+    * size-based planning (or a bucketed layout co-partitioned with the
+    * stream's shuffle) decide instead — force-broadcasting a big table
+    * every micro-batch is a driver OOM at scale.
     */
   def enrichWithDim(events: DataFrame, dim: DataFrame,
-      joinCols: Seq[String]): DataFrame =
-    events.join(org.apache.spark.sql.functions.broadcast(dim), joinCols)
+      joinCols: Seq[String], broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) org.apache.spark.sql.functions.broadcast(dim) else dim
+    events.join(d, joinCols)
+  }
 
   /** Micro-batch JDBC sink via foreachBatch: each batch goes through the
     * batch [[graft.io.Writers.jdbc]] path (batched prepared statements,

@@ -1,0 +1,118 @@
+package graft.plans
+
+import graft.{SparkFixture, Tables}
+import graft.operators.ExtensionShowcase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionSpec extends AnyFunSuite with SparkFixture {
+
+  test("group_top_k matches the window row_number formulation exactly") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val custom = Graft.groupTopK(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+      .orderBy("o_custkey", "o_orderkey").collect()
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val reference = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy("o_custkey", "o_orderkey").collect()
+    assert(custom.length == reference.length)
+    assert(custom.sameElements(reference))
+  }
+
+  test("group_top_k plans partial+final heaps with no sort and no window") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val df = Graft.groupTopK(o, Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort"), plan)
+    // partial heap below the exchange, final above it
+    val idxExchange = plan.indexOf("Exchange")
+    assert(idxExchange >= 0, plan)
+    assert(plan.indexOf("GroupTopK") < idxExchange, plan)
+    assert(plan.lastIndexOf("GroupTopK") > -1 &&
+      plan.indexOf("GroupTopK") != plan.lastIndexOf("GroupTopK"), plan)
+  }
+
+  test("group_top_k with empty grouping returns the global top-k") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val custom = Graft.groupTopK(o, Seq.empty,
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 5)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).collect()
+    val reference = o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).collect()
+    assert(custom.sameElements(reference))
+  }
+
+  test("lsh rewrite eliminates the cartesian product and keeps every pair") {
+    // exact pairs via the naive plan (rewrite off at analysis+optimization
+    // of this dataframe: flag not yet set in a fresh-conf clone)
+    spark.conf.set("spark.graft.lsh.rewrite", "false")
+    val exact = ExtensionShowcase.naiveCosineJoin(spark, sfDir, 0.45).collect()
+    val naivePlan = ExtensionShowcase.naiveCosineJoin(spark, sfDir, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("CartesianProduct") ||
+      naivePlan.contains("BroadcastNestedLoopJoin"), naivePlan)
+
+    val rewritten = ExtensionShowcase.qX02(spark, sfDir)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Generate"), plan) // the LSH bucket explode
+    val got = rewritten.collect()
+    spark.conf.set("spark.graft.lsh.rewrite", "false")
+    // precision is exact by construction; at 3 bits x 24 tables recall is
+    // 1 - (1-p^3)^24 > 0.999 per pair, and with the fixed seed the outcome
+    // is deterministic — verified here to be the full exact pair set
+    assert(got.sameElements(exact),
+      s"rewritten ${got.length} pairs vs exact ${exact.length}")
+  }
+
+  test("lsh rewrite does not re-bucket an explicit LSH pipeline") {
+    import graft.operators.Similarity
+    spark.conf.set("spark.graft.lsh.rewrite", "false")
+    val off = Similarity.nearDupPairs(spark, sfDir, threshold = 0.45,
+      bits = 6, tables = 8).collect()
+    Graft.ensureRegistered(spark)
+    spark.conf.set("spark.graft.lsh.rewrite", "true")
+    val on = Similarity.nearDupPairs(spark, sfDir, threshold = 0.45,
+      bits = 6, tables = 8).collect()
+    spark.conf.set("spark.graft.lsh.rewrite", "false")
+    assert(on.sameElements(off))
+  }
+
+  test("ngrams generator streams shingles, handles null and short input") {
+    import spark.implicits._
+    import graft.functions.NGramGenerator
+    val df = Seq((1L, "abcd"), (2L, "ab"), (3L, null: String))
+      .toDF("id", "text")
+    val got = df.select(col("id"), NGramGenerator(col("text"), 3).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "abc"), (1L, "bcd"))) // short + null yield no rows
+    // registered as a SQL table-valued generator too
+    Graft.ensureRegistered(spark)
+    df.createOrReplaceTempView("ngt")
+    val sqlGot = spark.sql("SELECT ngrams(text, 2) AS g FROM ngt WHERE id = 1")
+      .collect().map(_.getString(0)).toSet
+    assert(sqlGot == Set("ab", "bc", "cd"))
+  }
+
+  test("sql-registered custom functions evaluate from sql text") {
+    Graft.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c, " +
+        "poly_hash('abc') AS p, " +
+        "size(lsh_buckets(array(1.0f, 0.0f), 4, 8, 0)) AS n").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) == graft.functions.PolyHash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    assert(r.getInt(2) == 8)
+  }
+}
