@@ -99,6 +99,9 @@ object SparkEntry {
     "q_mm03_frame_sample"  -> (Multimodal.qMM03 _),
     // custom UDTF (Generator) leg of the extension surface
     "q_l16_ngram_top20"    -> (LLMOps.qL16 _),
+    // bounded-state heavy hitters (sketch + exact recount; same oracle
+    // answer as the naive q_l03 plan, vocabulary-sized shuffle removed)
+    "q_l17_heavy_hitters"  -> ((s: SparkSession, d: String) => LLMOps.qL17(s, d)),
     // SQL-surface breadth: gap-fill, lateral, recursive CTE, unpivot
     "q_t04_gapfill"        -> (Temporal.qT04 _),
     "q_q03_lateral"        -> (Relational.qQ03 _),
@@ -270,6 +273,8 @@ object SparkEntry {
           "l_shipdate", "l_suppkey", "l_tax")
           .map(c => s"('$c', true)").mkString(", ") +
         """) t("column", within_bound) ORDER BY "column""""),
+    "q_l17_heavy_hitters" ->
+      """SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "q_t04_gapfill" ->
       """WITH c AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt FROM events GROUP BY 1), s AS (SELECT unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h FROM c) SELECT s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt FROM s LEFT JOIN c ON s.h = c.h ORDER BY s.h""",
     "q_q03_lateral" ->

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{PolyHash, ShingleHash}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over the `documents` table (driver
@@ -216,6 +216,31 @@ object LLMOps {
     Tables.documents(s, d)
       .select(col("doc_id"), charHash(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Q-L17 — exact top-20 tokens via the Misra-Gries sketch + recount
+    * plan: pass 1 aggregates a bounded [[graft.functions.HeavyHitters]]
+    * sketch (≤ capacity counters shuffled, NOT one row per distinct
+    * token), pass 2 recounts exactly over only the candidate tokens.
+    * Same answer as Q-L03's naive plan (and the same oracle) — the
+    * difference is that at corpus scale the vocabulary-sized shuffle is
+    * gone. Exactness needs the 20th count > N/(capacity+1); with
+    * capacity 2048 that is a ~0.05% frequency floor, far below any
+    * stop-word.
+    */
+  def qL17(s: SparkSession, d: String, k: Int = 20,
+      capacity: Int = 2048): DataFrame = {
+    val mg = udaf(new graft.functions.HeavyHitters(capacity), Encoders.STRING)
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+    val sketch = toks.agg(mg(col("token")).as("sketch"))
+      .head().getMap[String, Long](0)
+    val candidates = sketch.keys.toSeq
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+  }
 
   /** Q-L16 — top-20 character 3-grams via the custom
     * [[graft.functions.NGramGenerator]] UDTF: shingles stream out of the

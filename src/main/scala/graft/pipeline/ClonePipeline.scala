@@ -69,6 +69,53 @@ object ClonePipeline {
     } finally pool.shutdown()
   }
 
+  final case class SyncReport(sourceRows: Long, deltaRows: Long, targetRows: Long)
+
+  /** Incremental sync — the capability the reference's full-copy clone
+    * (Program.cs:611: `SELECT * ... ToList()` every run) conspicuously
+    * lacks. Rows whose `versionCol` exceeds the target's high-water mark
+    * are the delta; the merge keeps the highest-version row per key
+    * (last-writer-wins upsert; ties on version keep one row arbitrarily,
+    * so use a monotone version — e.g. a modification timestamp).
+    *
+    * Scale shape: the delta scan is a pushed-down range filter on
+    * `versionCol` (prunes row groups / partitions at the source); the
+    * merge shuffles target ∪ delta once on the key — the standard
+    * merge-on-read compaction cost. The result lands in a fresh directory
+    * and replaces the target atomically-enough for a filesystem (write
+    * temp, delete old, rename), never reading and overwriting in place.
+    */
+  def incrementalSync(spark: SparkSession, source: DataFrame, tgtPath: String,
+      keyCols: Seq[String], versionCol: String): SyncReport = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tgt = new org.apache.hadoop.fs.Path(tgtPath)
+    if (!fs.exists(tgt)) {
+      Writers.parquet(source, tgtPath)
+      val n = spark.read.parquet(tgtPath).count()
+      return SyncReport(n, n, n)
+    }
+    val target = spark.read.parquet(tgtPath)
+    val hwm = target.agg(max(col(versionCol))).head().get(0)
+    val delta = source.filter(col(versionCol) > lit(hwm))
+    val deltaRows = delta.count()
+    if (deltaRows == 0)
+      return SyncReport(source.count(), 0, target.count())
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    val merged = target.unionByName(delta)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    val tmp = new org.apache.hadoop.fs.Path(tgtPath + "__sync_tmp")
+    Writers.parquet(merged, tmp.toString)
+    fs.delete(tgt, true)
+    if (!fs.rename(tmp, tgt))
+      throw new java.io.IOException(s"rename $tmp -> $tgt failed")
+    SyncReport(source.count(), deltaRows, spark.read.parquet(tgtPath).count())
+  }
+
   /** Q-M01 — the clone-surface metadata query: corpus schemas rendered as
     * idempotent DDL, one row per (table, ddl). Verified structurally
     * (rows-only) — DDL text has no DuckDB oracle.

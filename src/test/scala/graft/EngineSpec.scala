@@ -197,6 +197,29 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq == exp)
   }
 
+  test("incrementalSync: initial load, upsert merge, and no-op delta") {
+    import spark.implicits._
+    val tgt = Files.createTempDirectory("graft-sync").toString + "/t"
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
+      .toDF("id", "val", "version")
+    val r1 = ClonePipeline.incrementalSync(spark, v1, tgt, Seq("id"), "version")
+    assert(r1.targetRows == 3 && r1.deltaRows == 3)
+    // source evolves: id=2 updated (higher version), id=4 inserted,
+    // id=1 unchanged (old version — must NOT be re-copied)
+    val v2 = Seq((1L, "a", 10L), (2L, "B2", 20L), (3L, "c", 10L),
+      (4L, "d", 20L)).toDF("id", "val", "version")
+    val r2 = ClonePipeline.incrementalSync(spark, v2, tgt, Seq("id"), "version")
+    assert(r2.deltaRows == 2, r2.toString) // only the two version-20 rows
+    assert(r2.targetRows == 4)
+    val got = spark.read.parquet(tgt).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "B2", 20L), (3L, "c", 10L),
+      (4L, "d", 20L)))
+    // idempotent: same source again ⇒ zero delta, target untouched
+    val r3 = ClonePipeline.incrementalSync(spark, v2, tgt, Seq("id"), "version")
+    assert(r3.deltaRows == 0 && r3.targetRows == 4)
+  }
+
   test("orc source/sink round-trips with parity to parquet") {
     import graft.io.{Readers, Writers}
     val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString

@@ -49,4 +49,22 @@ object HashProperties extends Properties("graft.hash") {
       val text = Seq.fill(n)(w).mkString(" ")
       ShingleHash.hashes(UTF8String.fromString(text), 3).numElements() == n - 2
     }
+
+  // Misra-Gries: any item with count > N/(capacity+1) survives the sketch,
+  // whether the stream is reduced sequentially or split and merged.
+  private val mgStream: Gen[List[String]] = for {
+    heavy <- Gen.chooseNum(30, 60)
+    noise <- Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+  } yield scala.util.Random.shuffle(List.fill(heavy)("HH") ++ noise)
+
+  property("misra-gries retains every heavy hitter, sequential or merged") =
+    Prop.forAll(mgStream, Gen.chooseNum(1, 39)) { (stream, split) =>
+      val mg = new HeavyHitters(4) // N ≤ 100 ⇒ floor N/5 ≤ 20 < 30 ≤ count(HH)
+      val seq = stream.foldLeft(mg.zero)(mg.reduce)
+      val (l, r) = stream.splitAt(split)
+      val merged = mg.merge(l.foldLeft(mg.zero)(mg.reduce),
+        r.foldLeft(mg.zero)(mg.reduce))
+      seq.contains("HH") && merged.contains("HH") &&
+        seq.size <= 4 && merged.size <= 4
+    }
 }
