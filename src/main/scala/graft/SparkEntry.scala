@@ -115,6 +115,10 @@ object SparkEntry {
     "q_j10_tpch_q10"       -> (Relational.qJ10 _),
     "q_f11_bit_aggs"       -> (Relational.qF11 _),
     "q_f12_hash_fns"       -> (Relational.qF12 _),
+    // null-aware NOT IN, array set algebra, string shaping
+    "q_q05_not_in"         -> (Relational.qQ05 _),
+    "q_v03_array_setops"   -> (Relational.qV03 _),
+    "q_f13_string_shape"   -> (Relational.qF13 _),
     // Catalyst extension surface (custom strategy / SQL registry / rewrite
     // rule; q_x02 is approximate-by-construction → rows-only + spec)
     "q_s02_group_topk"     -> (ExtensionShowcase.qS02 _),
@@ -297,6 +301,12 @@ object SparkEntry {
       """SELECT l_orderkey, bit_and(l_linenumber) AS ln_and, bit_or(l_linenumber) AS ln_or, bit_xor(l_linenumber) AS ln_xor FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q_f12_hash_fns" ->
       """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256 FROM customer ORDER BY c_custkey""",
+    "q_q05_not_in" ->
+      """SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) ORDER BY o_orderkey""",
+    "q_v03_array_setops" ->
+      """WITH s AS (SELECT vec_id, list_transform(embedding[1:8], x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig, list_transform(embedding[3:10], x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig2 FROM embeddings) SELECT vec_id, list_sort(list_distinct(list_concat(sig, sig2))) AS u, list_sort(list_distinct(list_filter(sig, x -> list_contains(sig2, x)))) AS i, list_sort(list_distinct(list_filter(sig, x -> NOT list_contains(sig2, x)))) AS x FROM s ORDER BY vec_id""",
+    "q_f13_string_shape" ->
+      """SELECT n_nationkey, lpad(n_name, 20, '.') AS padded_l, rpad(n_name, 20, '.') AS padded_r, reverse(n_name) AS reversed, translate(n_name, 'AEIOU', 'aeiou') AS translated, repeat(substr(n_name, 1, 2), 3) AS repeated FROM nation ORDER BY n_nationkey""",
     "q_s02_group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
     "q_x01_sql_cosine" ->

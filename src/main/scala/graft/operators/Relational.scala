@@ -669,6 +669,50 @@ object Relational {
       .unpivot(Array(col("p_partkey")), "metric", "value")
       .orderBy("p_partkey", "metric")
 
+  /** Q-Q05 — null-aware NOT IN subquery: customers with negative balance
+    * form the exclusion set; Spark plans this as a null-aware anti join
+    * (broadcast, since a single null in the subquery empties the result
+    * by three-valued logic — semantics both engines share).
+    */
+  def qQ05(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Q-V03 — array set algebra over embedding-derived int lists
+    * (floor on a double promotion: engine-identical, unlike float
+    * round tie-breaking).
+    */
+  def qV03(s: SparkSession, d: String): DataFrame = {
+    def sig(start: Int) =
+      expr(s"transform(slice(embedding, $start, 8), x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT))")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), sig(1).as("sig"), sig(3).as("sig2"))
+      .select(
+        col("vec_id"),
+        array_sort(array_union(col("sig"), col("sig2"))).as("u"),
+        array_sort(array_intersect(col("sig"), col("sig2"))).as("i"),
+        array_sort(array_except(col("sig"), col("sig2"))).as("x"))
+      .orderBy("vec_id")
+  }
+
+  /** Q-F13 — string shaping functions (pad/repeat/reverse/translate). */
+  def qF13(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(
+        col("n_nationkey"),
+        lpad(col("n_name"), 20, ".").as("padded_l"),
+        rpad(col("n_name"), 20, ".").as("padded_r"),
+        reverse(col("n_name")).as("reversed"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("translated"),
+        repeat(substring(col("n_name"), 1, 2), 3).as("repeated"))
+      .orderBy("n_nationkey")
+
   /** Q-F12 — cryptographic hash functions (portable hex renderings). */
   def qF12(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
