@@ -115,6 +115,10 @@ object SparkEntry {
     "q_j10_tpch_q10"       -> (Relational.qJ10 _),
     "q_f11_bit_aggs"       -> (Relational.qF11 _),
     "q_f12_hash_fns"       -> (Relational.qF12 _),
+    // batch session_window + TPC-H Q7/Q8 shapes
+    "q_t05_session_window" -> (Temporal.qT05 _),
+    "q_j11_tpch_q7"        -> (Relational.qJ11 _),
+    "q_j12_tpch_q8"        -> (Relational.qJ12 _),
     // null-aware NOT IN, array set algebra, string shaping
     "q_q05_not_in"         -> (Relational.qQ05 _),
     "q_v03_array_setops"   -> (Relational.qV03 _),
@@ -301,6 +305,12 @@ object SparkEntry {
       """SELECT l_orderkey, bit_and(l_linenumber) AS ln_and, bit_or(l_linenumber) AS ln_or, bit_xor(l_linenumber) AS ln_xor FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q_f12_hash_fns" ->
       """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256 FROM customer ORDER BY c_custkey""",
+    "q_t05_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), m AS (SELECT user_id, us, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, MIN(us) AS s_start, MAX(us) + 1800000000 AS s_end, COUNT(*) AS cnt FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    "q_j11_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(o_orderdate) AS BIGINT) AS l_year, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE n1.n_name <> n2.n_name AND year(o_orderdate) = 1996 GROUP BY n1.n_name, n2.n_name, year(o_orderdate) ORDER BY supp_nation, cust_nation""",
+    "q_j12_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, ROUND(CAST(SUM(CASE WHEN s_nationkey = 7 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE p_type = 'PROMO' AND r_name = 'ASIA' GROUP BY year(o_orderdate) ORDER BY o_year""",
     "q_q05_not_in" ->
       """SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) ORDER BY o_orderkey""",
     "q_v03_array_setops" ->

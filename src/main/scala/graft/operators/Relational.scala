@@ -669,6 +669,54 @@ object Relational {
       .unpivot(Array(col("p_partkey")), "metric", "value")
       .orderBy("p_partkey", "metric")
 
+  /** Q-J11 — TPC-H Q7 shape: shipping volume between every
+    * (supplier-nation, customer-nation) pair per year. Five-way join:
+    * both nation lookups broadcast under distinct aliases; the fact-side
+    * join (orders ⋈ lineitem ⋈ supplier) shuffles on its keys once.
+    */
+  def qJ11(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).cast("long").as("l_year"))
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .filter(col("l_year") === 1996)
+      .orderBy("supp_nation", "cust_nation")
+  }
+
+  /** Q-J12 — TPC-H Q8 shape: one supplier nation's market share of PROMO
+    * parts among one region's customers, per year. share = conditional
+    * decimal sum / total decimal sum, one aggregate pass.
+    */
+  def qJ12(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val vol = col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("s_nationkey") === 7, vol).otherwise(lit(0).cast(dec)))
+          .cast("double") /
+        sum(vol).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** Q-Q05 — null-aware NOT IN subquery: customers with negative balance
     * form the exclusion set; Spark plans this as a null-aware anti join
     * (broadcast, since a single null in the subquery empties the result

@@ -55,6 +55,23 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** Q-T05 — batch `session_window`: the same native operator Structured
+    * Streaming uses for session aggregation, run as a batch query
+    * (sessions merge while event times are within the 30-minute gap;
+    * window end = last event + gap, end-exclusive, so a gap of exactly
+    * 30 min starts a new session — mirrored by `>=` in the oracle). All
+    * outputs are epoch microseconds: exact integers on both engines.
+    */
+  def qT05(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("s_start"),
+        unix_micros(col("w.end")).as("s_end"),
+        col("cnt"))
+      .orderBy("user_id", "s_start")
+
   /** Q-T04 — gap-fill: the dense hour spine is generated with
     * `sequence` + explode from the observed min/max (a 2-row broadcast),
     * then left-joined to the hourly counts so silent gaps become explicit
