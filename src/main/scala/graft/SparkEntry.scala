@@ -306,7 +306,7 @@ object SparkEntry {
     "q_f12_hash_fns" ->
       """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256 FROM customer ORDER BY c_custkey""",
     "q_t05_session_window" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), m AS (SELECT user_id, us, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, MIN(us) AS s_start, MAX(us) + 1800000000 AS s_end, COUNT(*) AS cnt FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), m AS (SELECT user_id, event_id, us, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, MIN(us) AS s_start, MAX(us) + 1800000000 AS s_end, COUNT(*) AS cnt FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""",
     "q_j11_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(o_orderdate) AS BIGINT) AS l_year, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE n1.n_name <> n2.n_name AND year(o_orderdate) = 1996 GROUP BY n1.n_name, n2.n_name, year(o_orderdate) ORDER BY supp_nation, cust_nation""",
     "q_j12_tpch_q8" ->

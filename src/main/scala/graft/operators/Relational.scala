@@ -671,8 +671,9 @@ object Relational {
 
   /** Q-J11 — TPC-H Q7 shape: shipping volume between every
     * (supplier-nation, customer-nation) pair per year. Five-way join:
-    * both nation lookups broadcast under distinct aliases; the fact-side
-    * join (orders ⋈ lineitem ⋈ supplier) shuffles on its keys once.
+    * supplier and both nation lookups broadcast (the nations under
+    * distinct aliases); the fact-side join (lineitem ⋈ orders ⋈
+    * customer) shuffles on its keys once.
     */
   def qJ11(s: SparkSession, d: String): DataFrame = {
     val n1 = Tables.nation(s, d)
