@@ -115,6 +115,8 @@ object SparkEntry {
     "q_j10_tpch_q10"       -> (Relational.qJ10 _),
     "q_f11_bit_aggs"       -> (Relational.qF11 _),
     "q_f12_hash_fns"       -> (Relational.qF12 _),
+    // incremental distinct via persisted+unioned HLL sketches (rows-only)
+    "q_a15_hll_union"      -> (Scale.qA15 _),
     // batch session_window + TPC-H Q7/Q8 shapes
     "q_t05_session_window" -> (Temporal.qT05 _),
     "q_j11_tpch_q7"        -> (Relational.qJ11 _),

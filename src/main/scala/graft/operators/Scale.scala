@@ -54,4 +54,32 @@ object Scale {
       .agg(percentile_approx(col("o_totalprice"),
         array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(10000))
         .as("price_quartiles"))
+
+  /** Incremental distinct counting via persisted Datasketches HLL: one
+    * binary sketch per partition value (e.g. per ingest day), stored as a
+    * tiny table; the running distinct-over-everything is `hll_union_agg`
+    * over stored sketches — history is never rescanned when a new batch
+    * arrives. This is THE pattern for "distinct users ever" over a
+    * growing 100 TB corpus: per-batch work is one scan of the batch,
+    * union work is O(sketches).
+    */
+  def sketchPerPartition(df: DataFrame, partitionCol: String,
+      valueCol: String, lgConfigK: Int = 12): DataFrame =
+    df.groupBy(partitionCol)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("sketch"))
+
+  /** Union previously-stored sketches into one distinct estimate. */
+  def unionEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_estimate"))
+
+  /** Q-A15 — the incremental-distinct pattern end-to-end: per-day user
+    * sketches unioned to the all-time distinct estimate (rows-only:
+    * Datasketches binary values are engine-specific; the 5%-of-exact
+    * bound is spec-checked in EngineSpec).
+    */
+  def qA15(s: SparkSession, d: String): DataFrame =
+    unionEstimate(sketchPerPartition(
+      Tables.events(s, d).withColumn("day", to_date(col("ts"))),
+      "day", "user_id"))
 }

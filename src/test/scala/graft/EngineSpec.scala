@@ -151,6 +151,25 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("persisted per-day HLL sketches union to the all-time distinct count") {
+    import graft.operators.Scale
+    val events = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+    // per-day sketches (what an ingest job would persist), stored + reloaded
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    Scale.sketchPerPartition(events, "day", "user_id")
+      .write.parquet(s"$tmp/sketches")
+    val stored = spark.read.parquet(s"$tmp/sketches")
+    assert(stored.count() > 1) // genuinely incremental: several partitions
+    val est = Scale.unionEstimate(stored).head().getLong(0)
+    val exact = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
+    // adding one more day's sketch never rescans the stored history
+    val moreDays = stored.limit(3)
+    val est2 = Scale.unionEstimate(moreDays).head().getLong(0)
+    assert(est2 > 0 && est2 <= est)
+  }
+
   test("bucketed tables join without a shuffle") {
     import graft.io.Writers
     // a fresh session's catalog doesn't know tables left in the warehouse
