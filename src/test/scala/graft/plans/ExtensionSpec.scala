@@ -40,6 +40,24 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
       plan.indexOf("GroupTopK") != plan.lastIndexOf("GroupTopK"), plan)
   }
 
+  test("group_top_k handles null keys, null order values, and k > group size") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(10.0)), (Some(1L), None), (Some(1L), Some(30.0)),
+      (None, Some(5.0)), (None, Some(7.0)),
+      (Some(2L), Some(1.0))) // group smaller than k
+      .toDF("g", "v")
+    val custom = Graft.groupTopK(df, Seq(col("g")),
+        Seq(col("v").desc, col("g")), k = 2)
+      .orderBy(col("g").asc_nulls_first, col("v").asc_nulls_first).collect()
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("g"))
+    val reference = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .orderBy(col("g").asc_nulls_first, col("v").asc_nulls_first).collect()
+    assert(custom.sameElements(reference),
+      s"custom=${custom.mkString(",")} ref=${reference.mkString(",")}")
+  }
+
   test("group_top_k with empty grouping returns the global top-k") {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"))
