@@ -151,6 +151,42 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     } finally conn.close()
   }
 
+  test("rate-micro-batch source drives the windowed aggregation without kafka") {
+    // deterministic built-in source: `rowsPerBatch` rows per micro-batch
+    // with evenly advancing timestamps — the kafka-less way to smoke a
+    // streaming topology end-to-end
+    val rate = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 100)
+      .option("numPartitions", 2)
+      .option("startTimestamp", 0)
+      .option("advanceMillisPerBatch", 60000)
+      .load() // schema: timestamp, value
+    val shaped = rate.selectExpr("value % 7 AS user_id", "timestamp AS ts",
+      "CASE WHEN value % 2 = 0 THEN 'click' ELSE 'view' END AS event_type")
+    val q = StreamOps.tumblingCounts(shaped)
+      .writeStream.format("memory").queryName("rate_tumbling")
+      .outputMode("update").start()
+    try {
+      // NB: processAllAvailable() would never return here — an unbounded
+      // rate source always has another batch pending — so poll progress
+      // instead and stop explicitly
+      val deadline = System.currentTimeMillis() + 60000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        done = q.recentProgress.map(_.numInputRows).sum >= 300
+      }
+      assert(done, "rate source never delivered 3 micro-batches")
+      val counts = spark.table("rate_tumbling")
+      assert(counts.count() > 0)
+      // every micro-batch contributes 50 clicks + 50 views
+      import spark.implicits._
+      val byType = counts.groupBy("event_type").count().as[(String, Long)]
+        .collect().toMap
+      assert(byType.keySet == Set("click", "view"))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState custom sessionization emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
