@@ -16,9 +16,14 @@ import org.apache.spark.sql.types._
   * The distinct-count sketch lives in a SEPARATE pass: each
   * approx_count_distinct carries an HLL register buffer (dozens of
   * aggregation-buffer words per column), and folding all of them into the
-  * same aggregate as the cheap min/max/mean stats pushes the combined
-  * buffer past codegen limits — the whole profile then runs interpreted.
-  * Splitting keeps the deterministic pass inside WholeStageCodegen.
+  * same aggregate as the cheap min/max/mean stats multiplies the combined
+  * buffer width by the column count — generated-code size and per-row
+  * buffer cost both blow up. Splitting keeps the deterministic pass's
+  * buffer to ~4 words per column. (That pass still plans as a
+  * SortAggregate, not a hash aggregate: min/max over STRING columns need
+  * var-length buffer slots, which the UnsafeRow hash-agg buffer can't
+  * hold — inherent to profiling string columns, and with no grouping
+  * keys there is no sort anyway.)
   */
 object Profiler {
 
