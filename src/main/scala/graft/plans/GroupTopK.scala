@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrde
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Top-k rows per group as a first-class operator: logical node, planner
   * strategy, and a heap-based physical operator.
@@ -47,6 +48,10 @@ case class GroupTopKExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else if (groupExprs.isEmpty) AllTuples :: Nil
@@ -57,6 +62,8 @@ case class GroupTopKExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
     val groupE = groupExprs
     val orderE = ordering
     val limit = k
+    val outRows = longMetric("numOutputRows")
+    val groups = longMetric("numGroups")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, schema)
       val ord = RowOrdering.create(orderE, schema)
@@ -71,7 +78,8 @@ case class GroupTopKExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      groups += heaps.size
+      heaps.valuesIterator.flatMap { h => outRows += h.size; h.iterator }
     }, preservesPartitioning = true)
   }
 
