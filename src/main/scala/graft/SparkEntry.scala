@@ -249,7 +249,8 @@ object SparkEntry {
     "q_l11_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id""",
     // q_m02: every stat is rendered engine-portably (numerics via
-    // DECIMAL(18,2); mean = exact decimal sum, one double division)
+    // DECIMAL(38,2) — 18,2 overflows above ~1e16; mean = exact decimal
+    // sum, one double division)
     "q_m02_profile" ->
       ("""WITH a AS (SELECT COUNT(*) AS rc, """ +
         Seq("l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
@@ -316,7 +317,7 @@ object SparkEntry {
     "q_q05_not_in" ->
       """SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) ORDER BY o_orderkey""",
     "q_v03_array_setops" ->
-      """WITH s AS (SELECT vec_id, list_transform(embedding[1:8], x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig, list_transform(embedding[3:10], x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig2 FROM embeddings) SELECT vec_id, list_sort(list_distinct(list_concat(sig, sig2))) AS u, list_sort(list_distinct(list_filter(sig, x -> list_contains(sig2, x)))) AS i, list_sort(list_distinct(list_filter(sig, x -> NOT list_contains(sig2, x)))) AS x FROM s ORDER BY vec_id""",
+      """WITH s AS (SELECT vec_id, list_transform(embedding[1:8], x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig, list_transform(embedding[3:10], x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig2 FROM embeddings) SELECT vec_id, coalesce(array_to_string(list_sort(list_distinct(list_concat(sig, sig2))), ','), '') AS u, coalesce(array_to_string(list_sort(list_distinct(list_filter(sig, x -> list_contains(sig2, x)))), ','), '') AS i, coalesce(array_to_string(list_sort(list_distinct(list_filter(sig, x -> NOT list_contains(sig2, x)))), ','), '') AS x FROM s ORDER BY vec_id""",
     "q_f13_string_shape" ->
       """SELECT n_nationkey, lpad(n_name, 20, '.') AS padded_l, rpad(n_name, 20, '.') AS padded_r, reverse(n_name) AS reversed, translate(n_name, 'AEIOU', 'aeiou') AS translated, repeat(substr(n_name, 1, 2), 3) AS repeated FROM nation ORDER BY n_nationkey""",
     "q_s02_group_topk" ->

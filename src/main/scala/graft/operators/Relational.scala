@@ -735,7 +735,10 @@ object Relational {
 
   /** Q-V03 — array set algebra over embedding-derived int lists
     * (floor on a double promotion: engine-identical, unlike float
-    * round tie-breaking).
+    * round tie-breaking). Final columns are comma-joined STRINGS, not
+    * arrays: the driver's oracle harness sorts result frames with
+    * pandas, which cannot hash numpy arrays — every query's final
+    * output must be scalar columns only.
     */
   def qV03(s: SparkSession, d: String): DataFrame = {
     def sig(start: Int) =
@@ -744,9 +747,9 @@ object Relational {
       .select(col("vec_id"), sig(1).as("sig"), sig(3).as("sig2"))
       .select(
         col("vec_id"),
-        array_sort(array_union(col("sig"), col("sig2"))).as("u"),
-        array_sort(array_intersect(col("sig"), col("sig2"))).as("i"),
-        array_sort(array_except(col("sig"), col("sig2"))).as("x"))
+        array_join(array_sort(array_union(col("sig"), col("sig2"))), ",").as("u"),
+        array_join(array_sort(array_intersect(col("sig"), col("sig2"))), ",").as("i"),
+        array_join(array_sort(array_except(col("sig"), col("sig2"))), ",").as("x"))
       .orderBy("vec_id")
   }
 

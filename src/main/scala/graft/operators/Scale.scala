@@ -53,7 +53,13 @@ object Scale {
     Tables.orders(s, d)
       .agg(percentile_approx(col("o_totalprice"),
         array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(10000))
-        .as("price_quartiles"))
+        .as("q"))
+      // scalar final columns (harness rule: no arrays in query output)
+      .select(
+        col("q").getItem(0).as("p25"),
+        col("q").getItem(1).as("p50"),
+        col("q").getItem(2).as("p75"),
+        col("q").getItem(3).as("p99"))
 
   /** Incremental distinct counting via persisted Datasketches HLL: one
     * binary sketch per partition value (e.g. per ingest day), stored as a

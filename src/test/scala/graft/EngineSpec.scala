@@ -306,7 +306,7 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val byCol = prof.map(r => r.getAs[String]("column") -> r).toMap
     assert(byCol("n_nationkey").getAs[Long]("row_count") == 25L)
     assert(byCol("n_nationkey").getAs[Long]("null_count") == 0L)
-    // numerics render via DECIMAL(18,2) so the string is engine-portable
+    // numerics render via DECIMAL(38,2) so the string is engine-portable
     assert(byCol("n_nationkey").getAs[String]("min_value") == "0.00")
     assert(byCol("n_nationkey").getAs[String]("max_value") == "24.00")
     assert(byCol("n_nationkey").getAs[Long]("approx_distinct") > 20L)
@@ -330,6 +330,22 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val a = Multimodal.qMM02(spark, sfDir).collect().toSeq
     val b = Multimodal.qMM02(spark, sfDir).collect().toSeq
     assert(a == b)
+  }
+
+  test("every registered query emits scalar-only final columns") {
+    // The driver's oracle harness sorts result frames with pandas, which
+    // cannot hash numpy arrays: an array/struct/map in a final schema is a
+    // guaranteed red correctness row (r02's q_v03). Schema-only check —
+    // analysis, no execution.
+    import org.apache.spark.sql.types._
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[StructType] ||
+                  f.dataType.isInstanceOf[MapType] => s"$name.${f.name}"
+      }
+    }
+    assert(offenders.isEmpty, s"non-scalar final columns: ${offenders.mkString(", ")}")
   }
 
   test("multimodal: frame sampling emits every 10th frame for mp4 rows only") {
