@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns next to a typed metadata struct; the
   * pipeline stages are decode → feature-extract → resize / frame-sample.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stand-in (STUB below) — but everything
-  * Spark-side is real and at-scale-shaped: schema (binary + metadata
-  * struct), partition-parallel `mapPartitions` over typed rows (the Scala
-  * analog of mapInPandas batch processing: one iterator per partition, so
-  * per-partition codec/model setup amortizes), and codegen expressions for
-  * the cheap byte-level operations.
+  * Image rows are REAL: the synthetic generator encodes deterministic
+  * PNG/BMP payloads with `javax.imageio` (in-JDK, headless-safe) and the
+  * feature extractor decodes them back to pixels — the decode path a
+  * production pipeline runs, minus only the exotic codecs this container
+  * lacks. Audio/video rows keep a clearly-marked deterministic stand-in
+  * (STUB below). Everything Spark-side is at-scale-shaped: schema
+  * (binary + metadata struct), partition-parallel `mapPartitions` over
+  * typed rows (the Scala analog of mapInPandas batch processing: one
+  * iterator per partition, so per-partition codec/model setup amortizes),
+  * and codegen expressions for the cheap byte-level operations.
   */
 object Multimodal {
 
@@ -26,33 +29,114 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false)))
 
-  /** Attach a deterministic synthetic media payload to each document: the
-    * blob is the UTF-8 text bytes (stand-in for image data), metadata
-    * derived from stable per-doc hashes. Real pipelines read
-    * `spark.read.format("binaryFile")` or parquet with a binary column;
-    * the downstream operators only see (blob, meta) and don't care.
+  /** Deterministic small image: pixels from a splitmix64 stream seeded by
+    * `seed`, so the same (seed, w, h) always encodes byte-identical
+    * payloads. Package-visible for the decode round-trip spec.
     */
-  def withMedia(docs: DataFrame): DataFrame =
+  private[graft] def syntheticImage(seed: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s += 0x9e3779b97f4a7c15L
+        var z = s
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        img.setRGB(x, y, ((z ^ (z >>> 31)) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** ImageIO's default stream cache spools every encode/decode through a
+    * temp FILE; for small in-memory payloads the disk round-trip dominates
+    * the codec work. One-time per-JVM switch to the in-memory cache.
+    */
+  private lazy val imageIoInMemory: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  private[graft] def encodeImage(seed: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    imageIoInMemory
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(syntheticImage(seed, w, h), fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Attach a deterministic synthetic media payload to each document:
+    * image-format rows (png/bmp) carry a real ImageIO-encoded image whose
+    * metadata dims match the payload; audio/video rows carry the UTF-8
+    * text bytes as an opaque stand-in blob with synthetic dims. Real
+    * pipelines read `spark.read.format("binaryFile")` or parquet with a
+    * binary column; the downstream operators only see (blob, meta) and
+    * don't care. The image encode is a UDF by design: this function IS
+    * the synthetic source, not an operator — nothing downstream depends
+    * on how the bytes were produced.
+    */
+  def withMedia(docs: DataFrame): DataFrame = {
+    val enc = udf((seed: Long, w: Int, h: Int, fmt: String) => encodeImage(seed, w, h, fmt))
+    val fmt = element_at(array(lit("png"), lit("bmp"), lit("wav"), lit("mp4")),
+      (pmod(xxhash64(col("doc_id")), lit(4)) + 1).cast("int"))
+    val isImage = fmt.isin("png", "bmp")
+    // image payloads stay small (4..19 px per side); audio/video rows keep
+    // the synthetic large dims so qMM01's per-format profile stays varied
+    val w = when(isImage, (pmod(xxhash64(col("doc_id"), lit(1)), lit(16)) + 4).cast("int"))
+      .otherwise((pmod(xxhash64(col("doc_id"), lit(1)), lit(1920)) + 16).cast("int"))
+    val h = when(isImage, (pmod(xxhash64(col("doc_id"), lit(2)), lit(16)) + 4).cast("int"))
+      .otherwise((pmod(xxhash64(col("doc_id"), lit(2)), lit(1080)) + 16).cast("int"))
     docs.select(
       col("doc_id"),
-      encode(col("text"), "UTF-8").as("blob"),
+      when(isImage, enc(xxhash64(col("doc_id")), w, h, fmt))
+        .otherwise(encode(col("text"), "UTF-8")).as("blob"),
       struct(
-        element_at(array(lit("png"), lit("jpeg"), lit("wav"), lit("mp4")),
-          (pmod(xxhash64(col("doc_id")), lit(4)) + 1).cast("int")).as("format"),
-        (pmod(xxhash64(col("doc_id"), lit(1)), lit(1920)) + 16).cast("int").as("width"),
-        (pmod(xxhash64(col("doc_id"), lit(2)), lit(1080)) + 16).cast("int").as("height"),
+        fmt.as("format"),
+        w.as("width"),
+        h.as("height"),
         (pmod(xxhash64(col("doc_id"), lit(3)), lit(300)) + 1).cast("int").as("n_frames"))
         .as("meta"))
+  }
 
   final case class MediaRow(doc_id: Long, blob: Array[Byte],
       format: String, width: Int, height: Int, n_frames: Int)
   final case class FeatureRow(doc_id: Long, features: Array[Float])
 
+  /** Real image decode + feature fold: ImageIO decode (PNG/BMP — any
+    * format the JDK's registry sniffs from the bytes), then fold per-pixel
+    * luminance (mean of R,G,B scaled to [0,1]) into `dim` buckets in
+    * row-major pixel order — the same fold shape as the byte stub, but
+    * over DECODED PIXELS. Returns None when the bytes don't decode
+    * (corrupt row → caller falls back / quarantines).
+    */
+  def decodeAndEmbedImage(blob: Array[Byte], dim: Int): Option[Array[Float]] = {
+    imageIoInMemory
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    if (img == null) None
+    else {
+      val out = new Array[Float](dim)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0f * 255.0f)
+          out((y * w + x) % dim) += lum
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
+  }
+
   /** ======================= STUB =======================
-    * Deterministic fake "decode + embed": folds the raw bytes into a
-    * fixed-size float vector. A real build replaces ONLY this function
-    * with a codec/model call (e.g. JNI image decode); the partition
-    * iteration, schema and batch shape around it stay identical.
+    * Deterministic fake "decode + embed" for the formats this container
+    * has no codec for (wav/mp4): folds the raw bytes into a fixed-size
+    * float vector. A real build replaces ONLY this function with a codec
+    * call; the partition iteration, schema and batch shape around it stay
+    * identical (image rows already run the real decode above).
     */
   def decodeAndEmbedStub(blob: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -66,7 +150,10 @@ object Multimodal {
 
   /** Feature extraction over the blob column: partition-parallel typed
     * mapPartitions (per-partition setup cost amortized across its rows —
-    * where a codec or ONNX session would be initialized once).
+    * where a codec or ONNX session would be initialized once). Image rows
+    * decode for real via ImageIO; wav/mp4 rows run the byte-fold stub; an
+    * image row whose bytes fail to decode falls back to the stub rather
+    * than killing the task (a production pipeline would quarantine it).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): DataFrame = {
     import spark.implicits._
@@ -76,7 +163,15 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         // per-partition init would go here (codec handle, model session)
-        rows.map(r => FeatureRow(r.doc_id, decodeAndEmbedStub(r.blob, dim)))
+        rows.map { r =>
+          val feats = r.format match {
+            case "png" | "bmp" | "jpeg" =>
+              decodeAndEmbedImage(r.blob, dim)
+                .getOrElse(decodeAndEmbedStub(r.blob, dim))
+            case _ => decodeAndEmbedStub(r.blob, dim)
+          }
+          FeatureRow(r.doc_id, feats)
+        }
       }
       .toDF()
   }

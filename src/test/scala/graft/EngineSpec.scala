@@ -320,6 +320,36 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(ok.forall(_.getAs[Boolean]("within_bound")))
   }
 
+  test("multimodal: known 2x2 PNG decodes to exact expected features") {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // red
+    img.setRGB(1, 0, 0x00ff00) // green
+    img.setRGB(0, 1, 0x0000ff) // blue
+    img.setRGB(1, 1, 0xffffff) // white
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val feats = Multimodal.decodeAndEmbedImage(bos.toByteArray, dim = 4).get
+    val third = 255f / (3f * 255f)
+    assert(feats.toSeq == Seq(third, third, third, 1f))
+    // same bytes folded into fewer buckets: pixel sums accumulate
+    val two = Multimodal.decodeAndEmbedImage(bos.toByteArray, dim = 2).get
+    assert(two.toSeq == Seq(third + third, third + 1f))
+  }
+
+  test("multimodal: synthetic PNG and BMP payloads round-trip through ImageIO") {
+    for (fmt <- Seq("png", "bmp")) {
+      val bytes = Multimodal.encodeImage(seed = 42L, w = 5, h = 3, fmt = fmt)
+      val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(decoded != null, s"$fmt bytes did not decode")
+      assert(decoded.getWidth == 5 && decoded.getHeight == 3)
+      // both encodings are lossless → identical pixels → identical features
+      val ref = Multimodal.syntheticImage(42L, 5, 3)
+      for (y <- 0 until 3; x <- 0 until 5)
+        assert((decoded.getRGB(x, y) & 0xffffff) == (ref.getRGB(x, y) & 0xffffff))
+    }
+    assert(Multimodal.decodeAndEmbedImage("not an image".getBytes, 4).isEmpty)
+  }
+
   test("multimodal: feature extraction yields fixed-dim vectors for every doc") {
     val docs = Tables.documents(spark, sfDir)
     val feats = Multimodal.extractFeatures(spark, Multimodal.withMedia(docs), dim = 16)
