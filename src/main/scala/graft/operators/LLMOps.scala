@@ -223,23 +223,36 @@ object LLMOps {
     * token), pass 2 recounts exactly over only the candidate tokens.
     * Same answer as Q-L03's naive plan (and the same oracle) — the
     * difference is that at corpus scale the vocabulary-sized shuffle is
-    * gone. Exactness needs the 20th count > N/(capacity+1); with
+    * gone. Exactness needs the k-th count > N/(capacity+1) (with
     * capacity 2048 that is a ~0.05% frequency floor, far below any
-    * stop-word.
+    * stop-word) — and rather than trusting the corpus, the invariant is
+    * CHECKED at runtime against the recounted k-th candidate: a corpus
+    * drift that sank a top-k token below the floor would otherwise
+    * return a silently-wrong top-k that only an offline oracle compare
+    * could catch.
     */
   def qL17(s: SparkSession, d: String, k: Int = 20,
       capacity: Int = 2048): DataFrame = {
     val mg = udaf(new graft.functions.HeavyHitters(capacity), Encoders.STRING)
     val toks = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("token"))
-    val sketch = toks.agg(mg(col("token")).as("sketch"))
-      .head().getMap[String, Long](0)
+    val sketchRow = toks.agg(mg(col("token")).as("sketch"),
+      count(lit(1)).as("n")).head()
+    val sketch = sketchRow.getMap[String, Long](0)
+    val totalTokens = sketchRow.getLong(1)
     val candidates = sketch.keys.toSeq
-    toks.filter(col("token").isin(candidates: _*))
+    val top = toks.filter(col("token").isin(candidates: _*))
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
+    val rows = top.collect() // ≤ k rows — the heavy passes already ran
+    val floor = totalTokens.toDouble / (capacity + 1)
+    if (rows.length == k && rows.last.getLong(1) <= floor)
+      throw new IllegalStateException(
+        s"heavy-hitters exactness violated: k-th count ${rows.last.getLong(1)} " +
+          s"<= N/(capacity+1) = $floor — raise capacity (=$capacity)")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
 
   /** Q-L16 — top-20 character 3-grams via the custom

@@ -110,9 +110,20 @@ object ClonePipeline {
       .filter(col("__graft_rn") === 1).drop("__graft_rn")
     val tmp = new org.apache.hadoop.fs.Path(tgtPath + "__sync_tmp")
     Writers.parquet(merged, tmp.toString)
-    fs.delete(tgt, true)
-    if (!fs.rename(tmp, tgt))
+    // swap order matters for crash safety: park the live target aside
+    // FIRST, then promote the new data, then drop the parked copy — a
+    // crash at any point leaves either the old or the new target
+    // recoverable on disk (delete-then-rename instead has a window where
+    // the only copy is the tmp dir and readers see a missing path)
+    val old = new org.apache.hadoop.fs.Path(tgtPath + "__sync_old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
+    if (!fs.rename(tgt, old))
+      throw new java.io.IOException(s"rename $tgt -> $old failed")
+    if (!fs.rename(tmp, tgt)) {
+      fs.rename(old, tgt) // restore the parked target before giving up
       throw new java.io.IOException(s"rename $tmp -> $tgt failed")
+    }
+    fs.delete(old, true)
     SyncReport(source.count(), deltaRows, spark.read.parquet(tgtPath).count())
   }
 

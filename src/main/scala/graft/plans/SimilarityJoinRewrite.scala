@@ -22,9 +22,18 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
   * declarative plan states intent, the config picks the scale strategy,
   * mirroring Spark's own stance on `spark.sql.crossJoin.enabled`. Recall
   * tunes with `spark.graft.lsh.tables` (OR-amplification) vs
-  * `spark.graft.lsh.bits` (bucket selectivity). Candidate-pair dedup means
-  * duplicate input rows would be collapsed; sides are expected to carry a
-  * key column (dedup is over the joined output columns).
+  * `spark.graft.lsh.bits` (bucket selectivity).
+  *
+  * ==Result multiplicity (user-facing contract)==
+  * Beyond the recall approximation, the rewritten plan changes result
+  * MULTIPLICITY: candidate pairs are deduped over the joined output
+  * columns, so two fully-identical input rows that the naive
+  * cross-join+filter would emit N×M times collapse to one output row.
+  * Sides carrying a unique key column are unaffected (every output row
+  * is distinct anyway — the recommended shape, which also keeps the
+  * dedup's shuffle keys narrow; without a key the grouping keys include
+  * the embedding arrays themselves). Enable the rule only if set —
+  * not bag — semantics are acceptable for the join's output.
   */
 object SimilarityJoinRewrite extends Rule[LogicalPlan] {
 
