@@ -29,6 +29,10 @@ object PlanAudit {
         System.err.println(s"[plan] $name failed: ${e.getMessage}")
       }
     }
+    // a registered query with no dump means the audit no longer tracks the
+    // query set — the exact state that let scale-killers land unreviewed
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => Files.exists(Paths.get(s"plans/$n.txt")))
     // quick red-flag summary on stdout
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = Paths.get(s"plans/$name.txt")
@@ -50,5 +54,9 @@ object PlanAudit {
       }
     }
     spark.stop()
+    if (missing.nonEmpty) {
+      System.err.println(s"[plan] NO DUMP for: ${missing.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -362,6 +362,20 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("plan-audit dumps track the registered query set") {
+    // plans/ is a local (gitignored) artifact, so a fresh clone legitimately
+    // has none — but once PlanAudit has run, every registered query must
+    // have a dump, or the audit is silently stale for the newest queries
+    // (r02 shipped 7 unreviewed plans that way).
+    val dir = new java.io.File("plans")
+    if (dir.isDirectory) {
+      val missing = SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(n => new java.io.File(dir, s"$n.txt").isFile)
+      assert(missing.isEmpty,
+        s"stale plan audit — rerun `sbt \"runMain graft.PlanAudit\"`; missing: ${missing.mkString(", ")}")
+    }
+  }
+
   test("every registered query emits scalar-only final columns") {
     // The driver's oracle harness sorts result frames with pandas, which
     // cannot hash numpy arrays: an array/struct/map in a final schema is a
