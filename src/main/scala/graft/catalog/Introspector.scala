@@ -20,6 +20,12 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Introspector {
 
+  /** Derby renders an identity column's generator as a pseudo-default:
+    * "AUTOINCREMENT: start 100 increment 5".
+    */
+  private val identityGenerator =
+    """AUTOINCREMENT:\s*start\s+(-?\d+)\s+increment\s+(-?\d+)""".r
+
   /** List (schema, table) pairs, excluding system schemas — the A3 scan
     * (`GetTables`, Program.cs:584-593, which excludes `sys`).
     */
@@ -60,9 +66,17 @@ object Introspector {
         val auto = Option(rs.getString("IS_AUTOINCREMENT")).contains("YES")
         // identity columns surface their generator as a pseudo-default in
         // some drivers (Derby: "AUTOINCREMENT: start 1 increment 1") —
-        // that is the identity spec, not a DEFAULT clause
-        val default = Option(rs.getString("COLUMN_DEF")).filter(_.nonEmpty)
-          .filterNot(_ => auto)
+        // that is the identity spec, not a DEFAULT clause. Parse the real
+        // seed/increment out of it (the JDBC analog of the reference's
+        // sys.identity_columns seed_value/increment_value read,
+        // Program.cs:169-170); only a dialect that exposes neither falls
+        // back to the (1,1) default.
+        val rawDef = Option(rs.getString("COLUMN_DEF")).filter(_.nonEmpty)
+        val default = rawDef.filterNot(_ => auto)
+        val seedIncr = rawDef
+          .flatMap(identityGenerator.findFirstMatchIn(_))
+          .map(m => (m.group(1).toLong, m.group(2).toLong))
+          .getOrElse((1L, 1L))
         out += SqlColumn(
           name = rs.getString("COLUMN_NAME"),
           typeName = typeName,
@@ -74,7 +88,7 @@ object Introspector {
           precision = if (isDec) size else 0,
           scale = if (isDec) digits else 0,
           nullable = rs.getInt("NULLABLE") != DatabaseMetaData.columnNoNulls,
-          identity = if (auto) Some((1L, 1L)) else None,
+          identity = if (auto) Some(seedIncr) else None,
           defaultExpr = default)
       }
     } finally rs.close()

@@ -72,6 +72,23 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     } finally conn.close()
   }
 
+  test("Introspector reads real identity seed/increment, not a (1,1) default") {
+    import graft.catalog.Introspector
+    import graft.ddl.DdlRenderer
+    val conn = DriverManager.getConnection(url)
+    try {
+      ScriptExecutor.execute(conn,
+        """CREATE TABLE SEEDED_T (ID BIGINT NOT NULL GENERATED ALWAYS AS IDENTITY (START WITH 100, INCREMENT BY 5), V VARCHAR(10))
+          |GO""".stripMargin)
+      val spec = Introspector.tableSpec(conn, "APP", "SEEDED_T")
+      val id = spec.cols.find(_.name == "ID").get
+      assert(id.identity.contains((100L, 5L)))
+      // the pseudo-default carrying the generator must NOT leak as DEFAULT
+      assert(id.defaultExpr.isEmpty)
+      assert(DdlRenderer.createTable(spec).contains("[ID] bigint IDENTITY(100,5) NOT NULL"))
+    } finally conn.close()
+  }
+
   test("Introspector reads PK/FK/indexes and renders the constraint DDL") {
     import graft.catalog.Introspector
     val conn = DriverManager.getConnection(url)
