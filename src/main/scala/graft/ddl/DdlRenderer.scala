@@ -167,6 +167,55 @@ object DdlRenderer {
        |GO""".stripMargin
   }
 
+  /** A14 — full-text search DDL (Program.cs:474-536): one spec per
+    * full-text index — the indexed columns, the unique KEY INDEX the
+    * engine requires, and the owning catalog (None → the default-catalog
+    * fallback, mirroring the reference's ISNULL(ftc.name,
+    * 'DefaultFullTextCatalog')).
+    */
+  final case class FullTextIndexSpec(schema: String, table: String,
+      cols: Seq[String], keyIndex: String, catalog: Option[String] = None)
+
+  val defaultFullTextCatalog = "DefaultFullTextCatalog"
+
+  /** A14 — guarded CREATE FULLTEXT CATALOG per catalog, plus the
+    * default-catalog bootstrap the reference always appends: if the
+    * source had no default catalog, one is created AS DEFAULT so the
+    * index fallback below can always resolve (Program.cs:479-502).
+    */
+  def createFullTextCatalogs(catalogs: Seq[String],
+      hasDefault: Boolean = false): String = {
+    val named = catalogs.map { c =>
+      s"""IF NOT EXISTS (SELECT 1 FROM sys.fulltext_catalogs WHERE name = N'${nq(c)}')
+         |BEGIN
+         |    CREATE FULLTEXT CATALOG ${q(c)}
+         |END
+         |GO""".stripMargin
+    }
+    val fallback =
+      if (hasDefault) Nil
+      else Seq(
+        s"""IF NOT EXISTS (SELECT 1 FROM sys.fulltext_catalogs WHERE is_default = 1)
+           |BEGIN
+           |    CREATE FULLTEXT CATALOG $defaultFullTextCatalog AS DEFAULT;
+           |END
+           |GO""".stripMargin)
+    (named ++ fallback).mkString("\n")
+  }
+
+  /** A14 — guarded CREATE FULLTEXT INDEX: column list, KEY INDEX, ON
+    * catalog with default fallback (Program.cs:505-536; the reference
+    * guards on object_id — portable form guards on the table name).
+    */
+  def createFullTextIndex(ft: FullTextIndexSpec): String = {
+    val cat = ft.catalog.getOrElse(defaultFullTextCatalog)
+    s"""IF NOT EXISTS (SELECT 1 FROM sys.fulltext_indexes WHERE object_id = OBJECT_ID(N'${nq(ft.schema)}.${nq(ft.table)}'))
+       |BEGIN
+       |    CREATE FULLTEXT INDEX ON ${qt(ft.schema, ft.table)} (${ft.cols.map(q).mkString(", ")}) KEY INDEX ${q(ft.keyIndex)} ON ${q(cat)};
+       |END
+       |GO""".stripMargin
+  }
+
   /** A15 — triggers: definition copied verbatim, disabled state preserved
     * (Program.cs:541-575; is_ms_shipped filtering happens at introspection).
     */

@@ -38,8 +38,22 @@ object ClonePipeline {
   def renderDdl(spark: SparkSession, srcDir: String,
       tables: Seq[String] = Tables.names, schema: String = "dbo"): Map[String, String] =
     tables.map { t =>
-      t -> DdlRenderer.createTableFromStruct(schema, t,
-        Tables.table(spark, srcDir, t).schema)
+      val st = Tables.table(spark, srcDir, t).schema
+      val base = DdlRenderer.createTableFromStruct(schema, t, st)
+      // free-text columns get the full-text surface (A14): catalog
+      // bootstrap + guarded CREATE FULLTEXT INDEX. Struct-derived tables
+      // have no introspected unique index, so the KEY INDEX uses the
+      // PK_<table> name the cloned table's key would carry.
+      val textCols = st.fields.collect {
+        case f if f.name == "text" &&
+          f.dataType == org.apache.spark.sql.types.StringType => f.name
+      }.toSeq
+      val ddl =
+        if (textCols.isEmpty) base
+        else base + "\n" + DdlRenderer.createFullTextCatalogs(Nil) + "\n" +
+          DdlRenderer.createFullTextIndex(DdlRenderer.FullTextIndexSpec(
+            schema, t, textCols, keyIndex = s"PK_$t"))
+      t -> ddl
     }.toMap
 
   /** Clone every table from srcDir to tgtDir, tables in parallel

@@ -81,6 +81,27 @@ class DdlRendererSpec extends AnyFunSuite {
     assert(ct.contains("OBJECT_ID(N'dbo.it''s', N'U')"))
   }
 
+  test("full-text catalog + index DDL matches the reference semantics") {
+    // Program.cs:479-502 — guarded per-catalog create, then the default
+    // fallback only when the source had no default catalog
+    val cats = createFullTextCatalogs(Seq("SearchCat"), hasDefault = false)
+    assert(cats.contains("IF NOT EXISTS (SELECT 1 FROM sys.fulltext_catalogs WHERE name = N'SearchCat')"))
+    assert(cats.contains("CREATE FULLTEXT CATALOG [SearchCat]"))
+    assert(cats.contains("WHERE is_default = 1"))
+    assert(cats.contains("CREATE FULLTEXT CATALOG DefaultFullTextCatalog AS DEFAULT;"))
+    assert(createFullTextCatalogs(Seq("SearchCat"), hasDefault = true)
+      .linesIterator.count(_.contains("CREATE FULLTEXT CATALOG")) == 1)
+    // Program.cs:505-536 — column list, KEY INDEX, catalog fallback
+    val ft = createFullTextIndex(FullTextIndexSpec(
+      "dbo", "documents", Seq("title", "text"), keyIndex = "PK_documents"))
+    assert(ft.contains(
+      "CREATE FULLTEXT INDEX ON [dbo].[documents] ([title], [text]) KEY INDEX [PK_documents] ON [DefaultFullTextCatalog];"), ft)
+    val named = createFullTextIndex(FullTextIndexSpec(
+      "dbo", "documents", Seq("text"), "PK_documents", catalog = Some("SearchCat")))
+    assert(named.contains("ON [SearchCat];"))
+    assert(ScriptExecutorRoundTrip.batches(cats + "\n" + ft) == 3)
+  }
+
   test("fromStructType preserves decimal precision/scale and lengths") {
     import org.apache.spark.sql.types._
     val st = StructType(Seq(
