@@ -99,6 +99,35 @@ object ClonePipeline {
     * and replaces the target atomically-enough for a filesystem (write
     * temp, delete old, rename), never reading and overwriting in place.
     */
+  /** MERGE-style last-writer-wins upsert — the set-based equivalent of
+    * {{{
+    * MERGE INTO target t USING updates u ON <keyCols equal>
+    *   WHEN MATCHED AND u.version >= t.version THEN UPDATE SET *
+    *   WHEN NOT MATCHED THEN INSERT *
+    * }}}
+    * expressed as union + windowed keep-latest so it runs on any file
+    * source: Spark's actual `MERGE INTO` SQL requires a v2 catalog with
+    * row-level-operation support (Delta/Iceberg — not in this build's
+    * dependency set), so this API *is* the merge surface, and
+    * [[incrementalSync]] is its transactional wrapper. Deterministic on
+    * version ties: the updates side wins (matching the MERGE above),
+    * so re-merging the same batch is a no-op. One shuffle on the key
+    * columns; at scale the target should be bucketed by the same keys so
+    * successive merges reuse the layout.
+    */
+  def merge(target: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__graft_src").desc)
+    target.withColumn("__graft_src", lit(0))
+      .unionByName(updates.withColumn("__graft_src", lit(1)))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn", "__graft_src")
+  }
+
   def incrementalSync(spark: SparkSession, source: DataFrame, tgtPath: String,
       keyCols: Seq[String], versionCol: String): SyncReport = {
     import org.apache.spark.sql.expressions.Window
@@ -117,11 +146,7 @@ object ClonePipeline {
     val deltaRows = delta.count()
     if (deltaRows == 0)
       return SyncReport(source.count(), 0, target.count())
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc)
-    val merged = target.unionByName(delta)
-      .withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    val merged = merge(target, delta, keyCols, versionCol)
     val tmp = new org.apache.hadoop.fs.Path(tgtPath + "__sync_tmp")
     Writers.parquet(merged, tmp.toString)
     // swap order matters for crash safety: park the live target aside

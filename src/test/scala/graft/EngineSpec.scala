@@ -239,6 +239,26 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(r3.deltaRows == 0 && r3.targetRows == 4)
   }
 
+  test("merge: MERGE-semantics upsert — insert, update, tie, no-op, idempotent") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
+      .toDF("id", "val", "version")
+    val updates = Seq(
+      (2L, "B2", 20L), // higher version → update wins
+      (3L, "C?", 10L), // equal version → updates side wins the tie
+      (4L, "d", 5L),   // new key → insert (even with a lower version)
+      (1L, "A?", 3L)   // lower version → target row survives
+    ).toDF("id", "val", "version")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val once = ClonePipeline.merge(target, updates, Seq("id"), "version")
+    assert(rows(once) == Seq((1L, "a", 10L), (2L, "B2", 20L),
+      (3L, "C?", 10L), (4L, "d", 5L)))
+    // idempotent: merging the same batch into the merged result is a no-op
+    val twice = ClonePipeline.merge(once, updates, Seq("id"), "version")
+    assert(rows(twice) == rows(once))
+  }
+
   test("orc source/sink round-trips with parity to parquet") {
     import graft.io.{Readers, Writers}
     val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
