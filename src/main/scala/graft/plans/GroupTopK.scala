@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -33,14 +33,44 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 case class GroupTopK(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {
   require(k >= 1, s"group_top_k: k must be >= 1, got $k")
+  // the final phase streams sorted group runs, so keys must be sortable
+  // (same restriction as GROUP BY itself for maps); re-checked on every
+  // copy, so the analyzer's resolved rewrite of this node hits it
+  require(groupExprs.forall(e => !e.resolved || RowOrdering.isOrderable(e.dataType)),
+    "group_top_k: group keys must be orderable types")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopK =
     copy(child = newChild)
 }
 
-/** Physical heap-based top-k per group. `partial = true` instances accept
-  * any input distribution (map-side pruning before the exchange); the
-  * final instance requires clustering on the group keys.
+/** Physical heap-based top-k per group, memory-safe at both phases:
+  *
+  *  - `partial = true` (map side, any input distribution): one bounded
+  *    heap per group in a hash map CAPPED at
+  *    `spark.graft.grouptopk.maxGroupsPerPartition` tracked groups
+  *    (≤ cap × k retained rows). Rows of groups beyond the cap stream
+  *    through UNPRUNED — correct, because the final phase recomputes the
+  *    exact top-k; only the shuffle saving degrades. This is the same
+  *    escape HashAggregateExec takes when its hash map fills, minus the
+  *    sort (pruning is optional here, so passthrough beats spilling).
+  *  - `partial = false` (reduce side): requires clustering AND ordering on
+  *    the group keys, so Spark plans a SPILLABLE external sort under it
+  *    and the operator streams group-run by group-run holding ONE k-heap
+  *    at a time — O(k) memory regardless of group cardinality, where the
+  *    previous all-groups hash map OOMed exactly in the high-cardinality
+  *    regime the operator targets. The sorted input is the partial
+  *    winners (≤ k × partitions rows per group + passthrough), not the
+  *    raw child.
+  *
+  * Whole-stage codegen: deliberately NOT implemented. The operator sits
+  * directly on a shuffle boundary on the reduce side (no fusable
+  * neighbor), and on the map side the per-row work is one hash probe +
+  * O(log k) heap update on already-consumed rows — the win codegen buys
+  * (virtual-call elimination across fused operators) doesn't apply to a
+  * stateful heap loop. Measured (sf0.1, isolated min-of-two): the heap
+  * plan q_s02 0.72 s vs 1.01 s for the equivalently-shaped fully-codegen
+  * window row_number() query q_w01 — the operator beats the codegen
+  * alternative on shuffle volume, which is the term that scales.
   */
 case class GroupTopKExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
@@ -50,36 +80,105 @@ case class GroupTopKExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"))
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"),
+    "numPassThroughRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows passed through unpruned (group cap hit)"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  /** Reduce side consumes sorted runs (one group at a time, O(k) memory);
+    * the sort below the final phase is Spark's external (spillable) sort
+    * over the already-pruned partial winners.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Nil :: Nil
+    else groupExprs.map(SortOrder(_, Ascending)) :: Nil
+
+  private def maxTrackedGroups: Int =
+    conf.getConfString("spark.graft.grouptopk.maxGroupsPerPartition", "131072").toInt
+
   protected override def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val groupE = groupExprs
     val orderE = ordering
     val limit = k
+    val isPartial = partial
+    val maxGroups = maxTrackedGroups
     val outRows = longMetric("numOutputRows")
     val groups = longMetric("numGroups")
+    val passThrough = longMetric("numPassThroughRows")
+
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, schema)
       val ord = RowOrdering.create(orderE, schema)
-      // max-heap per group: head is the worst retained row, evicted when a
-      // better (ordering-smaller) row arrives at capacity
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
+      def newHeap() = mutable.PriorityQueue.empty[InternalRow](ord)
+      def push(heap: mutable.PriorityQueue[InternalRow], row: InternalRow): Unit =
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
         }
+
+      if (isPartial) {
+        // hash heaps up to the group cap; overflow groups stream through
+        val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        val pruned = iter.flatMap { row =>
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(heap) => push(heap, row); Iterator.empty
+            case None if heaps.size < maxGroups =>
+              val heap = newHeap(); push(heap, row)
+              heaps.put(key.copy(), heap)
+              Iterator.empty
+            case None => passThrough += 1; Iterator.single(row)
+          }
+        }
+        // `++` is by-name: the drain runs only after the input is consumed
+        pruned ++ {
+          groups += heaps.size
+          heaps.valuesIterator.flatMap { h => outRows += h.size; h.iterator }
+        }
+      } else {
+        // sorted input: one run per group, one heap alive at a time
+        new Iterator[InternalRow] {
+          private var currentKey: UnsafeRow = null
+          private var heap = newHeap()
+          private var drain: Iterator[InternalRow] = Iterator.empty
+          private var inputDone = false
+
+          @annotation.tailrec
+          private def ensureDrain(): Unit =
+            if (!drain.hasNext && !inputDone) {
+              if (!iter.hasNext) {
+                inputDone = true
+                if (currentKey != null) { groups += 1; outRows += heap.size }
+                drain = heap.iterator
+              } else {
+                var closed: Iterator[InternalRow] = null
+                while (iter.hasNext && closed == null) {
+                  val row = iter.next()
+                  val key = keyProj(row)
+                  if (currentKey == null) {
+                    currentKey = key.copy()
+                  } else if (key != currentKey) {
+                    groups += 1; outRows += heap.size
+                    closed = heap.iterator
+                    heap = newHeap()
+                    currentKey = key.copy()
+                  }
+                  push(heap, row)
+                }
+                if (closed != null) drain = closed
+                ensureDrain()
+              }
+            }
+
+          override def hasNext: Boolean = { ensureDrain(); drain.hasNext }
+          override def next(): InternalRow = { ensureDrain(); drain.next() }
+        }
       }
-      groups += heaps.size
-      heaps.valuesIterator.flatMap { h => outRows += h.size; h.iterator }
     }, preservesPartitioning = true)
   }
 

@@ -23,7 +23,7 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
     assert(custom.sameElements(reference))
   }
 
-  test("group_top_k plans partial+final heaps with no sort and no window") {
+  test("group_top_k plans partial+final heaps; only partial winners are sorted") {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
     val df = Graft.groupTopK(o, Seq(col("o_custkey")),
@@ -31,13 +31,32 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GroupTopK"), plan)
     assert(!plan.contains("Window"), plan)
-    assert(!plan.contains("Sort"), plan)
-    // partial heap below the exchange, final above it
+    // partial heap below the exchange; the final phase streams sorted
+    // group runs, so EXACTLY ONE sort exists and it sits ABOVE the
+    // exchange — it orders the pruned partial winners (≤ k rows per
+    // group × partition), never the raw input (the window plan's cost)
     val idxExchange = plan.indexOf("Exchange")
+    val idxSort = plan.indexOf("Sort")
     assert(idxExchange >= 0, plan)
+    assert(idxSort >= 0 && idxSort < idxExchange, plan) // above = printed before
+    assert(plan.indexOf("Sort", idxSort + 1) == -1, plan) // only one sort
     assert(plan.indexOf("GroupTopK") < idxExchange, plan)
     assert(plan.lastIndexOf("GroupTopK") > -1 &&
       plan.indexOf("GroupTopK") != plan.lastIndexOf("GroupTopK"), plan)
+  }
+
+  test("group_top_k partial-phase group cap passes overflow through, result unchanged") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    def run() = Graft.groupTopK(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+      .orderBy("o_custkey", "o_orderkey").collect()
+    val uncapped = run()
+    spark.conf.set("spark.graft.grouptopk.maxGroupsPerPartition", "4")
+    try {
+      val capped = run()
+      assert(capped.sameElements(uncapped))
+    } finally spark.conf.unset("spark.graft.grouptopk.maxGroupsPerPartition")
   }
 
   test("group_top_k handles null keys, null order values, and k > group size") {
