@@ -132,7 +132,8 @@ object SparkEntry {
     "q_v03_array_setops"   -> (Relational.qV03 _),
     "q_f13_string_shape"   -> (Relational.qF13 _),
     // Catalyst extension surface (custom strategy / SQL registry / rewrite
-    // rule; q_x02 is approximate-by-construction → rows-only + spec)
+    // rule; q_x02's 3-bit x 24-table config reaches deterministic full
+    // recall on the correctness corpus, so the exact pair set is its oracle)
     "q_s02_group_topk"     -> (ExtensionShowcase.qS02 _),
     "q_x01_sql_cosine"     -> (ExtensionShowcase.qX01 _),
     "q_x02_lsh_rewrite"    -> (ExtensionShowcase.qX02 _),
@@ -249,6 +250,11 @@ object SparkEntry {
     // the same left-fold cosine, so the hash pins recall AND precision
     "q_l13_near_dup_pairs" ->
       """WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p, r) -> p + r) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r))) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""",
+    // q_x02: the optimizer-rewrite output provably equals the naive
+    // cross-join+filter's exact pair set at its pinned config (full
+    // recall, exact verify — ExtensionSpec asserts the equality)
+    "q_x02_lsh_rewrite" ->
+      """WITH s AS (SELECT a.vec_id AS id1, b.vec_id AS id2, list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p, r) -> p + r) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r))) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) SELECT id1, id2, sim FROM s WHERE sim >= 0.45 ORDER BY id1, id2""",
     "q_l03_token_top20" ->
       """SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "q_l04_dedup_keepers" ->

@@ -72,8 +72,11 @@ object ExtensionShowcase {
     a.crossJoin(b)
       .where(col("id1") < col("id2") &&
         Similarity.cosineSafe(col("emb1"), col("emb2")) >= threshold)
+      // raw fold value, not round(sim, 4): the left-fold cosine is
+      // bit-identical between Spark and DuckDB, while double rounding
+      // can differ in the last ulp between engines — raw hashes stably
       .select(col("id1"), col("id2"),
-        round(Similarity.cosineSafe(col("emb1"), col("emb2")), 4).as("sim"))
+        Similarity.cosineSafe(col("emb1"), col("emb2")).as("sim"))
       .orderBy("id1", "id2")
   }
 }
