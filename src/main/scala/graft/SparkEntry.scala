@@ -123,6 +123,10 @@ object SparkEntry {
     "q_f12_hash_fns"       -> (Relational.qF12 _),
     // incremental distinct via persisted+unioned HLL sketches (rows-only)
     "q_a15_hll_union"      -> (Scale.qA15 _),
+    // bloom semi-join reduction + count-min frequency twin (both oracle-
+    // checked: outputs pin exact counts plus deterministic sketch bounds)
+    "q_j13_bloom_semi"     -> (Scale.qJ13 _),
+    "q_l18_cms_freq"       -> ((s: SparkSession, d: String) => Scale.qL18(s, d)),
     // batch session_window + TPC-H Q7/Q8 shapes
     "q_t05_session_window" -> (Temporal.qT05 _),
     "q_j11_tpch_q7"        -> (Relational.qJ11 _),
@@ -257,6 +261,12 @@ object SparkEntry {
       """WITH s AS (SELECT a.vec_id AS id1, b.vec_id AS id2, list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p, r) -> p + r) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r))) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) SELECT id1, id2, sim FROM s WHERE sim >= 0.45 ORDER BY id1, id2""",
     "q_l03_token_top20" ->
       """SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    // q_j13/q_l18: the oracle recomputes the exact quantities; the sketch
+    // bounds are deterministic (fixed-seed hashes) and pinned as `true`
+    "q_j13_bloom_semi" ->
+      """SELECT (SELECT COUNT(*) FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')) AS n_semi, true AS no_false_negatives, true AS fp_rate_ok""",
+    "q_l18_cms_freq" ->
+      """SELECT token, COUNT(*) AS cnt, true AS within_bound FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "q_l04_dedup_keepers" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS copies FROM documents GROUP BY text ORDER BY keeper_id""",
     "q_l05_ngram_jaccard" ->

@@ -88,4 +88,121 @@ object Scale {
     unionEstimate(sketchPerPartition(
       Tables.events(s, d).withColumn("day", to_date(col("ts"))),
       "day", "user_id"))
+
+  // ------------------------------------------------- bloom semi-join filter
+
+  /** Build a Bloom filter over `key` of (small) `df` — the build side of a
+    * semi-join reduction. Uses Spark's own BloomFilterAggregate (the
+    * expression behind AQE runtime row-level filtering), applied here as
+    * an explicit operator: the returned filter is a few MB of metadata,
+    * safe to localize and re-broadcast as a literal.
+    */
+  def bloomFilterOf(df: DataFrame, key: String, expectedItems: Long,
+      numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnBridge.expression(col(key)))),
+      Literal(expectedItems), Literal(numBits))
+    df.agg(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Might-contain predicate against a built filter (no false negatives;
+    * false-positive rate set by numBits/expectedItems at build time).
+    */
+  def bloomMightContain(bloom: Array[Byte], key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      new XxHash64(Seq(ColumnBridge.expression(key)))))
+  }
+
+  /** Semi-join reduction: keep only fact rows whose key MIGHT match the
+    * dim side, evaluated as a scan-side predicate — no shuffle of the
+    * fact table at all, where a real left-semi join shuffles (or at best
+    * broadcasts) per query. At 100 TB this is the standard pre-filter in
+    * front of an expensive join: the bloom build costs one pass over the
+    * (small) dim side, the probe is a codegen'd hash per fact row, and
+    * the only error mode is false POSITIVES (extra rows flow to the real
+    * join, which re-checks exactly — correctness never depends on the
+    * filter).
+    */
+  def bloomSemiFilter(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, bitsPerItem: Long = 10): DataFrame = {
+    val n = math.max(dim.select(dimKey).distinct().count(), 1L)
+    val bloom = bloomFilterOf(dim, dimKey, n, math.max(64L, bitsPerItem * n))
+    fact.filter(bloomMightContain(bloom, col(factKey)))
+  }
+
+  /** Q-J13 — bloom semi-join reduction, oracle-checked: lineitem rows
+    * whose part is PROMO-typed, pre-filtered by a bloom built on the dim
+    * keys. The output pins (a) the exact semi-join count, (b) zero false
+    * negatives (every true match passes the filter — a hard guarantee),
+    * and (c) the false-positive rate staying under 3x the design point
+    * (deterministic: Spark's bloom hashes are fixed-seed). DuckDB
+    * computes (a) exactly and expects the booleans true.
+    */
+  def qJ13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val part = Tables.part(s, d).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+    val n = math.max(part.count(), 1L)
+    val bloom = bloomFilterOf(part, "p_partkey", n, math.max(64L, 10 * n))
+    val semi = li.join(part, li("l_partkey") === part("p_partkey"), "left_semi")
+    val nSemi = semi.count()
+    val missed = semi.filter(!bloomMightContain(bloom, col("l_partkey"))).count()
+    val nPassed = li.filter(bloomMightContain(bloom, col("l_partkey"))).count()
+    val total = li.count()
+    val fpRate =
+      if (total == nSemi) 0.0
+      else (nPassed - nSemi).toDouble / (total - nSemi)
+    Seq((nSemi, missed == 0L, fpRate <= 3 * 0.01))
+      .toDF("n_semi", "no_false_negatives", "fp_rate_ok")
+  }
+
+  // ------------------------------------------- count-min frequency sketch
+
+  /** Q-L18 — count-min-sketch frequency twin of the exact token top-20
+    * (q_l03): one pass builds a fixed-size CMS (width e/eps × depth
+    * ln(1/(1-confidence)) counters — ~1 MB here — versus a
+    * vocabulary-sized shuffle for exact counts), estimates are read for
+    * the top-k tokens, and each row pins `est >= exact` (a CMS hard
+    * guarantee) and `est <= exact + eps*N` (the probabilistic bound —
+    * deterministic at a fixed seed, verified on both test corpora).
+    * Incremental twin of q_a15: per-day CMS sketches merge losslessly
+    * (`mergeInPlace`), so frequency-over-everything never rescans
+    * history; mergeability is spec-checked in EngineSpec.
+    */
+  def qL18(s: SparkSession, d: String, k: Int = 20, eps: Double = 1e-4,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(LLMOps.tokens(col("text"))).as("token"))
+    val row = toks.agg(
+      count(lit(1)).as("n"),
+      count_min_sketch(col("token"), lit(eps), lit(confidence), lit(seed)).as("cms"))
+      .head()
+    val n = row.getLong(0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+    val rows = top.collect().map { r =>
+      val est = cms.estimateCount(r.getString(0))
+      org.apache.spark.sql.Row(r.getString(0), r.getLong(1),
+        est >= r.getLong(1) && est <= r.getLong(1) + (eps * n).toLong)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("within_bound",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
 }

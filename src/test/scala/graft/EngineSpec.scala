@@ -239,6 +239,49 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(r3.deltaRows == 0 && r3.targetRows == 4)
   }
 
+  test("bloom semi-filter: no false negatives, fp rate near design point") {
+    import graft.operators.Scale
+    val part = Tables.part(spark, sfDir).select(col("p_partkey"))
+      .filter(col("p_partkey") % 7 === 0)
+    val li = Tables.lineitem(spark, sfDir)
+    val semi = li.join(part, li("l_partkey") === part("p_partkey"), "left_semi")
+    val passed = Scale.bloomSemiFilter(li, "l_partkey", part, "p_partkey")
+    // hard guarantee: every true match passes
+    assert(semi.except(passed).isEmpty)
+    // false positives bounded: ~1% design point at 10 bits/item
+    val (nSemi, nPassed, total) = (semi.count(), passed.count(), li.count())
+    val fp = if (total == nSemi) 0.0 else (nPassed - nSemi).toDouble / (total - nSemi)
+    assert(fp <= 0.03, s"false-positive rate $fp")
+  }
+
+  test("count-min sketch: estimates bound every token and merge losslessly") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(graft.operators.LLMOps.tokens(col("text"))).as("token"))
+    def sketchOf(df: org.apache.spark.sql.DataFrame): CountMinSketch =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(
+        df.agg(count_min_sketch(col("token"), lit(1e-4), lit(0.99), lit(42)).as("s"))
+          .head().getAs[Array[Byte]](0)))
+    val full = sketchOf(toks)
+    val n = toks.count()
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt")).collect()
+    exact.foreach { r =>
+      val est = full.estimateCount(r.getString(0))
+      assert(est >= r.getLong(1), s"CMS undercounted ${r.getString(0)}")
+      assert(est <= r.getLong(1) + (1e-4 * n).toLong + 1,
+        s"CMS overshot bound for ${r.getString(0)}: $est vs ${r.getLong(1)}")
+    }
+    // incremental pattern: per-half sketches merged == full-pass estimates
+    val h1 = sketchOf(Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 0)
+      .select(explode(graft.operators.LLMOps.tokens(col("text"))).as("token")))
+    val h2 = sketchOf(Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1)
+      .select(explode(graft.operators.LLMOps.tokens(col("text"))).as("token")))
+    h1.mergeInPlace(h2)
+    exact.take(50).foreach { r =>
+      assert(h1.estimateCount(r.getString(0)) == full.estimateCount(r.getString(0)))
+    }
+  }
+
   test("merge: MERGE-semantics upsert — insert, update, tie, no-op, idempotent") {
     import spark.implicits._
     val target = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
