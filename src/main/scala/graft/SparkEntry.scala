@@ -131,6 +131,9 @@ object SparkEntry {
     "q_t05_session_window" -> (Temporal.qT05 _),
     "q_j11_tpch_q7"        -> (Relational.qJ11 _),
     "q_j12_tpch_q8"        -> (Relational.qJ12 _),
+    // TPC-H Q6/Q4 shapes over the corpus columns (r3)
+    "q_a16_tpch_q6"        -> (Relational.qA16 _),
+    "q_q06_tpch_q4"        -> (Relational.qQ06 _),
     // null-aware NOT IN, array set algebra, string shaping
     "q_q05_not_in"         -> (Relational.qQ05 _),
     "q_v03_array_setops"   -> (Relational.qV03 _),
@@ -351,6 +354,10 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, ROUND(CAST(SUM(CASE WHEN s_nationkey = 7 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE p_type = 'PROMO' AND r_name = 'ASIA' GROUP BY year(o_orderdate) ORDER BY o_year""",
     "q_q05_not_in" ->
       """SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) ORDER BY o_orderkey""",
+    "q_a16_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""",
+    "q_q06_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_v03_array_setops" ->
       """WITH s AS (SELECT vec_id, list_transform(embedding[1:8], x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig, list_transform(embedding[3:10], x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig2 FROM embeddings) SELECT vec_id, coalesce(array_to_string(list_sort(list_distinct(list_concat(sig, sig2))), ','), '') AS u, coalesce(array_to_string(list_sort(list_distinct(list_filter(sig, x -> list_contains(sig2, x)))), ','), '') AS i, coalesce(array_to_string(list_sort(list_distinct(list_filter(sig, x -> NOT list_contains(sig2, x)))), ','), '') AS x FROM s ORDER BY vec_id""",
     "q_f13_string_shape" ->

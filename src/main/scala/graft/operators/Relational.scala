@@ -718,6 +718,37 @@ object Relational {
       .orderBy("o_year")
   }
 
+  /** Q-A16 — TPC-H Q6 shape (corpus columns): single-scan forecasting
+    * aggregate where EVERY predicate pushes to the parquet scan — the
+    * canonical full-pushdown plan (no join, no shuffle beyond the 1-row
+    * partial/final agg).
+    */
+  def qA16(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.05) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+        .cast("double").as("revenue"))
+  }
+
+  /** Q-Q06 — TPC-H Q4 shape (corpus columns): quarter's orders that have
+    * at least one returned line — EXISTS planned as a left-semi join,
+    * then the priority histogram.
+    */
+  def qQ06(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val returned = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Q-Q05 — null-aware NOT IN subquery: customers with negative balance
     * form the exclusion set; Spark plans this as a null-aware anti join
     * (broadcast, since a single null in the subquery empties the result

@@ -78,6 +78,25 @@ object StreamOps {
     events.join(d, joinCols)
   }
 
+  /** Stream-stream inner join: both sides buffer in state, so the join
+    * condition MUST carry the event-time range bound — together with the
+    * watermarks it lets Spark evict state for rows too old to ever match
+    * again (a post-join filter would leave state unbounded, the classic
+    * stream-join leak). Right-side events match a left event at the same
+    * key within [leftTs, leftTs + maxGap]. Timestamp column names must
+    * differ between the sides (both survive into the output).
+    */
+  def joinStreams(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, delay: String = "10 minutes",
+      maxGap: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r, l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions.expr(s"INTERVAL $maxGap"))
+      .drop(r(key))
+  }
+
   /** Micro-batch JDBC sink via foreachBatch: each batch goes through the
     * batch [[graft.io.Writers.jdbc]] path (batched prepared statements,
     * the reference's bulk-copy profile), giving the streaming pipeline the

@@ -125,6 +125,34 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream join matches keys only within the event-time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamOps.joinStreams(
+      clicks.toDF().toDF("user_id", "click_ts", "page"),
+      views.toDF().toDF("user_id", "view_ts", "item"),
+      key = "user_id", leftTs = "click_ts", rightTs = "view_ts",
+      delay = "10 minutes", maxGap = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00"), "home"),
+        (2L, ts("2024-01-01 10:00:00"), "search"))
+      views.addData(
+        (1L, ts("2024-01-01 10:05:00"), "itemA"),  // within 10 min → match
+        (1L, ts("2024-01-01 10:20:00"), "itemB"),  // beyond the gap → no match
+        (2L, ts("2024-01-01 09:55:00"), "itemC"),  // before the click → no match
+        (3L, ts("2024-01-01 10:02:00"), "itemD"))  // no such click key
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").select("user_id", "page", "item")
+        .as[(Long, String, String)].collect().toSet
+      assert(got == Set((1L, "home", "itemA")))
+    } finally q.stop()
+  }
+
   test("foreachBatch streams micro-batches through the jdbc writer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
