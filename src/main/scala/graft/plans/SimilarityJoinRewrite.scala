@@ -5,16 +5,16 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
 
 /** Opt-in optimizer rule: a cosine-threshold join written naively as
   * `a CROSS JOIN b WHERE cosine_sim(a.e, b.e) >= t` plans as a cartesian
   * product — O(n²) pairs evaluated, unrunnable at scale. With
   * `spark.graft.lsh.rewrite = true` this rule rewrites it into the LSH
   * banding plan: explode multi-table random-hyperplane bucket ids on both
-  * sides, equi-join on the bucket id (hash join, shuffle on bucket),
-  * distinct the candidate pairs, and re-apply the ORIGINAL predicate as an
-  * exact verification.
+  * sides, equi-join on (table, bucket) keeping each pair only at its first
+  * colliding table (hash join, shuffle on the bucket key), and re-apply
+  * the ORIGINAL predicate as an exact verification.
   *
   * The rewrite is precision-preserving (every surviving pair passed the
   * exact predicate) but recall-approximate (a true pair is found only if
@@ -25,15 +25,26 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
   * `spark.graft.lsh.bits` (bucket selectivity).
   *
   * ==Result multiplicity (user-facing contract)==
-  * Beyond the recall approximation, the rewritten plan changes result
-  * MULTIPLICITY: candidate pairs are deduped over the joined output
-  * columns, so two fully-identical input rows that the naive
-  * cross-join+filter would emit N×M times collapse to one output row.
-  * Sides carrying a unique key column are unaffected (every output row
-  * is distinct anyway — the recommended shape, which also keeps the
-  * dedup's shuffle keys narrow; without a key the grouping keys include
-  * the embedding arrays themselves). Enable the rule only if set —
-  * not bag — semantics are acceptable for the join's output.
+  * `spark.graft.lsh.multiplicity` picks the dedup strategy for pairs
+  * colliding in several hash tables:
+  *
+  *  - `"set"` (default): deduplicate survivors over the joined output
+  *    columns. Fully-duplicate input rows that the naive
+  *    cross-join+filter would emit N×M times collapse to ONE output row
+  *    — enable only if set semantics are acceptable. Sides carrying a
+  *    unique key are unaffected and keep the dedup's shuffle narrow;
+  *    without one the grouping keys include the embedding arrays.
+  *    Fastest shape: the exact verify prunes before any dedup work.
+  *  - `"bag"`: preserve the naive join's exact multiplicity — each
+  *    matching (rowL, rowR) pair is kept only at its FIRST colliding
+  *    table (both sides carry their per-table bucket array and the
+  *    codegen [[graft.functions.FirstEqualIndex]] condition selects the
+  *    first agreeing position), so no dedup operator and no extra
+  *    shuffle exist in the plan at all. Measured ~2× the set shape's
+  *    wall-clock at sf0.1 (the arrays ride through the broadcast and
+  *    every hash-matched candidate pays the array walk), but the only
+  *    shuffle is the bucket join itself — the shape to pick when
+  *    duplicate rows are data, not noise.
   */
 object SimilarityJoinRewrite extends Rule[LogicalPlan] {
 
@@ -42,6 +53,8 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
   private def bits: Int = conf.getConfString("spark.graft.lsh.bits", "6").toInt
   private def tables: Int = conf.getConfString("spark.graft.lsh.tables", "8").toInt
   private def seed: Long = conf.getConfString("spark.graft.lsh.seed", "0").toLong
+  private def bagSemantics: Boolean =
+    conf.getConfString("spark.graft.lsh.multiplicity", "set") == "bag"
 
   /** The cosine-threshold conjunct, if present: cosine_sim(l, r) >= lit
     * (either operand order), with one embedding from each join side.
@@ -82,6 +95,10 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
   private def alreadyBucketed(p: LogicalPlan): Boolean =
     p.exists(_.expressions.exists(_.exists(_.isInstanceOf[LshBuckets])))
 
+  /** Set-mode side plan: (child cols..., exploded bucket) — the bucket
+    * array exists only inside the generator, so nothing wide survives
+    * into the join.
+    */
   private def withBuckets(side: LogicalPlan,
       emb: Expression): (LogicalPlan, Attribute) = {
     val attr = AttributeReference("__graft_lsh_bucket", LongType, nullable = false)()
@@ -90,22 +107,58 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       generatorOutput = Seq(attr), child = side), attr)
   }
 
+  /** Bag-mode side plan: additionally carries the all-tables bucket
+    * array (computed once in the Project; the explode and the
+    * first-collision condition both read it). The bucket id folds its
+    * table index into bits 32+ (LshBuckets), so no position column is
+    * needed.
+    */
+  private def withBucketsAndArray(side: LogicalPlan, emb: Expression)
+      : (LogicalPlan, Attribute, Attribute) = {
+    val allAlias = Alias(LshBuckets(emb, bits, tables, seed), "__graft_lsh_all")()
+    val projected = Project(side.output :+ allAlias, side)
+    val bucket = AttributeReference("__graft_lsh_bucket", LongType, nullable = false)()
+    (Generate(Explode(allAlias.toAttribute),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(bucket), child = projected),
+      allAlias.toAttribute, bucket)
+  }
+
   private def rewrite(cond: Expression, l: LogicalPlan, r: LogicalPlan,
       embL: Expression, embR: Expression): LogicalPlan = {
-    val (lb, la) = withBuckets(l, embL)
-    val (rb, ra) = withBuckets(r, embR)
-    val joined = Join(lb, rb, Inner, Some(EqualTo(la, ra)), JoinHint.NONE)
     val pairCols = l.output ++ r.output
-    // verify-then-distinct, not distinct-then-verify: the exact predicate
-    // is cheap streaming codegen, so run it over every candidate straight
-    // off the join (a pair colliding in k tables is just verified k
-    // times), and deduplicate only the survivors. The other order groups
-    // the FULL candidate set by the pair's columns — including the
-    // embedding arrays themselves — which at sf0.1 shuffled 75M
-    // array-keyed rows (100 s) for a result the filter would have cut to
-    // a handful.
-    val verified = Filter(cond, Project(pairCols, joined))
-    Aggregate(pairCols, pairCols, verified)
+    if (bagSemantics) {
+      val (lb, allL, bktL) = withBucketsAndArray(l, embL)
+      val (rb, allR, bktR) = withBucketsAndArray(r, embR)
+      val joined = Join(lb, rb, Inner, Some(EqualTo(bktL, bktR)), JoinHint.NONE)
+      // keep a match only at its FIRST colliding table: the bucket's
+      // table index (bucket >> 32, folded in by LshBuckets) must be the
+      // first position where the sides' bucket arrays agree. Exactly one
+      // surviving row per matching (rowL, rowR) pair — the naive join's
+      // multiplicity, no dedup operator, no extra shuffle.
+      // FirstEqualIndex is a codegen expression, NOT
+      // array_position(zip_with(...)): HOFs are CodegenFallback and this
+      // runs once per hash-matched candidate (measured 58 s vs 4 s at
+      // sf0.1 interpreted).
+      val firstCollision = graft.functions.FirstEqualIndex(allL, allR)
+      val tableOfBucket = Add(ShiftRight(bktL, Literal(32)), Literal(1L))
+      val dedup = Filter(And(cond, EqualTo(firstCollision, tableOfBucket)), joined)
+      Project(pairCols, dedup)
+    } else {
+      val (lb, bktL) = withBuckets(l, embL)
+      val (rb, bktR) = withBuckets(r, embR)
+      val joined = Join(lb, rb, Inner, Some(EqualTo(bktL, bktR)), JoinHint.NONE)
+      // verify-then-distinct, not distinct-then-verify: the exact
+      // predicate is cheap streaming codegen, so run it over every
+      // candidate straight off the join (a pair colliding in k tables is
+      // just verified k times), and deduplicate only the survivors. The
+      // other order groups the FULL candidate set by the pair's columns —
+      // including the embedding arrays — which at sf0.1 shuffled 75M
+      // array-keyed rows (100 s) for a result the filter cuts to a
+      // handful.
+      val verified = Filter(cond, Project(pairCols, joined))
+      Aggregate(pairCols, pairCols, verified)
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

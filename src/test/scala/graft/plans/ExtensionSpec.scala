@@ -112,6 +112,23 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
       s"rewritten ${got.length} pairs vs exact ${exact.length}")
   }
 
+  test("lsh rewrite bag mode keeps naive multiplicity with no dedup operator") {
+    spark.conf.set("spark.graft.lsh.rewrite", "false")
+    val exact = ExtensionShowcase.naiveCosineJoin(spark, sfDir, 0.45).collect()
+    val iso = spark.newSession()
+    Graft.ensureRegistered(iso)
+    iso.conf.set("spark.graft.lsh.rewrite", "true")
+    iso.conf.set("spark.graft.lsh.bits", "3")
+    iso.conf.set("spark.graft.lsh.tables", "24")
+    iso.conf.set("spark.graft.lsh.multiplicity", "bag")
+    val bag = ExtensionShowcase.naiveCosineJoin(iso, sfDir, 0.45)
+    val plan = bag.queryExecution.optimizedPlan.toString
+    // no Aggregate/Distinct node: dedup happens inside the join condition
+    assert(!plan.contains("Aggregate"), plan)
+    assert(plan.contains("first_equal_index"), plan)
+    assert(bag.collect().sameElements(exact))
+  }
+
   test("lsh rewrite does not re-bucket an explicit LSH pipeline") {
     import graft.operators.Similarity
     spark.conf.set("spark.graft.lsh.rewrite", "false")
