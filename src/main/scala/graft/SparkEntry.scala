@@ -336,6 +336,15 @@ object SparkEntry {
       """SELECT ngram, COUNT(*) AS cnt FROM (SELECT unnest(list_transform(range(1, length(lower(text)) - 1), i -> substr(lower(text), i, 3))) AS ngram FROM documents) t GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""",
     "q_a12_corr_moments" ->
       """WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price, ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty FROM m ORDER BY l_returnflag""",
+    // q_a06/q_a07/q_a15 (r3): bound-style sketch oracles — DuckDB
+    // recomputes the exact quantities, the sketch-accuracy booleans are
+    // deterministic for a fixed Spark version and pinned true
+    "q_a06_approx_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys, COUNT(DISTINCT o_orderpriority) AS exact_priorities, true AS custkeys_ok, true AS priorities_ok FROM orders""",
+    "q_a07_approx_quantiles" ->
+      """SELECT ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25, ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50, ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75, ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99, true AS within_bound FROM orders""",
+    "q_a15_hll_union" ->
+      """SELECT COUNT(DISTINCT user_id) AS exact_users, true AS estimate_ok FROM events""",
     "q_a13_percentiles" ->
       """SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price, ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_j09_tpch_q5" ->

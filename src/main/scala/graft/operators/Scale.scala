@@ -37,29 +37,55 @@ object Scale {
     * distinct value. rsd 0.02 ⇒ ~2% relative error; tighter rsd grows the
     * register file quadratically and Spark flattens it into one aggregate-
     * buffer attribute per word (rsd 0.01 ⇒ 3278 buffer columns, ~2 s of
-    * codegen compile alone). Engine-specific sketch values → rows-only
-    * check; the exact query remains the oracle-checked one.
+    * codegen compile alone).
+    *
+    * Oracle-checked (r3): the output pins the EXACT counts plus booleans
+    * asserting the sketch lands within 3×rsd — deterministic for a fixed
+    * Spark version, and DuckDB recomputes the exact side. The exact and
+    * approx aggregates cross-join as two 1-row arms: a multi-distinct
+    * aggregate with regular aggs alongside would plan an Expand.
     */
-  def qA06(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .agg(
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_custkeys"),
-        approx_count_distinct(col("o_orderpriority"), 0.02).as("approx_priorities"))
+  def qA06(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val exact = o.agg(
+      countDistinct(col("o_custkey")).as("exact_custkeys"),
+      countDistinct(col("o_orderpriority")).as("exact_priorities"))
+    val approx = o.agg(
+      approx_count_distinct(col("o_custkey"), 0.02).as("ac"),
+      approx_count_distinct(col("o_orderpriority"), 0.02).as("ap"))
+    exact.crossJoin(approx).select(
+      col("exact_custkeys"), col("exact_priorities"),
+      (abs(col("ac") - col("exact_custkeys")) <=
+        col("exact_custkeys") * 0.06).as("custkeys_ok"),
+      (abs(col("ap") - col("exact_priorities")) <=
+        col("exact_priorities") * 0.06).as("priorities_ok"))
+  }
 
   /** Q-A07 — approximate quantiles over order totals via percentile_approx
-    * (mergeable t-digest-style sketch, same bounded-state argument).
+    * (mergeable sketch, same bounded-state argument). Oracle-checked (r3):
+    * exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`, the q_a13 recipe) plus a pinned boolean asserting
+    * every approximate quantile lands within 1% of its exact value.
     */
   def qA07(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .agg(percentile_approx(col("o_totalprice"),
-        array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(10000))
-        .as("q"))
-      // scalar final columns (harness rule: no arrays in query output)
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("e25"),
+        expr("percentile(o_totalprice, 0.5)").as("e50"),
+        expr("percentile(o_totalprice, 0.75)").as("e75"),
+        expr("percentile(o_totalprice, 0.99)").as("e99"),
+        percentile_approx(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(10000)).as("q"))
       .select(
-        col("q").getItem(0).as("p25"),
-        col("q").getItem(1).as("p50"),
-        col("q").getItem(2).as("p75"),
-        col("q").getItem(3).as("p99"))
+        round(col("e25"), 2).as("p25"),
+        round(col("e50"), 2).as("p50"),
+        round(col("e75"), 2).as("p75"),
+        round(col("e99"), 2).as("p99"),
+        (abs(col("q").getItem(0) - col("e25")) <= col("e25") * 0.01 &&
+         abs(col("q").getItem(1) - col("e50")) <= col("e50") * 0.01 &&
+         abs(col("q").getItem(2) - col("e75")) <= col("e75") * 0.01 &&
+         abs(col("q").getItem(3) - col("e99")) <= col("e99") * 0.01)
+          .as("within_bound"))
 
   /** Incremental distinct counting via persisted Datasketches HLL: one
     * binary sketch per partition value (e.g. per ingest day), stored as a
@@ -80,14 +106,22 @@ object Scale {
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_estimate"))
 
   /** Q-A15 — the incremental-distinct pattern end-to-end: per-day user
-    * sketches unioned to the all-time distinct estimate (rows-only:
-    * Datasketches binary values are engine-specific; the 5%-of-exact
-    * bound is spec-checked in EngineSpec).
+    * sketches unioned to the all-time distinct estimate. Oracle-checked
+    * (r3): pins the exact distinct-user count plus a boolean asserting
+    * the unioned-sketch estimate lands within 5% (Datasketches lgK=12 ⇒
+    * ~2.4% rsd; the binary sketch values themselves stay engine-specific
+    * and never reach the output).
     */
-  def qA15(s: SparkSession, d: String): DataFrame =
-    unionEstimate(sketchPerPartition(
-      Tables.events(s, d).withColumn("day", to_date(col("ts"))),
-      "day", "user_id"))
+  def qA15(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val est = unionEstimate(sketchPerPartition(
+      e.withColumn("day", to_date(col("ts"))), "day", "user_id"))
+    val exact = e.agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.crossJoin(est).select(
+      col("exact_users"),
+      (abs(col("distinct_estimate") - col("exact_users")) <=
+        col("exact_users") * 0.05).as("estimate_ok"))
+  }
 
   // ------------------------------------------------- bloom semi-join filter
 
