@@ -41,6 +41,20 @@ object Writers {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
 
+  /** CSV sink with header, for row-oriented interchange — the export twin
+    * of [[Readers.csv]]. Timestamps render ISO-8601 in the session zone
+    * (UTC per build.sbt); no columnar pushdown on re-read, so this is an
+    * interchange format, not a storage layout.
+    */
+  def csv(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** JSON-lines sink — the export twin of [[Readers.json]]. */
+  def json(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
   /** Hive-style partitioned parquet: one directory per `partitionCols`
     * value combination, so a filter on those columns prunes whole
     * directories before any file is opened — at 100 TB the difference

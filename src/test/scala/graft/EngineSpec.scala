@@ -302,6 +302,49 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(rows(twice) == rows(once))
   }
 
+  test("csv and json sinks round-trip through their readers") {
+    import graft.io.{Readers, Writers}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rt").toString
+    val nation = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    Writers.csv(nation, s"$tmp/nation_csv")
+    val csvBack = Readers.csv(spark, s"$tmp/nation_csv")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey")
+    assert(csvBack.orderBy("n_nationkey").collect()
+      .sameElements(nation.orderBy("n_nationkey").collect()))
+    Writers.json(nation, s"$tmp/nation_json")
+    val jsonBack = Readers.json(spark, s"$tmp/nation_json")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    assert(jsonBack.orderBy("n_nationkey").collect()
+      .sameElements(nation.orderBy("n_nationkey").collect()))
+  }
+
+  test("first_equal_index: exact semantics and codegen") {
+    import graft.functions.FirstEqualIndex
+    import org.apache.spark.sql.graft.ColumnBridge
+    def fe(a: Seq[Long], b: Seq[Long]): Long = {
+      import spark.implicits._
+      Seq((a, b)).toDF("a", "b")
+        .select(ColumnBridge.column(FirstEqualIndex(
+          ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b")))))
+        .head().getLong(0)
+    }
+    assert(fe(Seq(1L, 2L, 3L), Seq(9L, 2L, 3L)) == 2L) // first agreement wins
+    assert(fe(Seq(1L, 2L), Seq(1L, 2L)) == 1L)
+    assert(fe(Seq(1L, 2L), Seq(3L, 4L)) == 0L)          // never agree
+    assert(fe(Seq.empty, Seq(1L)) == 0L)                 // length mismatch
+    // stays inside whole-stage codegen (range defeats constant folding)
+    val plan = spark.range(4)
+      .select(ColumnBridge.column(FirstEqualIndex(
+        ColumnBridge.expression(array(col("id"))),
+        ColumnBridge.expression(array(col("id"))))).as("f"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+  }
+
   test("orc source/sink round-trips with parity to parquet") {
     import graft.io.{Readers, Writers}
     val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
