@@ -22,9 +22,14 @@ object PlanAudit {
     Files.createDirectories(Paths.get("plans"))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
+        val header =
+          if (SparkEntry.eagerQueries(name))
+            "-- EAGER: builder executed its pipeline at DataFrame construction;\n" +
+            "-- this plan is the driver-local result (interior jobs not shown) --\n"
+          else ""
         val plan = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        Files.writeString(Paths.get(s"plans/$name.txt"), plan)
+        Files.writeString(Paths.get(s"plans/$name.txt"), header + plan)
       } catch { case e: Throwable =>
         System.err.println(s"[plan] $name failed: ${e.getMessage}")
       }

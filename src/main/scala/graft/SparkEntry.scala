@@ -146,8 +146,31 @@ object SparkEntry {
     "q_x02_lsh_rewrite"    -> (ExtensionShowcase.qX02 _),
   )
 
+  /** Queries whose builders run eager driver-side passes (sketch build +
+    * exact recount / bloom probes) and return the ≤ k-row result as a
+    * local DataFrame: *constructing* these DataFrames executes their full
+    * pipeline, and their plan dumps show a LocalTableScan. Schema-level
+    * tooling (EngineSpec's scalar-only check, PlanAudit) treats touching
+    * them as an execution, by design.
+    */
+  val eagerQueries: Set[String] =
+    Set("q_j13_bloom_semi", "q_l17_heavy_hitters", "q_l18_cms_freq")
+
   /** DuckDB oracle SQL per query (omitted → driver rows-only check).
     * Column names and types must match the Spark result exactly.
+    *
+    * Bound-style oracles (q_a06/q_a07/q_a15/q_j13/q_l18/q_m03): the Spark
+    * side emits exact reference quantities PLUS booleans asserting its
+    * sketch estimate sits inside a margin, and DuckDB pins the booleans as
+    * literal `true`. The margins are deliberately ~3× each estimator's
+    * design error (see the per-query scaladoc in operators/Scale.scala and
+    * operators/Profiler.scala) so ordinary merge-order jitter cannot flip
+    * them; what CAN flip them is environment drift — a Spark upgrade
+    * changing an estimator's implementation, or a different partition
+    * count changing sketch merge order. The pinned assumptions are Spark
+    * 4.1.2 + spark.sql.shuffle.partitions=32 (Verify/Bench session
+    * config): if one of these booleans ever goes red, triage it as
+    * environment drift against those pins first, not as a logic bug.
     */
   def oracleSql: Map[String, String] = Map(
     "q_p01_scan_filter" ->

@@ -102,14 +102,18 @@ object DdlRenderer {
     })
 
   /** Render CREATE TABLE straight from a Spark schema — the Q-M01 clone
-    * surface over the parquet corpus.
+    * surface over the parquet corpus. `notNullCols` forces NOT NULL on the
+    * named columns regardless of the (parquet-default nullable) schema —
+    * required for columns that a key constraint in the same script will
+    * cover, since ALTER ... ADD PRIMARY KEY rejects nullable columns.
     */
-  def createTableFromStruct(schema: String, table: String, st: StructType): String = {
+  def createTableFromStruct(schema: String, table: String, st: StructType,
+      notNullCols: Set[String] = Set.empty): String = {
     // file-born schemas have no maxLength metadata; render types via the
     // StructField path instead of the SqlColumn path
     val colDefs = st.fields.map { f =>
       s"    ${q(f.name)} ${TypeMapper.renderSqlType(f)}" +
-        (if (f.nullable) " NULL" else " NOT NULL")
+        (if (f.nullable && !notNullCols(f.name)) " NULL" else " NOT NULL")
     }
     s"""IF OBJECT_ID(N'${nq(schema)}.${nq(table)}', N'U') IS NULL
        |BEGIN

@@ -241,14 +241,24 @@ object LLMOps {
     val sketch = sketchRow.getMap[String, Long](0)
     val totalTokens = sketchRow.getLong(1)
     val candidates = sketch.keys.toSeq
-    val top = toks.filter(col("token").isin(candidates: _*))
-      .groupBy("token")
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token"))
-      .limit(k)
+    // Misra-Gries can legitimately retain fewer than k counters (a
+    // near-uniform corpus cancels them); the missing ranks could then be
+    // occupied by below-floor tokens the sketch never saw, so returning
+    // the short list would be silently wrong — fall back to the exact
+    // vocabulary-sized plan instead (correct for any corpus, including
+    // one with < k distinct tokens, where min(k, distinct) rows IS the
+    // full answer).
+    val sketchUsable = candidates.size >= k
+    val top =
+      (if (sketchUsable) toks.filter(col("token").isin(candidates: _*))
+       else toks)
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(k)
     val rows = top.collect() // ≤ k rows — the heavy passes already ran
     val floor = totalTokens.toDouble / (capacity + 1)
-    if (rows.length == k && rows.last.getLong(1) <= floor)
+    if (sketchUsable && rows.length == k && rows.last.getLong(1) <= floor)
       throw new IllegalStateException(
         s"heavy-hitters exactness violated: k-th count ${rows.last.getLong(1)} " +
           s"<= N/(capacity+1) = $floor — raise capacity (=$capacity)")

@@ -141,11 +141,19 @@ object Profiler {
     */
   def distinctBounds(df: DataFrame, lgK: Int = 12, tol: Double = 0.15): DataFrame = {
     val cols = df.schema.fields.toSeq
+    // generic-input hardening: the stack() expression splices identifiers
+    // into SQL text, so embedded backticks must be doubled or a hostile
+    // column name breaks the parse; the cid→name mapping is built with the
+    // Column API (no string splicing, no quote escaping to get wrong)
     val stackArgs = cols.zipWithIndex
-      .map { case (f, i) => s"$i, IF(`${f.name}` IS NULL, NULL, xxhash64(`${f.name}`))" }
+      .map { case (f, i) =>
+        val id = "`" + f.name.replace("`", "``") + "`"
+        s"$i, IF($id IS NULL, NULL, xxhash64($id))"
+      }
       .mkString(", ")
-    val nameCase = cols.zipWithIndex
-      .map { case (f, i) => s"WHEN $i THEN '${f.name}'" }.mkString(" ")
+    val colName = cols.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (f, i)) => when(col("cid") === i, lit(f.name)).otherwise(acc)
+    }
     df.selectExpr(s"stack(${cols.length}, $stackArgs) AS (cid, h)")
       .groupBy("cid", "h").agg(lit(1).as("__one"))
       .groupBy("cid")
@@ -153,7 +161,7 @@ object Profiler {
         count(col("h")).as("exact_distinct"),
         coalesce(hll_sketch_estimate(hll_sketch_agg(col("h"), lit(lgK))), lit(0L))
           .as("approx"))
-      .select(expr(s"CASE cid $nameCase END").as("column"),
+      .select(colName.as("column"),
         (abs(col("approx") - col("exact_distinct")) <=
           col("exact_distinct") * tol).as("within_bound"))
       .orderBy("column")

@@ -8,6 +8,22 @@ import org.apache.spark.sql.functions._
   * skew-salting for when AQE's runtime skew-join split isn't available
   * (e.g. a skewed key joined against a non-shuffle-join), and approximate
   * twins of exact aggregates whose shuffled state would be unbounded.
+  *
+  * Margin policy for the bound-style oracles in this file (the booleans
+  * DuckDB pins as literal `true`): each margin is chosen per estimator at
+  * ~3× its design error, so a merge-order change within the pinned
+  * environment (Spark 4.1.2, 32 shuffle partitions — see
+  * SparkEntry.oracleSql scaladoc) has no realistic path to a flip:
+  *   - q_a06: HLL++ rsd 0.02 → margin 0.06 (3× rsd);
+  *   - q_a07: percentile_approx accuracy 10000 → design rank error 1e-4;
+  *     margin is 1% of the exact VALUE, > 50× the observed value error on
+  *     this distribution;
+  *   - q_a15: Datasketches HLL lgK=12 → rsd ≈ 2.4%; margin 8% (~3× rsd);
+  *   - q_j13: bloom sized at 10 bits/item → ~1% design fp rate; margin 3×;
+  *   - q_l18: `est >= exact` is a CMS hard guarantee; `est <= exact+eps*N`
+  *     is the 99%-confidence bound at a FIXED seed, i.e. deterministic for
+  *     the pinned implementation (verified on both test corpora);
+  *   - q_m03 (Profiler.distinctBounds): lgK=12 → rsd ≈ 2.4%; tol 15%.
   */
 object Scale {
 
@@ -108,9 +124,9 @@ object Scale {
   /** Q-A15 — the incremental-distinct pattern end-to-end: per-day user
     * sketches unioned to the all-time distinct estimate. Oracle-checked
     * (r3): pins the exact distinct-user count plus a boolean asserting
-    * the unioned-sketch estimate lands within 5% (Datasketches lgK=12 ⇒
-    * ~2.4% rsd; the binary sketch values themselves stay engine-specific
-    * and never reach the output).
+    * the unioned-sketch estimate lands within 8% — ~3× the lgK=12 rsd of
+    * ~2.4% (r4 widening per the margin policy above; the binary sketch
+    * values themselves stay engine-specific and never reach the output).
     */
   def qA15(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
@@ -120,7 +136,7 @@ object Scale {
     exact.crossJoin(est).select(
       col("exact_users"),
       (abs(col("distinct_estimate") - col("exact_users")) <=
-        col("exact_users") * 0.05).as("estimate_ok"))
+        col("exact_users") * 0.08).as("estimate_ok"))
   }
 
   // ------------------------------------------------- bloom semi-join filter

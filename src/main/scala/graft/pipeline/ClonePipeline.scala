@@ -39,20 +39,30 @@ object ClonePipeline {
       tables: Seq[String] = Tables.names, schema: String = "dbo"): Map[String, String] =
     tables.map { t =>
       val st = Tables.table(spark, srcDir, t).schema
-      val base = DdlRenderer.createTableFromStruct(schema, t, st)
       // free-text columns get the full-text surface (A14): catalog
-      // bootstrap + guarded CREATE FULLTEXT INDEX. Struct-derived tables
-      // have no introspected unique index, so the KEY INDEX uses the
-      // PK_<table> name the cloned table's key would carry.
+      // bootstrap + guarded CREATE FULLTEXT INDEX. CREATE FULLTEXT INDEX
+      // requires its KEY INDEX to be a real unique index on the target
+      // (the reference reads the name from sys.indexes, Program.cs:505-536;
+      // struct-derived tables have nothing to introspect), so the same
+      // script FIRST adds a PRIMARY KEY named PK_<table> on the table's
+      // leading column — the corpus id column, rendered NOT NULL so the
+      // ALTER is valid — and only then attaches the full-text index to it.
       val textCols = st.fields.collect {
         case f if f.name == "text" &&
           f.dataType == org.apache.spark.sql.types.StringType => f.name
       }.toSeq
       val ddl =
-        if (textCols.isEmpty) base
-        else base + "\n" + DdlRenderer.createFullTextCatalogs(Nil) + "\n" +
-          DdlRenderer.createFullTextIndex(DdlRenderer.FullTextIndexSpec(
-            schema, t, textCols, keyIndex = s"PK_$t"))
+        if (textCols.isEmpty) DdlRenderer.createTableFromStruct(schema, t, st)
+        else {
+          val keyCol = st.fields.head.name
+          DdlRenderer.createTableFromStruct(schema, t, st,
+            notNullCols = Set(keyCol)) + "\n" +
+            DdlRenderer.addKeyConstraint(DdlRenderer.KeyConstraint(
+              schema, t, s"PK_$t", DdlRenderer.PrimaryKey, Seq(keyCol))) + "\n" +
+            DdlRenderer.createFullTextCatalogs(Nil) + "\n" +
+            DdlRenderer.createFullTextIndex(DdlRenderer.FullTextIndexSpec(
+              schema, t, textCols, keyIndex = s"PK_$t"))
+        }
       t -> ddl
     }.toMap
 

@@ -485,8 +485,10 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
   test("every registered query emits scalar-only final columns") {
     // The driver's oracle harness sorts result frames with pandas, which
     // cannot hash numpy arrays: an array/struct/map in a final schema is a
-    // guaranteed red correctness row (r02's q_v03). Schema-only check —
-    // analysis, no execution.
+    // guaranteed red correctness row (r02's q_v03). Schema-only (analysis,
+    // no execution) for lazy queries; the eager driver-side queries
+    // (SparkEntry.eagerQueries) run their pipeline at DataFrame
+    // construction, so this test executes those few by design.
     import org.apache.spark.sql.types._
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       fn(spark, sfDir).schema.fields.collect {
