@@ -91,10 +91,12 @@ object SparkEntry {
     "q_l13_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d, threshold = 0.45, bits = 2, tables = 14)),
     // IVF ANN (exhaustive probe on this clusterless corpus — see Ivf.qL14)
     "q_l14_ivf_ann"        -> (Ivf.qL14 _),
-    // approximate scale twins (sketch values are engine-specific → rows-only)
+    // approximate scale twins (bound-style oracles since r3: exact
+    // quantities + pinned sketch-accuracy booleans)
     "q_a06_approx_distinct" -> (Scale.qA06 _),
     "q_a07_approx_quantiles" -> (Scale.qA07 _),
-    // clone surface (Q-M01: schema introspection → DDL; rows-only)
+    // clone surface (Q-M01: schema introspection → DDL; oracle-pinned
+    // since r4 — M01Oracle carries the expected text as a VALUES literal)
     "q_m01_clone_ddl"      -> (ClonePipeline.qM01 _),
     "q_m02_profile"        -> (Profiler.qM02 _),
     "q_m03_distinct_profile" -> (Profiler.qM03 _),
@@ -309,6 +311,12 @@ object SparkEntry {
       """SELECT doc_id FROM documents WHERE list_contains(string_split_regex(lower(text), '\W+'), 'the') AND list_contains(string_split_regex(lower(text), '\W+'), 'data') ORDER BY doc_id""",
     "q_l11_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id""",
+    // q_l07 (r4): the portable 30-bit simhash — DuckDB recomputes the
+    // identical poly-hash per token, votes per bit, reassembles the
+    // signature and regroups; the production 64-bit xxhash64 variant has
+    // no DuckDB twin and stays spec-covered (EngineSpec)
+    "q_l07_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents), h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(t) + 1), i -> CAST(ord(substr(t, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS h FROM tok), votes AS (SELECT doc_id, b AS bit, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM h CROSS JOIN (SELECT unnest(range(0, 30)) AS b) bb GROUP BY doc_id, b), sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh FROM votes GROUP BY doc_id) SELECT sh, COUNT(*) AS members, MIN(doc_id) AS keeper_id FROM sig GROUP BY sh HAVING COUNT(*) > 1 ORDER BY keeper_id""",
     // q_m02: every stat is rendered engine-portably (numerics via
     // DECIMAL(38,2) — 18,2 overflows above ~1e16; mean = exact decimal
     // sum, one double division)
@@ -338,6 +346,10 @@ object SparkEntry {
           s"""SELECT rc AS row_count, '$c' AS "column", '$dt' AS data_type, rc - nn$i AS null_count, mn$i AS min_value, mx$i AS max_value, me$i AS mean FROM a"""
         }.mkString(" UNION ALL ") +
         """ ORDER BY "column""""),
+    // q_m01 (r4): the rendered DDL text itself, pinned via generated
+    // VALUES literal — regenerate with `runMain graft.tools.M01OracleGen`
+    // after any DdlRenderer/ClonePipeline change
+    "q_m01_clone_ddl" -> M01Oracle.sql,
     "q_m03_distinct_profile" ->
       ("""SELECT * FROM (VALUES """ +
         Seq("l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",

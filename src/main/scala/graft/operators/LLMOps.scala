@@ -141,20 +141,30 @@ object LLMOps {
   def qL06(s: SparkSession, d: String): DataFrame =
     minhashCandidates(shinglePostings(s, d)).orderBy("doc_a", "doc_b")
 
-  /** Q-L07 — SimHash (64-bit) dedup groups (rows-only): explode tokens →
-    * xxhash64 → 64 signed bit-vote sums in one partial+final hash agg →
-    * sign → bit → group by signature. All codegen'd; two shuffles total
-    * (per-doc agg keyed on doc_id, then the tiny per-signature agg).
+  /** SimHash dedup groups: explode tokens → token hash → `bits` signed
+    * bit-vote sums in one partial+final hash agg → sign → bit → group by
+    * signature. All codegen'd; two shuffles total (per-doc agg keyed on
+    * doc_id, then the tiny per-signature agg).
+    *
+    * `portable = false` (production path) votes on all 64 bits of
+    * xxhash64; `portable = true` votes on the low `bits` (≤ 30) of the
+    * polynomial char hash, whose values DuckDB reproduces exactly — the
+    * signature quality is the same idea at a narrower width, the point is
+    * an engine-portable oracle for the whole vote/sign/regroup pipeline.
     */
-  def qL07(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+  def simhashGroups(docs: DataFrame, bits: Int, portable: Boolean): DataFrame = {
+    require(!portable || bits <= 30,
+      s"portable poly-hash carries 30 usable bits (mod 1e9+7), got $bits")
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+    val tokHash = if (portable) charHash(col("t")) else xxhash64(col("t"))
+    val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val voteAggs = (0 until 64).map { j =>
+      .select(col("doc_id"), tokHash.as("h"))
+    val voteAggs = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$j")
     }
     val votes = tok.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-    val sig = (0 until 64).map(j =>
+    val sig = (0 until bits).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     votes.select(col("doc_id"), sig.as("sh"))
       .groupBy("sh")
@@ -162,6 +172,15 @@ object LLMOps {
       .filter(col("members") > 1)
       .orderBy("keeper_id")
   }
+
+  /** Q-L07 — SimHash dedup groups, oracle-checked (r4): the portable
+    * 30-bit poly-hash variant, whose signatures DuckDB recomputes
+    * bit-for-bit (list_reduce char fold → per-bit votes → sign →
+    * signature). The 64-bit xxhash64 variant is the production path
+    * (spec-covered; xxhash64 has no DuckDB twin).
+    */
+  def qL07(s: SparkSession, d: String): DataFrame =
+    simhashGroups(Tables.documents(s, d), bits = 30, portable = true)
 
   /** Q-L08 — language ID by stopword-ratio heuristic, scored against the
     * labeled lang column (confusion counts).

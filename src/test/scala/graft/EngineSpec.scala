@@ -50,6 +50,34 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(fused.except(unfused).isEmpty && unfused.except(fused).isEmpty)
   }
 
+  test("simhash: exact-duplicate texts share a signature on both hash paths") {
+    import graft.operators.LLMOps
+    // the sf0.001 corpus has no exact-dup texts — manufacture them by
+    // unioning a doc_id-shifted copy, so every text occurs exactly twice
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val docs = base.unionByName(
+      base.withColumn("doc_id", col("doc_id") + 1000000L))
+    // ground truth: exact text duplicates MUST collide under any simhash
+    // (identical token multisets → identical votes), so every doc whose
+    // text occurs n>1 times has to land in some multi-member signature
+    // group — for the oracle-checked portable 30-bit variant AND the
+    // production 64-bit xxhash64 variant
+    val nDupDocs = docs.groupBy("text").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    assert(nDupDocs > 0, "corpus lost its exact duplicates — test is vacuous")
+    for (portable <- Seq(true, false)) {
+      val bits = if (portable) 30 else 64
+      val groups = LLMOps.simhashGroups(docs, bits, portable)
+      val covered = groups.agg(coalesce(sum(col("members")), lit(0L)))
+        .head().getLong(0)
+      assert(covered >= nDupDocs,
+        s"portable=$portable: $covered grouped members < $nDupDocs exact-dup docs")
+    }
+    intercept[IllegalArgumentException] {
+      LLMOps.simhashGroups(docs, bits = 31, portable = true)
+    }
+  }
+
   test("clampDatetimes clamps to SQL Server datetime domain and is idempotent") {
     import spark.implicits._
     val df = Seq(
