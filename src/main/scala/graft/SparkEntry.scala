@@ -100,8 +100,9 @@ object SparkEntry {
     "q_m01_clone_ddl"      -> (ClonePipeline.qM01 _),
     "q_m02_profile"        -> (Profiler.qM02 _),
     "q_m03_distinct_profile" -> (Profiler.qM03 _),
-    // multimodal (rows-only: no DuckDB codec for the oracle side; image
-    // rows decode for real via ImageIO, wav/mp4 remain stubbed)
+    // multimodal: mm01/mm03 oracle-checked since r4 (portable meta
+    // arithmetic); mm02 stays rows-only — its features come from real
+    // ImageIO decode (wav/mp4 stubbed) and no DuckDB codec exists
     "q_mm01_media_meta"    -> (Multimodal.qMM01 _),
     "q_mm02_features"      -> (Multimodal.qMM02 _),
     "q_mm03_frame_sample"  -> (Multimodal.qMM03 _),
@@ -350,6 +351,14 @@ object SparkEntry {
     // VALUES literal — regenerate with `runMain graft.tools.M01OracleGen`
     // after any DdlRenderer/ClonePipeline change
     "q_m01_clone_ddl" -> M01Oracle.sql,
+    // q_mm01/q_mm03 (r4): the synthetic media META is derived with the
+    // engine-portable multiplicative hash (Multimodal.draw), so DuckDB
+    // recomputes format/dims/frame counts exactly; blob payload bytes are
+    // codec output and never reach these outputs
+    "q_mm01_media_meta" ->
+      """WITH m AS (SELECT doc_id, ['png','bmp','wav','mp4'][CAST(((doc_id % 1000003 + 0) * 2654435761) % 4 AS INT) + 1] AS format, CASE WHEN ((doc_id % 1000003 + 0) * 2654435761) % 4 < 2 THEN ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 ELSE ((doc_id % 1000003 + 1) * 2654435761) % 1920 + 16 END AS width, CASE WHEN ((doc_id % 1000003 + 0) * 2654435761) % 4 < 2 THEN ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 ELSE ((doc_id % 1000003 + 2) * 2654435761) % 1080 + 16 END AS height, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS n_frames FROM documents) SELECT format, COUNT(*) AS n, CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_w, CAST(SUM(height) AS DOUBLE) / COUNT(*) AS avg_h, CAST(SUM(n_frames) AS BIGINT) AS frames_total FROM m GROUP BY format ORDER BY format""",
+    "q_mm03_frame_sample" ->
+      """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 0) * 2654435761) % 4 AS f, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS n_frames FROM documents) SELECT doc_id, CAST((n_frames - 1) // 10 + 1 AS BIGINT) AS n_sampled FROM m WHERE f = 3 ORDER BY doc_id""",
     "q_m03_distinct_profile" ->
       ("""SELECT * FROM (VALUES """ +
         Seq("l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",

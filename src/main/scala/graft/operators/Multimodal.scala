@@ -75,17 +75,27 @@ object Multimodal {
     * the synthetic source, not an operator — nothing downstream depends
     * on how the bytes were produced.
     */
+  /** Engine-portable pseudo-random draw from doc_id: multiplicative hash
+    * in exact integer math (`((doc_id mod 1000003 + salt) * 2654435761)
+    * mod m`), so the q_mm01/q_mm03 oracles recompute the identical meta
+    * in DuckDB. The inner mod bounds the product at ~2.7e15 — inside
+    * BIGINT for both engines (DuckDB errors on 64-bit overflow rather
+    * than wrapping, so staying in range is correctness, not hygiene).
+    */
+  private def draw(salt: Int, m: Int): org.apache.spark.sql.Column =
+    pmod((pmod(col("doc_id"), lit(1000003L)) + salt) * lit(2654435761L), lit(m.toLong))
+
   def withMedia(docs: DataFrame): DataFrame = {
     val enc = udf((seed: Long, w: Int, h: Int, fmt: String) => encodeImage(seed, w, h, fmt))
     val fmt = element_at(array(lit("png"), lit("bmp"), lit("wav"), lit("mp4")),
-      (pmod(xxhash64(col("doc_id")), lit(4)) + 1).cast("int"))
+      (draw(0, 4) + 1).cast("int"))
     val isImage = fmt.isin("png", "bmp")
     // image payloads stay small (4..19 px per side); audio/video rows keep
     // the synthetic large dims so qMM01's per-format profile stays varied
-    val w = when(isImage, (pmod(xxhash64(col("doc_id"), lit(1)), lit(16)) + 4).cast("int"))
-      .otherwise((pmod(xxhash64(col("doc_id"), lit(1)), lit(1920)) + 16).cast("int"))
-    val h = when(isImage, (pmod(xxhash64(col("doc_id"), lit(2)), lit(16)) + 4).cast("int"))
-      .otherwise((pmod(xxhash64(col("doc_id"), lit(2)), lit(1080)) + 16).cast("int"))
+    val w = when(isImage, (draw(1, 16) + 4).cast("int"))
+      .otherwise((draw(1, 1920) + 16).cast("int"))
+    val h = when(isImage, (draw(2, 16) + 4).cast("int"))
+      .otherwise((draw(2, 1080) + 16).cast("int"))
     docs.select(
       col("doc_id"),
       when(isImage, enc(xxhash64(col("doc_id")), w, h, fmt))
@@ -94,7 +104,7 @@ object Multimodal {
         fmt.as("format"),
         w.as("width"),
         h.as("height"),
-        (pmod(xxhash64(col("doc_id"), lit(3)), lit(300)) + 1).cast("int").as("n_frames"))
+        (draw(3, 300) + 1).cast("int").as("n_frames"))
         .as("meta"))
   }
 
@@ -203,14 +213,21 @@ object Multimodal {
 
   // ---------------------------------------------------------------- queries
 
-  /** Q-MM01 — media metadata profile (rows-only): count/avg dims per format. */
+  /** Q-MM01 — media metadata profile, oracle-checked (r4): count / dims /
+    * frame totals per format, all recomputable from the portable meta
+    * derivation in [[withMedia]]. Averages are exact-integer sums with one
+    * double division (the q_a01 determinism recipe). Blob payload SIZES
+    * are codec output (ImageIO bytes) and deliberately stay out of the
+    * oracle-checked columns — the decode round-trip spec covers payload
+    * realness instead.
+    */
   def qMM01(s: SparkSession, d: String): DataFrame =
     withMedia(Tables.documents(s, d))
       .groupBy(col("meta.format").as("format"))
       .agg(count(lit(1)).as("n"),
-        avg(col("meta.width")).as("avg_w"),
-        avg(col("meta.height")).as("avg_h"),
-        sum(length(col("blob"))).as("total_bytes"))
+        (sum(col("meta.width")).cast("double") / count(lit(1))).as("avg_w"),
+        (sum(col("meta.height")).cast("double") / count(lit(1))).as("avg_h"),
+        sum(col("meta.n_frames")).as("frames_total"))
       .orderBy("format")
 
   /** Q-MM02 — feature extraction (rows-only): per-doc feature norm via the
@@ -224,7 +241,10 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Q-MM03 — frame sampling (rows-only): sampled frame count per doc. */
+  /** Q-MM03 — frame sampling, oracle-checked (r4): sampled frame count per
+    * doc — DuckDB recomputes `floor((n_frames-1)/10)+1` over the portable
+    * meta for the mp4 rows.
+    */
   def qMM03(s: SparkSession, d: String): DataFrame =
     sampleFrames(withMedia(Tables.documents(s, d)))
       .groupBy("doc_id")
