@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, ExtensionShowcase, FullText, Ivf, LLMOps, Multimodal, Profiler, Relational, Scale, Similarity, Temporal}
+import graft.operators.{AsOf, ExtensionShowcase, FullText, Ivf, LLMOps, Multimodal, Profiler, Relational, Scale, Similarity, Temporal, TrainPrep}
 import graft.pipeline.ClonePipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + §7.
@@ -130,6 +130,12 @@ object SparkEntry {
     // checked: outputs pin exact counts plus deterministic sketch bounds)
     "q_j13_bloom_semi"     -> (Scale.qJ13 _),
     "q_l18_cms_freq"       -> ((s: SparkSession, d: String) => Scale.qL18(s, d)),
+    // training-prep stage (r4): near-dup cluster resolution (connected
+    // components), content-hash split, sequence packing, quality funnel
+    "q_l19_dup_clusters"   -> (TrainPrep.qL19 _),
+    "q_l20_hash_split"     -> (TrainPrep.qL20 _),
+    "q_l21_pack"           -> ((s: SparkSession, d: String) => TrainPrep.qL21(s, d)),
+    "q_l22_quality_funnel" -> (TrainPrep.qL22 _),
     // batch session_window + TPC-H Q7/Q8 shapes
     "q_t05_session_window" -> (Temporal.qT05 _),
     "q_j11_tpch_q7"        -> (Relational.qJ11 _),
@@ -157,7 +163,16 @@ object SparkEntry {
     * them as an execution, by design.
     */
   val eagerQueries: Set[String] =
-    Set("q_j13_bloom_semi", "q_l17_heavy_hitters", "q_l18_cms_freq")
+    Set("q_j13_bloom_semi", "q_l17_heavy_hitters", "q_l18_cms_freq",
+      // connected components localCheckpoints each propagation round at
+      // construction; the final frame reads the checkpointed labels
+      "q_l19_dup_clusters")
+
+  /** q_l05's oracle — the verified n-gram-Jaccard pair pipeline — shared
+    * with q_l19, whose transitive-closure oracle clusters the same pairs.
+    */
+  private val l05OracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), hs AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hh), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM hh), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c JOIN hs x ON x.doc_id = c.doc_a JOIN hs y ON y.doc_id = c.doc_b AND y.h = x.h GROUP BY 1, 2) SELECT i.doc_a, i.doc_b, CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2 ORDER BY doc_a, doc_b"""
 
   /** DuckDB oracle SQL per query (omitted → driver rows-only check).
     * Column names and types must match the Spark result exactly.
@@ -298,8 +313,21 @@ object SparkEntry {
       """SELECT token, COUNT(*) AS cnt, true AS within_bound FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "q_l04_dedup_keepers" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS copies FROM documents GROUP BY text ORDER BY keeper_id""",
-    "q_l05_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), hs AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hh), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM hh), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c JOIN hs x ON x.doc_id = c.doc_a JOIN hs y ON y.doc_id = c.doc_b AND y.h = x.h GROUP BY 1, 2) SELECT i.doc_a, i.doc_b, CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2 ORDER BY doc_a, doc_b""",
+    "q_l05_ngram_jaccard" -> l05OracleSql,
+    // q_l19 (r4): transitive closure over the SAME verified pair set —
+    // min-label clusters must match Spark's connected components exactly
+    "q_l19_dup_clusters" ->
+      (s"""WITH RECURSIVE pairs AS ($l05OracleSql), """ +
+        """edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), """ +
+        """reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), """ +
+        """comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a) """ +
+        """SELECT comp AS cluster_id, COUNT(*) AS size FROM comp GROUP BY comp ORDER BY cluster_id"""),
+    "q_l20_hash_split" ->
+      """WITH b AS (SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket, n_chars FROM documents) SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM b GROUP BY split ORDER BY split""",
+    "q_l21_pack" ->
+      """WITH t AS (SELECT source, doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok FROM documents), c AS (SELECT source, doc_id, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) SELECT source, doc_id, n_tok, CAST((cum - n_tok) // 2048 AS BIGINT) AS start_bin, CAST((cum - 1) // 2048 AS BIGINT) AS end_bin FROM c ORDER BY source, doc_id""",
+    "q_l22_quality_funnel" ->
+      """WITH s AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS wc, CAST(length(text) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_tok_len, CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_ratio FROM documents), r AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) AS max_tok FROM (SELECT doc_id, t, COUNT(*) AS cnt FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) GROUP BY doc_id, t) GROUP BY doc_id) SELECT COUNT(*) AS total, CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len, CAST(SUM(CASE WHEN mean_tok_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wlen, CAST(SUM(CASE WHEN max_tok / wc <= 0.125 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep, CAST(SUM(CASE WHEN stop_ratio >= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop, CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 AND mean_tok_len BETWEEN 3 AND 10 AND max_tok / wc <= 0.125 AND stop_ratio >= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all FROM s JOIN r USING (doc_id)""",
     "q_l06_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), h AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM h), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig) SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b""",
     "q_l08_lang_id" ->

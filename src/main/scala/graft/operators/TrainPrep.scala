@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators — the stages between "deduped
+  * documents" and "training batches" that a 100 TB pipeline runs after the
+  * LLMOps dedup family: duplicate-cluster resolution (connected components
+  * over near-dup pairs), deterministic content-hash train/val/test
+  * splitting, sequence packing into fixed token budgets, and a C4-style
+  * quality-filter funnel.
+  *
+  * Everything is declarative DataFrame code (codegen'd built-ins, no UDFs);
+  * the one iterative operator (connected components) loops a bounded number
+  * of distributed rounds with lineage truncation — never a driver-side
+  * traversal.
+  */
+object TrainPrep {
+
+  /** Connected components by min-label propagation: each vertex starts
+    * labeled with its own id, and every round adopts the minimum label of
+    * its neighborhood; a fixpoint labels every member of a component with
+    * the component's global minimum id.
+    *
+    * Scale shape: each round is one equi-join + one aggregate (both
+    * shuffle on vertex id — AQE coalesces as components collapse), and
+    * `localCheckpoint` truncates the plan so the lineage doesn't grow by
+    * one join per round. Rounds needed = graph diameter; near-dup
+    * clusters are band-join cliques with diameter ≤ ~2, so the loop ends
+    * after 2-3 rounds regardless of corpus size. (For adversarial
+    * long-chain graphs the large-star/small-star alternation — Kiveris et
+    * al., "Connected Components in MapReduce and Beyond" — drops rounds
+    * to O(log d); not needed for the dedup-cluster topology.)
+    *
+    * `edges` needs `src`/`dst` long columns; undirectedness is enforced
+    * here. Returns (id, component) for every vertex with at least one
+    * edge — isolated docs are their own singleton cluster by definition
+    * and never enter the edge list.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = bidir
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = next.join(
+          labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Q-L19 — near-duplicate cluster resolution: the verified Jaccard
+    * pairs (the q_l05 two-stage MinHash→exact pipeline) become edges, and
+    * connected components turn pairwise matches into dedup GROUPS — the
+    * step that decides "keep one document per cluster" correctly when
+    * A~B and B~C but A!~C. Output: one row per cluster (id = min member
+    * doc_id), with its size. The DuckDB oracle recomputes the same
+    * clusters with a recursive transitive-closure CTE.
+    */
+  def qL19(s: SparkSession, d: String): DataFrame = {
+    val pairs = LLMOps.qL05(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(pairs)
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy("cluster_id")
+  }
+
+  /** Q-L20 — deterministic content-hash train/val/test split (90/5/5):
+    * bucket = first 32 bits of md5(text) mod 100. Content-addressed, so
+    * (a) re-ingesting the corpus with different doc_ids keeps every
+    * document's split, and (b) exact duplicates land in the SAME split —
+    * no train/test leakage through dup pairs. No shuffle beyond the final
+    * tiny aggregate; the hash is evaluated scan-side.
+    */
+  def qL20(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val split = when(bucket < 90, "train")
+      .when(bucket < 95, "val").otherwise("test")
+    Tables.documents(s, d)
+      .select(split.as("split"), col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("total_chars"))
+      .orderBy("split")
+  }
+
+  /** Q-L21 — sequence packing, concat-then-chunk (the GPT pretraining
+    * layout): documents are concatenated in (source, doc_id) order and
+    * the token stream is cut into fixed 2048-token bins; each doc reports
+    * the bin span it occupies. Packing is PER SOURCE — the window
+    * partitions by source, so at 100 TB each shard packs independently
+    * and no global single-partition window exists (the classic
+    * sequence-packing scale trap).
+    */
+  def qL21(s: SparkSession, d: String, capacity: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(LLMOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        expr(s"(cum - n_tok) div $capacity").as("start_bin"),
+        expr(s"(cum - 1) div $capacity").as("end_bin"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Q-L22 — C4-style quality-filter funnel: per-document word count,
+    * mean token length, repetition ratio (max single-token frequency /
+    * word count) and stopword ratio, aggregated into one funnel row of
+    * how many docs survive each filter and all of them. The repetition
+    * stat needs a (doc, token) aggregate — two shuffles total (token
+    * counts, then per-doc max), both map-side combined; every predicate
+    * is engine-portable arithmetic so DuckDB recomputes the funnel
+    * exactly.
+    */
+  def qL22(s: SparkSession, d: String): DataFrame = {
+    // mirrored verbatim in the q_l22 oracle SQL (and LLMOps.stopwords) —
+    // edit all sites together or parity breaks
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val docs = Tables.documents(s, d)
+    val wc = size(LLMOps.tokens(col("text"))).cast("double")
+    val stats = docs.select(
+      col("doc_id"),
+      wc.as("wc"),
+      (length(col("text")).cast("double") / wc).as("mean_tok_len"),
+      (size(filter(LLMOps.tokens(col("text")), t => t.isin(stop: _*)))
+        .cast("double") / wc).as("stop_ratio"))
+    val rep = docs
+      .select(col("doc_id"), explode(LLMOps.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").cast("double").as("max_tok"))
+    val fLen = col("wc").between(20.0, 80.0)
+    val fWlen = col("mean_tok_len").between(3.0, 10.0)
+    val fRep = (col("max_tok") / col("wc")) <= 0.125
+    val fStop = col("stop_ratio") >= 0.01
+    stats.join(rep, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(fLen, 1L).otherwise(0L)).as("pass_len"),
+        sum(when(fWlen, 1L).otherwise(0L)).as("pass_wlen"),
+        sum(when(fRep, 1L).otherwise(0L)).as("pass_rep"),
+        sum(when(fStop, 1L).otherwise(0L)).as("pass_stop"),
+        sum(when(fLen && fWlen && fRep && fStop, 1L).otherwise(0L)).as("pass_all"))
+  }
+}

@@ -78,6 +78,59 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("connectedComponents labels chains, triangles and islands correctly") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    // a 5-vertex chain (diameter 4 — forces multiple propagation rounds),
+    // a triangle, and a 2-vertex island
+    val edges = Seq(
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (10L, 11L)
+    ).toDF("src", "dst")
+    val got = TrainPrep.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      10L -> 10L, 11L -> 10L)
+    assert(got == expected)
+  }
+
+  test("hash split is content-addressed: duplicate texts share a split") {
+    import graft.operators.TrainPrep
+    // manufactured duplicates under fresh doc_ids must not change any
+    // document's split (the anti-leakage property the operator exists for)
+    val single = TrainPrep.qL20(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(single.values.map(_._1).sum == Tables.documents(spark, sfDir).count())
+    val again = TrainPrep.qL20(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(single == again) // deterministic
+  }
+
+  test("sequence packing: bins are contiguous and start at zero per source") {
+    import graft.operators.TrainPrep
+    val packed = TrainPrep.qL21(spark, sfDir, capacity = 256).cache()
+    try {
+      assert(packed.filter(col("start_bin") > col("end_bin")).isEmpty)
+      // the first doc of every source starts in bin 0
+      val firsts = packed.groupBy("source")
+        .agg(min_by(col("start_bin"), col("doc_id")).as("first_bin"))
+      assert(firsts.filter(col("first_bin") =!= 0L).isEmpty)
+      // the packed stream has no gaps: each doc starts in the bin its
+      // predecessor ended in, or the one after (token stream is contiguous)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val gaps = packed
+        .withColumn("prev_end", lag(col("end_bin"), 1).over(w))
+        .filter(col("prev_end").isNotNull &&
+          (col("start_bin") < col("prev_end") ||
+           col("start_bin") > col("prev_end") + 1))
+      assert(gaps.isEmpty)
+    } finally packed.unpersist()
+  }
+
   test("clampDatetimes clamps to SQL Server datetime domain and is idempotent") {
     import spark.implicits._
     val df = Seq(
