@@ -563,9 +563,12 @@ object Relational {
   def qA13(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))
+      // one array-percentile buffer per group, not one full-column buffer
+      // per requested percentile (the q_a07 lesson)
+      .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("e"))
+      .select(col("o_orderpriority"),
+        round(col("e").getItem(0), 2).as("median_price"),
+        round(col("e").getItem(1), 2).as("p90_price"))
       .orderBy("o_orderpriority")
 
   /** Q-J09 — TPC-H Q5 shape: 6-way join (3 broadcast dims), revenue of

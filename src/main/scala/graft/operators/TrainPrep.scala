@@ -40,13 +40,25 @@ object TrainPrep {
     * and never enter the edge list.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // no distinct(): duplicate edges change message volume, never the
+    // min-aggregate's result — and the input (verified pair sets) is
+    // already deduplicated, so the extra shuffle would buy nothing
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .localCheckpoint()
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // convergence via the label-sum invariant: min-propagation can only
+    // DECREASE labels, so an unchanged sum(comp) is exactly a fixpoint —
+    // one cheap scalar aggregate per round instead of a change-detection
+    // join against the previous labels. Summed as decimal(38,0): a long
+    // sum overflows (silently, wrapping) once vertex count × id magnitude
+    // passes 2^63, which a 100 TB corpus with 64-bit ids does
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -56,10 +68,9 @@ object TrainPrep {
       val next = labels.union(msgs)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      converged = next.join(
-          labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
