@@ -136,6 +136,8 @@ object SparkEntry {
     "q_l20_hash_split"     -> (TrainPrep.qL20 _),
     "q_l21_pack"           -> ((s: SparkSession, d: String) => TrainPrep.qL21(s, d)),
     "q_l22_quality_funnel" -> (TrainPrep.qL22 _),
+    "q_l23_balanced_sample" -> ((s: SparkSession, d: String) => TrainPrep.qL23(s, d)),
+    "q_l24_contamination"  -> (TrainPrep.qL24 _),
     // batch session_window + TPC-H Q7/Q8 shapes
     "q_t05_session_window" -> (Temporal.qT05 _),
     "q_j11_tpch_q7"        -> (Relational.qJ11 _),
@@ -168,11 +170,18 @@ object SparkEntry {
       // construction; the final frame reads the checkpointed labels
       "q_l19_dup_clusters")
 
+  /** The shingle-postings CTE chain (3-word shingles → portable poly
+    * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06
+    * dedup oracles and q_l24's contamination oracle.
+    */
+  private val shingleCtes: String =
+    """w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), hs AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hh)"""
+
   /** q_l05's oracle — the verified n-gram-Jaccard pair pipeline — shared
     * with q_l19, whose transitive-closure oracle clusters the same pairs.
     */
   private val l05OracleSql: String =
-    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), hs AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hh), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM hh), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c JOIN hs x ON x.doc_id = c.doc_a JOIN hs y ON y.doc_id = c.doc_b AND y.h = x.h GROUP BY 1, 2) SELECT i.doc_a, i.doc_b, CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2 ORDER BY doc_a, doc_b"""
+    s"""WITH $shingleCtes, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM hh), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c JOIN hs x ON x.doc_id = c.doc_a JOIN hs y ON y.doc_id = c.doc_b AND y.h = x.h GROUP BY 1, 2) SELECT i.doc_a, i.doc_b, CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2 ORDER BY doc_a, doc_b"""
 
   /** DuckDB oracle SQL per query (omitted → driver rows-only check).
     * Column names and types must match the Spark result exactly.
@@ -326,6 +335,17 @@ object SparkEntry {
       """WITH b AS (SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket, n_chars FROM documents) SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM b GROUP BY split ORDER BY split""",
     "q_l21_pack" ->
       """WITH t AS (SELECT source, doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok FROM documents), c AS (SELECT source, doc_id, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) SELECT source, doc_id, n_tok, CAST((cum - n_tok) // 2048 AS BIGINT) AS start_bin, CAST((cum - 1) // 2048 AS BIGINT) AS end_bin FROM c ORDER BY source, doc_id""",
+    // q_l23: the oracle's ROW_NUMBER window is the semantics; Spark runs
+    // the same selection through the custom GroupTopK operator
+    "q_l23_balanced_sample" ->
+      """WITH r AS (SELECT lang, n_chars, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn FROM documents) SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""",
+    "q_l24_contamination" ->
+      (s"""WITH $shingleCtes, """ +
+        """b AS (SELECT doc_id, CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train' WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM documents), """ +
+        """th AS (SELECT DISTINCT h FROM hs JOIN b USING (doc_id) WHERE b.split = 'test'), """ +
+        """tr AS (SELECT COUNT(*) AS train_docs FROM b WHERE split = 'train'), """ +
+        """cont AS (SELECT COUNT(DISTINCT hs.doc_id) AS contaminated_docs FROM hs JOIN b USING (doc_id) WHERE b.split = 'train' AND hs.h IN (SELECT h FROM th)) """ +
+        """SELECT train_docs, contaminated_docs, CAST(contaminated_docs AS DOUBLE) / train_docs AS contamination_rate FROM tr, cont"""),
     "q_l22_quality_funnel" ->
       """WITH s AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS wc, CAST(length(text) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_tok_len, CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_ratio FROM documents), r AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) AS max_tok FROM (SELECT doc_id, t, COUNT(*) AS cnt FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) GROUP BY doc_id, t) GROUP BY doc_id) SELECT COUNT(*) AS total, CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len, CAST(SUM(CASE WHEN mean_tok_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wlen, CAST(SUM(CASE WHEN max_tok / wc <= 0.125 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep, CAST(SUM(CASE WHEN stop_ratio >= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop, CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 AND mean_tok_len BETWEEN 3 AND 10 AND max_tok / wc <= 0.125 AND stop_ratio >= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all FROM s JOIN r USING (doc_id)""",
     "q_l06_minhash_lsh" ->

@@ -103,12 +103,8 @@ object TrainPrep {
     * tiny aggregate; the hash is evaluated scan-side.
     */
   def qL20(s: SparkSession, d: String): DataFrame = {
-    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
-      .cast("long") % 100
-    val split = when(bucket < 90, "train")
-      .when(bucket < 95, "val").otherwise("test")
     Tables.documents(s, d)
-      .select(split.as("split"), col("n_chars"))
+      .select(splitCol.as("split"), col("n_chars"))
       .groupBy("split")
       .agg(count(lit(1)).as("docs"), sum("n_chars").as("total_chars"))
       .orderBy("split")
@@ -133,6 +129,73 @@ object TrainPrep {
         expr(s"(cum - n_tok) div $capacity").as("start_bin"),
         expr(s"(cum - 1) div $capacity").as("end_bin"))
       .orderBy("source", "doc_id")
+  }
+
+  /** The content-hash split expression shared by qL20/qL24 — first 32
+    * bits of md5(text) mod 100, 90/5/5.
+    */
+  private def splitCol = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 100
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
+  /** Q-L23 — language-balanced sampling: keep at most `cap` documents per
+    * language, chosen in deterministic pseudo-random order (md5 of
+    * content, doc_id tie-break) so the sample is reproducible across runs
+    * and engines. Runs on the custom GroupTopK operator — ≤ cap rows per
+    * (lang, partition) cross the shuffle, so one dominant language cannot
+    * concentrate its whole partition into a single window sort (the
+    * skew trap of the ROW_NUMBER() formulation the oracle uses).
+    */
+  def qL23(s: SparkSession, d: String, cap: Int = 50): DataFrame =
+    graft.plans.Graft.groupTopK(
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"),
+            md5(col("text")).as("mh")),
+        group = Seq(col("lang")),
+        order = Seq(col("mh"), col("doc_id")),
+        k = cap)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+
+  /** Q-L24 — train/test contamination scan: how many train-split docs
+    * share at least one 3-word shingle with any test-split doc — the
+    * eval-integrity check a training pipeline runs after splitting.
+    *
+    * Single-pass shape: ONE scan emits (doc, split, shingle-hash)
+    * postings, ONE shuffle clusters them by hash, and a window
+    * `max(split='test') over (partition by h)` flags every posting whose
+    * shingle also occurs in the test split — no self-join of the postings
+    * (a semi-join formulation reads the corpus twice because column
+    * pruning specializes each branch's scan, defeating exchange reuse),
+    * no doc×doc comparison, and no broadcast of the test side (5% of the
+    * corpus — the 100 TB mistake). Both output counts then fall out of
+    * one aggregate over the flagged postings: a doc is contaminated iff
+    * ANY of its postings is flagged, i.e. countDistinct over a
+    * conditional. Window groups are bounded by document frequency of a
+    * single 3-gram shingle — the same bound the LSH family's bucket
+    * joins already rely on.
+    */
+  def qL24(s: SparkSession, d: String): DataFrame = {
+    val posts = Tables.documents(s, d)
+      .select(col("doc_id"), splitCol.as("split"),
+        explode(graft.functions.ShingleHash(col("text"), 3)).as("h"))
+      .repartition(col("h"))
+    // duplicate (doc, h) postings (a 3-gram repeated inside one doc) are
+    // harmless here: both counts are countDistinct over doc_id and the
+    // window max is idempotent — so no dedup pass is spent on them
+    val flagged = posts.withColumn("h_in_test",
+      max(col("split") === "test").over(Window.partitionBy("h")))
+    flagged.agg(
+        countDistinct(when(col("split") === "train", col("doc_id")))
+          .as("train_docs"),
+        countDistinct(when(col("split") === "train" && col("h_in_test"),
+          col("doc_id"))).as("contaminated_docs"))
+      .select(col("train_docs"), col("contaminated_docs"),
+        (col("contaminated_docs").cast("double") / col("train_docs"))
+          .as("contamination_rate"))
   }
 
   /** Q-L22 — C4-style quality-filter funnel: per-document word count,
