@@ -134,7 +134,9 @@ object SparkEntry {
     // components), content-hash split, sequence packing, quality funnel
     "q_l19_dup_clusters"   -> (TrainPrep.qL19 _),
     "q_l20_hash_split"     -> (TrainPrep.qL20 _),
-    "q_l21_pack"           -> ((s: SparkSession, d: String) => TrainPrep.qL21(s, d)),
+    // shardSize=128 so the two-level cumulative sum actually spans
+    // multiple shards at correctness/bench scale (production default 2^20)
+    "q_l21_pack"           -> ((s: SparkSession, d: String) => TrainPrep.qL21(s, d, shardSize = 128)),
     "q_l22_quality_funnel" -> (TrainPrep.qL22 _),
     "q_l23_balanced_sample" -> ((s: SparkSession, d: String) => TrainPrep.qL23(s, d)),
     "q_l24_contamination"  -> (TrainPrep.qL24 _),

@@ -38,17 +38,45 @@ object TrainPrep {
     * here. Returns (id, component) for every vertex with at least one
     * edge — isolated docs are their own singleton cluster by definition
     * and never enter the edge list.
+    *
+    * Checkpoint hygiene (r5, advisor item): each round's localCheckpoint
+    * pins its blocks in executor storage, so superseded label snapshots
+    * are UNPERSISTED as soon as the next round materializes — storage
+    * holds at most (bidir + current labels + one round in flight) for the
+    * loop's lifetime, not one snapshot per round. `localCheckpoint` is
+    * deliberate for the dedup-cluster topology (2-3 rounds, executor-local
+    * blocks, no HDFS round-trip) but is NOT fault-tolerant: losing an
+    * executor mid-loop fails the job. For long multi-round runs on a real
+    * cluster, set `spark.sparkContext.setCheckpointDir(...)` and pass
+    * `reliable = true` to use replicated reliable checkpoints instead
+    * (checkpoint files are cleaned by the context cleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    // snapshot-diff of the public persistent-RDD registry identifies the
+    // blocks a checkpoint just pinned, so they can be dropped precisely
+    // when superseded (Dataset.unpersist can't reach them: the returned
+    // frame's plan is a LogicalRDD, not a CacheManager entry)
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val out = if (reliable) df.checkpoint() else df.localCheckpoint()
+      (out, spark.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def unpersistTracked(ids: Set[Int]): Unit = {
+      val live = spark.sparkContext.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
     // no distinct(): duplicate edges change message volume, never the
     // min-aggregate's result — and the input (verified pair sets) is
     // already deduplicated, so the extra shuffle would buy nothing
-    val bidir = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    val (bidir, bidirIds) = checkpointTracked(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var (labels, labelIds) = checkpointTracked(
+      bidir.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     // convergence via the label-sum invariant: min-propagation can only
     // DECREASE labels, so an unchanged sum(comp) is exactly a fixpoint —
     // one cheap scalar aggregate per round instead of a change-detection
@@ -65,16 +93,22 @@ object TrainPrep {
       val msgs = bidir
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      // localCheckpoint is eager: `next`'s blocks exist once this returns,
+      // so the previous round's snapshot is safe to drop immediately
+      val (next, nextIds) = checkpointTracked(
+        labels.union(msgs).groupBy("id").agg(min("comp").as("comp")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
+      unpersistTracked(labelIds)
       labels = next
+      labelIds = nextIds
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // the edge list is dead once the fixpoint is reached; only the final
+    // labels stay pinned (the caller's frame reads them)
+    unpersistTracked(bidirIds)
     labels
   }
 
@@ -113,18 +147,46 @@ object TrainPrep {
   /** Q-L21 — sequence packing, concat-then-chunk (the GPT pretraining
     * layout): documents are concatenated in (source, doc_id) order and
     * the token stream is cut into fixed 2048-token bins; each doc reports
-    * the bin span it occupies. Packing is PER SOURCE — the window
-    * partitions by source, so at 100 TB each shard packs independently
-    * and no global single-partition window exists (the classic
-    * sequence-packing scale trap).
+    * the bin span it occupies.
+    *
+    * The cumulative token sum is TWO-LEVEL (r5, advisor item): a
+    * per-source window alone leaves one sequential task per source, and
+    * a corpus has few sources — at 100 TB that is a handful of
+    * single-threaded corpus-length scans. Instead:
+    *   1. docs are cut into contiguous `shardSize`-doc shards
+    *      (`doc_id div shardSize` — deterministic and engine-portable;
+    *      assumes reasonably dense ids, otherwise substitute a range
+    *      partitioning of doc_id for the div);
+    *   2. a window per (source, shard) computes the shard-local running
+    *      sum — parallel across shards, each group ≤ shardSize rows;
+    *   3. shard token totals (corpus/shardSize rows — tiny) get a
+    *      per-source prefix-sum; that sequential window now runs over
+    *      shard COUNTS, not documents (at 10^11 docs / 2^20-doc shards:
+    *      ~100k rows), and broadcast-joins back as each shard's offset.
+    * Offset + local sum = the identical global cumulative sum, fully
+    * parallel. The narrow tokenized base (3 columns) is persisted
+    * spill-safe so tokenization — the dominant cost — runs once instead
+    * of once per consumer branch (Catalyst prunes the two branches into
+    * different scans, so exchange reuse can't merge them).
     */
-  def qL21(s: SparkSession, d: String, capacity: Int = 2048): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+  def qL21(s: SparkSession, d: String, capacity: Int = 2048,
+      shardSize: Int = 1 << 20): DataFrame = {
+    val base = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
         size(LLMOps.tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wLocal = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("local_cum", sum("n_tok").over(wLocal))
+    val wOffset = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy("source", "shard")
+      .agg(sum("n_tok").as("shard_tok"))
+      .withColumn("offset", sum("shard_tok").over(wOffset) - col("shard_tok"))
+      .select("source", "shard", "offset")
+    local.join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("cum", col("local_cum") + col("offset"))
       .select(col("source"), col("doc_id"), col("n_tok"),
         expr(s"(cum - n_tok) div $capacity").as("start_bin"),
         expr(s"(cum - 1) div $capacity").as("end_bin"))
@@ -164,35 +226,45 @@ object TrainPrep {
     * share at least one 3-word shingle with any test-split doc — the
     * eval-integrity check a training pipeline runs after splitting.
     *
-    * Single-pass shape: ONE scan emits (doc, split, shingle-hash)
-    * postings, ONE shuffle clusters them by hash, and a window
-    * `max(split='test') over (partition by h)` flags every posting whose
-    * shingle also occurs in the test split — no self-join of the postings
-    * (a semi-join formulation reads the corpus twice because column
-    * pruning specializes each branch's scan, defeating exchange reuse),
-    * no doc×doc comparison, and no broadcast of the test side (5% of the
-    * corpus — the 100 TB mistake). Both output counts then fall out of
-    * one aggregate over the flagged postings: a doc is contaminated iff
-    * ANY of its postings is flagged, i.e. countDistinct over a
-    * conditional. Window groups are bounded by document frequency of a
-    * single 3-gram shingle — the same bound the LSH family's bucket
-    * joins already rely on.
+    * Shape (r5, advisor item): train postings LEFT SEMI JOIN the distinct
+    * test-shingle set on the shingle hash, then one countDistinct(doc_id).
+    * The r4 version did this with a single postings scan and a window
+    * `max(split='test') over (partition by h)` — fewer scans, but a
+    * window group must MATERIALIZE per key, and a stopword trigram
+    * ("of the and") has document frequency orders of magnitude above a
+    * minhash band key: at 100 TB one hot shingle concentrates a corpus
+    * fraction into a single window task. The semi-join keeps the hot key
+    * safe at every stage instead:
+    *   - the test side collapses to ONE row per distinct hash via an
+    *     aggregate — map-side combined, so the hot hash never even
+    *     shuffles more than once per input partition;
+    *   - the train side streams through the join probe — skewed probe
+    *     partitions split fine under AQE, nothing buffers per key;
+    *   - no broadcast of the test side (5% of a 100 TB corpus — the
+    *     classic mistake this operator exists to avoid).
+    * Cost accounting vs r4: the corpus is scanned three times, but
+    * shingling — the dominant per-row cost — runs on train (90%) + test
+    * (5%) = 95% of documents vs 100% for the window plan, and the third
+    * scan only evaluates the md5 split bucket. Strictly less work, no
+    * per-key materialization anywhere.
     */
   def qL24(s: SparkSession, d: String): DataFrame = {
-    val posts = Tables.documents(s, d)
-      .select(col("doc_id"), splitCol.as("split"),
-        explode(graft.functions.ShingleHash(col("text"), 3)).as("h"))
-      .repartition(col("h"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), splitCol.as("split"), col("text"))
     // duplicate (doc, h) postings (a 3-gram repeated inside one doc) are
-    // harmless here: both counts are countDistinct over doc_id and the
-    // window max is idempotent — so no dedup pass is spent on them
-    val flagged = posts.withColumn("h_in_test",
-      max(col("split") === "test").over(Window.partitionBy("h")))
-    flagged.agg(
-        countDistinct(when(col("split") === "train", col("doc_id")))
-          .as("train_docs"),
-        countDistinct(when(col("split") === "train" && col("h_in_test"),
-          col("doc_id"))).as("contaminated_docs"))
+    // harmless: the final count is distinct-by-doc and the test side is
+    // distinct-by-hash — so no dedup pass is spent on them
+    val trainPosts = docs.filter(col("split") === "train")
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash(col("text"), 3)).as("h"))
+    val testShingles = docs.filter(col("split") === "test")
+      .select(explode(graft.functions.ShingleHash(col("text"), 3)).as("h"))
+      .distinct()
+    val contaminated = trainPosts.join(testShingles, Seq("h"), "left_semi")
+      .agg(countDistinct(col("doc_id")).as("contaminated_docs"))
+    docs.filter(col("split") === "train")
+      .agg(count(lit(1)).as("train_docs"))
+      .crossJoin(contaminated)
       .select(col("train_docs"), col("contaminated_docs"),
         (col("contaminated_docs").cast("double") / col("train_docs"))
           .as("contamination_rate"))

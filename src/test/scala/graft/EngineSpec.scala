@@ -97,6 +97,21 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected)
   }
 
+  test("connectedComponents frees superseded checkpoint blocks") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    // diameter-4 chain forces >= 3 propagation rounds — enough history
+    // that a leak of per-round snapshots would be visible in the registry
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = TrainPrep.connectedComponents(edges)
+    labels.collect()
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the FINAL labels snapshot may stay pinned (the returned frame
+    // reads it); bidir and every intermediate round must be gone
+    assert(pinned.size <= 1, s"leaked checkpoint blocks: $pinned")
+  }
+
   test("hash split is content-addressed: duplicate texts share a split") {
     import graft.operators.TrainPrep
     // manufactured duplicates under fresh doc_ids must not change any
@@ -109,9 +124,22 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(single == again) // deterministic
   }
 
+  test("sequence packing: two-level cumulative sum is shard-size invariant") {
+    import graft.operators.TrainPrep
+    // the shard decomposition is pure bookkeeping: any shard size (including
+    // one shard per doc, and one shard for everything) packs identically
+    val ref = TrainPrep.qL21(spark, sfDir, capacity = 256, shardSize = 1 << 20)
+      .collect().toSeq
+    Seq(1, 7, 128).foreach { ss =>
+      val got = TrainPrep.qL21(spark, sfDir, capacity = 256, shardSize = ss)
+        .collect().toSeq
+      assert(got == ref, s"shardSize=$ss diverged")
+    }
+  }
+
   test("sequence packing: bins are contiguous and start at zero per source") {
     import graft.operators.TrainPrep
-    val packed = TrainPrep.qL21(spark, sfDir, capacity = 256).cache()
+    val packed = TrainPrep.qL21(spark, sfDir, capacity = 256, shardSize = 64).cache()
     try {
       assert(packed.filter(col("start_bin") > col("end_bin")).isEmpty)
       // the first doc of every source starts in bin 0
@@ -145,6 +173,29 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(vals(1) == java.sql.Timestamp.valueOf("2024-06-15 12:00:00"))
     assert(vals(2) == Writers.MaxDatetime)
     assert(twice.collect().map(_.getTimestamp(0)).toSeq == vals.toSeq)
+  }
+
+  test("renderDdl rejects a non-key full-text key column and honors fullTextKeys") {
+    import spark.implicits._
+    // a 'documents' table whose LEADING column is non-unique: positional
+    // PK promotion must fail validation instead of emitting broken DDL
+    val dir = Files.createTempDirectory("graft-ftkey").toString
+    Seq((1L, 10L, "alpha text"), (1L, 11L, "beta text"), (2L, 12L, "gamma text"))
+      .toDF("group_id", "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val err = intercept[IllegalArgumentException] {
+      ClonePipeline.renderDdl(spark, dir, tables = Seq("documents"))
+    }
+    assert(err.getMessage.contains("duplicates"))
+    // an explicit unique non-null key renders, PK'd on that column
+    val ddl = ClonePipeline.renderDdl(spark, dir, tables = Seq("documents"),
+      fullTextKeys = Map("documents" -> "doc_id"))("documents")
+    assert(ddl.contains("PRIMARY KEY") && ddl.contains("[doc_id]"))
+    // a key column that isn't in the table at all fails fast
+    assert(intercept[IllegalArgumentException] {
+      ClonePipeline.renderDdl(spark, dir, tables = Seq("documents"),
+        fullTextKeys = Map("documents" -> "nope"))
+    }.getMessage.contains("not in table"))
   }
 
   test("ClonePipeline: parquet clone preserves row counts and schemas; DDL renders per table") {
