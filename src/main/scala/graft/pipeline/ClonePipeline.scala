@@ -34,9 +34,21 @@ object ClonePipeline {
       rowCounts: Map[String, Long],
       ddl: Map[String, String])
 
-  /** Render the full pre-data DDL script for the corpus (A8+A9 phases). */
+  /** Render the full pre-data DDL script for the corpus (A8+A9 phases).
+    *
+    * `fullTextKeys` optionally names, per table, the column the full-text
+    * KEY INDEX's backing PRIMARY KEY is built on; tables not in the map
+    * default to their leading column. Either way the choice is VALIDATED
+    * against the data (r5, advisor item): the reference introspects a
+    * real unique index from sys.indexes (Program.cs:505-536), so blindly
+    * trusting column position could emit an `ALTER ... ADD PRIMARY KEY`
+    * that fails on load (nulls) or on constraint creation (duplicates).
+    * The check is one column-pruned aggregate per text table — noise next
+    * to the clone's full data copy.
+    */
   def renderDdl(spark: SparkSession, srcDir: String,
-      tables: Seq[String] = Tables.names, schema: String = "dbo"): Map[String, String] =
+      tables: Seq[String] = Tables.names, schema: String = "dbo",
+      fullTextKeys: Map[String, String] = Map.empty): Map[String, String] =
     tables.map { t =>
       val st = Tables.table(spark, srcDir, t).schema
       // free-text columns get the full-text surface (A14): catalog
@@ -44,9 +56,9 @@ object ClonePipeline {
       // requires its KEY INDEX to be a real unique index on the target
       // (the reference reads the name from sys.indexes, Program.cs:505-536;
       // struct-derived tables have nothing to introspect), so the same
-      // script FIRST adds a PRIMARY KEY named PK_<table> on the table's
-      // leading column — the corpus id column, rendered NOT NULL so the
-      // ALTER is valid — and only then attaches the full-text index to it.
+      // script FIRST adds a PRIMARY KEY named PK_<table> on the validated
+      // key column — rendered NOT NULL so the ALTER is valid — and only
+      // then attaches the full-text index to it.
       val textCols = st.fields.collect {
         case f if f.name == "text" &&
           f.dataType == org.apache.spark.sql.types.StringType => f.name
@@ -54,7 +66,10 @@ object ClonePipeline {
       val ddl =
         if (textCols.isEmpty) DdlRenderer.createTableFromStruct(schema, t, st)
         else {
-          val keyCol = st.fields.head.name
+          val keyCol = fullTextKeys.getOrElse(t, st.fields.head.name)
+          require(st.fieldNames.contains(keyCol),
+            s"full-text key column '$keyCol' not in table '$t'")
+          validateKeyColumn(spark, srcDir, t, keyCol)
           DdlRenderer.createTableFromStruct(schema, t, st,
             notNullCols = Set(keyCol)) + "\n" +
             DdlRenderer.addKeyConstraint(DdlRenderer.KeyConstraint(
@@ -65,6 +80,27 @@ object ClonePipeline {
         }
       t -> ddl
     }.toMap
+
+  /** A column promoted to PRIMARY KEY must actually be unique and
+    * null-free in the data — asserted with one exact aggregate over just
+    * that column (parquet column pruning makes this a single-column scan).
+    */
+  private def validateKeyColumn(spark: SparkSession, srcDir: String,
+      table: String, keyCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = Tables.table(spark, srcDir, table)
+      .agg(count(lit(1)).as("n"), count(col(keyCol)).as("non_null"),
+        countDistinct(col(keyCol)).as("distinct"))
+      .head()
+    val (n, nonNull, distinct) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(nonNull == n,
+      s"full-text key '$table.$keyCol' has ${n - nonNull} NULLs — " +
+        "cannot back a PRIMARY KEY; pass fullTextKeys to pick another column")
+    require(distinct == n,
+      s"full-text key '$table.$keyCol' has duplicates ($distinct distinct " +
+        s"of $n rows) — cannot back a PRIMARY KEY; pass fullTextKeys to " +
+        "pick another column")
+  }
 
   /** Clone every table from srcDir to tgtDir, tables in parallel
     * (excludeSchemas mirrors the reference's dead schema filter,
