@@ -98,7 +98,12 @@ object Multimodal {
       .otherwise((draw(2, 1080) + 16).cast("int"))
     docs.select(
       col("doc_id"),
-      when(isImage, enc(xxhash64(col("doc_id")), w, h, fmt))
+      // the pixel-stream seed is doc_id ITSELF (r5): any engine can then
+      // regenerate the expected pixels from the row alone — the q_mm02
+      // oracle recomputes the splitmix64 stream in DuckDB and checks the
+      // decoded-pixel features end-to-end (xxhash64, the previous seed,
+      // has no DuckDB twin)
+      when(isImage, enc(col("doc_id"), w, h, fmt))
         .otherwise(encode(col("text"), "UTF-8")).as("blob"),
       struct(
         fmt.as("format"),
@@ -114,30 +119,39 @@ object Multimodal {
 
   /** Real image decode + feature fold: ImageIO decode (PNG/BMP — any
     * format the JDK's registry sniffs from the bytes), then fold per-pixel
-    * luminance (mean of R,G,B scaled to [0,1]) into `dim` buckets in
-    * row-major pixel order — the same fold shape as the byte stub, but
-    * over DECODED PIXELS. Returns None when the bytes don't decode
-    * (corrupt row → caller falls back / quarantines).
+    * luminance into `dim` buckets in row-major pixel order — the same fold
+    * shape as the byte stub, but over DECODED PIXELS. Returns None when
+    * the bytes don't decode (corrupt row → caller falls back /
+    * quarantines).
+    *
+    * Accumulation is EXACT-INTEGER by bucket (sum of R+G+B per bucket,
+    * one double division + float rounding at the end) rather than
+    * sequential float adds: same information, but every value is a
+    * deterministic function of the pixel multiset — which is what lets
+    * the q_mm02 oracle recompute the identical floats in another engine
+    * (sequential float32 accumulation is order-sensitive and
+    * unreproducible outside this exact loop).
     */
   def decodeAndEmbedImage(blob: Array[Byte], dim: Int): Option[Array[Float]] = {
     imageIoInMemory
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
     if (img == null) None
     else {
-      val out = new Array[Float](dim)
+      val sums = new Array[Long](dim)
       val (w, h) = (img.getWidth, img.getHeight)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0f * 255.0f)
-          out((y * w + x) % dim) += lum
+          sums((y * w + x) % dim) +=
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
           x += 1
         }
         y += 1
       }
-      Some(out)
+      // luminance = mean of R,G,B scaled to [0,1]: bucket / (3*255)
+      Some(sums.map(s => (s / 765.0).toFloat))
     }
   }
 
@@ -149,13 +163,15 @@ object Multimodal {
     * identical (image rows already run the real decode above).
     */
   def decodeAndEmbedStub(blob: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+    // exact-integer bucket sums for the same reproducibility reason as
+    // decodeAndEmbedImage: byte values scaled to [0,1] via one division
+    val sums = new Array[Long](dim)
     var i = 0
     while (i < blob.length) {
-      out(i % dim) += (blob(i) & 0xff) / 255.0f
+      sums(i % dim) += (blob(i) & 0xff)
       i += 1
     }
-    out
+    sums.map(s => (s / 255.0).toFloat)
   }
 
   /** Feature extraction over the blob column: partition-parallel typed
@@ -230,8 +246,15 @@ object Multimodal {
         sum(col("meta.n_frames")).as("frames_total"))
       .orderBy("format")
 
-  /** Q-MM02 — feature extraction (rows-only): per-doc feature norm via the
-    * stubbed decode, proving the mapPartitions plumbing end-to-end.
+  /** Q-MM02 — feature extraction, oracle-checked (r5): per-doc squared
+    * feature norm. For image rows this pins the ENTIRE media path —
+    * deterministic pixels → ImageIO encode → decode → integer-exact
+    * luminance buckets → float features → left-fold norm — because the
+    * DuckDB oracle regenerates the expected pixels directly from the
+    * splitmix64 stream (seed = doc_id) and must land on bit-identical
+    * doubles; a lossy codec, a decode bug, or a channel-order mixup all
+    * flip the hash. wav/mp4 rows pin the stub's byte fold over the UTF-8
+    * text bytes (pure-ASCII corpus: byte i = codepoint i in DuckDB).
     */
   def qMM02(s: SparkSession, d: String): DataFrame = {
     val feats = extractFeatures(s, withMedia(Tables.documents(s, d)))

@@ -567,11 +567,12 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     val feats = Multimodal.decodeAndEmbedImage(bos.toByteArray, dim = 4).get
-    val third = 255f / (3f * 255f)
+    val third = (255 / 765.0).toFloat
     assert(feats.toSeq == Seq(third, third, third, 1f))
-    // same bytes folded into fewer buckets: pixel sums accumulate
+    // same bytes folded into fewer buckets: integer pixel sums accumulate
+    // before the single division (red+blue=510, green+white=1020)
     val two = Multimodal.decodeAndEmbedImage(bos.toByteArray, dim = 2).get
-    assert(two.toSeq == Seq(third + third, third + 1f))
+    assert(two.toSeq == Seq((510 / 765.0).toFloat, (1020 / 765.0).toFloat))
   }
 
   test("multimodal: synthetic PNG and BMP payloads round-trip through ImageIO") {
