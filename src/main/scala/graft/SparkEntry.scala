@@ -153,6 +153,12 @@ object SparkEntry {
     "q_q05_not_in"         -> (Relational.qQ05 _),
     "q_v03_array_setops"   -> (Relational.qV03 _),
     "q_f13_string_shape"   -> (Relational.qF13 _),
+    // r5 additions: BM25 ranked retrieval over the full-text surface,
+    // ordered conversion funnel (stacked conditional window minima), and
+    // the salted skew-escape join promoted to an oracle-checked row
+    "q_l25_bm25"           -> (FullText.qL25 _),
+    "q_t06_funnel"         -> (Temporal.qT06 _),
+    "q_j14_salted_join"    -> (Scale.qJ14 _),
     // Catalyst extension surface (custom strategy / SQL registry / rewrite
     // rule; q_x02's 3-bit x 24-table config reaches deterministic full
     // recall on the correctness corpus, so the exact pair set is its oracle)
@@ -478,6 +484,19 @@ object SparkEntry {
       """WITH s AS (SELECT vec_id, list_transform(embedding[1:8], x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig, list_transform(embedding[3:10], x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig2 FROM embeddings) SELECT vec_id, coalesce(array_to_string(list_sort(list_distinct(list_concat(sig, sig2))), ','), '') AS u, coalesce(array_to_string(list_sort(list_distinct(list_filter(sig, x -> list_contains(sig2, x)))), ','), '') AS i, coalesce(array_to_string(list_sort(list_distinct(list_filter(sig, x -> NOT list_contains(sig2, x)))), ','), '') AS x FROM s ORDER BY vec_id""",
     "q_f13_string_shape" ->
       """SELECT n_nationkey, lpad(n_name, 20, '.') AS padded_l, rpad(n_name, 20, '.') AS padded_r, reverse(n_name) AS reversed, translate(n_name, 'AEIOU', 'aeiou') AS translated, repeat(substr(n_name, 1, 2), 3) AS repeated FROM nation ORDER BY n_nationkey""",
+    // q_l25 (r5): identical parenthesization to FullText.bm25; the raw
+    // score stays OUT of the projection (ln() is last-ulp non-portable —
+    // see bm25's determinism contract); the hash pins the ranking plus
+    // the exact-integer row facts
+    "q_l25_bm25" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl FROM documents), st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl), tf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) WHERE t IN ('data', 'join', 'filter') GROUP BY doc_id, t), dfq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t), sc AS (SELECT doc_id, dl, t, tf, ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id), st), pd AS (SELECT doc_id, dl, SUM(CASE WHEN t = 'data' THEN contrib END) AS c0, SUM(CASE WHEN t = 'join' THEN contrib END) AS c1, SUM(CASE WHEN t = 'filter' THEN contrib END) AS c2, COUNT(*) AS n_terms, CAST(SUM(tf) AS BIGINT) AS tf_total FROM sc GROUP BY doc_id, dl) SELECT doc_id, dl, n_terms, tf_total FROM pd ORDER BY COALESCE(c0, 0.0) + COALESCE(c1, 0.0) + COALESCE(c2, 0.0) DESC, doc_id LIMIT 10""",
+    // q_t06 (r5): the same three chained conditional window minima
+    "q_t06_funnel" ->
+      """WITH v AS (SELECT user_id, event_type, ts, MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS first_view FROM events), c AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END) OVER (PARTITION BY user_id) AS first_click FROM v), p AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END) OVER (PARTITION BY user_id) AS first_purchase FROM c), g AS (SELECT user_id, MAX(first_view) AS fv, MAX(first_click) AS fc, MAX(first_purchase) AS fp FROM p GROUP BY user_id) SELECT CAST(SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed, CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS clicked, CAST(SUM(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS purchased FROM g""",
+    // q_j14 (r5): the salted join must be indistinguishable from the
+    // plain equi-join it replaces
+    "q_j14_salted_join" ->
+      """SELECT c_nationkey, COUNT(*) AS order_cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_s02_group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
     "q_x01_sql_cosine" ->

@@ -215,6 +215,27 @@ object Scale {
       .toDF("n_semi", "no_false_negatives", "fp_rate_ok")
   }
 
+  /** Q-J14 — the salted join, oracle-checked (r5): exactly the rows of
+    * `orders ⋈ customer` aggregated per nation, but joined through
+    * [[saltedJoin]] so the skew-escape path carries a hash-pinned
+    * correctness row instead of only its unit spec. The salt fans each
+    * (key, bucket) pair to its own reducer — a hot customer's orders
+    * spread over `buckets` tasks — and the replicated small side makes
+    * the join lossless; the aggregate result must be indistinguishable
+    * from the plain join's.
+    */
+  def qJ14(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d).withColumnRenamed("o_custkey", "custkey")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    saltedJoin(orders, cust, "custkey", buckets = 8)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("order_cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
   // ------------------------------------------- count-min frequency sketch
 
   /** Q-L18 — count-min-sketch frequency twin of the exact token top-20

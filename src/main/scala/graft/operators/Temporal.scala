@@ -90,4 +90,44 @@ object Temporal {
       .select(col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .orderBy("h")
   }
+
+  /** Q-T06 — ordered conversion funnel: how many users have a view, a
+    * click strictly after their first view, and a purchase strictly after
+    * that first qualifying click. The event-sequence analysis every
+    * product pipeline runs, and a different shape from sessionization:
+    * each stage's anchor timestamp CONDITIONS the next stage's filter.
+    *
+    * Shape: three stacked window aggregates over the SAME partitioning
+    * (user_id, whole-partition frame) — each `min(when(...))` may
+    * reference the previous stage's column, and identical partitioning
+    * means Catalyst plans them over one exchange: ONE scan, ONE shuffle,
+    * no self-joins of the event log (the naive formulation joins events
+    * to events per stage — quadratic in events per user at 100 TB). The
+    * final funnel row is a tiny distinct-user aggregate.
+    */
+  def qT06(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("first_click",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("first_view"), col("ts"))).over(w))
+      .withColumn("first_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("first_click"), col("ts"))).over(w))
+      // reduce to one row per user FIRST (the window columns are
+      // per-user constants, and the groupBy rides the window's existing
+      // user_id distribution — no new exchange), then count flags: a
+      // triple countDistinct over the raw events would plan an Expand
+      // that pushes the event stream through the aggregate three times
+      .groupBy("user_id")
+      .agg(max(col("first_view")).as("fv"), max(col("first_click")).as("fc"),
+        max(col("first_purchase")).as("fp"))
+      .agg(
+        sum(when(col("fv").isNotNull, 1L).otherwise(0L)).as("viewed"),
+        sum(when(col("fc").isNotNull, 1L).otherwise(0L)).as("clicked"),
+        sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("purchased"))
+  }
 }

@@ -175,6 +175,23 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(twice.collect().map(_.getTimestamp(0)).toSeq == vals.toSeq)
   }
 
+  test("bm25: ranked docs contain query terms; funnel stages are monotone") {
+    import graft.operators.{FullText, Temporal}
+    val top = FullText.qL25(spark, sfDir).collect()
+    assert(top.length == 10)
+    // every ranked doc matched between 1 and all 3 query terms, tf covers
+    // at least the matched terms, and dl bounds tf
+    top.foreach { r =>
+      val (nTerms, tfTotal, dl) = (r.getLong(2), r.getLong(3), r.getLong(1))
+      assert(nTerms >= 1 && nTerms <= 3)
+      assert(tfTotal >= nTerms && tfTotal <= dl)
+    }
+    val f = Temporal.qT06(spark, sfDir).head()
+    assert(f.getLong(0) >= f.getLong(1) && f.getLong(1) >= f.getLong(2),
+      s"funnel not monotone: $f")
+    assert(f.getLong(0) > 0)
+  }
+
   test("renderDdl rejects a non-key full-text key column and honors fullTextKeys") {
     import spark.implicits._
     // a 'documents' table whose LEADING column is non-unique: positional
