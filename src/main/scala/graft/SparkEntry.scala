@@ -159,6 +159,10 @@ object SparkEntry {
     "q_l25_bm25"           -> (FullText.qL25 _),
     "q_t06_funnel"         -> (Temporal.qT06 _),
     "q_j14_salted_join"    -> (Scale.qJ14 _),
+    // fuzzy (edit-distance) join via deletion-neighborhood blocking and
+    // cohort retention over the event log
+    "q_l26_fuzzy_join"     -> (LLMOps.qL26 _),
+    "q_t07_cohort"         -> (Temporal.qT07 _),
     // Catalyst extension surface (custom strategy / SQL registry / rewrite
     // rule; q_x02's 3-bit x 24-table config reaches deterministic full
     // recall on the correctness corpus, so the exact pair set is its oracle)
@@ -497,6 +501,13 @@ object SparkEntry {
     // plain equi-join it replaces
     "q_j14_salted_join" ->
       """SELECT c_nationkey, COUNT(*) AS order_cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // q_l26 (r5): brute-force exact edit distance — the deletion-
+    // neighborhood blocking must recover the identical pair set
+    "q_l26_fuzzy_join" ->
+      """SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey AND levenshtein(a.s_name, b.s_name) <= 1 ORDER BY supp_a, supp_b""",
+    // q_t07 (r5): same ISO-Monday truncation and integral week offsets
+    "q_t07_cohort" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events), c AS (SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM e) SELECT cohort, date_diff('day', cohort, wk) // 7 AS week_offset, COUNT(DISTINCT user_id) AS users FROM c GROUP BY cohort, week_offset ORDER BY cohort, week_offset""",
     "q_s02_group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
     "q_x01_sql_cosine" ->

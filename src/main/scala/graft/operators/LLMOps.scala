@@ -296,4 +296,44 @@ object LLMOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(20)
+
+  /** Fuzzy (edit-distance ≤ 1) self-join by DELETION-NEIGHBORHOOD
+    * blocking — the SymSpell trick, and the string-edit member of the
+    * bucketed near-dup family (MinHash buckets Jaccard; hyperplane
+    * buckets cosine; deletion keys bucket edit distance): every string
+    * emits itself plus each single-character deletion as a block key.
+    * Two strings with ed(a,b) ≤ 1 ALWAYS share a key — equal strings
+    * share s; a substitution shares the deletion at the differing
+    * position; an insertion/deletion shares the shorter string itself —
+    * so recall is 1.0 by pigeonhole, and the exact levenshtein verify
+    * makes precision 1.0. No all-pairs comparison anywhere; candidates
+    * are bucket-joins on the key (len+1 keys per string), deduped on
+    * BARE ids before the verify so each pair pays one distance call.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("k", explode(expr(
+        "transform(sequence(0, length(s)), i -> CASE WHEN i = 0 THEN s " +
+          "ELSE concat(substring(s, 1, i - 1), substring(s, i + 1, length(s))) END)")))
+    val cand = keyed.select(col("id").as("id_a"), col("s").as("s_a"), col("k"))
+      .join(keyed.select(col("id").as("id_b"), col("s").as("s_b"), col("k")),
+        Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b")
+      .distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+  }
+
+  /** Q-L26 — fuzzy supplier-name pairs: the DuckDB oracle brute-forces
+    * every pair with exact levenshtein; the blocked plan must find the
+    * identical set.
+    */
+  def qL26(s: SparkSession, d: String): DataFrame =
+    fuzzyPairs(Tables.supplier(s, d), "s_suppkey", "s_name")
+      .withColumnRenamed("id_a", "supp_a").withColumnRenamed("id_b", "supp_b")
+      .orderBy("supp_a", "supp_b")
 }

@@ -130,4 +130,25 @@ object Temporal {
         sum(when(col("fc").isNotNull, 1L).otherwise(0L)).as("clicked"),
         sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("purchased"))
   }
+
+  /** Q-T07 — cohort retention: users bucketed by first-activity week
+    * (their cohort), counted per week-offset of later activity — the
+    * retention triangle every product pipeline derives from an event log.
+    *
+    * Shape: the cohort week is a whole-partition window min over the
+    * user_id exchange (no self-join of the event log against its own
+    * minima), then one distinct-count aggregate per (cohort, offset).
+    * Week arithmetic stays integral: both engines truncate to ISO Monday
+    * and the day difference of two week-truncated stamps is divisible by
+    * 7, so `div 7` is exact.
+    */
+  def qT07(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .withColumn("cohort", min(col("wk")).over(w))
+      .groupBy(col("cohort"), expr("datediff(wk, cohort) div 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort", "week_offset")
+  }
 }

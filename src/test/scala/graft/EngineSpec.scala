@@ -175,6 +175,26 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(twice.collect().map(_.getTimestamp(0)).toSeq == vals.toSeq)
   }
 
+  test("fuzzyPairs: deletion blocking recalls substitution, insert, delete and equal pairs") {
+    import spark.implicits._
+    // the supplier corpus only exercises substitutions (equal-length
+    // names); pin the pigeonhole argument for every edit type here
+    val df = Seq((1L, "alpha"), (2L, "alpja"), (3L, "alph"), (4L, "alphas"),
+      (5L, "alpha"), (6L, "zzz"), (7L, "")).toDF("id", "name")
+    val got = graft.operators.LLMOps.fuzzyPairs(df, "id", "name")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = df.select(col("id").as("id_a"), col("name").as("na"))
+      .crossJoin(df.select(col("id").as("id_b"), col("name").as("nb")))
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("na"), col("nb")) <= 1)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.contains((1L, 2L)) && expected.contains((1L, 3L)) &&
+      expected.contains((1L, 4L)) && expected.contains((1L, 5L)))
+  }
+
   test("bm25: ranked docs contain query terms; funnel stages are monotone") {
     import graft.operators.{FullText, Temporal}
     val top = FullText.qL25(spark, sfDir).collect()
