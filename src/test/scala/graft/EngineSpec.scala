@@ -210,6 +210,12 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(f.getLong(0) >= f.getLong(1) && f.getLong(1) >= f.getLong(2),
       s"funnel not monotone: $f")
     assert(f.getLong(0) > 0)
+    // the scale claim: all three stage windows and the per-user reduce
+    // ride ONE user_id exchange (plus the final single-partition gather)
+    val plan = Temporal.qT06(spark, sfDir).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1,
+      s"funnel re-shuffles:\n$plan")
+    assert("Window".r.findAllMatchIn(plan).size == 3)
   }
 
   test("renderDdl rejects a non-key full-text key column and honors fullTextKeys") {
