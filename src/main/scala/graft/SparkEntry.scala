@@ -163,6 +163,8 @@ object SparkEntry {
     // cohort retention over the event log
     "q_l26_fuzzy_join"     -> (LLMOps.qL26 _),
     "q_t07_cohort"         -> (Temporal.qT07 _),
+    // SCD2 validity intervals + point-in-time lookup on the clone surface
+    "q_m04_scd2"           -> (ClonePipeline.qM04 _),
     // Catalyst extension surface (custom strategy / SQL registry / rewrite
     // rule; q_x02's 3-bit x 24-table config reaches deterministic full
     // recall on the correctness corpus, so the exact pair set is its oracle)
@@ -508,6 +510,9 @@ object SparkEntry {
     // q_t07 (r5): same ISO-Monday truncation and integral week offsets
     "q_t07_cohort" ->
       """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events), c AS (SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM e) SELECT cohort, date_diff('day', cohort, wk) // 7 AS week_offset, COUNT(DISTINCT user_id) AS users FROM c GROUP BY cohort, week_offset ORDER BY cohort, week_offset""",
+    // q_m04 (r5): the same lead-window validity intervals and AS OF filter
+    "q_m04_scd2" ->
+      """WITH h AS (SELECT user_id, event_id, value, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM events) SELECT user_id, event_id, value, epoch_us(valid_from) AS from_us FROM h WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00' AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00') ORDER BY user_id""",
     "q_s02_group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
     "q_x01_sql_cosine" ->

@@ -81,6 +81,23 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Range-clustered parquet layout: rows are range-partitioned AND
+    * sorted on `clusterCols`, so every output file covers a disjoint
+    * (or boundary-touching — equal keys never split) key range and row
+    * groups inside each file are sorted. Parquet stores per-row-group
+    * min/max for the cluster columns, so a pushed-down range predicate
+    * skips whole row groups / files at read time — the sort-based
+    * complement to [[partitionedParquet]] (directory pruning needs low
+    * cardinality; range clustering handles high-cardinality/continuous
+    * keys like timestamps — the Z-order idea restricted to one sort
+    * dimension, which is what plain parquet stats can exploit).
+    */
+  def rangeClustered(df: DataFrame, path: String, clusterCols: Seq[String],
+      numFiles: Int = 32, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+
   /** JDBC append with the reference's batch/timeout profile
     * (batchsize 1000|3000, queryTimeout 600 — Program.cs:631,695,662,703).
     * For identity tables use [[jdbcWithSessionSetup]] — Spark's writer has

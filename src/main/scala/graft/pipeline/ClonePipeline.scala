@@ -220,4 +220,54 @@ object ClonePipeline {
     import spark.implicits._
     renderDdl(spark, dir).toSeq.toDF("table_name", "ddl").orderBy("table_name")
   }
+
+  /** SCD2 history from a change log: each change row becomes a validity
+    * interval `[valid_from, valid_to)` closed by the key's NEXT change
+    * (`lead` over the key), open (`valid_to` NULL, `is_current` true) for
+    * the latest. The slowly-changing-dimension layer the clone surface
+    * needs once [[incrementalSync]] keeps only latest-state: history
+    * answers "what was the value at T", sync answers "what is it now".
+    *
+    * One shuffle on the key columns — the same partitioning [[merge]]
+    * uses, so a bucketed-by-key layout serves both. `orderCols` breaks
+    * same-timestamp ties deterministically (pass the change log's
+    * sequence/id column).
+    */
+  def scd2History(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: orderCols).map(col): _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Point-in-time (AS OF) lookup over an SCD2 history: the rows whose
+    * validity interval covers `at`. With the history range-clustered on
+    * `valid_from` ([[graft.io.Writers.rangeClustered]]) the predicate
+    * prunes row groups at the scan.
+    */
+  def pointInTime(history: DataFrame, at: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+  }
+
+  /** Q-M04 — SCD2 + AS OF: treat the event log as each user's value
+    * change log, build the validity intervals, and snapshot every user's
+    * value as of a fixed instant; DuckDB recomputes the same window.
+    */
+  def qM04(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+    val hist = scd2History(changes, Seq("user_id"), "ts", Seq("event_id"))
+    pointInTime(hist, lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("valid_from")).as("from_us"))
+      .orderBy("user_id")
+  }
 }

@@ -218,6 +218,58 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert("Window".r.findAllMatchIn(plan).size == 3)
   }
 
+  test("scd2History: seamless intervals, one current row per key, AS OF picks it") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, 11L, "b", java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+      (1L, 12L, "c", java.sql.Timestamp.valueOf("2024-01-09 00:00:00")),
+      (2L, 20L, "x", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+    ).toDF("k", "seq", "v", "ts")
+    val h = ClonePipeline.scd2History(changes, Seq("k"), "ts", Seq("seq")).cache()
+    try {
+      // every non-final interval closes exactly at the next valid_from
+      val nextFrom = lead(col("valid_from"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy("ts", "seq"))
+      assert(h.withColumn("nf", nextFrom)
+        .filter(col("valid_to").isNotNull && col("valid_to") =!= col("nf"))
+        .isEmpty)
+      assert(h.filter(col("is_current")).count() == 2) // one per key
+      val asOf = ClonePipeline.pointInTime(h,
+        lit("2024-01-06 00:00:00").cast("timestamp"))
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(asOf == Map(1L -> "b", 2L -> "x"))
+      // before any change for key 2's first event: nothing valid
+      val early = ClonePipeline.pointInTime(h,
+        lit("2024-01-02 00:00:00").cast("timestamp"))
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(early == Set(1L))
+    } finally h.unpersist()
+  }
+
+  test("rangeClustered layout: output files cover disjoint key ranges") {
+    val dir = Files.createTempDirectory("graft-rangeclust").toString + "/li"
+    Writers.rangeClustered(Tables.lineitem(spark, sfDir), dir,
+      Seq("l_shipdate"), numFiles = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 1, "need multiple files to prove disjointness")
+    // per-file [min, max] of the cluster key must not interleave — the
+    // property parquet row-group stats pruning relies on
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(unix_micros(col("l_shipdate").cast("timestamp"))),
+          max(unix_micros(col("l_shipdate").cast("timestamp")))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges interleave: $hi > $lo2")
+      case _ =>
+    }
+  }
+
   test("renderDdl rejects a non-key full-text key column and honors fullTextKeys") {
     import spark.implicits._
     // a 'documents' table whose LEADING column is non-unique: positional
