@@ -165,6 +165,9 @@ object SparkEntry {
     "q_t07_cohort"         -> (Temporal.qT07 _),
     // SCD2 validity intervals + point-in-time lookup on the clone surface
     "q_m04_scd2"           -> (ClonePipeline.qM04 _),
+    // exact higher moments (BIGINT power sums) + FK referential audit
+    "q_a17_moments"        -> (Relational.qA17 _),
+    "q_m05_fk_audit"       -> (Profiler.qM05 _),
     // Catalyst extension surface (custom strategy / SQL registry / rewrite
     // rule; q_x02's 3-bit x 24-table config reaches deterministic full
     // recall on the correctness corpus, so the exact pair set is its oracle)
@@ -513,6 +516,20 @@ object SparkEntry {
     // q_m04 (r5): the same lead-window validity intervals and AS OF filter
     "q_m04_scd2" ->
       """WITH h AS (SELECT user_id, event_id, value, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM events) SELECT user_id, event_id, value, epoch_us(valid_from) AS from_us FROM h WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00' AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00') ORDER BY user_id""",
+    // q_a17 (r5): the moment formulas are the SAME strings Spark's expr()
+    // evaluates (Relational.MomentFormulas) over the same exact BIGINT
+    // power sums — parenthesization cannot diverge
+    "q_a17_moments" ->
+      (s"""SELECT l_returnflag, ${Relational.MomentFormulas.skewness} AS skew_qty, ${Relational.MomentFormulas.kurtosis} AS kurt_qty FROM (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(q) AS DOUBLE) AS s1, CAST(SUM(q * q) AS DOUBLE) AS s2, CAST(SUM(q * q * q) AS DOUBLE) AS s3, CAST(SUM(q * q * q * q) AS DOUBLE) AS s4 FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem) GROUP BY l_returnflag) ORDER BY l_returnflag"""),
+    // q_m05 (r5): NOT EXISTS mirrors the anti-join's null semantics (a
+    // NULL fk is an orphan on both sides)
+    "q_m05_fk_audit" ->
+      (Profiler.corpusFks.map { case (ct, ck, pt, pk) =>
+        s"SELECT '$ct' AS child_table, '$ck' AS fk_col, " +
+          s"(SELECT COUNT(*) FROM $ct) AS child_rows, " +
+          s"(SELECT COUNT(*) FROM $ct c WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM $pt p WHERE p.$pk = c.$ck)) AS orphan_rows"
+      }.mkString(" UNION ALL ") + " ORDER BY child_table, fk_col"),
     "q_s02_group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
     "q_x01_sql_cosine" ->

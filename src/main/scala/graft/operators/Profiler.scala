@@ -176,4 +176,43 @@ object Profiler {
   /** Q-M03 — HLL distinct-count sketch accuracy vs exact, per column. */
   def qM03(s: SparkSession, d: String): DataFrame =
     distinctBounds(Tables.lineitem(s, d))
+
+  /** The corpus's foreign-key relationships, as (child table, fk column,
+    * parent table, parent key).
+    */
+  val corpusFks: Seq[(String, String, String, String)] = Seq(
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  /** Q-M05 — referential-integrity audit: orphan counts per FK edge, the
+    * post-load validation a cloner runs before enabling constraints (the
+    * reference applies FK DDL blind and lets the ALTER fail;
+    * /root/reference/Program.cs:443-471 renders them WITH NOCHECK).
+    *
+    * Shape: per FK edge, a column-pruned anti-join of child keys against
+    * parent keys (dims broadcast; a NULL fk never equals anything so it
+    * counts as an orphan — matching NOT EXISTS semantics in the oracle).
+    * Fact tables are scanned once per outgoing FK with only the key
+    * column read; each edge is an independent job arm of one union.
+    */
+  def qM05(s: SparkSession, d: String): DataFrame = {
+    val arms = corpusFks.map { case (ct, ck, pt, pk) =>
+      val child = Tables.table(s, d, ct)
+      val parent = Tables.table(s, d, pt).select(col(pk))
+      val orphanCnt = child.select(col(ck))
+        .join(parent, col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("orphan_rows"))
+      child.agg(count(lit(1)).as("child_rows"))
+        .crossJoin(orphanCnt)
+        .select(lit(ct).as("child_table"), lit(ck).as("fk_col"),
+          col("child_rows"), col("orphan_rows"))
+    }
+    arms.reduce(_ unionByName _).orderBy("child_table", "fk_col")
+  }
 }

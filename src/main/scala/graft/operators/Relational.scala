@@ -555,6 +555,46 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Q-A17 — exact higher moments (population skewness / excess
+    * kurtosis) per return flag, the profiler-grade distribution-shape
+    * stats beyond q_a12's corr/stddev. l_quantity is integral (1..50),
+    * so the four power sums are EXACT BIGINT arithmetic (q⁴ ≤ 6.25e6,
+    * totals ≪ 2^53 — the long→double casts are exact too); the moment
+    * formulas then run on bit-identical doubles in both engines. pow()
+    * never appears — like ln() it is last-ulp non-portable — so m2^1.5
+    * is spelled sqrt(m2)*m2 (sqrt is IEEE correctly-rounded, portable),
+    * and the formula text is SHARED verbatim with the oracle SQL.
+    */
+  def qA17(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(q).cast("double").as("s1"),
+        sum(q * q).cast("double").as("s2"),
+        sum(q * q * q).cast("double").as("s3"),
+        sum(q * q * q * q).cast("double").as("s4"))
+      .select(col("l_returnflag"),
+        expr(MomentFormulas.skewness).as("skew_qty"),
+        expr(MomentFormulas.kurtosis).as("kurt_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The q_a17 moment formulas — one string, used by BOTH the Spark
+    * `expr` and the DuckDB oracle, so parenthesization (and therefore
+    * every IEEE rounding step) cannot diverge between the engines.
+    */
+  object MomentFormulas {
+    val skewness: String =
+      "round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)) / " +
+        "(sqrt(s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))), 6)"
+    val kurtosis: String =
+      "round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) - " +
+        "3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / " +
+        "((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6)"
+  }
+
   /** Q-A13 — exact interpolated percentiles (median / p90): both engines
     * use the same p·(n−1) linear-interpolation definition, so exact
     * percentile is portable where streaming variance is not. The scale
