@@ -58,7 +58,10 @@ object TrainPrep {
     // snapshot-diff of the public persistent-RDD registry identifies the
     // blocks a checkpoint just pinned, so they can be dropped precisely
     // when superseded (Dataset.unpersist can't reach them: the returned
-    // frame's plan is a LogicalRDD, not a CacheManager entry)
+    // frame's plan is a LogicalRDD, not a CacheManager entry). Caveat:
+    // the diff assumes no OTHER thread persists RDDs during the (eager,
+    // blocking) checkpoint call — run concurrent persisting work outside
+    // this loop or its blocks could be mis-attributed and dropped
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val out = if (reliable) df.checkpoint() else df.localCheckpoint()
