@@ -187,7 +187,11 @@ object SparkEntry {
     Set("q_j13_bloom_semi", "q_l17_heavy_hitters", "q_l18_cms_freq",
       // connected components localCheckpoints each propagation round at
       // construction; the final frame reads the checkpointed labels
-      "q_l19_dup_clusters")
+      "q_l19_dup_clusters",
+      // packing collects + prefix-sums the shard totals on the driver at
+      // construction; bm25 materializes its top-k so its tf cache can be
+      // unpersisted before returning
+      "q_l21_pack", "q_l25_bm25")
 
   /** The shingle-postings CTE chain (3-word shingles → portable poly
     * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06

@@ -80,48 +80,60 @@ object FullText {
     */
   def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    // duplicate terms would silently double their contribution through
+    // the per-term conditional sums below
+    require(terms.distinct.size == terms.size, "bm25 terms must be distinct")
+    val spark = docs.sparkSession
     val toks = LLMOps.tokens(col("text"))
-    // one scan: per matched doc, its length and the matching tokens only
+    // the term-matching scan runs once: per matched doc, its length and
+    // the matching tokens only (the corpus-stats aggregate below is a
+    // second, explode-free scan — it needs ALL docs' lengths, which the
+    // term filter here discards)
     val base = docs.select(col("doc_id"),
       size(toks).cast("long").as("dl"),
       explode(filter(toks, t => t.isin(terms: _*))).as("t"))
     // tf is query-sized (≤ |terms| rows per matched doc) and feeds BOTH
     // the scoring join and the document frequencies — persisted so the
-    // corpus is tokenize-scanned once, not once per consumer (Catalyst
-    // duplicates the subtree for self-referenced frames)
+    // term-matching scan isn't duplicated per consumer (Catalyst prunes
+    // self-referenced frames into different scans), and unpersisted once
+    // the ≤ k result rows are materialized: this function is EAGER
     val tf = base.groupBy("doc_id", "dl", "t")
       .agg(count(lit(1)).cast("double").as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
-    val stats = docs
-      .select(size(toks).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
-    val contrib = tf.join(broadcast(dfreq), "t")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("dl"), col("t"), col("tf"),
-        (log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
-            / (col("df") + lit(0.5)))
-          * ((col("tf") * lit(2.2))
-            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75)
-              * (col("dl").cast("double")
-                / (col("tot_dl").cast("double") / col("n_docs").cast("double")))))))
-          .as("contrib"))
-    // per-term conditional sums added in FIXED term order: a plain
-    // SUM(contrib) would add doubles in shuffle arrival order
-    val perDoc = contrib.groupBy("doc_id", "dl").agg(
-      sum(when(col("t") === terms.head, col("contrib"))).as("c0"),
-      terms.tail.zipWithIndex.map { case (t, i) =>
-        sum(when(col("t") === t, col("contrib"))).as(s"c${i + 1}")
-      } ++ Seq(
-        count(lit(1)).as("n_terms"),
-        sum(col("tf")).cast("long").as("tf_total")): _*)
-    val score = terms.indices
-      .map(i => coalesce(col(s"c$i"), lit(0.0)))
-      .reduce(_ + _)
-    perDoc
-      .orderBy(score.desc, col("doc_id"))
-      .limit(k)
-      .select(col("doc_id"), col("dl"), col("n_terms"), col("tf_total"))
+    try {
+      val dfreq = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+      val stats = docs
+        .select(size(toks).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+      val contrib = tf.join(broadcast(dfreq), "t")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"), col("t"), col("tf"),
+          (log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)))
+            * ((col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75)
+                * (col("dl").cast("double")
+                  / (col("tot_dl").cast("double") / col("n_docs").cast("double")))))))
+            .as("contrib"))
+      // per-term conditional sums added in FIXED term order: a plain
+      // SUM(contrib) would add doubles in shuffle arrival order
+      val perDoc = contrib.groupBy("doc_id", "dl").agg(
+        sum(when(col("t") === terms.head, col("contrib"))).as("c0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          sum(when(col("t") === t, col("contrib"))).as(s"c${i + 1}")
+        } ++ Seq(
+          count(lit(1)).as("n_terms"),
+          sum(col("tf")).cast("long").as("tf_total")): _*)
+      val score = terms.indices
+        .map(i => coalesce(col(s"c$i"), lit(0.0)))
+        .reduce(_ + _)
+      val out = perDoc
+        .orderBy(score.desc, col("doc_id"))
+        .limit(k)
+        .select(col("doc_id"), col("dl"), col("n_terms"), col("tf_total"))
+      val rows = out.collect() // ≤ k rows
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally tf.unpersist(false)
   }
 
   /** Q-L25 — BM25 top-10 for a three-term query over the corpus's common

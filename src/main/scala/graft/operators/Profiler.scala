@@ -195,21 +195,22 @@ object Profiler {
     * reference applies FK DDL blind and lets the ALTER fail;
     * /root/reference/Program.cs:443-471 renders them WITH NOCHECK).
     *
-    * Shape: per FK edge, a column-pruned anti-join of child keys against
-    * parent keys (dims broadcast; a NULL fk never equals anything so it
-    * counts as an orphan — matching NOT EXISTS semantics in the oracle).
-    * Fact tables are scanned once per outgoing FK with only the key
-    * column read; each edge is an independent job arm of one union.
+    * Shape: per FK edge, ONE column-pruned pass — a left join of child
+    * keys against the (unique, PK-backed) parent keys counts total and
+    * unmatched rows in the same aggregate (a NULL fk never equals
+    * anything so it counts as an orphan — matching NOT EXISTS semantics
+    * in the oracle). Each edge is an independent job arm of one union;
+    * the parent side broadcasts when dimension-sized.
     */
   def qM05(s: SparkSession, d: String): DataFrame = {
     val arms = corpusFks.map { case (ct, ck, pt, pk) =>
-      val child = Tables.table(s, d, ct)
+      val child = Tables.table(s, d, ct).select(col(ck))
+      // parent keys are the PK side, so the left join cannot fan out and
+      // count(*) post-join still equals the child row count
       val parent = Tables.table(s, d, pt).select(col(pk))
-      val orphanCnt = child.select(col(ck))
-        .join(parent, col(ck) === col(pk), "left_anti")
-        .agg(count(lit(1)).as("orphan_rows"))
-      child.agg(count(lit(1)).as("child_rows"))
-        .crossJoin(orphanCnt)
+      child.join(parent, col(ck) === col(pk), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("orphan_rows"))
         .select(lit(ct).as("child_table"), lit(ck).as("fk_col"),
           col("child_rows"), col("orphan_rows"))
     }

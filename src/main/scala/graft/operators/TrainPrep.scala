@@ -85,30 +85,39 @@ object TrainPrep {
     // one cheap scalar aggregate per round instead of a change-detection
     // join against the previous labels. Summed as decimal(38,0): a long
     // sum overflows (silently, wrapping) once vertex count × id magnitude
-    // passes 2^63, which a 100 TB corpus with 64-bit ids does
+    // passes 2^63, which a 100 TB corpus with 64-bit ids does. An empty
+    // graph sums to SQL NULL — normalized to zero so the zero-edge corpus
+    // converges to zero clusters instead of NPE-ing on the comparison
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      val msgs = bidir
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("comp"))
-      // localCheckpoint is eager: `next`'s blocks exist once this returns,
-      // so the previous round's snapshot is safe to drop immediately
-      val (next, nextIds) = checkpointTracked(
-        labels.union(msgs).groupBy("id").agg(min("comp").as("comp")))
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      unpersistTracked(labelIds)
-      labels = next
-      labelIds = nextIds
-      iter += 1
+    try {
+      while (!converged && iter < maxIter) {
+        val msgs = bidir
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"), col("comp"))
+        // localCheckpoint is eager: `next`'s blocks exist once this
+        // returns, so the previous round's snapshot is safe to drop
+        val (next, nextIds) = checkpointTracked(
+          labels.union(msgs).groupBy("id").agg(min("comp").as("comp")))
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        unpersistTracked(labelIds)
+        labels = next
+        labelIds = nextIds
+        iter += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    } catch { case t: Throwable =>
+      // a failed round (or non-convergence) must not strand corpus-scale
+      // edge/label blocks in executor storage for the session lifetime
+      unpersistTracked(labelIds ++ bidirIds)
+      throw t
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // the edge list is dead once the fixpoint is reached; only the final
     // labels stay pinned (the caller's frame reads them)
     unpersistTracked(bidirIds)
@@ -162,33 +171,46 @@ object TrainPrep {
     *      partitioning of doc_id for the div);
     *   2. a window per (source, shard) computes the shard-local running
     *      sum — parallel across shards, each group ≤ shardSize rows;
-    *   3. shard token totals (corpus/shardSize rows — tiny) get a
-    *      per-source prefix-sum; that sequential window now runs over
-    *      shard COUNTS, not documents (at 10^11 docs / 2^20-doc shards:
-    *      ~100k rows), and broadcast-joins back as each shard's offset.
+    *   3. shard token totals (corpus/shardSize rows — tiny: at 10^11
+    *      docs / 2^20-doc shards, ~100k rows) are collected and
+    *      prefix-summed per source ON THE DRIVER, then broadcast-joined
+    *      back as each shard's offset.
     * Offset + local sum = the identical global cumulative sum, fully
-    * parallel. The narrow tokenized base (3 columns) is persisted
-    * spill-safe so tokenization — the dominant cost — runs once instead
-    * of once per consumer branch (Catalyst prunes the two branches into
-    * different scans, so exchange reuse can't merge them).
+    * parallel. The totals pass is an EAGER second scan of the corpus
+    * (tokenization runs twice) — the deliberate alternative to caching
+    * the tokenized base across the two consumers, which pins a
+    * corpus-sized block set in executor storage for the session lifetime
+    * (Catalyst prunes self-referenced frames into different scans, so
+    * exchange reuse can't merge them without a cache).
     */
   def qL21(s: SparkSession, d: String, capacity: Int = 2048,
       shardSize: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val base = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
         size(LLMOps.tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("shard", expr(s"doc_id div $shardSize"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = base.groupBy("source", "shard")
+      .agg(sum("n_tok").as("shard_tok"))
+      .collect()
+      .sortBy(r => (r.getString(0), r.getLong(1)))
+    val offsetRows = new scala.collection.mutable.ArrayBuffer[Row](totals.length)
+    var curSource: String = null
+    var acc = 0L
+    totals.foreach { r =>
+      if (r.getString(0) != curSource) { curSource = r.getString(0); acc = 0L }
+      offsetRows += Row(r.getString(0), r.getLong(1), acc)
+      acc += r.getLong(2)
+    }
+    val offsets = s.createDataFrame(
+      java.util.Arrays.asList(offsetRows.toSeq: _*),
+      StructType(Seq(StructField("source", StringType),
+        StructField("shard", LongType), StructField("offset", LongType))))
     val wLocal = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base.withColumn("local_cum", sum("n_tok").over(wLocal))
-    val wOffset = Window.partitionBy("source").orderBy("shard")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = base.groupBy("source", "shard")
-      .agg(sum("n_tok").as("shard_tok"))
-      .withColumn("offset", sum("shard_tok").over(wOffset) - col("shard_tok"))
-      .select("source", "shard", "offset")
-    local.join(broadcast(offsets), Seq("source", "shard"))
+    base.withColumn("local_cum", sum("n_tok").over(wLocal))
+      .join(broadcast(offsets), Seq("source", "shard"))
       .withColumn("cum", col("local_cum") + col("offset"))
       .select(col("source"), col("doc_id"), col("n_tok"),
         expr(s"(cum - n_tok) div $capacity").as("start_bin"),

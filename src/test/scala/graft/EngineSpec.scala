@@ -97,6 +97,13 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected)
   }
 
+  test("connectedComponents: zero edges converge to zero clusters") {
+    import spark.implicits._
+    import graft.operators.TrainPrep
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(TrainPrep.connectedComponents(empty).isEmpty)
+  }
+
   test("connectedComponents frees superseded checkpoint blocks") {
     import spark.implicits._
     import graft.operators.TrainPrep
