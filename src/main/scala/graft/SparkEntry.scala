@@ -168,6 +168,9 @@ object SparkEntry {
     // exact higher moments (BIGINT power sums) + FK referential audit
     "q_a17_moments"        -> (Relational.qA17 _),
     "q_m05_fk_audit"       -> (Profiler.qM05 _),
+    // exact equi-width histogram + boilerplate-shingle detection
+    "q_m06_histogram"      -> ((s: SparkSession, d: String) => Profiler.qM06(s, d)),
+    "q_l27_boilerplate"    -> ((s: SparkSession, d: String) => LLMOps.qL27(s, d)),
     // Catalyst extension surface (custom strategy / SQL registry / rewrite
     // rule; q_x02's 3-bit x 24-table config reaches deterministic full
     // recall on the correctness corpus, so the exact pair set is its oracle)
@@ -525,6 +528,16 @@ object SparkEntry {
     // power sums — parenthesization cannot diverge
     "q_a17_moments" ->
       (s"""SELECT l_returnflag, ${Relational.MomentFormulas.skewness} AS skew_qty, ${Relational.MomentFormulas.kurtosis} AS kurt_qty FROM (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(q) AS DOUBLE) AS s1, CAST(SUM(q * q) AS DOUBLE) AS s2, CAST(SUM(q * q * q) AS DOUBLE) AS s3, CAST(SUM(q * q * q * q) AS DOUBLE) AS s4 FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem) GROUP BY l_returnflag) ORDER BY l_returnflag"""),
+    // q_m06 (r5): identical double expression for the bucket index
+    "q_m06_histogram" ->
+      """WITH mm AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem) SELECT least(CAST(floor((l_extendedprice - mn) * 20 / (mx - mn)) AS BIGINT), 19) AS bucket, COUNT(*) AS cnt FROM lineitem, mm GROUP BY bucket ORDER BY bucket""",
+    // q_l27 (r5): the same distinct shingle postings the dedup oracles
+    // use, flagged by document frequency
+    "q_l27_boilerplate" ->
+      (s"""WITH $shingleCtes, n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents), """ +
+        """dfq AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY h), """ +
+        """fl AS (SELECT h, (CAST(df AS DOUBLE) / n_docs >= 0.5) AS is_boiler FROM dfq, n) """ +
+        """SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS boiler_shingles FROM hs JOIN fl USING (h) GROUP BY doc_id ORDER BY doc_id"""),
     // q_m05 (r5): NOT EXISTS mirrors the anti-join's null semantics (a
     // NULL fk is an orphan on both sides)
     "q_m05_fk_audit" ->

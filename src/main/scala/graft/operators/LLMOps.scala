@@ -297,6 +297,36 @@ object LLMOps {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(20)
 
+  /** Q-L27 — boilerplate detection: per document, how many of its
+    * distinct 3-word shingles occur in at least `dfThreshold` of ALL
+    * documents — the C4-style signal for navigation chrome / license
+    * headers / template text that near-dup clustering misses (boilerplate
+    * repeats across otherwise-distinct pages).
+    *
+    * Shape: distinct (doc, shingle) postings → shingle document
+    * frequencies (map-side combined, one row per shingle) → flag join
+    * back on the shingle hash (hot boilerplate shingles stream through
+    * the probe side; the flag side is one row per hash) → per-doc
+    * counts. The corpus is shingle-scanned twice (the DF aggregate and
+    * the join probe prune differently — same documented tradeoff as the
+    * contamination scan); nothing vocabulary-sized is ever broadcast.
+    */
+  def qL27(s: SparkSession, d: String, dfThreshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    def posts = docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.ShingleHash(col("text"), 3))).as("h"))
+    val flagged = posts.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("h"),
+        (col("df").cast("double") / col("n_docs") >= dfThreshold).as("is_boiler"))
+    posts.join(flagged, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("boiler_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy (edit-distance ≤ 1) self-join by DELETION-NEIGHBORHOOD
     * blocking — the SymSpell trick, and the string-edit member of the
     * bucketed near-dup family (MinHash buckets Jaccard; hyperplane

@@ -177,6 +177,23 @@ object Profiler {
   def qM03(s: SparkSession, d: String): DataFrame =
     distinctBounds(Tables.lineitem(s, d))
 
+  /** Q-M06 — equi-width histogram of a numeric column: the distribution
+    * profile q_m02's min/max/mean can't show. Two passes — a 2-value
+    * min/max broadcast, then bucket counts (`least` pins x = max into
+    * the last bucket). Every bucket index is floor of the SAME double
+    * expression in both engines (shared parenthesization, no
+    * transcendental fns), so the histogram is exact, not approximate.
+    */
+  def qM06(s: SparkSession, d: String, buckets: Int = 20): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+    val mm = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    li.crossJoin(broadcast(mm))
+      .select(expr(s"least(CAST(floor((x - mn) * $buckets / (mx - mn)) AS BIGINT), ${buckets - 1})")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+  }
+
   /** The corpus's foreign-key relationships, as (child table, fk column,
     * parent table, parent key).
     */
