@@ -177,6 +177,14 @@ object SparkEntry {
     "q_s02_group_topk"     -> (ExtensionShowcase.qS02 _),
     "q_x01_sql_cosine"     -> (ExtensionShowcase.qX01 _),
     "q_x02_lsh_rewrite"    -> (ExtensionShowcase.qX02 _),
+    // r5 batch 2: TPC-H Q14/Q22 shapes, per-group z-score outliers,
+    // within-doc duplicate-n-gram ratio, type-token ratio, length trim
+    "q_j15_tpch_q14"       -> (Relational.qJ15 _),
+    "q_q07_tpch_q22"       -> (Relational.qQ07 _),
+    "q_a18_zscore"         -> (Relational.qA18 _),
+    "q_l28_dup_ngrams"     -> (LLMOps.qL28 _),
+    "q_l29_ttr"            -> (LLMOps.qL29 _),
+    "q_l30_length_trim"    -> (TrainPrep.qL30 _),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -551,5 +559,21 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
     "q_x01_sql_cosine" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings, q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
+    // r5 batch 2 — exact-decimal sums keep every ratio/threshold below
+    // bit-deterministic across engines (same discipline as q_a01/q_j09)
+    "q_j15_tpch_q14" ->
+      """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""",
+    "q_q07_tpch_q22" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal FROM customer c WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer WHERE c_acctbal > 0) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // μ/σ are recomputed from the same exact-decimal (Σx, Σx², n) triple
+    // in the same double-op order as the Spark side, so z is bit-identical
+    "q_a18_zscore" ->
+      """WITH st AS (SELECT o_orderpriority, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx, COUNT(*) AS n FROM orders GROUP BY o_orderpriority) SELECT o_orderkey, o.o_orderpriority, o_totalprice, ROUND((o_totalprice - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS z FROM orders o JOIN st ON o.o_orderpriority = st.o_orderpriority WHERE ABS((o_totalprice - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 1.5 ORDER BY o_orderkey""",
+    "q_l28_dup_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w) SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_shingles, CAST(len(list_distinct(shl)) AS BIGINT) AS n_distinct, 1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / CAST(len(shl) AS DOUBLE) AS dup_ratio FROM sl ORDER BY dup_ratio DESC, doc_id LIMIT 100""",
+    "q_l29_ttr" ->
+      """WITH tc AS (SELECT source, token, COUNT(*) AS c FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY source, token) SELECT source, COUNT(*) AS vocab, CAST(SUM(c) AS BIGINT) AS tokens, CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr FROM tc GROUP BY source ORDER BY source""",
+    "q_l30_length_trim" ->
+      """WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY lang) SELECT lang, COUNT(*) AS kept_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars FROM documents JOIN b USING (lang) WHERE n_chars >= lo AND n_chars <= hi GROUP BY lang ORDER BY lang""",
   )
 }

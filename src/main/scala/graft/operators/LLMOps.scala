@@ -366,4 +366,44 @@ object LLMOps {
     fuzzyPairs(Tables.supplier(s, d), "s_suppkey", "s_name")
       .withColumnRenamed("id_a", "supp_a").withColumnRenamed("id_b", "supp_b")
       .orderBy("supp_a", "supp_b")
+
+  /** Q-L28 — within-doc duplicate-n-gram ratio (the Gopher repetition
+    * rule qL22 does NOT cover: qL22's funnel flags top-TOKEN dominance;
+    * this flags repeated 3-gram spans — boilerplate headers, chorus-like
+    * text). Entirely per-row array math (shingle, distinct, two sizes) —
+    * zero shuffles; the only exchange is the top-100 TakeOrdered, which
+    * carries ≤ 100 rows per partition at any corpus size.
+    */
+  def qL28(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      // materialize the token array behind its own projection: inlining
+      // `shingles(tokens(text))` as one expression re-evaluates split()
+      // inside every element_at of every shingle (~3x shingle-count splits
+      // per doc — measured 6.2 s vs 0.6 s at sf0.1)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shingles(col("w"), 3).as("shl"))
+      .select(col("doc_id"),
+        size(col("shl")).cast("long").as("n_shingles"),
+        size(array_distinct(col("shl"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
+          .as("dup_ratio"))
+      .orderBy(col("dup_ratio").desc, col("doc_id"))
+      .limit(100)
+
+  /** Q-L29 — type-token ratio (lexical diversity) per source. The naive
+    * `countDistinct + count` in one aggregate plans an Expand (2× the
+    * exploded token stream through the shuffle); the two-level form —
+    * count per (source, token), then count-rows + sum — shuffles each
+    * distinct pair once with full map-side combine, same answer.
+    */
+  def qL29(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("tokens"))
+      .select(col("source"), col("vocab"), col("tokens"),
+        (col("vocab").cast("double") / col("tokens")).as("ttr"))
+      .orderBy("source")
 }

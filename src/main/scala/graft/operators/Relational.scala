@@ -847,4 +847,73 @@ object Relational {
         md5(col("c_name").cast("binary")).as("h_md5"),
         sha2(col("c_name").cast("binary"), 256).as("h_sha256"))
       .orderBy("c_custkey")
+
+  /** Q-J15 — TPC-H Q14 shape (promo revenue share): one month of
+    * lineitem broadcast-joined to part, a conditional/total decimal-sum
+    * ratio in a single-row aggregate. The date range reaches the lineitem
+    * scan as pushed filters; part broadcasts, so the only exchange is the
+    * 1-row partial/final agg — the plan survives any fact-table scale.
+    */
+  def qJ15(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val vol = col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast(dec)))
+          .cast("double") /
+        sum(vol).cast("double"), 6).as("promo_revenue"))
+  }
+
+  /** Q-Q07 — TPC-H Q22 shape (dormant high-balance customers): the
+    * global positive-balance average is a 1-row exact-decimal aggregate
+    * (broadcast), "no recent orders" is a left-anti join against the
+    * date-pruned orders scan, then a per-nation rollup. No correlated
+    * re-scan of orders per customer — the anti join is one shuffle.
+    */
+  def qQ07(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val thr = c.filter(col("c_acctbal") > 0).agg(davg(col("c_acctbal")).as("thr"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Q-A18 — per-group z-score outliers, two-pass: pass 1 reduces orders
+    * to a per-priority (Σx, Σx², n) triple via exact DECIMAL sums (order-
+    * independent, so μ/σ are bit-deterministic across partition orders and
+    * engines — stddev_samp over raw doubles would not be), pass 2
+    * broadcast-joins the 5-row stats table back and filters |z| > 1.5
+    * (the corpus totalprice is near-uniform, so max |z| ≈ √3 — a 2σ+
+    * threshold would select nothing at any scale factor).
+    * The stats side never grows with the fact table, so both passes are
+    * single fact-scan + tiny exchange at any scale.
+    */
+  def qA18(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val o = Tables.orders(s, d)
+    val stats = o.groupBy("o_orderpriority")
+      .agg(
+        sum(col("o_totalprice").cast(dec)).as("sx"),
+        sum(col("o_totalprice").cast(dec) * col("o_totalprice").cast(dec)).as("sxx"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        (col("sx").cast("double") / col("n")).as("mu"),
+        sqrt((col("sxx").cast("double") - col("sx").cast("double") *
+          col("sx").cast("double") / col("n")) / (col("n") - 1)).as("sigma"))
+    o.join(broadcast(stats), "o_orderpriority")
+      .withColumn("z", (col("o_totalprice") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 1.5)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        round(col("z"), 4).as("z"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -333,4 +333,27 @@ object TrainPrep {
         sum(when(fStop, 1L).otherwise(0L)).as("pass_stop"),
         sum(when(fLen && fWlen && fRep && fStop, 1L).otherwise(0L)).as("pass_all"))
   }
+
+  /** Q-L30 — per-language length trimming (drop the p5/p95 tails of
+    * `n_chars` within each language before training). Pass 1 reduces the
+    * corpus to one (lo, hi) row per language — a bounded, broadcastable
+    * stats table; pass 2 re-scans with the broadcast bounds, so no
+    * per-language window sort of the full corpus ever happens. The exact
+    * `percentile` aggregate buffers each group's values (fine per-language
+    * here and required for bit-parity with the DuckDB quantile_cont
+    * oracle); at 100 TB swap it for `approx_percentile` — pass 2 and the
+    * plan shape are unchanged.
+    */
+  def qL30(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bounds = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, array(0.05D, 0.95D))").as("b"))
+      .select(col("lang"), col("b").getItem(0).as("lo"), col("b").getItem(1).as("hi"))
+    docs.join(broadcast(bounds), Seq("lang"))
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("lang")
+  }
 }

@@ -743,4 +743,94 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(sampled.count() == expected)
   }
+
+  test("q14 promo share: part broadcasts, value in (0, 100)") {
+    import graft.operators.Relational
+    val q = Relational.qJ15(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"part not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+    val v = q.head().getDouble(0)
+    assert(v > 0 && v < 100, s"promo share out of range: $v")
+  }
+
+  test("q22 dormant customers: anti-join set respects both predicates") {
+    import graft.operators.Relational
+    val got = Relational.qQ07(spark, sfDir).agg(sum("numcust")).head().getLong(0)
+    // brute-force the same definition with independent DataFrame code
+    val c = Tables.customer(spark, sfDir)
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("t")).head().getDouble(0)
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val expected = c.filter(col("c_acctbal") > thr)
+      .select("c_custkey").collect().map(_.getLong(0))
+      .count(k => !recent.contains(k))
+    assert(got == expected, s"q22 numcust $got != brute-force $expected")
+  }
+
+  test("z-score outliers: stats side broadcasts; every row exceeds threshold") {
+    import graft.operators.Relational
+    val q = Relational.qA18(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"stats not broadcast:\n$plan")
+    val rows = q.collect()
+    assert(rows.nonEmpty, "threshold selects nothing at sf0.001")
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) > 1.5 - 1e-9))
+  }
+
+  test("dup-ngram ratio: exact on a constructed doc; corpus output shuffle-free") {
+    import spark.implicits._
+    import graft.operators.LLMOps
+    // "a b a b a b" → shingles: "a b a","b a b","a b a","b a b" = 4 total, 2 distinct
+    val df = Seq("a b a b a b").toDF("text")
+      .select(LLMOps.shingles(LLMOps.tokens(col("text")), 3).as("shl"))
+      .select(size(col("shl")).as("n"), size(array_distinct(col("shl"))).as("d"))
+      .head()
+    assert(df.getInt(0) == 4 && df.getInt(1) == 2)
+    val q = LLMOps.qL28(spark, sfDir)
+    // per-row math + TakeOrdered only — no hash-partition exchange anywhere
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"qL28 shuffles:\n$plan")
+    val rows = q.collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // distinct <= total
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+    }
+    // ranked non-increasing
+    assert(rows.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("type-token ratio: vocab bounds and no Expand in the plan") {
+    import graft.operators.LLMOps
+    val q = LLMOps.qL29(spark, sfDir)
+    // the two-level rewrite must not plan the distinct-agg Expand
+    assert(!q.queryExecution.executedPlan.toString.contains("Expand"))
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vocab, toks, ttr) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(vocab >= 1 && vocab <= toks)
+      assert(math.abs(ttr - vocab.toDouble / toks) < 1e-12)
+    }
+  }
+
+  test("length trim keeps ~90% of each language between its exact p5/p95") {
+    import graft.operators.TrainPrep
+    val kept = TrainPrep.qL30(spark, sfDir).collect()
+    val totals = Tables.documents(spark, sfDir).groupBy("lang")
+      .agg(count(lit(1)).as("n"), min("n_chars").as("mn"), max("n_chars").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(kept.nonEmpty && kept.length == totals.size)
+    kept.foreach { r =>
+      val (n, mn, mx) = totals(r.getString(0))
+      val frac = r.getLong(1).toDouble / n
+      // exact p5/p95 bounds keep 90% ± discreteness slack on small groups
+      assert(frac >= 0.80 && frac <= 0.95, s"${r.getString(0)} kept $frac")
+      assert(r.getLong(2) >= mn && r.getLong(3) <= mx)
+    }
+  }
 }
