@@ -185,6 +185,11 @@ object SparkEntry {
     "q_l28_dup_ngrams"     -> (LLMOps.qL28 _),
     "q_l29_ttr"            -> (LLMOps.qL29 _),
     "q_l30_length_trim"    -> (TrainPrep.qL30 _),
+    // r5 batch 3: event-time trailing window, int8-quantized cosine
+    // top-k, vocabulary construction
+    "q_w07_trailing_window" -> (Temporal.qW07 _),
+    "q_l31_quantized_topk"  -> ((s: SparkSession, dir: String) => Similarity.qL31(s, dir)),
+    "q_l32_vocab_build"     -> (LLMOps.qL32 _),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -575,5 +580,15 @@ object SparkEntry {
       """WITH tc AS (SELECT source, token, COUNT(*) AS c FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY source, token) SELECT source, COUNT(*) AS vocab, CAST(SUM(c) AS BIGINT) AS tokens, CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr FROM tc GROUP BY source ORDER BY source""",
     "q_l30_length_trim" ->
       """WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY lang) SELECT lang, COUNT(*) AS kept_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars FROM documents JOIN b USING (lang) WHERE n_chars >= lo AND n_chars <= hi GROUP BY lang ORDER BY lang""",
+    // frame membership on exact epoch micros; decimal window sum
+    "q_w07_trailing_window" ->
+      """SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_sum, COUNT(*) OVER w AS trail_cnt FROM (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events) e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) ORDER BY user_id, event_id""",
+    // int8 codes via explicit floor(x+0.5) half-up rounding (round() is
+    // half-even in one engine and half-up in the other); BIGINT dot/norms
+    // make the final cosine a single deterministic double
+    "q_l31_quantized_topk" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127.0 + 0.5) AS INT)) AS qv FROM embeddings), q0 AS (SELECT qv AS qv0 FROM q WHERE vec_id = 0) SELECT vec_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(qv, qv0), p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))), (a, b) -> a + b) AS DOUBLE)) * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv0, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))), (a, b) -> a + b) AS DOUBLE))) AS sim_q FROM q, q0 WHERE vec_id <> 0 ORDER BY sim_q DESC, vec_id LIMIT 10""",
+    "q_l32_vocab_build" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id, token, cnt FROM (SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token) c ORDER BY token_id""",
   )
 }

@@ -406,4 +406,24 @@ object LLMOps {
       .select(col("source"), col("vocab"), col("tokens"),
         (col("vocab").cast("double") / col("tokens")).as("ttr"))
       .orderBy("source")
+
+  /** Q-L32 — vocabulary construction: frequency-ranked token → id table,
+    * the tokenizer-training output every corpus pipeline persists. The
+    * corpus-sized work is the map-side-combined token count; the
+    * unpartitioned ranking window then sorts only the VOCABULARY (a
+    * bounded artifact — ids must be globally dense, so a global order is
+    * the semantics, not an accident), which is why the single-partition
+    * window is acceptable here and nowhere near the corpus scan.
+    */
+  def qL32(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
+          .cast("long"))
+      .select("token_id", "token", "cnt")
+      .orderBy("token_id")
+  }
 }

@@ -120,4 +120,46 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .orderBy("id_a", "id_b")
   }
+
+  /** Per-vector int8 scalar quantization: max-abs scale to [-127, 127],
+    * explicit half-up rounding (`floor(x + 0.5)`) so Spark and any oracle
+    * engine quantize identically — `round()`'s half-even/half-up choice is
+    * engine-specific, `floor` is not.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("maxabs",
+        aggregate(col(vecCol), lit(0.0), (m, x) => greatest(m, abs(x.cast("double")))))
+      .withColumn("qv", transform(col(vecCol),
+        x => floor(x.cast("double") / col("maxabs") * 127.0 + 0.5).cast("int")))
+
+  /** Q-L31 — quantized cosine top-k: the memory/bandwidth lever for the
+    * 100 TB ANN path. int8 codes are 4× narrower than float32 — the scan,
+    * the shuffle, and the broadcast all shrink 4×; at cluster scale the
+    * quantized corpus is what you persist and the full-precision vectors
+    * are fetched only for reranking the top candidates. The dot product
+    * and norms are exact BIGINT folds over the int8 codes, so the final
+    * cosine is one deterministic double — hash-comparable, unlike any
+    * float32 accumulation. Same single-pass broadcast shape as qL02.
+    */
+  def qL31(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val quantized = quantizeInt8(Tables.embeddings(s, d), "embedding")
+      .select("vec_id", "qv")
+    val q0 = quantized.filter(col("vec_id") === 0).select(col("qv").as("qv0"))
+    def sqnorm(c: Column): Column =
+      aggregate(transform(c, x => x.cast("long") * x.cast("long")),
+        lit(0L), (acc, z) => acc + z)
+    quantized.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("qv"), col("qv0"),
+          (a, b) => a.cast("long") * b.cast("long")), lit(0L), (acc, z) => acc + z)
+          .as("dotq"),
+        sqnorm(col("qv")).as("nq"), sqnorm(col("qv0")).as("nq0"))
+      .select(col("vec_id"),
+        (col("dotq").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nq0").cast("double"))))
+          .as("sim_q"))
+      .orderBy(col("sim_q").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Temporal / event-time operators (SURVEY §2.D Q-T01/Q-T02). These are the
   * batch analogs of the streaming windows in [[graft.streaming.StreamOps]];
@@ -150,5 +151,27 @@ object Temporal {
       .groupBy(col("cohort"), expr("datediff(wk, cohort) div 7").as("week_offset"))
       .agg(countDistinct(col("user_id")).as("users"))
       .orderBy("cohort", "week_offset")
+  }
+
+  /** Q-W07 — event-time trailing window: at every event, the user's
+    * 7-day trailing spend and event count. A RANGE frame over exact
+    * epoch MICROseconds (integers — qT02's trick, so frame membership
+    * can't drift on float time math) with an exact-decimal sum. One
+    * shuffle on user_id; each user's timeline sorts independently, so
+    * the plan scales with users, not with any global ordering. Unlike
+    * qT03's fixed sliding buckets, the window here is anchored to each
+    * ROW — per-event features (fraud scores, rate limits) rather than
+    * per-bucket dashboards.
+    */
+  def qW07(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-604800000000L, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("trail_sum",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .withColumn("trail_cnt", count(lit(1)).over(w))
+      .select("user_id", "event_id", "trail_sum", "trail_cnt")
+      .orderBy("user_id", "event_id")
   }
 }

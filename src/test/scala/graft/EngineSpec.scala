@@ -818,6 +818,51 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("trailing 7-day window: monotone within the frame, one user exchange") {
+    import graft.operators.Temporal
+    val q = Temporal.qW07(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1,
+      s"qW07 re-shuffles:\n$plan")
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // every event contributes to its own frame
+    rows.foreach(r => assert(r.getLong(3) >= 1))
+    // the whole-history check: a user's final trailing count never exceeds
+    // their total event count
+    val totals = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      assert(rs.map(_.getLong(3)).max <= totals(u))
+    }
+  }
+
+  test("int8 quantization: exact codes on a known vector; top-k recall vs exact") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // maxabs = 2.0 → codes floor(x/2*127+0.5): 1.0→64, -0.5→floor(-31.25)=-32,
+    // 2.0→127, 0→0 (floor-based half-up rounds -31.75 away from zero)
+    val df = Seq((1L, Seq(1.0f, -0.5f, 2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "embedding")
+      .select("qv").head().getSeq[Int](0)
+    assert(got == Seq(64, -32, 127, 0), s"codes $got")
+    // quantized top-10 should largely agree with exact float cosine top-10
+    val exact = Similarity.qL02(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val quant = Similarity.qL31(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert((exact & quant).size >= 7,
+      s"quantized recall too low: ${(exact & quant).size}/10")
+  }
+
+  test("vocab build: dense contiguous ids, frequency-ranked") {
+    import graft.operators.LLMOps
+    val rows = LLMOps.qL32(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).toSeq == rows.indices.map(_.toLong))
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.sliding(2).forall(p => p(0) >= p(1)), "counts not non-increasing")
+    assert(rows.map(_.getString(1)).distinct.length == rows.length)
+  }
+
   test("length trim keeps ~90% of each language between its exact p5/p95") {
     import graft.operators.TrainPrep
     val kept = TrainPrep.qL30(spark, sfDir).collect()
