@@ -190,6 +190,9 @@ object SparkEntry {
     "q_w07_trailing_window" -> (Temporal.qW07 _),
     "q_l31_quantized_topk"  -> ((s: SparkSession, dir: String) => Similarity.qL31(s, dir)),
     "q_l32_vocab_build"     -> (LLMOps.qL32 _),
+    // clone reconciliation: distributed diff + order-independent checksum
+    "q_m07_table_diff"      -> (Profiler.qM07 _),
+    "q_m08_checksum"        -> (Profiler.qM08 _),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -221,6 +224,23 @@ object SparkEntry {
     */
   private val l05OracleSql: String =
     s"""WITH $shingleCtes, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM hh), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c JOIN hs x ON x.doc_id = c.doc_a JOIN hs y ON y.doc_id = c.doc_b AND y.h = x.h GROUP BY 1, 2) SELECT i.doc_a, i.doc_b, CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.2 ORDER BY doc_a, doc_b"""
+
+  /** DuckDB spelling of the portable poly-hash fold over a string
+    * expression (the [[graft.functions.PolyHash]] twin — same fold as the
+    * shingle CTEs above, parameterized for the q_m07/q_m08 row
+    * fingerprints).
+    */
+  private def duckPoly(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($e) + 1), i -> CAST(ord(substr($e, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+
+  /** DuckDB spelling of [[graft.operators.Profiler.canonicalRow]] —
+    * generated from the same column spec so the two sides cannot drift.
+    */
+  private def duckCanon(cols: Seq[(String, Boolean)]): String =
+    "concat_ws('|', " + cols.map { case (c, num) =>
+      if (num) s"CAST(CAST($c AS DECIMAL(38,2)) AS VARCHAR)"
+      else s"CAST($c AS VARCHAR)"
+    }.mkString(", ") + ")"
 
   /** DuckDB oracle SQL per query (omitted → driver rows-only check).
     * Column names and types must match the Spark result exactly.
@@ -590,5 +610,17 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127.0 + 0.5) AS INT)) AS qv FROM embeddings), q0 AS (SELECT qv AS qv0 FROM q WHERE vec_id = 0) SELECT vec_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(qv, qv0), p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))), (a, b) -> a + b) AS DOUBLE)) * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv0, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))), (a, b) -> a + b) AS DOUBLE))) AS sim_q FROM q, q0 WHERE vec_id <> 0 ORDER BY sim_q DESC, vec_id LIMIT 10""",
     "q_l32_vocab_build" ->
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id, token, cnt FROM (SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token) c ORDER BY token_id""",
+    // q_m07/q_m08: fingerprints generated from Profiler.checksumTables —
+    // the oracle derives the same drift views / canonical row strings
+    "q_m07_table_diff" -> {
+      val cols = Profiler.checksumTables.toMap.apply("orders")
+      val fp = duckPoly(duckCanon(cols))
+      s"""WITH src AS (SELECT o_orderkey AS k, $fp AS fp_s FROM orders WHERE o_orderkey % 101 <> 0), tgt0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 97 <> 0), tgt AS (SELECT o_orderkey AS k, $fp AS fp_t FROM tgt0) SELECT CAST(SUM(CASE WHEN fp_t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_source, CAST(SUM(CASE WHEN fp_s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_target, CAST(SUM(CASE WHEN fp_s IS NOT NULL AND fp_t IS NOT NULL AND fp_s <> fp_t THEN 1 ELSE 0 END) AS BIGINT) AS changed, CAST(SUM(CASE WHEN fp_s = fp_t THEN 1 ELSE 0 END) AS BIGINT) AS identical FROM src FULL JOIN tgt USING (k)"""
+    },
+    "q_m08_checksum" ->
+      (Profiler.checksumTables.map { case (t, cols) =>
+        s"SELECT '$t' AS table_name, COUNT(*) AS row_cnt, " +
+          s"CAST(SUM(${duckPoly(duckCanon(cols))}) AS BIGINT) AS checksum FROM $t"
+      }.mkString(" UNION ALL ") + " ORDER BY table_name"),
   )
 }

@@ -233,4 +233,91 @@ object Profiler {
     }
     arms.reduce(_ unionByName _).orderBy("child_table", "fk_col")
   }
+
+  // ------------------------------------------------- clone reconciliation
+
+  /** Column spec per checksummed table: (name, isNumeric). Numerics are
+    * canonicalized through DECIMAL(38,2) strings (the [[asPortableString]]
+    * discipline — double→string rendering is NOT engine-portable, decimal
+    * strings are); the q_m07/q_m08 oracle SQL is GENERATED from this same
+    * list, so the two sides cannot drift.
+    */
+  val checksumTables: Seq[(String, Seq[(String, Boolean)])] = Seq(
+    "region" -> Seq("r_regionkey" -> true, "r_name" -> false),
+    "nation" -> Seq("n_nationkey" -> true, "n_name" -> false,
+      "n_regionkey" -> true),
+    "supplier" -> Seq("s_suppkey" -> true, "s_name" -> false,
+      "s_nationkey" -> true, "s_acctbal" -> true),
+    "customer" -> Seq("c_custkey" -> true, "c_name" -> false,
+      "c_nationkey" -> true, "c_acctbal" -> true, "c_mktsegment" -> false),
+    "part" -> Seq("p_partkey" -> true, "p_name" -> false, "p_brand" -> false,
+      "p_type" -> false, "p_size" -> true, "p_retailprice" -> true),
+    "orders" -> Seq("o_orderkey" -> true, "o_custkey" -> true,
+      "o_orderstatus" -> false, "o_totalprice" -> true,
+      "o_orderdate" -> false, "o_orderpriority" -> false))
+
+  /** Canonical '|'-joined row rendering, engine-portable (see
+    * [[checksumTables]]); the row fingerprint is the portable poly hash of
+    * this string.
+    */
+  def canonicalRow(cols: Seq[(String, Boolean)]): Column =
+    concat_ws("|", cols.map { case (c, num) =>
+      if (num) col(c).cast(DecimalType(38, 2)).cast("string")
+      else col(c).cast("string")
+    }: _*)
+
+  /** Order-independent table content checksum: SUM of per-row portable
+    * poly-hash fingerprints (each < 10⁹, so the BIGINT sum is exact to
+    * ~9·10⁹ rows) plus the row count. The clone-fidelity primitive the
+    * reference lacks entirely: source and target compute one narrow
+    * aggregate each — no row shipping, no sort — and equal (row_cnt,
+    * checksum) pairs certify the copy. Per-table arms are independent
+    * jobs of one union, exactly like qM05's FK audit.
+    */
+  def qM08(s: SparkSession, d: String): DataFrame =
+    checksumTables.map { case (t, cols) =>
+      Tables.table(s, d, t)
+        .select(graft.functions.PolyHash(canonicalRow(cols)).as("h"))
+        .agg(count(lit(1)).as("row_cnt"), sum(col("h")).as("checksum"))
+        .select(lit(t).as("table_name"), col("row_cnt"), col("checksum"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+
+  /** Distributed table diff: key + row-fingerprint projections of both
+    * sides, one full-outer join on the key, and a four-way classification
+    * aggregate (only-source / only-target / changed / identical). Rows
+    * never ship — only (key, 8-byte fingerprint) pairs cross the shuffle,
+    * so the diff costs one narrow exchange per side at any table width.
+    * This is the incremental-sync planning primitive: only_source drives
+    * deletes, only_target inserts, changed updates.
+    */
+  def tableDiff(src: DataFrame, tgt: DataFrame, key: String,
+      cols: Seq[(String, Boolean)]): DataFrame = {
+    def fp(df: DataFrame, as: String) =
+      df.select(col(key).as("k"),
+        graft.functions.PolyHash(canonicalRow(cols)).as(as))
+    fp(src, "fp_s").join(fp(tgt, "fp_t"), Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("fp_t").isNull, 1L).otherwise(0L)).as("only_source"),
+        sum(when(col("fp_s").isNull, 1L).otherwise(0L)).as("only_target"),
+        sum(when(col("fp_s").isNotNull && col("fp_t").isNotNull &&
+          col("fp_s") =!= col("fp_t"), 1L).otherwise(0L)).as("changed"),
+        sum(when(col("fp_s") === col("fp_t"), 1L).otherwise(0L))
+          .as("identical"))
+  }
+
+  /** Q-M07 — diff of two deterministic views of `orders` simulating clone
+    * drift: the source drops every 101st key, the target drops every 97th
+    * and perturbs totalprice on every 89th — both sides of the oracle
+    * derive the same views, so the classification counts are exact.
+    */
+  def qM07(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val cols = checksumTables.toMap.apply("orders")
+    val src = o.filter(col("o_orderkey") % 101 =!= 0)
+    val tgt = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    tableDiff(src, tgt, "o_orderkey", cols)
+  }
 }

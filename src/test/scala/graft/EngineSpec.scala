@@ -863,6 +863,40 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getString(1)).distinct.length == rows.length)
   }
 
+  test("tableDiff classifies known drift exactly") {
+    import spark.implicits._
+    import graft.operators.Profiler
+    val cols = Seq("id" -> true, "v" -> false)
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val tgt = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d"), (5L, "e")).toDF("id", "v")
+    val r = Profiler.tableDiff(src, tgt, "id", cols).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 2L)),
+      s"diff classification wrong: $r")
+  }
+
+  test("content checksum is row-order independent and change-sensitive") {
+    import graft.operators.Profiler
+    val base = Profiler.qM08(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // same data, violently re-ordered → identical checksum
+    val orders = Tables.orders(spark, sfDir)
+      .repartition(7, col("o_orderpriority"))
+      .sortWithinPartitions(col("o_totalprice").desc)
+    val cols = Profiler.checksumTables.toMap.apply("orders")
+    val reordered = orders
+      .select(graft.functions.PolyHash(Profiler.canonicalRow(cols)).as("h"))
+      .agg(count(lit(1)), sum(col("h"))).head()
+    assert((reordered.getLong(0), reordered.getLong(1)) == base("orders"))
+    // a single changed value → different checksum
+    val perturbed = Tables.orders(spark, sfDir)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") === 1, col("o_totalprice") + 0.01)
+          .otherwise(col("o_totalprice")))
+      .select(graft.functions.PolyHash(Profiler.canonicalRow(cols)).as("h"))
+      .agg(sum(col("h"))).head().getLong(0)
+    assert(perturbed != base("orders")._2)
+  }
+
   test("length trim keeps ~90% of each language between its exact p5/p95") {
     import graft.operators.TrainPrep
     val kept = TrainPrep.qL30(spark, sfDir).collect()
