@@ -193,6 +193,11 @@ object SparkEntry {
     // clone reconciliation: distributed diff + order-independent checksum
     "q_m07_table_diff"      -> (Profiler.qM07 _),
     "q_m08_checksum"        -> (Profiler.qM08 _),
+    // TPC-H Q13/Q18/Q17/Q15 shapes
+    "q_a19_custdist"        -> (Relational.qA19 _),
+    "q_q08_tpch_q18"        -> (Relational.qQ08 _),
+    "q_j16_tpch_q17"        -> (Relational.qJ16 _),
+    "q_j17_tpch_q15"        -> (Relational.qJ17 _),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -622,5 +627,13 @@ object SparkEntry {
         s"SELECT '$t' AS table_name, COUNT(*) AS row_cnt, " +
           s"CAST(SUM(${duckPoly(duckCanon(cols))}) AS BIGINT) AS checksum FROM $t"
       }.mkString(" UNION ALL ") + " ORDER BY table_name"),
+    "q_a19_custdist" ->
+      """WITH c AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) SELECT c_count, COUNT(*) AS custdist FROM c GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q_q08_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 200.0) SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty FROM orders JOIN big ON o_orderkey = l_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_j16_tpch_q17" ->
+      """WITH j AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#23'), a AS (SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS aq FROM j GROUP BY l_partkey) SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly FROM j JOIN a USING (l_partkey) WHERE l_quantity < 0.2 * aq""",
+    "q_j17_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) SELECT s_suppkey, s_name, total_revenue FROM rev JOIN supplier ON l_suppkey = s_suppkey WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev) ORDER BY s_suppkey""",
   )
 }

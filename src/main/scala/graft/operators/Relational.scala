@@ -897,6 +897,87 @@ object Relational {
     * The stats side never grows with the fact table, so both passes are
     * single fact-scan + tiny exchange at any scale.
     */
+  /** Q-A19 — TPC-H Q13 shape (customer order-count distribution): left
+    * join keeps order-less customers (their c_count is 0 — the bucket the
+    * inner-join formulation silently drops), then a second aggregate over
+    * the per-customer counts. Both shuffles key on grouping columns with
+    * full map-side combine; the distribution output is bounded by the max
+    * order count, not the customer count.
+    */
+  def qA19(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q-Q08 — TPC-H Q18 shape (large-volume orders): the HAVING subquery
+    * is a pre-aggregated semi-side (order keys whose quantity sum clears
+    * the threshold), joined back to orders+customer. The heavy aggregate
+    * runs ONCE over lineitem with map-side combine; no correlated
+    * re-scan per order.
+    */
+  def qQ08(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 200.0)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q-J16 — TPC-H Q17 shape (small-quantity revenue, one brand): the
+    * correlated `avg quantity per part` subquery becomes a window over
+    * the brand-pruned join result — ONE scan of the fact table (the
+    * two-aggregate decorrelation scans it twice: the brand predicate
+    * lives on part, so nothing prunes the lineitem scans themselves),
+    * and the only exchange is the post-join subset (one brand ≈ 1/25 of
+    * rows) hashed by part key.
+    */
+  def qJ16(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+      .select("p_partkey")
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .withColumn("aq",
+        sum(col("l_quantity").cast(DecimalType(18, 2))).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** Q-J17 — TPC-H Q15 shape (top supplier by quarterly revenue): the
+    * revenue table aggregates once; its 1-row max broadcasts back as the
+    * selection predicate (exact-decimal revenue makes the equality safe);
+    * supplier attaches by broadcast. Returns every tied winner.
+    */
+  def qJ17(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("mr"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   def qA18(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(18, 2)
     val o = Tables.orders(s, d)

@@ -863,6 +863,27 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getString(1)).distinct.length == rows.length)
   }
 
+  test("tpch q13/q15/q17/q18 shapes: broadcast dims, zero-count bucket kept") {
+    import graft.operators.Relational
+    // Q13: the zero-order bucket must exist (left join, not inner)
+    val dist = Relational.qA19(spark, sfDir).collect()
+    val total = dist.map(_.getLong(1)).sum
+    assert(total == Tables.customer(spark, sfDir).count(),
+      "custdist buckets don't partition the customer set")
+    // Q17: ONE scan of lineitem (the per-part average rides a window over
+    // the brand-pruned subset, not a second fact-table pass)
+    val q17 = Relational.qJ16(spark, sfDir)
+    val p17 = q17.queryExecution.executedPlan.toString
+    assert(!p17.contains("SortMergeJoin"), s"q17 shuffled a join:\n$p17")
+    assert("lineitem\\.parquet".r.findAllMatchIn(p17).size == 1,
+      s"q17 scans lineitem more than once:\n$p17")
+    assert(q17.head().getDouble(0) > 0)
+    // Q15: returns at least one winner and all winners tie at the max
+    val winners = Relational.qJ17(spark, sfDir).collect()
+    assert(winners.nonEmpty)
+    assert(winners.map(_.getDouble(2)).distinct.length == 1)
+  }
+
   test("tableDiff classifies known drift exactly") {
     import spark.implicits._
     import graft.operators.Profiler
