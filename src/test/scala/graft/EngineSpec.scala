@@ -277,6 +277,32 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("zOrdered layout: per-file bounding boxes are tight in BOTH dimensions") {
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/li"
+    val li = Tables.lineitem(spark, sfDir)
+    Writers.zOrdered(li, dir, "l_partkey", "l_suppkey", numFiles = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 4, "need several files to measure locality")
+    val g = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val (pSpan, sSpan) = ((g.getLong(1) - g.getLong(0)).toDouble,
+      (g.getLong(3) - g.getLong(2)).toDouble)
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey"), count(lit(1))).head()
+      ((r.getLong(1) - r.getLong(0)).toDouble,
+        (r.getLong(3) - r.getLong(2)).toDouble, r.getLong(4))
+    }
+    assert(boxes.map(_._3).sum == li.count(), "z-order write lost rows")
+    // a single-key range layout leaves the OTHER dimension at ~full span
+    // per file; the Morton layout must shrink the mean span in BOTH
+    val meanP = boxes.map(_._1).sum / boxes.length
+    val meanS = boxes.map(_._2).sum / boxes.length
+    assert(meanP < 0.6 * pSpan, s"partkey span not clustered: $meanP vs $pSpan")
+    assert(meanS < 0.6 * sSpan, s"suppkey span not clustered: $meanS vs $sSpan")
+  }
+
   test("renderDdl rejects a non-key full-text key column and honors fullTextKeys") {
     import spark.implicits._
     // a 'documents' table whose LEADING column is non-unique: positional
