@@ -41,7 +41,7 @@ object Scale {
     // post-shuffle task is recomputed — a row could change buckets between
     // the original and replayed attempt, dropping/duplicating join rows
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(buckets)).cast("int"))
+      pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(buckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
