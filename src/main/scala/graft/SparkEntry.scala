@@ -222,7 +222,7 @@ object SparkEntry {
     * dedup oracles and q_l24's contamination oracle.
     */
   private val shingleCtes: String =
-    """w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), hs AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hh)"""
+    s"""w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> ${duckPoly("sh")}) AS hl FROM sl), hs AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hh)"""
 
   /** q_l05's oracle — the verified n-gram-Jaccard pair pipeline — shared
     * with q_l19, whose transitive-closure oracle clusters the same pairs.
@@ -612,7 +612,7 @@ object SparkEntry {
     // half-even in one engine and half-up in the other); BIGINT dot/norms
     // make the final cosine a single deterministic double
     "q_l31_quantized_topk" ->
-      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) * 127.0 + 0.5) AS INT)) AS qv FROM embeddings), q0 AS (SELECT qv AS qv0 FROM q WHERE vec_id = 0) SELECT vec_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(qv, qv0), p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))), (a, b) -> a + b) AS DOUBLE)) * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv0, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))), (a, b) -> a + b) AS DOUBLE))) AS sim_q FROM q, q0 WHERE vec_id <> 0 ORDER BY sim_q DESC, vec_id LIMIT 10""",
+      """WITH m AS (SELECT vec_id, embedding, CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 1.0 ELSE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) END AS maxabs FROM embeddings), q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / maxabs * 127.0 + 0.5) AS INT)) AS qv FROM m), q0 AS (SELECT qv AS qv0 FROM q WHERE vec_id = 0) SELECT vec_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(qv, qv0), p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))), (a, b) -> a + b) AS DOUBLE)) * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv0, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))), (a, b) -> a + b) AS DOUBLE))) AS sim_q FROM q, q0 WHERE vec_id <> 0 ORDER BY sim_q DESC, vec_id LIMIT 10""",
     "q_l32_vocab_build" ->
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id, token, cnt FROM (SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token) c ORDER BY token_id""",
     // q_m07/q_m08: fingerprints generated from Profiler.checksumTables —

@@ -133,9 +133,17 @@ object Writers {
     val mm = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    if (mm.isNullAt(0)) { // empty input: nothing to cluster, still write it
+      df.write.mode(mode).parquet(path)
+      return
+    }
+    // scale in DOUBLE: a long (x-lo)*(2^bits-1) product overflows for key
+    // spans beyond ~1.4e14 (epoch-micros columns spanning years — the
+    // advertised use case) and would silently garble every code
     def norm(c: Column, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else (c.cast("long") - lit(lo)) * lit((1L << bits) - 1) / lit(hi - lo)
+      else ((c.cast("double") - lit(lo.toDouble)) / lit((hi - lo).toDouble) *
+        lit(((1L << bits) - 1).toDouble)).cast("long")
     df.withColumn("_z", zValue(
         norm(col(colA), mm.getLong(0), mm.getLong(1)),
         norm(col(colB), mm.getLong(2), mm.getLong(3)), bits))

@@ -887,16 +887,6 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
-  /** Q-A18 — per-group z-score outliers, two-pass: pass 1 reduces orders
-    * to a per-priority (Σx, Σx², n) triple via exact DECIMAL sums (order-
-    * independent, so μ/σ are bit-deterministic across partition orders and
-    * engines — stddev_samp over raw doubles would not be), pass 2
-    * broadcast-joins the 5-row stats table back and filters |z| > 1.5
-    * (the corpus totalprice is near-uniform, so max |z| ≈ √3 — a 2σ+
-    * threshold would select nothing at any scale factor).
-    * The stats side never grows with the fact table, so both passes are
-    * single fact-scan + tiny exchange at any scale.
-    */
   /** Q-A19 — TPC-H Q13 shape (customer order-count distribution): left
     * join keeps order-less customers (their c_count is 0 — the bucket the
     * inner-join formulation silently drops), then a second aggregate over
@@ -978,6 +968,16 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Q-A18 — per-group z-score outliers, two-pass: pass 1 reduces orders
+    * to a per-priority (Σx, Σx², n) triple via exact DECIMAL sums (order-
+    * independent, so μ/σ are bit-deterministic across partition orders and
+    * engines — stddev_samp over raw doubles would not be), pass 2
+    * broadcast-joins the 5-row stats table back and filters |z| > 1.5
+    * (the corpus totalprice is near-uniform, so max |z| ≈ √3 — a 2σ+
+    * threshold would select nothing at any scale factor).
+    * The stats side never grows with the fact table, so both passes are
+    * single fact-scan + tiny exchange at any scale.
+    */
   def qA18(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(18, 2)
     val o = Tables.orders(s, d)

@@ -124,13 +124,18 @@ object Similarity {
   /** Per-vector int8 scalar quantization: max-abs scale to [-127, 127],
     * explicit half-up rounding (`floor(x + 0.5)`) so Spark and any oracle
     * engine quantize identically — `round()`'s half-even/half-up choice is
-    * engine-specific, `floor` is not.
+    * engine-specific, `floor` is not. An all-zero vector scales by 1
+    * instead of 0 (codes stay 0) — dividing by a 0 max-abs would emit
+    * all-NULL codes under Spark's non-ANSI division and NaN elsewhere.
     */
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("maxabs",
         aggregate(col(vecCol), lit(0.0), (m, x) => greatest(m, abs(x.cast("double")))))
       .withColumn("qv", transform(col(vecCol),
-        x => floor(x.cast("double") / col("maxabs") * 127.0 + 0.5).cast("int")))
+        x => floor(x.cast("double") /
+          when(col("maxabs") === 0.0, 1.0).otherwise(col("maxabs")) *
+          127.0 + 0.5).cast("int")))
+      .drop("maxabs")
 
   /** Q-L31 — quantized cosine top-k: the memory/bandwidth lever for the
     * 100 TB ANN path. int8 codes are 4× narrower than float32 — the scan,

@@ -301,6 +301,11 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val meanS = boxes.map(_._2).sum / boxes.length
     assert(meanP < 0.6 * pSpan, s"partkey span not clustered: $meanP vs $pSpan")
     assert(meanS < 0.6 * sSpan, s"suppkey span not clustered: $meanS vs $sSpan")
+    // empty input: the stats pre-pass yields null min/max — must write an
+    // empty dataset, not throw
+    val emptyDir = Files.createTempDirectory("graft-zorder-empty").toString + "/e"
+    Writers.zOrdered(li.filter(lit(false)), emptyDir, "l_partkey", "l_suppkey")
+    assert(spark.read.parquet(emptyDir).count() == 0)
   }
 
   test("renderDdl rejects a non-key full-text key column and honors fullTextKeys") {
@@ -872,6 +877,12 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val got = Similarity.quantizeInt8(df, "embedding")
       .select("qv").head().getSeq[Int](0)
     assert(got == Seq(64, -32, 127, 0), s"codes $got")
+    // the scratch column must not leak, and an all-zero vector must code
+    // to zeros (not NULLs from a 0-divisor)
+    val zero = Similarity.quantizeInt8(
+      Seq((2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding"), "embedding")
+    assert(zero.columns.toSeq == Seq("vec_id", "embedding", "qv"))
+    assert(zero.select("qv").head().getSeq[Int](0) == Seq(0, 0))
     // quantized top-10 should largely agree with exact float cosine top-10
     val exact = Similarity.qL02(spark, sfDir).collect().map(_.getLong(0)).toSet
     val quant = Similarity.qL31(spark, sfDir).collect().map(_.getLong(0)).toSet
