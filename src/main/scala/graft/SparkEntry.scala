@@ -198,6 +198,8 @@ object SparkEntry {
     "q_q08_tpch_q18"        -> (Relational.qQ08 _),
     "q_j16_tpch_q17"        -> (Relational.qJ16 _),
     "q_j17_tpch_q15"        -> (Relational.qJ17 _),
+    // bucketed two-sample KS drift statistic
+    "q_a20_ks_drift"        -> ((s: SparkSession, dir: String) => Profiler.qA20(s, dir)),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -635,5 +637,9 @@ object SparkEntry {
       """WITH j AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#23'), a AS (SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS aq FROM j GROUP BY l_partkey) SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly FROM j JOIN a USING (l_partkey) WHERE l_quantity < 0.2 * aq""",
     "q_j17_tpch_q15" ->
       """WITH rev AS (SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) SELECT s_suppkey, s_name, total_revenue FROM rev JOIN supplier ON l_suppkey = s_suppkey WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev) ORDER BY s_suppkey""",
+    // shared-bucket discipline (q_m06) + integer cumulative counts divided
+    // once in double → bit-deterministic KS statistic
+    "q_a20_ks_drift" ->
+      """WITH o AS (SELECT o_orderpriority AS p, o_totalprice AS x FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM o), counts AS (SELECT least(CAST(floor((x - mn) * 20 / (mx - mn)) AS BIGINT), 19) AS bucket, CAST(SUM(CASE WHEN p = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS ca, CAST(SUM(CASE WHEN p = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS cb FROM o, mm GROUP BY bucket), c AS (SELECT bucket, SUM(ca) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a, SUM(cb) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b FROM counts), n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM counts) SELECT na AS n_a, nb AS n_b, MAX(ABS(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)) AS ks_stat FROM c, n GROUP BY na, nb""",
   )
 }

@@ -305,6 +305,40 @@ object Profiler {
           .as("identical"))
   }
 
+  /** Q-A20 — bucketed two-sample Kolmogorov–Smirnov drift statistic
+    * between two order-priority totalprice distributions (the
+    * train/serve-skew detector a production pipeline runs between
+    * yesterday's and today's feature distributions). One pass buckets
+    * both samples over the combined min/max (qM06's shared-bucket
+    * discipline, so both engines bucket identically); the CDF compare
+    * then runs on `buckets` rows — a window over 20 rows, nowhere near
+    * the fact table. All arithmetic is integer counts divided once in
+    * double, so the statistic is bit-deterministic.
+    */
+  def qA20(s: SparkSession, d: String, buckets: Int = 20): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("p"), col("o_totalprice").as("x"))
+    val mm = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val counts = o.crossJoin(broadcast(mm))
+      .select(col("p"),
+        expr(s"least(CAST(floor((x - mn) * $buckets / (mx - mn)) AS BIGINT), ${buckets - 1})")
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("p") === "1-URGENT", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("p") === "5-LOW", 1L).otherwise(0L)).as("cb"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .crossJoin(broadcast(counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("cum_a").cast("double") / col("na") -
+          col("cum_b").cast("double") / col("nb"))).as("ks_stat"))
+  }
+
   /** Q-M07 — diff of two deterministic views of `orders` simulating clone
     * drift: the source drops every 101st key, the target drops every 97th
     * and perturbs totalprice on every 89th — both sides of the oracle

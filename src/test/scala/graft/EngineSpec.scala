@@ -921,6 +921,18 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(winners.map(_.getDouble(2)).distinct.length == 1)
   }
 
+  test("KS drift: sample sizes partition the input; statistic bounded") {
+    import graft.operators.Profiler
+    val r = Profiler.qA20(spark, sfDir).head()
+    val o = Tables.orders(spark, sfDir)
+    assert(r.getLong(0) == o.filter(col("o_orderpriority") === "1-URGENT").count())
+    assert(r.getLong(1) == o.filter(col("o_orderpriority") === "5-LOW").count())
+    val ks = r.getDouble(2)
+    assert(ks >= 0.0 && ks <= 1.0, s"ks out of range: $ks")
+    // both samples draw from the same synthetic distribution: drift small
+    assert(ks < 0.2, s"same-distribution KS unexpectedly large: $ks")
+  }
+
   test("tableDiff classifies known drift exactly") {
     import spark.implicits._
     import graft.operators.Profiler
