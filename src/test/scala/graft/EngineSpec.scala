@@ -277,6 +277,53 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("zValue matches a reference Morton interleave on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(300)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    val got = cases.toDF("a", "b")
+      .select(Writers.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (a, b) => morton(a, b) })
+  }
+
+  test("AQE splits a skewed shuffle join at runtime") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carrying ~95% of rows, plus a uniform tail
+      val pad = "x" * 64
+      val large = ((1 to 60000).map(_ => 1L) ++ (1 to 3000).map(i => (i % 50 + 2).toLong))
+        .toDF("k").withColumn("pad", lit(pad))
+      val small = (1L to 60L).toDF("k").withColumn("v", col("k") * 10)
+      val joined = large.join(small, "k")
+      // materialize THROUGH this DataFrame's own QueryExecution (count()
+      // plans a separate aggregate query, leaving this plan un-finalized)
+      assert(joined.collect().length == 63000)
+      val plan = joined.queryExecution.executedPlan.toString
+      // AQE marks the rebalanced shuffle read; the skew-split must have fired
+      assert(plan.contains("AQEShuffleRead skewed"),
+        s"AQE skew split did not fire:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("zOrdered layout: per-file bounding boxes are tight in BOTH dimensions") {
     val dir = Files.createTempDirectory("graft-zorder").toString + "/li"
     val li = Tables.lineitem(spark, sfDir)
