@@ -473,17 +473,19 @@ object SparkEntry {
       """WITH m AS (SELECT doc_id, ['png','bmp','wav','mp4'][CAST(((doc_id % 1000003 + 0) * 2654435761) % 4 AS INT) + 1] AS format, CASE WHEN ((doc_id % 1000003 + 0) * 2654435761) % 4 < 2 THEN ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 ELSE ((doc_id % 1000003 + 1) * 2654435761) % 1920 + 16 END AS width, CASE WHEN ((doc_id % 1000003 + 0) * 2654435761) % 4 < 2 THEN ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 ELSE ((doc_id % 1000003 + 2) * 2654435761) % 1080 + 16 END AS height, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS n_frames FROM documents) SELECT format, COUNT(*) AS n, CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_w, CAST(SUM(height) AS DOUBLE) / COUNT(*) AS avg_h, CAST(SUM(n_frames) AS BIGINT) AS frames_total FROM m GROUP BY format ORDER BY format""",
     "q_mm03_frame_sample" ->
       """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 0) * 2654435761) % 4 AS f, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS n_frames FROM documents) SELECT doc_id, CAST((n_frames - 1) // 10 + 1 AS BIGINT) AS n_sampled FROM m WHERE f = 3 ORDER BY doc_id""",
-    // q_mm02 (r5): regenerate the image rows' expected pixels — the same
-    // splitmix64 stream Multimodal.syntheticImage emits, via 64-bit
-    // wrapping arithmetic on HUGEINT (32-bit-half school multiplication;
-    // xor on BIGINT halves) — then fold luminance into the same 16
-    // integer-exact buckets the decoder uses, divide once, round to
-    // float32, and left-fold the squared norm. A bit-identical sq_norm
-    // proves Spark's ImageIO encode→decode round-trip is lossless AND the
-    // feature fold is channel-order correct. wav/mp4 rows fold the UTF-8
-    // text bytes (ASCII corpus: byte i == codepoint of char i+1).
+    // q_mm02 (r5): regenerate the image rows' expected pixels AND the wav
+    // rows' expected PCM samples — the same splitmix64 stream
+    // Multimodal.syntheticImage/syntheticSample emit, via 64-bit wrapping
+    // arithmetic on HUGEINT (32-bit-half school multiplication; xor on
+    // BIGINT halves) — then fold luminance (images, /765) or |amplitude|
+    // (audio, /32768) into the same 16 integer-exact buckets the decoders
+    // use, divide once, round to float32, and left-fold the squared norm.
+    // A bit-identical sq_norm proves Spark's ImageIO AND RIFF/PCM
+    // encode→decode round-trips are lossless and the folds are
+    // channel/sample-order correct. Only mp4 rows fold the UTF-8 text
+    // bytes (ASCII corpus: byte i == codepoint of char i+1).
     "q_mm02_features" ->
-      """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 0) * 2654435761) % 4 AS f, ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 AS w, ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 AS h, text FROM documents), px AS (SELECT doc_id, unnest(range(0, w*h)) AS i FROM m WHERE f < 2), s0 AS (SELECT doc_id, i % 16 AS b, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM px), x1 AS (SELECT doc_id, b, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, b, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, b, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, b, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, b, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), ilum AS (SELECT doc_id, b, ((z % 16777216) // 65536) + ((z % 65536) // 256) + (z % 256) AS v FROM z3), ibuck AS (SELECT doc_id, b, CAST(CAST(SUM(v) AS DOUBLE) / 765.0 AS FLOAT) AS fv FROM ilum GROUP BY doc_id, b), by0 AS (SELECT doc_id, unnest(range(0, length(text))) AS i, text FROM m WHERE f >= 2), sbuck AS (SELECT doc_id, i % 16 AS b, CAST(CAST(SUM(ord(substr(text, CAST(i+1 AS INT), 1))) AS DOUBLE) / 255.0 AS FLOAT) AS fv FROM by0 GROUP BY doc_id, i % 16), allb AS (SELECT * FROM ibuck UNION ALL SELECT * FROM sbuck), fl AS (SELECT doc_id, list(fv ORDER BY b) AS feats FROM allb GROUP BY doc_id) SELECT doc_id, list_reduce(list_prepend(0.0, list_transform(feats, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, c) -> a + c) AS sq_norm FROM fl ORDER BY doc_id""",
+      """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 0) * 2654435761) % 4 AS f, ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 AS w, ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 AS h, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns, text FROM documents), idx AS (SELECT doc_id, unnest(range(0, w*h)) AS i, 'img' AS kind FROM m WHERE f < 2 UNION ALL SELECT doc_id, unnest(range(0, ns)) AS i, 'wav' AS kind FROM m WHERE f = 2), s0 AS (SELECT doc_id, kind, i % 16 AS b, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT doc_id, kind, b, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, kind, b, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, kind, b, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, kind, b, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, kind, b, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), vals AS (SELECT doc_id, kind, b, CASE WHEN kind = 'img' THEN ((z % 16777216) // 65536) + ((z % 65536) // 256) + (z % 256) ELSE ABS((z % 65536) - 32768) END AS v FROM z3), buck AS (SELECT doc_id, b, CAST(CAST(SUM(v) AS DOUBLE) / CASE WHEN kind = 'img' THEN 765.0 ELSE 32768.0 END AS FLOAT) AS fv FROM vals GROUP BY doc_id, kind, b), by0 AS (SELECT doc_id, unnest(range(0, length(text))) AS i, text FROM m WHERE f = 3), sbuck AS (SELECT doc_id, i % 16 AS b, CAST(CAST(SUM(ord(substr(text, CAST(i+1 AS INT), 1))) AS DOUBLE) / 255.0 AS FLOAT) AS fv FROM by0 GROUP BY doc_id, i % 16), allb AS (SELECT * FROM buck UNION ALL SELECT * FROM sbuck), fl AS (SELECT doc_id, list(fv ORDER BY b) AS feats FROM allb GROUP BY doc_id) SELECT doc_id, list_reduce(list_prepend(0.0, list_transform(feats, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, c) -> a + c) AS sq_norm FROM fl ORDER BY doc_id""",
     "q_m03_distinct_profile" ->
       ("""SELECT * FROM (VALUES """ +
         Seq("l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",

@@ -65,6 +65,65 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic signed 16-bit PCM sample `i` of the stream seeded by
+    * `seed` — the same splitmix64 chain as [[syntheticImage]]'s pixels
+    * (s = seed + (i+1)·γ, three mix rounds), low 16 bits recentered.
+    */
+  private[graft] def syntheticSample(seed: Long, i: Int): Int = {
+    var z = seed + (i + 1) * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)) & 0xffffL).toInt - 32768
+  }
+
+  /** Real RIFF/WAVE encoder: canonical 44-byte header (PCM, mono,
+    * 16-bit, 8 kHz) + little-endian samples. Pure JVM — WAV needs no
+    * codec library, which is why the audio path can be REAL in this
+    * container while mp4 cannot.
+    */
+  private[graft] def encodeWav(seed: Long, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { bb.putShort(syntheticSample(seed, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Real RIFF/WAVE decoder: validates the RIFF/WAVE magic, walks the
+    * chunk list to `data`, returns the signed 16-bit LE samples. None on
+    * anything malformed (caller quarantines / falls back).
+    */
+  private[graft] def decodeWav(blob: Array[Byte]): Option[Array[Int]] = {
+    if (blob.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    if (tag() != "RIFF") return None
+    bb.getInt // riff size
+    if (tag() != "WAVE") return None
+    while (bb.remaining() >= 8) {
+      val t = tag(); val len = bb.getInt
+      if (t == "data") {
+        if (len < 0 || len > bb.remaining()) return None
+        val out = new Array[Int](len / 2)
+        var i = 0
+        while (i < out.length) { out(i) = bb.getShort.toInt; i += 1 }
+        return Some(out)
+      } else {
+        if (len < 0 || len > bb.remaining()) return None
+        bb.position(bb.position() + len + (len & 1)) // chunks are word-aligned
+      }
+    }
+    None
+  }
+
   /** Attach a deterministic synthetic media payload to each document:
     * image-format rows (png/bmp) carry a real ImageIO-encoded image whose
     * metadata dims match the payload; audio/video rows carry the UTF-8
@@ -87,6 +146,7 @@ object Multimodal {
 
   def withMedia(docs: DataFrame): DataFrame = {
     val enc = udf((seed: Long, w: Int, h: Int, fmt: String) => encodeImage(seed, w, h, fmt))
+    val encA = udf((seed: Long, n: Int) => encodeWav(seed, n))
     val fmt = element_at(array(lit("png"), lit("bmp"), lit("wav"), lit("mp4")),
       (draw(0, 4) + 1).cast("int"))
     val isImage = fmt.isin("png", "bmp")
@@ -96,14 +156,18 @@ object Multimodal {
       .otherwise((draw(1, 1920) + 16).cast("int"))
     val h = when(isImage, (draw(2, 16) + 4).cast("int"))
       .otherwise((draw(2, 1080) + 16).cast("int"))
+    // wav sample counts are independent of the (large) visual dims so the
+    // oracle's sample regeneration stays corpus-sized, not pixels-sized
+    val nSamples = (draw(4, 1500) + 100).cast("int")
     docs.select(
       col("doc_id"),
-      // the pixel-stream seed is doc_id ITSELF (r5): any engine can then
-      // regenerate the expected pixels from the row alone — the q_mm02
-      // oracle recomputes the splitmix64 stream in DuckDB and checks the
-      // decoded-pixel features end-to-end (xxhash64, the previous seed,
-      // has no DuckDB twin)
+      // the pixel/sample-stream seed is doc_id ITSELF (r5): any engine can
+      // then regenerate the expected payload content from the row alone —
+      // the q_mm02 oracle recomputes the splitmix64 stream in DuckDB and
+      // checks the decoded features end-to-end (xxhash64, the previous
+      // seed, has no DuckDB twin)
       when(isImage, enc(col("doc_id"), w, h, fmt))
+        .when(fmt === "wav", encA(col("doc_id"), nSamples))
         .otherwise(encode(col("text"), "UTF-8")).as("blob"),
       struct(
         fmt.as("format"),
@@ -155,12 +219,30 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode + feature fold: RIFF/WAVE parse ([[decodeWav]]),
+    * then fold |sample| into `dim` buckets in sample order — the audio
+    * twin of [[decodeAndEmbedImage]], with the same exact-integer
+    * accumulation discipline (one double division + float rounding at
+    * the end) so the q_mm02 oracle can regenerate identical floats.
+    */
+  def decodeAndEmbedAudio(blob: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodeWav(blob).map { samples =>
+      val sums = new Array[Long](dim)
+      var i = 0
+      while (i < samples.length) {
+        sums(i % dim) += math.abs(samples(i)); i += 1
+      }
+      // amplitude scaled to [0,1]: bucket / 32768
+      sums.map(s => (s / 32768.0).toFloat)
+    }
+
   /** ======================= STUB =======================
-    * Deterministic fake "decode + embed" for the formats this container
-    * has no codec for (wav/mp4): folds the raw bytes into a fixed-size
-    * float vector. A real build replaces ONLY this function with a codec
-    * call; the partition iteration, schema and batch shape around it stay
-    * identical (image rows already run the real decode above).
+    * Deterministic fake "decode + embed" for the one format this
+    * container has no codec for (mp4): folds the raw bytes into a
+    * fixed-size float vector. A real build replaces ONLY this function
+    * with a codec call; the partition iteration, schema and batch shape
+    * around it stay identical (image AND audio rows already run real
+    * decodes above).
     */
   def decodeAndEmbedStub(blob: Array[Byte], dim: Int): Array[Float] = {
     // exact-integer bucket sums for the same reproducibility reason as
@@ -177,9 +259,10 @@ object Multimodal {
   /** Feature extraction over the blob column: partition-parallel typed
     * mapPartitions (per-partition setup cost amortized across its rows —
     * where a codec or ONNX session would be initialized once). Image rows
-    * decode for real via ImageIO; wav/mp4 rows run the byte-fold stub; an
-    * image row whose bytes fail to decode falls back to the stub rather
-    * than killing the task (a production pipeline would quarantine it).
+    * decode for real via ImageIO, audio rows via the RIFF/PCM parser;
+    * only mp4 runs the byte-fold stub. A row whose bytes fail to decode
+    * falls back to the stub rather than killing the task (a production
+    * pipeline would quarantine it).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): DataFrame = {
     import spark.implicits._
@@ -193,6 +276,9 @@ object Multimodal {
           val feats = r.format match {
             case "png" | "bmp" | "jpeg" =>
               decodeAndEmbedImage(r.blob, dim)
+                .getOrElse(decodeAndEmbedStub(r.blob, dim))
+            case "wav" =>
+              decodeAndEmbedAudio(r.blob, dim)
                 .getOrElse(decodeAndEmbedStub(r.blob, dim))
             case _ => decodeAndEmbedStub(r.blob, dim)
           }
@@ -253,8 +339,11 @@ object Multimodal {
     * DuckDB oracle regenerates the expected pixels directly from the
     * splitmix64 stream (seed = doc_id) and must land on bit-identical
     * doubles; a lossy codec, a decode bug, or a channel-order mixup all
-    * flip the hash. wav/mp4 rows pin the stub's byte fold over the UTF-8
-    * text bytes (pure-ASCII corpus: byte i = codepoint i in DuckDB).
+    * flip the hash. wav rows (r5) pin the REAL audio path the same way:
+    * splitmix64 samples → RIFF/PCM encode → chunk-walking decode →
+    * integer-exact |amplitude| buckets — the oracle regenerates the
+    * sample stream. Only mp4 rows still pin the stub's byte fold over
+    * the UTF-8 text bytes (ASCII corpus: byte i = codepoint i in DuckDB).
     */
   def qMM02(s: SparkSession, d: String): DataFrame = {
     val feats = extractFeatures(s, withMedia(Tables.documents(s, d)))
