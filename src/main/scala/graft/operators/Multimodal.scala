@@ -97,6 +97,87 @@ object Multimodal {
     bb.array()
   }
 
+  /** Frame payload size for the synthetic mp4 container; with equal-size
+    * frames the stsz box needs no per-sample table, so the moov size —
+    * and therefore [[Mp4HeaderLen]] — is a constant, which is what lets
+    * [[sampleFrames]] address frame i as a pure substring expression.
+    */
+  private[graft] val Mp4FrameSize = 64
+
+  /** Byte offset of the first mdat payload byte: ftyp(16) + moov(60) +
+    * mdat header(8).
+    */
+  private[graft] val Mp4HeaderLen = 84
+
+  /** Deterministic payload byte `k` of the stream seeded by `seed` — the
+    * splitmix64 chain again, low 8 bits.
+    */
+  private[graft] def syntheticByte(seed: Long, k: Int): Int = {
+    var z = seed + (k + 1) * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)) & 0xffL).toInt
+  }
+
+  /** Real ISO-BMFF (mp4) container writer: ftyp, a minimal
+    * moov>trak>mdia>minf>stbl>stsz chain declaring `nFrames` equal-size
+    * samples, and an mdat carrying the frame payloads. The container
+    * structure is genuine (a box-walking demuxer reads it back); only
+    * the frame CONTENT is synthetic — this environment has no video
+    * codec, so "decode" of a frame stays a byte fold.
+    */
+  private[graft] def encodeMp4(seed: Long, nFrames: Int): Array[Byte] = {
+    val dataLen = nFrames * Mp4FrameSize
+    val bb = java.nio.ByteBuffer.allocate(Mp4HeaderLen + dataLen) // big-endian
+    def box(size: Int, tag: String): Unit = {
+      bb.putInt(size); bb.put(tag.getBytes("US-ASCII"))
+    }
+    box(16, "ftyp"); bb.put("isom".getBytes("US-ASCII")); bb.putInt(0)
+    box(60, "moov"); box(52, "trak"); box(44, "mdia"); box(36, "minf")
+    box(28, "stbl")
+    box(20, "stsz"); bb.putInt(0) // version/flags
+    bb.putInt(Mp4FrameSize); bb.putInt(nFrames)
+    box(8 + dataLen, "mdat")
+    var k = 0
+    while (k < dataLen) { bb.put(syntheticByte(seed, k).toByte); k += 1 }
+    bb.array()
+  }
+
+  /** Real ISO-BMFF demuxer: walks the top-level boxes, descends the moov
+    * chain to stsz for (sampleSize, sampleCount), locates the mdat
+    * payload, and returns the frame byte ranges. None on malformed input.
+    */
+  private[graft] def demuxMp4(blob: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val bb = java.nio.ByteBuffer.wrap(blob) // ISO-BMFF is big-endian
+    def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    var sampleSize = -1; var sampleCount = -1
+    var mdat: Array[Byte] = null
+    def walk(end: Int): Boolean = {
+      while (bb.position() + 8 <= end) {
+        val start = bb.position()
+        val size = bb.getInt; val t = tag()
+        if (size < 8 || start + size > end) return false
+        t match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            if (!walk(start + size)) return false
+          case "stsz" =>
+            if (size != 20) return false
+            bb.getInt // version/flags
+            sampleSize = bb.getInt; sampleCount = bb.getInt
+          case "mdat" =>
+            mdat = java.util.Arrays.copyOfRange(blob, start + 8, start + size)
+          case _ => // ftyp etc: skip
+        }
+        bb.position(start + size)
+      }
+      true
+    }
+    if (!walk(blob.length)) return None
+    if (sampleSize <= 0 || sampleCount < 0 || mdat == null ||
+        mdat.length != sampleSize * sampleCount) None
+    else Some((sampleSize, sampleCount, mdat))
+  }
+
   /** Real RIFF/WAVE decoder: validates the RIFF/WAVE magic, walks the
     * chunk list to `data`, returns the signed 16-bit LE samples. None on
     * anything malformed (caller quarantines / falls back).
@@ -147,6 +228,7 @@ object Multimodal {
   def withMedia(docs: DataFrame): DataFrame = {
     val enc = udf((seed: Long, w: Int, h: Int, fmt: String) => encodeImage(seed, w, h, fmt))
     val encA = udf((seed: Long, n: Int) => encodeWav(seed, n))
+    val encV = udf((seed: Long, n: Int) => encodeMp4(seed, n))
     val fmt = element_at(array(lit("png"), lit("bmp"), lit("wav"), lit("mp4")),
       (draw(0, 4) + 1).cast("int"))
     val isImage = fmt.isin("png", "bmp")
@@ -159,21 +241,22 @@ object Multimodal {
     // wav sample counts are independent of the (large) visual dims so the
     // oracle's sample regeneration stays corpus-sized, not pixels-sized
     val nSamples = (draw(4, 1500) + 100).cast("int")
+    val nFrames = (draw(3, 300) + 1).cast("int")
     docs.select(
       col("doc_id"),
-      // the pixel/sample-stream seed is doc_id ITSELF (r5): any engine can
-      // then regenerate the expected payload content from the row alone —
-      // the q_mm02 oracle recomputes the splitmix64 stream in DuckDB and
-      // checks the decoded features end-to-end (xxhash64, the previous
-      // seed, has no DuckDB twin)
+      // the pixel/sample/byte-stream seed is doc_id ITSELF (r5): any
+      // engine can then regenerate the expected payload content from the
+      // row alone — the q_mm02 oracle recomputes the splitmix64 stream in
+      // DuckDB and checks the decoded features end-to-end (xxhash64, the
+      // previous seed, has no DuckDB twin)
       when(isImage, enc(col("doc_id"), w, h, fmt))
         .when(fmt === "wav", encA(col("doc_id"), nSamples))
-        .otherwise(encode(col("text"), "UTF-8")).as("blob"),
+        .otherwise(encV(col("doc_id"), nFrames)).as("blob"),
       struct(
         fmt.as("format"),
         w.as("width"),
         h.as("height"),
-        (draw(3, 300) + 1).cast("int").as("n_frames"))
+        nFrames.as("n_frames"))
         .as("meta"))
   }
 
@@ -237,12 +320,14 @@ object Multimodal {
     }
 
   /** ======================= STUB =======================
-    * Deterministic fake "decode + embed" for the one format this
-    * container has no codec for (mp4): folds the raw bytes into a
-    * fixed-size float vector. A real build replaces ONLY this function
-    * with a codec call; the partition iteration, schema and batch shape
-    * around it stay identical (image AND audio rows already run real
-    * decodes above).
+    * Deterministic fake frame "decode + embed": folds raw bytes into a
+    * fixed-size float vector. mp4 rows reach this AFTER a real ISO-BMFF
+    * demux ([[demuxMp4]]) hands over the mdat frame payload — the
+    * container walk is genuine; this byte fold stands in for the video
+    * CODEC this environment lacks. A real build replaces ONLY this
+    * function with a codec call; the partition iteration, schema and
+    * batch shape around it stay identical (image and audio rows already
+    * run real decodes above).
     */
   def decodeAndEmbedStub(blob: Array[Byte], dim: Int): Array[Float] = {
     // exact-integer bucket sums for the same reproducibility reason as
@@ -280,6 +365,9 @@ object Multimodal {
             case "wav" =>
               decodeAndEmbedAudio(r.blob, dim)
                 .getOrElse(decodeAndEmbedStub(r.blob, dim))
+            case "mp4" => // real container demux; stub frame codec
+              demuxMp4(r.blob).map(d => decodeAndEmbedStub(d._3, dim))
+                .getOrElse(decodeAndEmbedStub(r.blob, dim))
             case _ => decodeAndEmbedStub(r.blob, dim)
           }
           FeatureRow(r.doc_id, feats)
@@ -299,8 +387,12 @@ object Multimodal {
         .otherwise(substring(col("blob"), 1, maxBytes)))
 
   /** Frame sampling for "video" rows: explode n_frames into every k-th
-    * frame index with a per-frame byte-window into the blob — the shape of
-    * a real frame extractor (one output row per sampled frame).
+    * frame index and slice that frame's REAL byte range out of the
+    * container's mdat payload (one output row per sampled frame). The
+    * equal-size-frame layout makes the offset `Mp4HeaderLen + i×frame`
+    * a constant expression, so the extractor stays pure codegen — no
+    * per-row demux call on this path (extractFeatures demuxes properly;
+    * this is the bulk slicing path).
     */
   def sampleFrames(media: DataFrame, everyK: Int = 10): DataFrame =
     media.filter(col("meta.format") === "mp4")
@@ -309,8 +401,8 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
       .withColumn("frame_bytes",
         substring(col("blob"),
-          (pmod(col("frame_idx"), greatest(length(col("blob")), lit(1))) + 1).cast("int"),
-          lit(64)))
+          (col("frame_idx") * Mp4FrameSize + Mp4HeaderLen + 1).cast("int"),
+          lit(Mp4FrameSize)))
       .select("doc_id", "frame_idx", "frame_bytes")
 
   // ---------------------------------------------------------------- queries

@@ -779,6 +779,32 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Multimodal.decodeWav(enc.take(40)).isEmpty)
   }
 
+  test("multimodal: mp4 container round-trips through the ISO-BMFF demuxer") {
+    val blob = Multimodal.encodeMp4(seed = 11L, nFrames = 5)
+    val (size, count, payload) = Multimodal.demuxMp4(blob).get
+    assert(size == Multimodal.Mp4FrameSize && count == 5)
+    assert(payload.length == 5 * 64)
+    assert(payload.toSeq == (0 until 320).map(k =>
+      Multimodal.syntheticByte(11L, k).toByte))
+    // the constant-header claim sampleFrames relies on: mdat payload
+    // starts exactly at Mp4HeaderLen
+    assert(blob.slice(Multimodal.Mp4HeaderLen, Multimodal.Mp4HeaderLen + 4).toSeq ==
+      payload.take(4).toSeq)
+    // malformed containers are rejected, not crashed on
+    assert(Multimodal.demuxMp4("nonsense".getBytes).isEmpty)
+    assert(Multimodal.demuxMp4(blob.take(60)).isEmpty)
+  }
+
+  test("multimodal: sampled frame bytes are the REAL mdat frame payloads") {
+    val media = Multimodal.withMedia(Tables.documents(spark, sfDir))
+    val row = Multimodal.sampleFrames(media)
+      .filter(col("frame_idx") === 10).orderBy("doc_id").head()
+    val (docId, gotBytes) = (row.getLong(0), row.getAs[Array[Byte]](2))
+    // frame 10 of doc `docId` must be bytes [640, 704) of its synthetic stream
+    val expected = (640 until 704).map(k => Multimodal.syntheticByte(docId, k).toByte)
+    assert(gotBytes.toSeq == expected)
+  }
+
   test("multimodal: synthetic PNG and BMP payloads round-trip through ImageIO") {
     for (fmt <- Seq("png", "bmp")) {
       val bytes = Multimodal.encodeImage(seed = 42L, w = 5, h = 3, fmt = fmt)
