@@ -379,12 +379,53 @@ object Multimodal {
   /** "Resize": crop the blob to its first `maxBytes` bytes — the plumbing
     * twin of an image resize (payload shrinks, schema unchanged; a real
     * codec-aware resize replaces the expression, not the plan). Pure
-    * expression, stays in codegen.
+    * expression, stays in codegen. For image rows the REAL pixel resize
+    * is [[resizeImages]].
     */
   def resize(media: DataFrame, maxBytes: Int = 1024): DataFrame =
     media.withColumn("blob_small",
       when(length(col("blob")) <= maxBytes, col("blob"))
         .otherwise(substring(col("blob"), 1, maxBytes)))
+
+  /** REAL image resize for png/bmp rows: decode → area-scaled redraw →
+    * re-encode at `factor`-reduced dimensions (min 1px). Non-image rows
+    * and undecodable blobs pass through unchanged — the
+    * quarantine-not-crash policy extractFeatures uses. Same
+    * partition-parallel shape (per-partition codec amortization).
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame, factor: Int = 2): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("blob"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        imageIoInMemory
+        rows.map { r =>
+          val out = r.format match {
+            case "png" | "bmp" =>
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+              if (img == null) r.blob
+              else {
+                val (w2, h2) = (math.max(1, img.getWidth / factor),
+                  math.max(1, img.getHeight / factor))
+                val small = new java.awt.image.BufferedImage(w2, h2,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = small.createGraphics()
+                g.drawImage(img.getScaledInstance(w2, h2,
+                  java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+                g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(small, r.format, bos)
+                bos.toByteArray
+              }
+            case _ => r.blob
+          }
+          (r.doc_id, out, r.format)
+        }
+      }
+      .toDF("doc_id", "blob_small", "format")
+  }
 
   /** Frame sampling for "video" rows: explode n_frames into every k-th
     * frame index and slice that frame's REAL byte range out of the

@@ -795,6 +795,26 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Multimodal.demuxMp4(blob.take(60)).isEmpty)
   }
 
+  test("multimodal: real image resize halves dimensions and re-decodes") {
+    val media = Multimodal.withMedia(Tables.documents(spark, sfDir))
+    val resized = Multimodal.resizeImages(spark, media, factor = 2)
+    val imgRows = resized.filter(col("format").isin("png", "bmp"))
+      .join(media.select(col("doc_id"), col("meta.width").as("w0"),
+        col("meta.height").as("h0")), "doc_id")
+      .limit(20).collect()
+    assert(imgRows.nonEmpty)
+    imgRows.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("blob_small")))
+      assert(img != null, s"resized blob no longer decodes (doc ${r.getLong(0)})")
+      assert(img.getWidth == math.max(1, r.getInt(r.fieldIndex("w0")) / 2))
+      assert(img.getHeight == math.max(1, r.getInt(r.fieldIndex("h0")) / 2))
+    }
+    // non-image rows pass through untouched
+    val wav = resized.filter(col("format") === "wav").limit(1).head()
+    assert(Multimodal.decodeWav(wav.getAs[Array[Byte]]("blob_small")).isDefined)
+  }
+
   test("multimodal: sampled frame bytes are the REAL mdat frame payloads") {
     val media = Multimodal.withMedia(Tables.documents(spark, sfDir))
     val row = Multimodal.sampleFrames(media)
