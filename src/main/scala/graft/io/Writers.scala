@@ -133,7 +133,9 @@ object Writers {
     val mm = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
-    if (mm.isNullAt(0)) { // empty input: nothing to cluster, still write it
+    // empty input OR an all-null key column: no meaningful bounds to
+    // normalize against — write unclustered rather than NPE on null stats
+    if ((0 to 3).exists(mm.isNullAt)) {
       df.write.mode(mode).parquet(path)
       return
     }

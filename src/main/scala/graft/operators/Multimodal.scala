@@ -41,10 +41,7 @@ object Multimodal {
       var x = 0
       while (x < w) {
         s += 0x9e3779b97f4a7c15L
-        var z = s
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        img.setRGB(x, y, ((z ^ (z >>> 31)) & 0xffffff).toInt)
+        img.setRGB(x, y, (mix64(s) & 0xffffff).toInt)
         x += 1
       }
       y += 1
@@ -65,16 +62,23 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Deterministic signed 16-bit PCM sample `i` of the stream seeded by
-    * `seed` — the same splitmix64 chain as [[syntheticImage]]'s pixels
-    * (s = seed + (i+1)·γ, three mix rounds), low 16 bits recentered.
+  /** The splitmix64 finalizer — the ONE copy of the mix constants; the
+    * q_mm02 oracle spells the identical rounds in HUGEINT arithmetic, so
+    * any edit here must be mirrored there (and nowhere else).
     */
-  private[graft] def syntheticSample(seed: Long, i: Int): Int = {
-    var z = seed + (i + 1) * 0x9e3779b97f4a7c15L
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z ^ (z >>> 31)) & 0xffffL).toInt - 32768
+    z ^ (z >>> 31)
   }
+
+  /** Deterministic signed 16-bit PCM sample `i` of the stream seeded by
+    * `seed` — the same splitmix64 chain as [[syntheticImage]]'s pixels
+    * (s = seed + (i+1)·γ, [[mix64]]), low 16 bits recentered.
+    */
+  private[graft] def syntheticSample(seed: Long, i: Int): Int =
+    ((mix64(seed + (i + 1) * 0x9e3779b97f4a7c15L)) & 0xffffL).toInt - 32768
 
   /** Real RIFF/WAVE encoder: canonical 44-byte header (PCM, mono,
     * 16-bit, 8 kHz) + little-endian samples. Pure JVM — WAV needs no
@@ -110,14 +114,10 @@ object Multimodal {
   private[graft] val Mp4HeaderLen = 84
 
   /** Deterministic payload byte `k` of the stream seeded by `seed` — the
-    * splitmix64 chain again, low 8 bits.
+    * splitmix64 chain again ([[mix64]]), low 8 bits.
     */
-  private[graft] def syntheticByte(seed: Long, k: Int): Int = {
-    var z = seed + (k + 1) * 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z ^ (z >>> 31)) & 0xffL).toInt
-  }
+  private[graft] def syntheticByte(seed: Long, k: Int): Int =
+    (mix64(seed + (k + 1) * 0x9e3779b97f4a7c15L) & 0xffL).toInt
 
   /** Real ISO-BMFF (mp4) container writer: ftyp, a minimal
     * moov>trak>mdia>minf>stbl>stsz chain declaring `nFrames` equal-size
@@ -156,7 +156,9 @@ object Multimodal {
       while (bb.position() + 8 <= end) {
         val start = bb.position()
         val size = bb.getInt; val t = tag()
-        if (size < 8 || start + size > end) return false
+        // `size > end - start`, not `start + size > end`: a hostile size
+        // near Int.MaxValue overflows the sum and sails past the guard
+        if (size < 8 || size > end - start) return false
         t match {
           case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
             if (!walk(start + size)) return false
@@ -174,7 +176,7 @@ object Multimodal {
     }
     if (!walk(blob.length)) return None
     if (sampleSize <= 0 || sampleCount < 0 || mdat == null ||
-        mdat.length != sampleSize * sampleCount) None
+        mdat.length.toLong != sampleSize.toLong * sampleCount) None
     else Some((sampleSize, sampleCount, mdat))
   }
 
@@ -199,7 +201,10 @@ object Multimodal {
         return Some(out)
       } else {
         if (len < 0 || len > bb.remaining()) return None
-        bb.position(bb.position() + len + (len & 1)) // chunks are word-aligned
+        // chunks are word-aligned, but a final odd-length chunk may end
+        // the file without its pad byte — clamp instead of overrunning
+        bb.position(bb.position() +
+          math.min(len + (len & 1), bb.remaining()))
       }
     }
     None
@@ -475,8 +480,10 @@ object Multimodal {
     * flip the hash. wav rows (r5) pin the REAL audio path the same way:
     * splitmix64 samples → RIFF/PCM encode → chunk-walking decode →
     * integer-exact |amplitude| buckets — the oracle regenerates the
-    * sample stream. Only mp4 rows still pin the stub's byte fold over
-    * the UTF-8 text bytes (ASCII corpus: byte i = codepoint i in DuckDB).
+    * sample stream. mp4 rows (r5) pin the REAL container path: splitmix64
+    * mdat bytes → ISO-BMFF encode → box-walking demux → byte fold (the
+    * fold stands in for the codec; the oracle regenerates the mdat
+    * stream). All three media kinds are hash-pinned end to end.
     */
   def qMM02(s: SparkSession, d: String): DataFrame = {
     val feats = extractFeatures(s, withMedia(Tables.documents(s, d)))

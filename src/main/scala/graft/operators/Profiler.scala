@@ -330,10 +330,16 @@ object Profiler {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // totals come from a full-frame window over the SAME 20 bucket rows —
+    // re-aggregating the counts subtree for them would scan and shuffle
+    // the fact table a second time
     counts
       .withColumn("cum_a", sum(col("ca")).over(w))
       .withColumn("cum_b", sum(col("cb")).over(w))
-      .crossJoin(broadcast(counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
         max(abs(col("cum_a").cast("double") / col("na") -
           col("cum_b").cast("double") / col("nb"))).as("ks_stat"))
