@@ -407,6 +407,26 @@ object LLMOps {
         (col("vocab").cast("double") / col("tokens")).as("ttr"))
       .orderBy("source")
 
+  /** Q-L33 — deterministic weighted sampling: accept document d iff
+    * u(d) < rate × weight(d), where u(d) is the portable poly hash of the
+    * text (salted, so it is independent of every other hash-derived
+    * decision in the pipeline) scaled to [0, 1), and weight upweights
+    * longer documents (min(1, n_chars/400)). The standard quality-biased
+    * corpus sampler, with the hash as the uniform draw: reproducible
+    * across runs/engines/partitionings — rand() is none of those — and
+    * embarrassingly parallel (pure per-row predicate, no shuffle before
+    * the ordered output).
+    */
+  def qL33(s: SparkSession, d: String, rate: Double = 0.5): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        (charHash(concat(col("text"), lit("|ws"))).cast("double") / P)
+          .as("u"),
+        least(lit(1.0), col("n_chars").cast("double") / 400.0).as("wt"))
+      .filter(col("u") < lit(rate) * col("wt"))
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
   /** Q-L32 — vocabulary construction: frequency-ranked token → id table,
     * the tokenizer-training output every corpus pipeline persists. The
     * corpus-sized work is the map-side-combined token count; the

@@ -1038,6 +1038,21 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(winners.map(_.getDouble(2)).distinct.length == 1)
   }
 
+  test("weighted sampling: deterministic, and acceptance tracks the mean weight") {
+    import graft.operators.LLMOps
+    val a = LLMOps.qL33(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val b = LLMOps.qL33(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash-draw sampling must be run-deterministic")
+    // expected acceptance = rate × mean weight; the poly-hash draw is
+    // uniform enough for a ±35% relative tolerance on a 500-doc corpus
+    val docs = Tables.documents(spark, sfDir)
+    val expected = docs.select(
+      (lit(0.5) * least(lit(1.0), col("n_chars").cast("double") / 400.0)).as("p"))
+      .agg(sum("p")).head().getDouble(0)
+    assert(a.length > 0 && math.abs(a.length - expected) < 0.35 * expected,
+      s"acceptance ${a.length} far from expected $expected")
+  }
+
   test("KS drift: sample sizes partition the input; statistic bounded") {
     import graft.operators.Profiler
     val r = Profiler.qA20(spark, sfDir).head()
