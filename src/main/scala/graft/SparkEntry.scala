@@ -202,6 +202,8 @@ object SparkEntry {
     "q_a20_ks_drift"        -> ((s: SparkSession, dir: String) => Profiler.qA20(s, dir)),
     // deterministic weighted sampling (hash as the uniform draw)
     "q_l33_weighted_sample" -> ((s: SparkSession, dir: String) => LLMOps.qL33(s, dir)),
+    // token co-occurrence pairs (PMI building block)
+    "q_l34_cooccurrence"    -> ((s: SparkSession, dir: String) => LLMOps.qL34(s, dir)),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -642,6 +644,8 @@ object SparkEntry {
       """WITH j AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#23'), a AS (SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS aq FROM j GROUP BY l_partkey) SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly FROM j JOIN a USING (l_partkey) WHERE l_quantity < 0.2 * aq""",
     "q_j17_tpch_q15" ->
       """WITH rev AS (SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) SELECT s_suppkey, s_name, total_revenue FROM rev JOIN supplier ON l_suppkey = s_suppkey WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev) ORDER BY s_suppkey""",
+    "q_l34_cooccurrence" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) SELECT a.t AS t_a, b.t AS t_b, COUNT(*) AS n_docs FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY a.t, b.t ORDER BY n_docs DESC, t_a, t_b LIMIT 20""",
     // the salted poly hash is the uniform draw: same fold, same scale,
     // same double compare on both sides
     "q_l33_weighted_sample" -> {

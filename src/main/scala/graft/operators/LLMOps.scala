@@ -427,6 +427,28 @@ object LLMOps {
       .select("doc_id", "n_chars")
       .orderBy("doc_id")
 
+  /** Q-L34 — token co-occurrence pairs: for each document, every
+    * unordered pair of DISTINCT tokens co-occurring in it, counted across
+    * the corpus (the PMI / word-association building block). Fan-out is
+    * bounded by the per-doc distinct-token count squared — vocabulary-
+    * bounded, not length-bounded, because the pair join runs on
+    * `array_distinct` tokens — and the pair counts aggregate with full
+    * map-side combine. The within-doc pair generation is a self-join of
+    * the exploded distinct tokens on doc_id with `a < b`, which Spark
+    * co-partitions on the one doc_id exchange.
+    */
+  def qL34(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+    toks.select(col("doc_id"), col("t").as("t_a"))
+      .join(toks.select(col("doc_id"), col("t").as("t_b")), Seq("doc_id"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy("t_a", "t_b")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("t_a"), col("t_b"))
+      .limit(k)
+  }
+
   /** Q-L32 — vocabulary construction: frequency-ranked token → id table,
     * the tokenizer-training output every corpus pipeline persists. The
     * corpus-sized work is the map-side-combined token count; the

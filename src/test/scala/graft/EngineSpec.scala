@@ -1053,6 +1053,27 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       s"acceptance ${a.length} far from expected $expected")
   }
 
+  test("co-occurrence: exact counts on a constructed corpus; one doc exchange") {
+    import spark.implicits._
+    import graft.operators.LLMOps
+    // pair (a,b) in docs 1+2, (a,c) in doc 1, (b,c) in doc 1; repeats
+    // within a doc count once
+    Seq((1L, "a b c a"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents_cooc_test")
+    val toks = spark.table("documents_cooc_test")
+      .select(col("doc_id"), explode(array_distinct(LLMOps.tokens(col("text")))).as("t"))
+    val pairs = toks.select(col("doc_id"), col("t").as("t_a"))
+      .join(toks.select(col("doc_id"), col("t").as("t_b")), Seq("doc_id"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy("t_a", "t_b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    // corpus query: the self-join must ride ONE doc_id exchange per side,
+    // not explode into a cartesian
+    val plan = LLMOps.qL34(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"qL34 went cartesian:\n$plan")
+  }
+
   test("KS drift: sample sizes partition the input; statistic bounded") {
     import graft.operators.Profiler
     val r = Profiler.qA20(spark, sfDir).head()
