@@ -60,23 +60,40 @@ object Bench {
     require(shortId.values.toSet.size == names.size,
       "short query ids collide; bench JSON keys must stay unique")
 
-    // Two passes, charge min(pass1, pass2) per query: pass 1 doubles as
-    // warm-up (JIT/Janino/page cache), pass 2 runs in a fresh session so
-    // accumulated session state from 70 executions isn't billed, and the
-    // min absorbs one-off GC/scheduling spikes in either pass — a
+    // Multiple passes, charge min per query: pass 1 doubles as warm-up
+    // (JIT/Janino/page cache), later passes run in fresh sessions so
+    // accumulated session state from ~130 executions isn't billed, and
+    // the min absorbs one-off GC/scheduling spikes in any pass — a
     // best-of-N steady-state estimate, not a cold-start one.
+    //
+    // Passes alternate query ORDER (forward, reverse, forward, ...):
+    // every pass takes a similar wall-clock, so a time-localized
+    // environmental disturbance (another process on the box, a periodic
+    // host-level job) lands at similar OFFSETS in each pass — with a
+    // fixed order that means the SAME queries get hit twice and min()
+    // can't absorb it (observed in the r5 driver bench: three contiguous
+    // alphabetical blocks at 2–3.7× with the rest of the suite at 1×,
+    // on code unchanged since r1/r4). Reversing alternate passes makes
+    // the hit sets disjoint, restoring min()'s protection.
+    // SPARK_GRAFT_PASSES (default 2) adds more passes for noisier hosts.
     val results =
       if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
-        val pass1 = names.map(n => n -> run(n)).toMap
-        spark.stop()
-        spark = mkSession()
-        spark.sparkContext.setLogLevel("WARN")
-        System.gc()
-        run(names.head) // absorb new-session scheduling warm-up, not charged
-        names.map { n =>
-          val t2 = run(n)
-          n -> (if (t2 < 0 || pass1(n) < 0) -1.0 else math.min(pass1(n), t2))
+        val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(2)
+        var best = names.map(n => n -> run(n)).toMap
+        for (p <- 2 to nPasses) {
+          spark.stop()
+          spark = mkSession()
+          spark.sparkContext.setLogLevel("WARN")
+          System.gc()
+          val order = if (p % 2 == 0) names.reverse else names
+          run(order.head) // absorb new-session scheduling warm-up, not charged
+          order.foreach { n =>
+            val t = run(n)
+            best += n -> (if (t < 0 || best(n) < 0) -1.0
+                          else math.min(best(n), t))
+          }
         }
+        names.map(n => n -> best(n))
       } else { run(names.head); names.map(n => n -> run(n)) }
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + r3(v) }

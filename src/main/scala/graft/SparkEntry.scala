@@ -204,6 +204,10 @@ object SparkEntry {
     "q_l33_weighted_sample" -> ((s: SparkSession, dir: String) => LLMOps.qL33(s, dir)),
     // token co-occurrence pairs (PMI building block)
     "q_l34_cooccurrence"    -> ((s: SparkSession, dir: String) => LLMOps.qL34(s, dir)),
+    // TPC-H Q21 shape (multi-existential single-fact-scan)
+    "q_j18_tpch_q21"        -> (Relational.qJ18 _),
+    // pointwise mutual information over the co-occurrence pairs
+    "q_l35_pmi"             -> ((s: SparkSession, dir: String) => LLMOps.qL35(s, dir)),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -646,6 +650,14 @@ object SparkEntry {
       """WITH rev AS (SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) SELECT s_suppkey, s_name, total_revenue FROM rev JOIN supplier ON l_suppkey = s_suppkey WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev) ORDER BY s_suppkey""",
     "q_l34_cooccurrence" ->
       """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) SELECT a.t AS t_a, b.t AS t_b, COUNT(*) AS n_docs FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY a.t, b.t ORDER BY n_docs DESC, t_a, t_b LIMIT 20""",
+    // classic three-scan Q21 decorrelation — an independent check on the
+    // single-scan window plan
+    "q_j18_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey JOIN orders ON o_orderkey = l1.l_orderkey JOIN nation ON s_nationkey = n_nationkey WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') AND n_name = 'NATION_5' GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
+    // exact-integer lift (monotone in PMI): one BIGINT floor division,
+    // no transcendental in the hashed output
+    "q_l35_pmi" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents), n AS (SELECT COUNT(*) AS n_total FROM documents), m AS (SELECT t, COUNT(*) AS n_t FROM dt GROUP BY t), p AS (SELECT a.t AS t_a, b.t AS t_b, COUNT(*) AS n_ab FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2 HAVING COUNT(*) >= 5) SELECT t_a, t_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, (1000000 * n_total * n_ab) // (ma.n_t * mb.n_t) AS lift_ppm FROM p JOIN m ma ON p.t_a = ma.t JOIN m mb ON p.t_b = mb.t, n ORDER BY lift_ppm DESC, t_a, t_b LIMIT 30""",
     // the salted poly hash is the uniform draw: same fold, same scale,
     // same double compare on both sides
     "q_l33_weighted_sample" -> {

@@ -449,6 +449,43 @@ object LLMOps {
       .limit(k)
   }
 
+  /** Q-L35 — pointwise mutual information over the q_l34 co-occurrence
+    * pairs: lift = N·n(a,b) / (n(a)·n(b)), the word-association score the
+    * co-occurrence operator exists to feed (PMI = log lift; log is
+    * monotonic, so ranking by lift IS ranking by PMI and the hashed
+    * output stays transcendental-free — the BM25 lesson). All counts are
+    * exact integers and the score is emitted as `lift_ppm`, a single
+    * BIGINT floor-division `(1e6·N·n_ab) div (n_a·n_b)` that both
+    * engines compute bit-identically (exact while N·n_ab < 9.2e12; at
+    * larger corpora widen to DECIMAL(38,0) — the shape is unchanged).
+    * Scale: pair generation is the qL34 doc_id-co-partitioned self-join
+    * on DISTINCT tokens; the marginals are vocabulary-sized and join the
+    * (min-support-filtered) pair table by key — nothing corpus-sized
+    * shuffles twice and nothing vocabulary-sized broadcasts eagerly (AQE
+    * may choose to, at runtime, when it measures the side as small).
+    */
+  def qL35(s: SparkSession, d: String, k: Int = 30, minPair: Int = 5): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+    val marg = toks.groupBy("t").agg(count(lit(1)).as("n_t"))
+    val pairs = toks.select(col("doc_id"), col("t").as("t_a"))
+      .join(toks.select(col("doc_id"), col("t").as("t_b")), Seq("doc_id"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy("t_a", "t_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPair)
+    pairs
+      .join(marg.select(col("t").as("t_a"), col("n_t").as("n_a")), "t_a")
+      .join(marg.select(col("t").as("t_b"), col("n_t").as("n_b")), "t_b")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_ppm",
+        expr("(1000000 * n_total * n_ab) div (n_a * n_b)"))
+      .select("t_a", "t_b", "n_ab", "n_a", "n_b", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("t_a"), col("t_b"))
+      .limit(k)
+  }
+
   /** Q-L32 — vocabulary construction: frequency-ranked token → id table,
     * the tokenizer-training output every corpus pipeline persists. The
     * corpus-sized work is the map-side-combined token count; the

@@ -968,6 +968,50 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Q-J18 — TPC-H Q21 shape (waiting suppliers, Q21's multi-existential
+    * join pattern on this corpus's columns: "late" = a returned line,
+    * l_returnflag = 'R', since the synthetic lineitem has no
+    * receipt/commit dates): the two correlated existentials (EXISTS
+    * another supplier on the order / NOT EXISTS another LATE supplier)
+    * become per-order supplier counts over ONE scan of the fact table.
+    * lineitem reduces to one row per (order, supplier) with its
+    * late-line count — map-side combined — then a window over
+    * l_orderkey derives n_supp (distinct suppliers on the order) and
+    * n_late_supp (distinct LATE suppliers); a qualifying row is a late
+    * supplier on a multi-supplier order where it is the only late one.
+    * The naive decorrelation scans lineitem three times (l1/l2/l3 — no
+    * predicate prunes any of them); this plan scans once and every
+    * later exchange moves only the ~4×-smaller per-(order, supplier)
+    * table. Orders (status filter) joins on the same orderkey hash;
+    * supplier⋈nation broadcasts.
+    */
+  def qJ18(s: SparkSession, d: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_returnflag") === "R").cast("int").as("late"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(col("late")).as("late_lines"))
+    val w = Window.partitionBy("l_orderkey")
+    val flagged = perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum((col("late_lines") > 0).cast("int")).over(w))
+      .filter(col("late_lines") > 0 && col("n_supp") > 1 &&
+        col("n_late_supp") === 1)
+    val sn = Tables.supplier(s, d)
+      .join(Tables.nation(s, d).filter(col("n_name") === "NATION_5"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    flagged
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** Q-A18 — per-group z-score outliers, two-pass: pass 1 reduces orders
     * to a per-priority (Σx, Σx², n) triple via exact DECIMAL sums (order-
     * independent, so μ/σ are bit-deterministic across partition orders and

@@ -1120,6 +1120,55 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(perturbed != base("orders")._2)
   }
 
+  test("tpch q21 shape: one lineitem scan; only-late-supplier semantics") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // Plan pin (real corpus): the two existentials must NOT re-scan the
+    // fact table — one lineitem scan feeding per-(order,supplier)
+    // aggregates + a window, per the qJ18 scaladoc.
+    val q21 = Relational.qJ18(spark, sfDir)
+    val p21 = q21.queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllMatchIn(p21).size == 1,
+      s"q21 scans lineitem more than once:\n$p21")
+    // Semantics (constructed corpus): o1 has the only-late supplier s1
+    // (2 late lines) → qualifies with numwait=2; o2 has TWO late
+    // suppliers → NOT EXISTS fails; o3 is status O → excluded; o4 is
+    // single-supplier → EXISTS fails.
+    val dir = Files.createTempDirectory("graft-q21").toString
+    Seq((1L, 1L, "R"), (1L, 1L, "R"), (1L, 2L, "N"),
+        (2L, 1L, "R"), (2L, 2L, "R"),
+        (3L, 1L, "R"), (3L, 2L, "N"),
+        (4L, 1L, "R"))
+      .toDF("l_orderkey", "l_suppkey", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "F"), (2L, "F"), (3L, "O"), (4L, "F"))
+      .toDF("o_orderkey", "o_orderstatus").write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "Supplier#1", 5L), (2L, "Supplier#2", 5L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((5L, "NATION_5")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$dir/nation.parquet")
+    val rows = Relational.qJ18(spark, dir).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("Supplier#1", 2L)))
+  }
+
+  test("pmi: exact integer lift on a constructed corpus, min-support filter") {
+    import spark.implicits._
+    import graft.operators.LLMOps
+    // 5 docs contain {a,b}, 3 contain {c,d} (below min support 5),
+    // N = 8 → lift(a,b) = 8·5/(5·5) = 1.6 → lift_ppm = 1_600_000.
+    val dir = Files.createTempDirectory("graft-pmi").toString
+    ((1 to 5).map(i => (i.toLong, "a b")) ++
+     (6 to 8).map(i => (i.toLong, "c d")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = LLMOps.qL35(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ("a", "b", 5L, 5L, 5L, 1600000L))
+  }
+
   test("length trim keeps ~90% of each language between its exact p5/p95") {
     import graft.operators.TrainPrep
     val kept = TrainPrep.qL30(spark, sfDir).collect()
