@@ -78,7 +78,11 @@ object Bench {
     // SPARK_GRAFT_PASSES (default 2) adds more passes for noisier hosts.
     val results =
       if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
-        val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(2)
+        val nPasses = {
+          val raw = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2")
+          raw.toIntOption.getOrElse(sys.error(
+            s"SPARK_GRAFT_PASSES must be an integer, got '$raw'")).max(2)
+        }
         var best = names.map(n => n -> run(n)).toMap
         for (p <- 2 to nPasses) {
           spark.stop()
@@ -89,8 +93,17 @@ object Bench {
           run(order.head) // absorb new-session scheduling warm-up, not charged
           order.foreach { n =>
             val t = run(n)
-            best += n -> (if (t < 0 || best(n) < 0) -1.0
-                          else math.min(best(n), t))
+            // A transient failure in a later pass must not discard a valid
+            // earlier timing: keep the best timing from any pass that
+            // succeeded; -1 only when EVERY pass failed.
+            if (t < 0 && best(n) >= 0)
+              System.err.println(s"[bench] $n failed in pass $p; keeping " +
+                f"earlier valid ${best(n)}%.3f s")
+            best += n -> ((best(n), t) match {
+              case (b, x) if b < 0 => x
+              case (b, x) if x < 0 => b
+              case (b, x)          => math.min(b, x)
+            })
           }
         }
         names.map(n => n -> best(n))

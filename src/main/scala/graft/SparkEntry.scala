@@ -657,7 +657,7 @@ object SparkEntry {
     // exact-integer lift (monotone in PMI): one BIGINT floor division,
     // no transcendental in the hashed output
     "q_l35_pmi" ->
-      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents), n AS (SELECT COUNT(*) AS n_total FROM documents), m AS (SELECT t, COUNT(*) AS n_t FROM dt GROUP BY t), p AS (SELECT a.t AS t_a, b.t AS t_b, COUNT(*) AS n_ab FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2 HAVING COUNT(*) >= 5) SELECT t_a, t_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, (1000000 * n_total * n_ab) // (ma.n_t * mb.n_t) AS lift_ppm FROM p JOIN m ma ON p.t_a = ma.t JOIN m mb ON p.t_b = mb.t, n ORDER BY lift_ppm DESC, t_a, t_b LIMIT 30""",
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents), n AS (SELECT COUNT(*) AS n_total FROM documents), m AS (SELECT t, COUNT(*) AS n_t FROM dt GROUP BY t), p AS (SELECT a.t AS t_a, b.t AS t_b, COUNT(*) AS n_ab FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2 HAVING COUNT(*) >= 5) SELECT t_a, t_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, CAST((1000000::HUGEINT * n_total * n_ab) // (ma.n_t::HUGEINT * mb.n_t) AS BIGINT) AS lift_ppm FROM p JOIN m ma ON p.t_a = ma.t JOIN m mb ON p.t_b = mb.t, n ORDER BY lift_ppm DESC, t_a, t_b LIMIT 30""",
     // the salted poly hash is the uniform draw: same fold, same scale,
     // same double compare on both sides
     "q_l33_weighted_sample" -> {

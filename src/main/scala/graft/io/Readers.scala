@@ -35,11 +35,13 @@ object Readers {
       props: java.util.Properties,
       partitionColumn: Option[String] = None,
       lowerBound: Long = 0L, upperBound: Long = 0L,
-      numPartitions: Int = 32): DataFrame =
+      numPartitions: Int = 32): DataFrame = {
+    SqlServerDialect.register() // idempotent; no-op for non-sqlserver URLs
     partitionColumn match {
       case Some(col) =>
         s.read.jdbc(url, table, col, lowerBound, upperBound, numPartitions, props)
       case None =>
         s.read.jdbc(url, table, props)
     }
+  }
 }

@@ -165,6 +165,7 @@ object Writers {
       props: java.util.Properties,
       batchSize: Int = 3000,
       clampDates: Boolean = false): Unit = {
+    SqlServerDialect.register() // idempotent; no-op for non-sqlserver URLs
     val data = if (clampDates) clampDatetimes(df) else df
     data.write.mode(SaveMode.Append)
       .option("batchsize", batchSize)

@@ -456,8 +456,12 @@ object LLMOps {
     * output stays transcendental-free — the BM25 lesson). All counts are
     * exact integers and the score is emitted as `lift_ppm`, a single
     * BIGINT floor-division `(1e6·N·n_ab) div (n_a·n_b)` that both
-    * engines compute bit-identically (exact while N·n_ab < 9.2e12; at
-    * larger corpora widen to DECIMAL(38,0) — the shape is unchanged).
+    * engines compute bit-identically. The multiply is widened to
+    * DECIMAL(38,0) (HUGEINT on the oracle side) so it stays exact far
+    * past the BIGINT wrap point (1e6·N·n_ab up to 1e38, vs 9.2e18
+    * unwidened) instead of Spark silently wrapping where DuckDB raises;
+    * only the final integral quotient — bounded by 1e6·N — lands back in
+    * BIGINT.
     * Scale: pair generation is the qL34 doc_id-co-partitioned self-join
     * on DISTINCT tokens; the marginals are vocabulary-sized and join the
     * (min-support-filtered) pair table by key — nothing corpus-sized
@@ -480,7 +484,8 @@ object LLMOps {
       .join(marg.select(col("t").as("t_b"), col("n_t").as("n_b")), "t_b")
       .crossJoin(broadcast(nDocs))
       .withColumn("lift_ppm",
-        expr("(1000000 * n_total * n_ab) div (n_a * n_b)"))
+        expr("(cast(1000000 as decimal(38,0)) * n_total * n_ab) div " +
+          "(cast(n_a as decimal(38,0)) * n_b)"))
       .select("t_a", "t_b", "n_ab", "n_a", "n_b", "lift_ppm")
       .orderBy(col("lift_ppm").desc, col("t_a"), col("t_b"))
       .limit(k)

@@ -50,6 +50,25 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     } finally conn.close()
   }
 
+  test("Readers.jdbc auto-registers the SQL Server dialect") {
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    val conn = DriverManager.getConnection(url)
+    try {
+      ScriptExecutor.execute(conn, "CREATE TABLE DIALECT_T (X INT)\nGO")
+      // any pass through the IO layer registers the dialect as a side
+      // effect; the Derby URL itself still resolves to Derby's dialect
+      Readers.jdbc(spark, url, "DIALECT_T", new Properties()).count()
+      // resolved alongside Spark's built-in MsSqlServer dialect, ours first:
+      // datetime2 (ours) rather than DATETIME (built-in) for timestamps
+      assert(JdbcDialects.get("jdbc:sqlserver://host")
+        .getJDBCType(org.apache.spark.sql.types.TimestampType)
+        .exists(_.databaseTypeDefinition == "datetime2"))
+      assert(!JdbcDialects.get(url).getJDBCType(
+        org.apache.spark.sql.types.TimestampType)
+        .exists(_.databaseTypeDefinition == "datetime2"))
+    } finally conn.close()
+  }
+
   test("Introspector reads a live catalog into TableSpec and renders DDL") {
     import graft.catalog.Introspector
     import graft.ddl.DdlRenderer
