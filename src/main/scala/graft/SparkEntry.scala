@@ -103,8 +103,9 @@ object SparkEntry {
     // multimodal: ALL oracle-checked since r5 — mm01/mm03 recompute the
     // portable meta arithmetic; mm02's oracle regenerates the expected
     // PIXELS from the splitmix64 stream (seed = doc_id) in DuckDB and
-    // recomputes the decoded-image features bit-exactly, pinning the
-    // encode→decode→embed path end-to-end (wav/mp4 rows pin the byte stub)
+    // recomputes the decoded features bit-exactly, pinning the
+    // encode→decode→embed path end-to-end for all three media kinds
+    // (PNG/BMP pixels, RIFF/PCM samples, motion-PNG frames)
     "q_mm01_media_meta"    -> (Multimodal.qMM01 _),
     "q_mm02_features"      -> (Multimodal.qMM02 _),
     "q_mm03_frame_sample"  -> (Multimodal.qMM03 _),
@@ -490,11 +491,13 @@ object SparkEntry {
     // use, divide once, round to float32, and left-fold the squared norm.
     // A bit-identical sq_norm proves Spark's ImageIO AND RIFF/PCM
     // encode→decode round-trips are lossless and the folds are
-    // channel/sample-order correct. mp4 rows (r5) regenerate the mdat
-    // byte stream (real ISO-BMFF demux on the Spark side; the byte fold
-    // stands in for the codec): kind 'vid' = z % 256 per byte, /255.
+    // channel/sample-order correct. mp4 rows (r7) are motion-PNG: the
+    // video's pixel stream is ONE splitmix64 chain chopped into 4x3
+    // frames, so the oracle folds nf*12 luminance pixels exactly like
+    // image rows — pinning demux + per-frame PNG decode + the
+    // cross-frame pixel-index fold end to end.
     "q_mm02_features" ->
-      """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 0) * 2654435761) % 4 AS f, ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 AS w, ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 AS h, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS nf FROM documents), idx AS (SELECT doc_id, unnest(range(0, w*h)) AS i, 'img' AS kind FROM m WHERE f < 2 UNION ALL SELECT doc_id, unnest(range(0, ns)) AS i, 'wav' AS kind FROM m WHERE f = 2 UNION ALL SELECT doc_id, unnest(range(0, nf * 64)) AS i, 'vid' AS kind FROM m WHERE f = 3), s0 AS (SELECT doc_id, kind, i % 16 AS b, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT doc_id, kind, b, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, kind, b, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, kind, b, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, kind, b, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, kind, b, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), vals AS (SELECT doc_id, kind, b, CASE WHEN kind = 'img' THEN ((z % 16777216) // 65536) + ((z % 65536) // 256) + (z % 256) WHEN kind = 'wav' THEN ABS((z % 65536) - 32768) ELSE z % 256 END AS v FROM z3), buck AS (SELECT doc_id, b, CAST(CAST(SUM(v) AS DOUBLE) / CASE WHEN kind = 'img' THEN 765.0 WHEN kind = 'wav' THEN 32768.0 ELSE 255.0 END AS FLOAT) AS fv FROM vals GROUP BY doc_id, kind, b), fl AS (SELECT doc_id, list(fv ORDER BY b) AS feats FROM buck GROUP BY doc_id) SELECT doc_id, list_reduce(list_prepend(0.0, list_transform(feats, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, c) -> a + c) AS sq_norm FROM fl ORDER BY doc_id""",
+      """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 0) * 2654435761) % 4 AS f, ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 AS w, ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 AS h, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS nf FROM documents), idx AS (SELECT doc_id, unnest(range(0, w*h)) AS i, 'img' AS kind FROM m WHERE f < 2 UNION ALL SELECT doc_id, unnest(range(0, ns)) AS i, 'wav' AS kind FROM m WHERE f = 2 UNION ALL SELECT doc_id, unnest(range(0, nf * 12)) AS i, 'img' AS kind FROM m WHERE f = 3), s0 AS (SELECT doc_id, kind, i % 16 AS b, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT doc_id, kind, b, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, kind, b, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, kind, b, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, kind, b, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, kind, b, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), vals AS (SELECT doc_id, kind, b, CASE WHEN kind = 'img' THEN ((z % 16777216) // 65536) + ((z % 65536) // 256) + (z % 256) WHEN kind = 'wav' THEN ABS((z % 65536) - 32768) ELSE z % 256 END AS v FROM z3), buck AS (SELECT doc_id, b, CAST(CAST(SUM(v) AS DOUBLE) / CASE WHEN kind = 'img' THEN 765.0 WHEN kind = 'wav' THEN 32768.0 ELSE 255.0 END AS FLOAT) AS fv FROM vals GROUP BY doc_id, kind, b), fl AS (SELECT doc_id, list(fv ORDER BY b) AS feats FROM buck GROUP BY doc_id) SELECT doc_id, list_reduce(list_prepend(0.0, list_transform(feats, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, c) -> a + c) AS sq_norm FROM fl ORDER BY doc_id""",
     "q_m03_distinct_profile" ->
       ("""SELECT * FROM (VALUES """ +
         Seq("l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",

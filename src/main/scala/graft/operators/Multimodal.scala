@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns next to a typed metadata struct; the
   * pipeline stages are decode → feature-extract → resize / frame-sample.
   *
-  * Image rows are REAL: the synthetic generator encodes deterministic
-  * PNG/BMP payloads with `javax.imageio` (in-JDK, headless-safe) and the
-  * feature extractor decodes them back to pixels — the decode path a
-  * production pipeline runs, minus only the exotic codecs this container
-  * lacks. Audio/video rows keep a clearly-marked deterministic stand-in
-  * (STUB below). Everything Spark-side is at-scale-shaped: schema
+  * Every media kind decodes for REAL: image rows are deterministic
+  * PNG/BMP payloads encoded and decoded with `javax.imageio` (in-JDK,
+  * headless-safe); audio rows are RIFF/WAVE PCM through a chunk-walking
+  * parser; video rows are genuine ISO-BMFF containers whose frames are
+  * real PNGs (motion-PNG — the lossless analog of MJPEG, since only a
+  * lossless codec lets the oracle recompute decoded pixels) demuxed and
+  * decoded frame by frame. Everything Spark-side is at-scale-shaped: schema
   * (binary + metadata struct), partition-parallel `mapPartitions` over
   * typed rows (the Scala analog of mapInPandas batch processing: one
   * iterator per partition, so per-partition codec/model setup amortizes),
@@ -101,30 +102,36 @@ object Multimodal {
     bb.array()
   }
 
-  /** Frame payload size for the synthetic mp4 container; with equal-size
-    * frames the stsz box needs no per-sample table, so the moov size —
-    * and therefore [[Mp4HeaderLen]] — is a constant, which is what lets
-    * [[sampleFrames]] address frame i as a pure substring expression.
+  /** Pixel dimensions of one video frame. Small on purpose: the q_mm02
+    * oracle regenerates EVERY frame pixel of every mp4 row in DuckDB.
     */
-  private[graft] val Mp4FrameSize = 64
+  private[graft] val Mp4FrameW = 4
+  private[graft] val Mp4FrameH = 3
+
+  /** Frame SLOT size for the synthetic mp4 container: each frame is a real
+    * PNG (motion-PNG — the lossless analog of MJPEG's JPEG-per-frame;
+    * lossless is what lets the oracle regenerate decoded pixels exactly,
+    * where JPEG's DCT round-trip could not be recomputed in SQL)
+    * zero-padded to this fixed size. Equal-size samples mean the stsz box
+    * needs no per-sample table, so the moov size — and therefore
+    * [[Mp4HeaderLen]] — is a constant, which is what lets [[sampleFrames]]
+    * address frame i as a pure substring expression. PNG readers stop at
+    * IEND, so the zero pad is invisible to the decoder.
+    */
+  private[graft] val Mp4FrameSize = 256
 
   /** Byte offset of the first mdat payload byte: ftyp(16) + moov(60) +
     * mdat header(8).
     */
   private[graft] val Mp4HeaderLen = 84
 
-  /** Deterministic payload byte `k` of the stream seeded by `seed` — the
-    * splitmix64 chain again ([[mix64]]), low 8 bits.
-    */
-  private[graft] def syntheticByte(seed: Long, k: Int): Int =
-    (mix64(seed + (k + 1) * 0x9e3779b97f4a7c15L) & 0xffL).toInt
-
   /** Real ISO-BMFF (mp4) container writer: ftyp, a minimal
     * moov>trak>mdia>minf>stbl>stsz chain declaring `nFrames` equal-size
-    * samples, and an mdat carrying the frame payloads. The container
-    * structure is genuine (a box-walking demuxer reads it back); only
-    * the frame CONTENT is synthetic — this environment has no video
-    * codec, so "decode" of a frame stays a byte fold.
+    * samples, and an mdat whose frame payloads are REAL PNG images.
+    * Frame f's pixels continue the doc-level splitmix64 chain at offset
+    * f·(w·h) — i.e. the video's pixel stream is one chain chopped into
+    * frames — so the q_mm02 oracle regenerates all of it from doc_id
+    * alone, exactly as it does for still images.
     */
   private[graft] def encodeMp4(seed: Long, nFrames: Int): Array[Byte] = {
     val dataLen = nFrames * Mp4FrameSize
@@ -138,8 +145,32 @@ object Multimodal {
     box(20, "stsz"); bb.putInt(0) // version/flags
     bb.putInt(Mp4FrameSize); bb.putInt(nFrames)
     box(8 + dataLen, "mdat")
-    var k = 0
-    while (k < dataLen) { bb.put(syntheticByte(seed, k).toByte); k += 1 }
+    val fpix = Mp4FrameW * Mp4FrameH
+    // one PNG writer reused across the video's frames: the per-call codec
+    // REGISTRY lookup inside ImageIO.write costs more than encoding a
+    // 4x3 frame, and a video is exactly the many-tiny-payloads case
+    imageIoInMemory
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    try {
+      var f = 0
+      while (f < nFrames) {
+        // chain offset: pixel j of frame f is chain element f·fpix + j
+        val img = syntheticImage(seed + f.toLong * fpix * 0x9e3779b97f4a7c15L,
+          Mp4FrameW, Mp4FrameH)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.close()
+        val png = bos.toByteArray
+        require(png.length <= Mp4FrameSize,
+          s"PNG frame (${png.length} B) exceeds the $Mp4FrameSize B slot")
+        val at = bb.position()
+        bb.put(png)
+        bb.position(at + Mp4FrameSize) // allocate() zero-fills → zero pad
+        f += 1
+      }
+    } finally writer.dispose()
     bb.array()
   }
 
@@ -231,6 +262,15 @@ object Multimodal {
     pmod((pmod(col("doc_id"), lit(1000003L)) + salt) * lit(2654435761L), lit(m.toLong))
 
   def withMedia(docs: DataFrame): DataFrame = {
+    // The codec work below is CPU-bound at ~tens of µs per frame; a real
+    // 100 TB media corpus arrives in many files and parallelizes at the
+    // scan, but this synthetic source reads ONE small parquet file (one
+    // partition), which would serialize every encode onto a single core.
+    // The round-robin exchange of the (tiny, pre-blob) text rows
+    // reproduces the many-file shape; every derived value is a pure
+    // per-row function of doc_id, so placement doesn't affect results.
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
     val enc = udf((seed: Long, w: Int, h: Int, fmt: String) => encodeImage(seed, w, h, fmt))
     val encA = udf((seed: Long, n: Int) => encodeWav(seed, n))
     val encV = udf((seed: Long, n: Int) => encodeMp4(seed, n))
@@ -247,7 +287,7 @@ object Multimodal {
     // oracle's sample regeneration stays corpus-sized, not pixels-sized
     val nSamples = (draw(4, 1500) + 100).cast("int")
     val nFrames = (draw(3, 300) + 1).cast("int")
-    docs.select(
+    spread.select(
       col("doc_id"),
       // the pixel/sample/byte-stream seed is doc_id ITSELF (r5): any
       // engine can then regenerate the expected payload content from the
@@ -272,7 +312,7 @@ object Multimodal {
   /** Real image decode + feature fold: ImageIO decode (PNG/BMP — any
     * format the JDK's registry sniffs from the bytes), then fold per-pixel
     * luminance into `dim` buckets in row-major pixel order — the same fold
-    * shape as the byte stub, but over DECODED PIXELS. Returns None when
+    * shape as [[byteFoldFallback]], but over DECODED PIXELS. Returns None when
     * the bytes don't decode (corrupt row → caller falls back /
     * quarantines).
     *
@@ -324,19 +364,63 @@ object Multimodal {
       sums.map(s => (s / 32768.0).toFloat)
     }
 
-  /** ======================= STUB =======================
-    * Deterministic fake frame "decode + embed": folds raw bytes into a
-    * fixed-size float vector. mp4 rows reach this AFTER a real ISO-BMFF
-    * demux ([[demuxMp4]]) hands over the mdat frame payload — the
-    * container walk is genuine; this byte fold stands in for the video
-    * CODEC this environment lacks. A real build replaces ONLY this
-    * function with a codec call; the partition iteration, schema and
-    * batch shape around it stay identical (image and audio rows already
-    * run real decodes above).
+  /** Real video decode + feature fold: ISO-BMFF demux ([[demuxMp4]]) hands
+    * over the mdat payload, then EVERY frame's PNG decodes through ImageIO
+    * and its pixels fold into the luminance buckets with a GLOBAL pixel
+    * index continuing across frames — the video is one pixel stream, so
+    * the fold is [[decodeAndEmbedImage]]'s with n_frames·w·h pixels. Same
+    * exact-integer accumulation discipline (one double division + float
+    * rounding at the end). None when the container or any frame fails to
+    * decode (caller quarantines / falls back).
     */
-  def decodeAndEmbedStub(blob: Array[Byte], dim: Int): Array[Float] = {
-    // exact-integer bucket sums for the same reproducibility reason as
-    // decodeAndEmbedImage: byte values scaled to [0,1] via one division
+  def decodeAndEmbedVideo(blob: Array[Byte], dim: Int): Option[Array[Float]] = {
+    imageIoInMemory
+    demuxMp4(blob).flatMap { case (slot, nFrames, mdat) =>
+      val sums = new Array[Long](dim)
+      var k = 0 // global pixel index across frames
+      var f = 0
+      var ok = true
+      // one PNG reader reused across frames (same registry-lookup
+      // amortization as the encoder; a reader is NOT thread-safe, so it
+      // lives per call, never shared)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      try while (f < nFrames && ok) {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(mdat, f * slot, slot))
+        reader.setInput(iis)
+        val img = try reader.read(0)
+          catch { case _: java.io.IOException => null }
+        iis.close()
+        if (img == null) ok = false
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sums(k % dim) +=
+                ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              k += 1
+              x += 1
+            }
+            y += 1
+          }
+        }
+        f += 1
+      } finally reader.dispose()
+      if (!ok) None else Some(sums.map(s => (s / 765.0).toFloat))
+    }
+  }
+
+  /** Quarantine fallback for blobs that fail their format's real decoder
+    * (corrupt rows, unknown formats): a deterministic byte fold with the
+    * same exact-integer bucket discipline, so a bad row degrades to a
+    * stable vector instead of killing the task. Every declared format
+    * (png/bmp/wav/mp4) runs a REAL decode above; this is never the
+    * primary path.
+    */
+  def byteFoldFallback(blob: Array[Byte], dim: Int): Array[Float] = {
     val sums = new Array[Long](dim)
     var i = 0
     while (i < blob.length) {
@@ -349,10 +433,10 @@ object Multimodal {
   /** Feature extraction over the blob column: partition-parallel typed
     * mapPartitions (per-partition setup cost amortized across its rows —
     * where a codec or ONNX session would be initialized once). Image rows
-    * decode for real via ImageIO, audio rows via the RIFF/PCM parser;
-    * only mp4 runs the byte-fold stub. A row whose bytes fail to decode
-    * falls back to the stub rather than killing the task (a production
-    * pipeline would quarantine it).
+    * decode for real via ImageIO, audio rows via the RIFF/PCM parser,
+    * video rows via ISO-BMFF demux + per-frame PNG decode. A row whose
+    * bytes fail to decode falls back to [[byteFoldFallback]] rather than
+    * killing the task (a production pipeline would quarantine it).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): DataFrame = {
     import spark.implicits._
@@ -366,14 +450,14 @@ object Multimodal {
           val feats = r.format match {
             case "png" | "bmp" | "jpeg" =>
               decodeAndEmbedImage(r.blob, dim)
-                .getOrElse(decodeAndEmbedStub(r.blob, dim))
+                .getOrElse(byteFoldFallback(r.blob, dim))
             case "wav" =>
               decodeAndEmbedAudio(r.blob, dim)
-                .getOrElse(decodeAndEmbedStub(r.blob, dim))
-            case "mp4" => // real container demux; stub frame codec
-              demuxMp4(r.blob).map(d => decodeAndEmbedStub(d._3, dim))
-                .getOrElse(decodeAndEmbedStub(r.blob, dim))
-            case _ => decodeAndEmbedStub(r.blob, dim)
+                .getOrElse(byteFoldFallback(r.blob, dim))
+            case "mp4" => // real container demux + per-frame PNG decode
+              decodeAndEmbedVideo(r.blob, dim)
+                .getOrElse(byteFoldFallback(r.blob, dim))
+            case _ => byteFoldFallback(r.blob, dim)
           }
           FeatureRow(r.doc_id, feats)
         }
@@ -480,10 +564,12 @@ object Multimodal {
     * flip the hash. wav rows (r5) pin the REAL audio path the same way:
     * splitmix64 samples → RIFF/PCM encode → chunk-walking decode →
     * integer-exact |amplitude| buckets — the oracle regenerates the
-    * sample stream. mp4 rows (r5) pin the REAL container path: splitmix64
-    * mdat bytes → ISO-BMFF encode → box-walking demux → byte fold (the
-    * fold stands in for the codec; the oracle regenerates the mdat
-    * stream). All three media kinds are hash-pinned end to end.
+    * sample stream. mp4 rows (r7) pin the REAL video path: splitmix64
+    * pixel stream → per-frame PNG encode into the mdat → box-walking
+    * demux → per-frame ImageIO decode → the same luminance fold with the
+    * pixel index continuing across frames — the oracle regenerates the
+    * whole n_frames·w·h pixel stream from doc_id. All three media kinds
+    * are hash-pinned end to end through their full codec round-trips.
     */
   def qMM02(s: SparkSession, d: String): DataFrame = {
     val feats = extractFeatures(s, withMedia(Tables.documents(s, d)))

@@ -783,9 +783,21 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val blob = Multimodal.encodeMp4(seed = 11L, nFrames = 5)
     val (size, count, payload) = Multimodal.demuxMp4(blob).get
     assert(size == Multimodal.Mp4FrameSize && count == 5)
-    assert(payload.length == 5 * 64)
-    assert(payload.toSeq == (0 until 320).map(k =>
-      Multimodal.syntheticByte(11L, k).toByte))
+    assert(payload.length == 5 * Multimodal.Mp4FrameSize)
+    // every frame slot is a REAL PNG whose pixels continue the doc-level
+    // splitmix64 chain at offset f·(w·h)
+    val (fw, fh) = (Multimodal.Mp4FrameW, Multimodal.Mp4FrameH)
+    for (f <- 0 until 5) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload, f * size, size))
+      assert(img != null, s"frame $f is not a decodable image")
+      assert(img.getWidth == fw && img.getHeight == fh)
+      val ref = Multimodal.syntheticImage(
+        11L + f.toLong * fw * fh * 0x9e3779b97f4a7c15L, fw, fh)
+      for (y <- 0 until fh; x <- 0 until fw)
+        assert((img.getRGB(x, y) & 0xffffff) == (ref.getRGB(x, y) & 0xffffff),
+          s"frame $f pixel ($x,$y) diverges from the synthetic chain")
+    }
     // the constant-header claim sampleFrames relies on: mdat payload
     // starts exactly at Mp4HeaderLen
     assert(blob.slice(Multimodal.Mp4HeaderLen, Multimodal.Mp4HeaderLen + 4).toSeq ==
@@ -820,9 +832,14 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val row = Multimodal.sampleFrames(media)
       .filter(col("frame_idx") === 10).orderBy("doc_id").head()
     val (docId, gotBytes) = (row.getLong(0), row.getAs[Array[Byte]](2))
-    // frame 10 of doc `docId` must be bytes [640, 704) of its synthetic stream
-    val expected = (640 until 704).map(k => Multimodal.syntheticByte(docId, k).toByte)
-    assert(gotBytes.toSeq == expected)
+    // frame 10 of doc `docId` must decode as the PNG of chain offset 10·(w·h)
+    val (fw, fh) = (Multimodal.Mp4FrameW, Multimodal.Mp4FrameH)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gotBytes))
+    assert(img != null, "sampled frame bytes are not a decodable PNG")
+    val ref = Multimodal.syntheticImage(
+      docId + 10L * fw * fh * 0x9e3779b97f4a7c15L, fw, fh)
+    for (y <- 0 until fh; x <- 0 until fw)
+      assert((img.getRGB(x, y) & 0xffffff) == (ref.getRGB(x, y) & 0xffffff))
   }
 
   test("multimodal: synthetic PNG and BMP payloads round-trip through ImageIO") {
