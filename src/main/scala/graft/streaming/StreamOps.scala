@@ -97,6 +97,22 @@ object StreamOps {
       .drop(r(key))
   }
 
+  /** Rate-limited file replay source — the ingestion-control answer for
+    * a 100 TB backfill: `maxFilesPerTrigger` bounds how much each
+    * micro-batch ingests, so replaying a huge landing zone can't build a
+    * first batch larger than the cluster (the file-source analog of
+    * Kafka's `maxOffsetsPerTrigger`; for a rate-limited Kafka replay set
+    * that option the same way). Backpressure at the source is the only
+    * kind Structured Streaming has — once a batch is formed it runs to
+    * completion, so the knob IS the batch-size contract.
+    */
+  def replayFiles(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
   /** Micro-batch JDBC sink via foreachBatch: each batch goes through the
     * batch [[graft.io.Writers.jdbc]] path (batched prepared statements,
     * the reference's bulk-copy profile), giving the streaming pipeline the

@@ -5,13 +5,30 @@ import graft.operators.Temporal
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Batch/stream parity over the real corpus: the streaming tumbling window
-  * replayed from a file source must produce exactly the batch Q-T01 counts
-  * (same bucket semantics, no dropped or duplicated events). This is the
-  * t1 streaming smoke from SURVEY §5.2 run against real files rather than
-  * a MemoryStream.
+/** Batch/stream parity over the real corpus: each streaming operator
+  * replayed from a file source must produce exactly its oracle-checked
+  * batch twin's results (same bucket/gap semantics, no dropped or
+  * duplicated events) — tumbling windows vs Q-T01, session windows vs
+  * Q-T05, stream-stream joins vs the equivalent batch range join, plus a
+  * rate-limited multi-micro-batch replay. This is the t1 streaming smoke
+  * from SURVEY §5.2 run against real files rather than a MemoryStream.
   */
 class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
+
+  /** Stage the events corpus file into a fresh directory (simulating an
+    * arriving-files landing zone) and return a normalized streaming frame
+    * (nanos → µs ts, the same normalization Tables.events applies).
+    */
+  private def stagedEventsStream(): org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   test("file-source streaming tumbling counts equal the batch query") {
     // stream the events table through the same normalization Tables.events
@@ -38,6 +55,110 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
         .select(col("hr"), col("event_type"), col("cnt"))
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("file-source streaming session windows equal the batch Q-T05 sessions") {
+    // session-window aggregation rejects update mode; complete mode emits
+    // the full session set, closed sessions or not, so it is comparable
+    val q = StreamOps.sessionCounts(stagedEventsStream()).writeStream
+      .format("memory").queryName("parity_sessions").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity_sessions")
+        .select(col("user_id"), unix_micros(col("s_start")).as("s_start"),
+          unix_micros(col("s_end")).as("s_end"), col("events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = Temporal.qT05(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stream-stream join equals the equivalent batch range join") {
+    // view events joined to click events of the same user within 10
+    // minutes after the view — the classic attribution join
+    val raw = stagedEventsStream()
+    val views = raw.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val clicks = raw.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val q = StreamOps.joinStreams(views, clicks, "user_id", "view_ts", "click_ts")
+      .writeStream
+      .format("memory").queryName("parity_join").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity_join")
+        .select("user_id", "view_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ev = Tables.events(spark, sfDir)
+      val bv = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      val bc = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val batch = bv.join(bc, bv("user_id") === bc("c_uid") &&
+          bc("click_ts") >= bv("view_ts") &&
+          bc("click_ts") <= bv("view_ts") + expr("INTERVAL 10 minutes"))
+        .select("user_id", "view_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("rate-limited replay (maxFilesPerTrigger=1) processes multiple " +
+      "micro-batches and still matches the batch counts") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // split the corpus into three TIME-ORDERED landing files (a replay of
+    // history arrives oldest-first; a random split would rightly lose
+    // events to the watermark) and move them into the watched directory
+    // with ascending modification times — the file source processes
+    // oldest-modified first, so each micro-batch only moves time forward
+    import java.nio.file.Files
+    val stage = Files.createTempDirectory("graft-replay-stage")
+    val dir = Files.createTempDirectory("graft-replay")
+    val rawBatch = spark.read.parquet(s"$sfDir/events.parquet")
+    val mm = rawBatch.agg(min("ts"), max("ts")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val slices = Seq(
+      rawBatch.filter(col("ts") <= cuts(0)),
+      rawBatch.filter(col("ts") > cuts(0) && col("ts") <= cuts(1)),
+      rawBatch.filter(col("ts") > cuts(1)))
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val out = stage.resolve(s"s$i")
+      df.coalesce(1).write.parquet(out.toString)
+      val part = Files.list(out).iterator()
+      var moved = false
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.toString.endsWith(".parquet")) {
+          Files.move(p, dir.resolve(s"$i.parquet")); moved = true
+        }
+      }
+      assert(moved, s"slice $i produced no parquet part file")
+      Thread.sleep(1050) // distinct mtimes → deterministic replay order
+    }
+    val schema = rawBatch.schema
+    val raw = StreamOps.replayFiles(spark, dir.toString, schema)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = StreamOps.tumblingCounts(raw).writeStream
+      .format("memory").queryName("parity_replay").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // update mode re-emits a (window, type) row per batch it changed in;
+      // the FINAL count per key is the largest (counts only grow)
+      val streamed = spark.table("parity_replay")
+        .groupBy("hr", "event_type").agg(max("cnt").as("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = Temporal.qT01(spark, sfDir)
+        .select(col("hr"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      // the replay genuinely ran as several micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
     } finally q.stop()
   }
 }
