@@ -14,6 +14,34 @@ import java.nio.file.Files
   */
 class EngineSpec extends AnyFunSuite with SparkFixture {
 
+  /** Collect every FileSourceScanExec whose location matches `pathPart`,
+    * walking through AQE wrappers (AdaptiveSparkPlanExec and the leaf
+    * QueryStageExec nodes a finalized plan nests stages in), reused
+    * exchanges, and subquery plans — plan-tree truth, not string-rendering
+    * regexes (which change count across Spark versions).
+    */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan,
+      pathPart: String): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(n: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = n match {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(pathPart)) => Seq(s)
+        case _ => Nil
+      }
+      val extra = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case _                        => Nil
+      }
+      here ++ (extra ++ n.children ++ n.subqueries).flatMap(walk)
+    }
+    walk(p)
+  }
+
   test("PolyHash matches the reference fold and handles edge cases") {
     def naive(s: String): Long = {
       var acc = 0L
@@ -692,6 +720,39 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       events.filter(col("event_type") === "click").count())
   }
 
+  test("dynamic partition pruning fires on a dim-filtered join against a " +
+      "partitioned fact") {
+    import graft.io.Writers
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val events = Tables.events(spark, sfDir)
+    Writers.partitionedParquet(events, s"$tmp/events_pt", Seq("event_type"))
+    val fact = spark.read.parquet(s"$tmp/events_pt")
+    // the partition filter is NOT static: it comes out of the dim filter
+    // at runtime, so only dynamic pruning can skip the fact directories.
+    // The dim must be a real source (a local Seq constant-folds the filter
+    // into a LocalTableScan and DPP's selective-predicate check sees none)
+    Seq(("click", "engage"), ("view", "engage"),
+      ("purchase", "convert"), ("signup", "convert"), ("error", "ops"))
+      .toDF("event_type", "category").write.parquet(s"$tmp/dim")
+    val dim = spark.read.parquet(s"$tmp/dim")
+    val joined = fact.join(broadcast(dim.filter($"category" === "ops")), "event_type")
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruningexpression"),
+      s"no DPP subquery in plan:\n$planStr")
+    // execute through the SAME DataFrame (AQE finalizes on it) and read
+    // the fact scan's runtime metrics: only the matching directory is read
+    val rows = joined.collect()
+    assert(rows.length ==
+      events.filter(col("event_type") === "error").count().toInt)
+    val scan = fileScans(joined.queryExecution.executedPlan, "events_pt").head
+    val nPartitions = new java.io.File(s"$tmp/events_pt")
+      .listFiles().count(_.getName.startsWith("event_type="))
+    assert(nPartitions > 1)
+    assert(scan.metrics("numPartitions").value == 1,
+      s"DPP read ${scan.metrics("numPartitions").value} of $nPartitions partitions")
+  }
+
   test("cosineSafe ranks zero-norm vectors last instead of NaN-first") {
     import spark.implicits._
     import graft.operators.Similarity
@@ -1144,25 +1205,7 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     // fact table — one lineitem scan feeding per-(order,supplier)
     // aggregates + a window, per the qJ18 scaladoc.
     val q21 = Relational.qJ18(spark, sfDir)
-    // Count FileSourceScanExec nodes reading the lineitem path by walking
-    // the plan tree (unwrapping AQE wrappers and descending into
-    // subqueries) — string-rendering regexes change count across Spark
-    // versions without a real extra scan.
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def lineitemScans(p: SparkPlan): Int = {
-      val unwrapped = p match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case other                    => other
-      }
-      unwrapped.collectWithSubqueries {
-        case s: FileSourceScanExec if s.relation.location.rootPaths
-            .exists(_.toString.contains("lineitem.parquet")) => s
-      }.size + unwrapped.collectWithSubqueries {
-        case a: AdaptiveSparkPlanExec => a
-      }.map(lineitemScans).sum
-    }
-    val n = lineitemScans(q21.queryExecution.executedPlan)
+    val n = fileScans(q21.queryExecution.executedPlan, "lineitem.parquet").size
     assert(n == 1,
       s"q21 scans lineitem $n times:\n${q21.queryExecution.executedPlan}")
     // Semantics (constructed corpus): o1 has the only-late supplier s1
