@@ -42,6 +42,41 @@ object LLMOps {
     */
   def charHash(sh: Column): Column = PolyHash(sh)
 
+  // ------------------------------------------------------ postings builders
+
+  /** Shared (keep..., token `t`) postings: the corpus tokenize pass that
+    * qL34/qL35's pair generation and the marginal counts all start from.
+    * `persist` is OPT-IN: at 100 TB a materialized postings table is
+    * larger than the corpus text, so the default stays
+    * recompute-per-consumer (each pass prunes to the two columns it
+    * needs); a pipeline running several postings consumers back to back
+    * opts in — ONE tokenize stage feeds every consumer from the cache —
+    * and owns the unpersist.
+    */
+  def tokenPostings(docs: DataFrame, keep: Seq[String] = Seq("doc_id"),
+      distinctPerDoc: Boolean = true, persist: Boolean = false): DataFrame = {
+    val arr = if (distinctPerDoc) array_distinct(tokens(col("text")))
+              else tokens(col("text"))
+    val out = docs.select(keep.map(col) :+ explode(arr).as("t"): _*)
+    if (persist) out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else out
+  }
+
+  /** Shingle-hash twin of [[tokenPostings]]: (keep..., shingle hash `h`)
+    * rows for the n-word shingles — the shared scan under qL24's
+    * contamination semi-join and qL27's boilerplate flag join. Same
+    * opt-in-persist contract.
+    */
+  def shinglePostings(docs: DataFrame, n: Int = 3,
+      keep: Seq[String] = Seq("doc_id"),
+      distinctPerDoc: Boolean = true, persist: Boolean = false): DataFrame = {
+    val arr0 = graft.functions.ShingleHash(col("text"), n)
+    val arr = if (distinctPerDoc) array_distinct(arr0) else arr0
+    val out = docs.select(keep.map(col) :+ explode(arr).as("h"): _*)
+    if (persist) out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else out
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Q-L01 — exact-dedup cardinality: total vs distinct text. */
@@ -311,11 +346,11 @@ object LLMOps {
     * the join probe prune differently — same documented tradeoff as the
     * contamination scan); nothing vocabulary-sized is ever broadcast.
     */
-  def qL27(s: SparkSession, d: String, dfThreshold: Double = 0.5): DataFrame = {
+  def qL27(s: SparkSession, d: String, dfThreshold: Double = 0.5,
+      postings: Option[DataFrame] = None): DataFrame = {
     val docs = Tables.documents(s, d)
     val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    def posts = docs.select(col("doc_id"),
-      explode(array_distinct(graft.functions.ShingleHash(col("text"), 3))).as("h"))
+    def posts = postings.getOrElse(shinglePostings(docs))
     val flagged = posts.groupBy("h").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(total))
       .select(col("h"),
@@ -437,9 +472,9 @@ object LLMOps {
     * the exploded distinct tokens on doc_id with `a < b`, which Spark
     * co-partitions on the one doc_id exchange.
     */
-  def qL34(s: SparkSession, d: String, k: Int = 20): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+  def qL34(s: SparkSession, d: String, k: Int = 20,
+      postings: Option[DataFrame] = None): DataFrame = {
+    val toks = postings.getOrElse(tokenPostings(Tables.documents(s, d)))
     toks.select(col("doc_id"), col("t").as("t_a"))
       .join(toks.select(col("doc_id"), col("t").as("t_b")), Seq("doc_id"))
       .filter(col("t_a") < col("t_b"))
@@ -467,10 +502,13 @@ object LLMOps {
     * (min-support-filtered) pair table by key — nothing corpus-sized
     * shuffles twice and nothing vocabulary-sized broadcasts eagerly (AQE
     * may choose to, at runtime, when it measures the side as small).
+    * The three postings consumers (both self-join sides + marginals)
+    * re-tokenize by default; pass a persisted [[tokenPostings]] to run
+    * the tokenize stage once for all three.
     */
-  def qL35(s: SparkSession, d: String, k: Int = 30, minPair: Int = 5): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+  def qL35(s: SparkSession, d: String, k: Int = 30, minPair: Int = 5,
+      postings: Option[DataFrame] = None): DataFrame = {
+    val toks = postings.getOrElse(tokenPostings(Tables.documents(s, d)))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
     val marg = toks.groupBy("t").agg(count(lit(1)).as("n_t"))
     val pairs = toks.select(col("doc_id"), col("t").as("t_a"))

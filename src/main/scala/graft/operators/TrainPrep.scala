@@ -279,11 +279,10 @@ object TrainPrep {
     // duplicate (doc, h) postings (a 3-gram repeated inside one doc) are
     // harmless: the final count is distinct-by-doc and the test side is
     // distinct-by-hash — so no dedup pass is spent on them
-    val trainPosts = docs.filter(col("split") === "train")
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHash(col("text"), 3)).as("h"))
-    val testShingles = docs.filter(col("split") === "test")
-      .select(explode(graft.functions.ShingleHash(col("text"), 3)).as("h"))
+    val trainPosts = LLMOps.shinglePostings(
+      docs.filter(col("split") === "train"), distinctPerDoc = false)
+    val testShingles = LLMOps.shinglePostings(
+      docs.filter(col("split") === "test"), keep = Nil, distinctPerDoc = false)
       .distinct()
     val contaminated = trainPosts.join(testShingles, Seq("h"), "left_semi")
       .agg(countDistinct(col("doc_id")).as("contaminated_docs"))

@@ -14,17 +14,18 @@ import java.nio.file.Files
   */
 class EngineSpec extends AnyFunSuite with SparkFixture {
 
-  /** Collect every FileSourceScanExec whose location matches `pathPart`,
-    * walking through AQE wrappers (AdaptiveSparkPlanExec and the leaf
-    * QueryStageExec nodes a finalized plan nests stages in), reused
-    * exchanges, and subquery plans — plan-tree truth, not string-rendering
-    * regexes (which change count across Spark versions).
+  /** Collect every DISTINCT FileSourceScanExec whose location matches
+    * `pathPart`, walking through AQE wrappers (AdaptiveSparkPlanExec and
+    * the leaf QueryStageExec nodes a finalized plan nests stages in) and
+    * subquery plans — plan-tree truth, not string-rendering regexes
+    * (which change count across Spark versions). ReusedExchangeExec is a
+    * reference to an exchange counted elsewhere (ONE physical execution),
+    * so it is deliberately not descended into.
     */
   private def fileScans(p: org.apache.spark.sql.execution.SparkPlan,
       pathPart: String): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     def walk(n: SparkPlan): Seq[FileSourceScanExec] = {
       val here = n match {
         case s: FileSourceScanExec
@@ -34,7 +35,6 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       val extra = n match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec        => Seq(q.plan)
-        case r: ReusedExchangeExec    => Seq(r.child)
         case _                        => Nil
       }
       here ++ (extra ++ n.children ++ n.subqueries).flatMap(walk)
@@ -751,6 +751,34 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(nPartitions > 1)
     assert(scan.metrics("numPartitions").value == 1,
       s"DPP read ${scan.metrics("numPartitions").value} of $nPartitions partitions")
+  }
+
+  test("cached token postings tokenize the corpus once across qL35's " +
+      "three consumers, with identical results") {
+    import graft.operators.LLMOps
+    val docs = Tables.documents(spark, sfDir)
+    // baseline BEFORE persisting: Spark substitutes a cached plan into any
+    // query containing the matching subtree, so the uncached scan count
+    // must be measured while no postings cache exists
+    val base = LLMOps.qL35(spark, sfDir)
+    val baseRows = base.collect().toSeq
+    // both pair sides + the marginals + the N aggregate each scan documents
+    assert(fileScans(base.queryExecution.executedPlan, "documents.parquet").size == 4)
+    val posts = LLMOps.tokenPostings(docs, persist = true)
+    try {
+      val cached = LLMOps.qL35(spark, sfDir, postings = Some(posts))
+      assert(cached.collect().toSeq == baseRows)
+      // cached: only the N aggregate reads the file — the three postings
+      // consumers read the in-memory postings
+      assert(fileScans(cached.queryExecution.executedPlan, "documents.parquet").size == 1)
+      // shingle twin: qL27 over a persisted postings frame matches default
+      val l27Base = LLMOps.qL27(spark, sfDir).collect().toSeq
+      val sposts = LLMOps.shinglePostings(docs, persist = true)
+      try {
+        assert(LLMOps.qL27(spark, sfDir, postings = Some(sposts)).collect().toSeq ==
+          l27Base)
+      } finally sposts.unpersist()
+    } finally posts.unpersist()
   }
 
   test("cosineSafe ranks zero-norm vectors last instead of NaN-first") {
