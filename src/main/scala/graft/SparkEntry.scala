@@ -197,6 +197,7 @@ object SparkEntry {
     // TPC-H Q13/Q18/Q17/Q15 shapes
     "q_a19_custdist"        -> (Relational.qA19 _),
     "q_q08_tpch_q18"        -> (Relational.qQ08 _),
+    "q_q09_tpch_q2"         -> (Relational.qQ09 _),
     "q_j16_tpch_q17"        -> (Relational.qJ16 _),
     "q_j17_tpch_q15"        -> (Relational.qJ17 _),
     // bucketed two-sample KS drift statistic
@@ -647,6 +648,10 @@ object SparkEntry {
       """WITH c AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) SELECT c_count, COUNT(*) AS custdist FROM c GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
     "q_q08_tpch_q18" ->
       """WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 200.0) SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty FROM orders JOIN big ON o_orderkey = l_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    // Q2 shape: correlated min-cost offer per part (lineitem stands in
+    // for partsupp); DISTINCT collapses repeat lineitems of a pair
+    "q_q09_tpch_q2" ->
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, l_extendedprice AS cost FROM part, supplier, lineitem, nation, region WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND p_type = 'PROMO' AND p_size <= 15 AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE' AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2, supplier s2, nation n2, region r2 WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE') ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
     "q_j16_tpch_q17" ->
       """WITH j AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#23'), a AS (SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS aq FROM j GROUP BY l_partkey) SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly FROM j JOIN a USING (l_partkey) WHERE l_quantity < 0.2 * aq""",
     "q_j17_tpch_q15" ->

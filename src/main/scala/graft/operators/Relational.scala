@@ -927,6 +927,51 @@ object Relational {
       .limit(100)
   }
 
+  /** Q-Q09 — TPC-H Q2 shape: the min-cost supplier per part across a
+    * 4-way dimension join (part ⋈ offers ⋈ supplier ⋈ nation ⋈ region,
+    * region-restricted), with the classic correlated subquery `cost =
+    * (SELECT MIN(cost) ... WHERE partkey = outer.partkey)`. The corpus
+    * has no partsupp table, so lineitem stands in as the (part, supplier)
+    * offer table with cost = the pair's minimum extended price.
+    *
+    * Scale-right decorrelation: the part filter and the region's
+    * suppliers broadcast-prune the ONE lineitem scan, then a single
+    * exchange on p_partkey feeds BOTH windows — the per-(part,supplier)
+    * offer cost and the per-part best cost — because hash(p_partkey)
+    * satisfies both partitionings (the qJ18 single-exchange discipline);
+    * the DISTINCT down to offer rows reuses it too. The naive plan scans
+    * and shuffles lineitem twice (offers + correlated min); this one
+    * reads it once, and no per-part group ever materializes outside the
+    * sorted window frames.
+    */
+  def qQ09(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .filter(col("p_type") === "PROMO" && col("p_size") <= 15)
+      .select("p_partkey", "p_name")
+    val eligSupp = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val wOffer = Window.partitionBy("p_partkey", "s_suppkey")
+    val wPart = Window.partitionBy("p_partkey")
+    Tables.lineitem(s, d)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eligSupp), col("l_suppkey") === col("s_suppkey"))
+      .select("p_partkey", "p_name", "s_suppkey", "s_acctbal", "s_name",
+        "n_name", "l_extendedprice")
+      .repartition(col("p_partkey"))
+      .withColumn("cost", min(col("l_extendedprice")).over(wOffer))
+      .withColumn("best", min(col("l_extendedprice")).over(wPart))
+      .filter(col("cost") === col("best"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
   /** Q-J16 — TPC-H Q17 shape (small-quantity revenue, one brand): the
     * correlated `avg quantity per part` subquery becomes a window over
     * the brand-pruned join result — ONE scan of the fact table (the

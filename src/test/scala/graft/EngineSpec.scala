@@ -1259,6 +1259,29 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       Seq(("Supplier#1", 2L)))
   }
 
+  test("tpch q2 shape: one lineitem scan, one exchange feeds both windows " +
+      "and the distinct") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val q = Relational.qQ09(spark, sfDir)
+    val plan = q.queryExecution.executedPlan
+    assert(fileScans(plan, "lineitem.parquet").size == 1)
+    // hash(p_partkey) satisfies the offer window, the per-part window AND
+    // the distinct aggregate: exactly one shuffle in the whole plan
+    def shuffles(p: SparkPlan): Int = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec        => Seq(s.plan)
+        case _                        => Nil
+      }
+      (if (p.isInstanceOf[ShuffleExchangeExec]) 1 else 0) +
+        (extra ++ p.children ++ p.subqueries).map(shuffles).sum
+    }
+    assert(shuffles(plan) == 1, s"expected exactly one shuffle:\n$plan")
+  }
+
   test("pmi: exact integer lift on a constructed corpus, min-support filter") {
     import spark.implicits._
     import graft.operators.LLMOps
