@@ -199,6 +199,10 @@ object SparkEntry {
     "q_q08_tpch_q18"        -> (Relational.qQ08 _),
     "q_q09_tpch_q2"         -> (Relational.qQ09 _),
     "q_j16_tpch_q17"        -> (Relational.qJ16 _),
+    // TPC-H Q9/Q19/Q12 shapes (r7)
+    "q_j19_tpch_q9"         -> (Relational.qJ19 _),
+    "q_j20_tpch_q19"        -> (Relational.qJ20 _),
+    "q_j21_tpch_q12"        -> (Relational.qJ21 _),
     "q_j17_tpch_q15"        -> (Relational.qJ17 _),
     // bucketed two-sample KS drift statistic
     "q_a20_ks_drift"        -> ((s: SparkSession, dir: String) => Profiler.qA20(s, dir)),
@@ -652,6 +656,12 @@ object SparkEntry {
     // for partsupp); DISTINCT collapses repeat lineitems of a pair
     "q_q09_tpch_q2" ->
       """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, l_extendedprice AS cost FROM part, supplier, lineitem, nation, region WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND p_type = 'PROMO' AND p_size <= 15 AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE' AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2, supplier s2, nation n2, region r2 WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE') ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q_j19_tpch_q9" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit FROM lineitem JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%anvil%' GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""",
+    "q_j20_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem JOIN part ON p_partkey = l_partkey WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l_quantity <= 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20) OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)""",
+    "q_j21_tpch_q12" ->
+      """SELECT l_linestatus, CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY GROUP BY l_linestatus ORDER BY l_linestatus""",
     "q_j16_tpch_q17" ->
       """WITH j AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#23'), a AS (SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS aq FROM j GROUP BY l_partkey) SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly FROM j JOIN a USING (l_partkey) WHERE l_quantity < 0.2 * aq""",
     "q_j17_tpch_q15" ->

@@ -1059,6 +1059,78 @@ object Relational {
       .limit(100)
   }
 
+  /** Q-J19 — TPC-H Q9 shape (product-type profit by nation and year):
+    * lineitem filtered to a part-name pattern, joined to part, supplier,
+    * orders, and nation, revenue rolled up per (nation, order year). The
+    * corpus has no partsupp/ps_supplycost, so profit reduces to the
+    * discounted-revenue term — the join topology and rollup are Q9's.
+    * Scale: the pattern-filtered part side broadcasts (it prunes the fact
+    * scan via the join), supplier⋈nation broadcasts; orders is the only
+    * fact-sized join, shuffled on the orderkey both sides already carry.
+    * Revenue is the exact-decimal dsumProd fold (order-independent).
+    */
+  def qJ19(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_name").like("%anvil%"))
+      .select("p_partkey")
+    val sn = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** Q-J20 — TPC-H Q19 shape (disjunctive-predicate revenue): an OR of
+    * three (brand, size range, quantity range) conjunctions across the
+    * lineitem⋈part join. The per-table halves of the disjunction
+    * (quantity bounds on lineitem, brand/size on part) are pushed below
+    * the join by Catalyst as an OR-filter on each side — the scans read
+    * only candidate rows — and the full triple predicate re-applies on
+    * the joined row; part broadcasts. One scan each side, no shuffle.
+    */
+  def qJ20(s: SparkSession, d: String): DataFrame = {
+    def triple(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(triple("Brand#12", 5, 1, 11) ||
+        triple("Brand#23", 10, 10, 20) ||
+        triple("Brand#34", 15, 20, 30))
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q-J21 — TPC-H Q12 shape (shipping-delay priority buckets): lines
+    * shipped more than 60 days after their order date, counted per line
+    * status with the CASE-bucketed urgent/non-urgent split Q12 applies to
+    * ship modes (the corpus has no shipmode/commit/receipt columns; the
+    * late predicate uses shipdate − orderdate and the rollup keys on
+    * l_linestatus). One fact-sized orderkey shuffle joins the two tables;
+    * the CASE aggregates are a plain partial+final hash agg.
+    */
+  def qJ21(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+      .join(Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 days"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+
   /** Q-A18 — per-group z-score outliers, two-pass: pass 1 reduces orders
     * to a per-priority (Σx, Σx², n) triple via exact DECIMAL sums (order-
     * independent, so μ/σ are bit-deterministic across partition orders and
