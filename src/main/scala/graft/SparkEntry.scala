@@ -91,6 +91,8 @@ object SparkEntry {
     "q_l13_near_dup_pairs" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d, threshold = 0.45, bits = 2, tables = 14)),
     // IVF ANN (exhaustive probe on this clusterless corpus — see Ivf.qL14)
     "q_l14_ivf_ann"        -> (Ivf.qL14 _),
+    // embedding-diversity sample: portable sign-sketch buckets + GroupTopK
+    "q_l36_diversity_sample" -> ((s: SparkSession, d: String) => Similarity.qL36(s, d)),
     // approximate scale twins (bound-style oracles since r3: exact
     // quantities + pinned sketch-accuracy booleans)
     "q_a06_approx_distinct" -> (Scale.qA06 _),
@@ -382,6 +384,18 @@ object SparkEntry {
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings, q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
     "q_l14_ivf_ann" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings, q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
+    // q_l36: the oracle regenerates the 8 hyperplane dot products with the
+    // same exact-integer components and the same left fold (list_reduce in
+    // array order == Spark aggregate), then applies the ROW_NUMBER cap the
+    // GroupTopK operator implements skew-safely
+    "q_l36_diversity_sample" -> {
+      def dot(i: Int) =
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, range(0, len(embedding))), x -> CAST(x[1] AS DOUBLE) * (CAST(((x[2] + ${i * 64}) * 2654435761) % 1000003 AS DOUBLE) / CAST(1000003 AS DOUBLE) - 0.5))), (a, b) -> a + b)"
+      val bucket = (0 until 8)
+        .map(i => s"(CASE WHEN ${dot(i)} >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT CAST($bucket AS BIGINT) AS bucket, vec_id FROM embeddings), r AS (SELECT bucket, vec_id, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn FROM b) SELECT bucket, vec_id FROM r WHERE rn <= 4 ORDER BY bucket, vec_id"""
+    },
     // q_l13: exact all-pairs >= threshold — the LSH candidates provably
     // cover it (full recall at bits=2/tables=16) and the verify step is
     // the same left-fold cosine, so the hash pins recall AND precision

@@ -167,4 +167,42 @@ object Similarity {
       .orderBy(col("sim_q").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Q-L36 — embedding-diversity sample: stratify the corpus by an 8-bit
+    * sign sketch (8 hyperplane dot products, sign bits packed into a
+    * bucket id) and keep the first `perBucket` vectors per bucket — the
+    * cluster-balanced corpus-sampling op that caps dense embedding
+    * regions while keeping coverage of rare ones.
+    *
+    * The quantizer is deliberately NOT the learned one: Ivf.kmeans cells
+    * depend on float-mean accumulation order, so no other engine can
+    * reproduce them bit-exactly, while these hyperplane components are
+    * exact-integer-derived (h(i,j) = ((i·64+j)·2654435761 mod 1000003)
+    * / 1000003 − 0.5) and the dot is the same left fold both engines run
+    * in array order — the qL33 portability tradeoff, applied to vector
+    * space. Scale: the sketch is one codegen pass; the per-bucket cap
+    * runs on the custom GroupTopK operator, so ≤ perBucket rows per
+    * (bucket, partition) cross the shuffle and a dense bucket can never
+    * concentrate its region into one window sort.
+    */
+  def qL36(s: SparkSession, d: String, perBucket: Int = 4): DataFrame = {
+    val sketch = (0 until 8).map { i =>
+      val dot = aggregate(
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (v, j) => v.cast("double") *
+            (((j.cast("long") + lit(i.toLong * 64)) * lit(2654435761L) % lit(1000003L))
+              .cast("double") / lit(1000003.0) - lit(0.5))),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    graft.plans.Graft.groupTopK(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .select(sketch.as("bucket"), col("vec_id")),
+        group = Seq(col("bucket")),
+        order = Seq(col("vec_id")),
+        k = perBucket)
+      .orderBy("bucket", "vec_id")
+  }
 }
