@@ -201,10 +201,11 @@ object SparkEntry {
     "q_q08_tpch_q18"        -> (Relational.qQ08 _),
     "q_q09_tpch_q2"         -> (Relational.qQ09 _),
     "q_j16_tpch_q17"        -> (Relational.qJ16 _),
-    // TPC-H Q9/Q19/Q12 shapes (r7)
+    // TPC-H Q9/Q19/Q12/Q16 shapes (r7)
     "q_j19_tpch_q9"         -> (Relational.qJ19 _),
     "q_j20_tpch_q19"        -> (Relational.qJ20 _),
     "q_j21_tpch_q12"        -> (Relational.qJ21 _),
+    "q_a21_tpch_q16"        -> (Relational.qA21 _),
     "q_j17_tpch_q15"        -> (Relational.qJ17 _),
     // bucketed two-sample KS drift statistic
     "q_a20_ks_drift"        -> ((s: SparkSession, dir: String) => Profiler.qA20(s, dir)),
@@ -674,6 +675,8 @@ object SparkEntry {
       """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit FROM lineitem JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%anvil%' GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""",
     "q_j20_tpch_q19" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem JOIN part ON p_partkey = l_partkey WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l_quantity <= 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20) OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)""",
+    "q_a21_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'PROMO%' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000) GROUP BY p_brand, p_type, p_size ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "q_j21_tpch_q12" ->
       """SELECT l_linestatus, CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY GROUP BY l_linestatus ORDER BY l_linestatus""",
     "q_j16_tpch_q17" ->

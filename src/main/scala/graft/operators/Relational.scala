@@ -1131,6 +1131,36 @@ object Relational {
           .otherwise(0L)).as("low_line_count"))
       .orderBy("l_linestatus")
 
+  /** Q-A21 — TPC-H Q16 shape (supplier-count rollup with an exclusion
+    * list): distinct suppliers per (brand, type, size) over the filtered
+    * part attributes, excluding a NOT IN supplier set. lineitem's
+    * (partkey, suppkey) pairs stand in for partsupp. The exclusion list
+    * is a broadcast LEFT ANTI join (s_suppkey is non-null, so the
+    * null-aware NOT IN machinery — q_q05's trap — isn't needed); the
+    * attribute-filtered part side broadcasts and prunes the fact scan;
+    * the distinct count is the standard two-level aggregate (dedup on
+    * the full key, then count) — both levels map-side combined on one
+    * exchange.
+    */
+  def qA21(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#45" &&
+        !col("p_type").like("PROMO%") &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 1000).select("s_suppkey")
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   /** Q-A18 — per-group z-score outliers, two-pass: pass 1 reduces orders
     * to a per-priority (Σx, Σx², n) triple via exact DECIMAL sums (order-
     * independent, so μ/σ are bit-deterministic across partition orders and
