@@ -93,6 +93,8 @@ object SparkEntry {
     "q_l14_ivf_ann"        -> (Ivf.qL14 _),
     // embedding-diversity sample: portable sign-sketch buckets + GroupTopK
     "q_l36_diversity_sample" -> ((s: SparkSession, d: String) => Similarity.qL36(s, d)),
+    // data-mixture weights: sqrt-temperature source weighting
+    "q_l37_mixture_weights" -> (TrainPrep.qL37 _),
     // approximate scale twins (bound-style oracles since r3: exact
     // quantities + pinned sketch-accuracy booleans)
     "q_a06_approx_distinct" -> (Scale.qA06 _),
@@ -675,6 +677,11 @@ object SparkEntry {
       """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit FROM lineitem JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%anvil%' GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""",
     "q_j20_tpch_q19" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem JOIN part ON p_partkey = l_partkey WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l_quantity <= 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20) OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)""",
+    // exact-integer mass (floor of a correctly-rounded sqrt), integer
+    // normalizer, one terminal double division — engine-portable where a
+    // sum of raw sqrt doubles would be accumulation-order-dependent
+    "q_l37_mixture_weights" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY source), w AS (SELECT source, n_docs, n_chars, CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT) AS w_int FROM c), t AS (SELECT CAST(SUM(w_int) AS BIGINT) AS z FROM w) SELECT source, n_docs, n_chars, CAST(w_int AS DOUBLE) / CAST(z AS DOUBLE) AS weight FROM w, t ORDER BY source""",
     "q_a21_tpch_q16" ->
       """SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'PROMO%' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000) GROUP BY p_brand, p_type, p_size ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "q_j21_tpch_q12" ->

@@ -247,6 +247,30 @@ object TrainPrep {
       .agg(count(lit(1)).as("docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang")
 
+  /** Q-L37 — data-mixture weights: temperature-sampled source weights
+    * (α = 0.5: weight ∝ corpus-mass^α), the mixture knob a training run
+    * turns to up-sample small high-quality sources without letting the
+    * biggest source drown the blend. Exact arithmetic discipline: the
+    * per-source mass is floor(sqrt(n_chars)) — an exact BIGINT, since
+    * IEEE sqrt is correctly rounded and char counts sit far below 2^52 —
+    * so the normalizing sum is an integer fold and the ONLY double op is
+    * the terminal division (summing raw sqrt doubles would be
+    * accumulation-order-dependent and engine-divergent). Scale: one
+    * map-side-combined aggregate over a bounded source set; the 1-row
+    * total broadcasts back.
+    */
+  def qL37(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("w_int", floor(sqrt(col("n_chars").cast("double"))).cast("long"))
+    val tot = perSource.agg(sum(col("w_int")).as("z"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        (col("w_int").cast("double") / col("z").cast("double")).as("weight"))
+      .orderBy("source")
+  }
+
   /** Q-L24 — train/test contamination scan: how many train-split docs
     * share at least one 3-word shingle with any test-split doc — the
     * eval-integrity check a training pipeline runs after splitting.
