@@ -174,4 +174,41 @@ object Temporal {
       .select("user_id", "event_id", "trail_sum", "trail_cnt")
       .orderBy("user_id", "event_id")
   }
+
+  /** Q-T08 — session path extraction: per (user, 30-minute session) the
+    * ORDERED event-type path string ("view>click>purchase") plus start
+    * and length — the behavioral-sequence construction step that turns an
+    * event log into sequence-model training examples (and the input to
+    * path/funnel mining). Sessions use qT02's lag-gap derivation on exact
+    * epoch micros; the path is collect_list of (ts, event_id, type)
+    * structs sorted IN the aggregate (array_sort on the struct is a total
+    * order because event_id is unique — deterministic across partition
+    * orders, where a bare collect_list concatenation order is not).
+    * Scale: one user_id exchange serves the lag window, the session-id
+    * running sum, AND the per-session aggregate (subset-key
+    * partitioning); per-group state is one session's events — the output
+    * row itself, not a skew concentration.
+    */
+  def qT08(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("brk",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) >= 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(wCum))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts_us")).as("s_start"),
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+      .select("user_id", "s_start", "n_events", "path")
+      .orderBy("user_id", "s_start")
+  }
 }
