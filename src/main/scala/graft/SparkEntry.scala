@@ -97,6 +97,8 @@ object SparkEntry {
     "q_l37_mixture_weights" -> (TrainPrep.qL37 _),
     // session path extraction: ordered event-type sequences per session
     "q_t08_session_paths"   -> (Temporal.qT08 _),
+    // bigram transition counts: ordered next-token statistics
+    "q_l38_bigram_counts"   -> ((s: SparkSession, d: String) => LLMOps.qL38(s, d)),
     // approximate scale twins (bound-style oracles since r3: exact
     // quantities + pinned sketch-accuracy booleans)
     "q_a06_approx_distinct" -> (Scale.qA06 _),
@@ -562,6 +564,8 @@ object SparkEntry {
       """SELECT l_orderkey, bit_and(l_linenumber) AS ln_and, bit_or(l_linenumber) AS ln_or, bit_xor(l_linenumber) AS ln_xor FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q_f12_hash_fns" ->
       """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256 FROM customer ORDER BY c_custkey""",
+    "q_l38_bigram_counts" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS toks FROM documents), p AS (SELECT unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg FROM w WHERE len(toks) >= 2) SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 20""",
     // qT02's lag-gap session derivation + an ordered string_agg path
     "q_t08_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), m AS (SELECT user_id, event_id, event_type, us, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, event_id, event_type, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, MIN(us) AS s_start, CAST(COUNT(*) AS BIGINT) AS n_events, string_agg(event_type, '>' ORDER BY us, event_id) AS path FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""",

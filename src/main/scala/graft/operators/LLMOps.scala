@@ -529,6 +529,27 @@ object LLMOps {
       .limit(k)
   }
 
+  /** Q-L38 — bigram transition counts: adjacent-token pairs IN ORDER,
+    * counted corpus-wide — the Markov / n-gram language-model building
+    * block (next-token statistics), complementary to qL34's UNordered
+    * document-level co-occurrence. Fan-out is exactly tokens−1 per doc
+    * (linear, not squared — no distinct-pair join needed because
+    * adjacency is positional), and the pair counts aggregate with full
+    * map-side combine; top-k via TakeOrdered, never a global sort.
+    */
+  def qL38(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Q-L32 — vocabulary construction: frequency-ranked token → id table,
     * the tokenizer-training output every corpus pipeline persists. The
     * corpus-sized work is the map-side-combined token count; the
