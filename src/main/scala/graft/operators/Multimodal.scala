@@ -125,6 +125,66 @@ object Multimodal {
     */
   private[graft] val Mp4HeaderLen = 84
 
+  /** Minimal deterministic PNG encoder for tiny RGB frames: 8-bit
+    * truecolor IHDR, one zlib STORED (uncompressed) deflate block, CRC32/
+    * Adler32 checksums — a spec-valid PNG any reader decodes (the mp4
+    * round-trip spec decodes these through ImageIO and compares pixels),
+    * but without the ImageIO writer's per-call plugin/stream/deflater
+    * machinery, which costs more than a 4x3 frame's pixels at
+    * n_frames × corpus scale. Encoding is the SYNTHETIC SOURCE side;
+    * the decode path — the part a real pipeline runs — stays ImageIO.
+    */
+  private[graft] def encodeTinyPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    // raw scanlines: filter byte 0 + RGB triples, pixels from the chain
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var s = seed
+    var p = 0
+    var y = 0
+    while (y < h) {
+      raw(p) = 0; p += 1
+      var x = 0
+      while (x < w) {
+        s += 0x9e3779b97f4a7c15L
+        val v = (mix64(s) & 0xffffff).toInt
+        raw(p) = ((v >> 16) & 0xff).toByte
+        raw(p + 1) = ((v >> 8) & 0xff).toByte
+        raw(p + 2) = (v & 0xff).toByte
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    require(raw.length <= 0xffff, "tiny-PNG encoder: one stored block only")
+    val idat = new Array[Byte](2 + 5 + raw.length + 4)
+    idat(0) = 0x78; idat(1) = 0x01 // zlib header, no compression hints
+    idat(2) = 0x01 // final + stored block
+    idat(3) = (raw.length & 0xff).toByte
+    idat(4) = ((raw.length >> 8) & 0xff).toByte
+    idat(5) = (~raw.length & 0xff).toByte
+    idat(6) = ((~raw.length >> 8) & 0xff).toByte
+    System.arraycopy(raw, 0, idat, 7, raw.length)
+    val adler = new java.util.zip.Adler32(); adler.update(raw)
+    val a = adler.getValue.toInt
+    val az = 7 + raw.length
+    idat(az) = ((a >> 24) & 0xff).toByte; idat(az + 1) = ((a >> 16) & 0xff).toByte
+    idat(az + 2) = ((a >> 8) & 0xff).toByte; idat(az + 3) = (a & 0xff).toByte
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // 8-bit truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val out = java.nio.ByteBuffer.allocate(
+      8 + (12 + 13) + (12 + idat.length) + 12)
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+    }
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.array()
+  }
+
   /** Real ISO-BMFF (mp4) container writer: ftyp, a minimal
     * moov>trak>mdia>minf>stbl>stsz chain declaring `nFrames` equal-size
     * samples, and an mdat whose frame payloads are REAL PNG images.
@@ -146,31 +206,18 @@ object Multimodal {
     bb.putInt(Mp4FrameSize); bb.putInt(nFrames)
     box(8 + dataLen, "mdat")
     val fpix = Mp4FrameW * Mp4FrameH
-    // one PNG writer reused across the video's frames: the per-call codec
-    // REGISTRY lookup inside ImageIO.write costs more than encoding a
-    // 4x3 frame, and a video is exactly the many-tiny-payloads case
-    imageIoInMemory
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
-    try {
-      var f = 0
-      while (f < nFrames) {
-        // chain offset: pixel j of frame f is chain element f·fpix + j
-        val img = syntheticImage(seed + f.toLong * fpix * 0x9e3779b97f4a7c15L,
-          Mp4FrameW, Mp4FrameH)
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.write(img)
-        ios.close()
-        val png = bos.toByteArray
-        require(png.length <= Mp4FrameSize,
-          s"PNG frame (${png.length} B) exceeds the $Mp4FrameSize B slot")
-        val at = bb.position()
-        bb.put(png)
-        bb.position(at + Mp4FrameSize) // allocate() zero-fills → zero pad
-        f += 1
-      }
-    } finally writer.dispose()
+    var f = 0
+    while (f < nFrames) {
+      // chain offset: pixel j of frame f is chain element f·fpix + j
+      val png = encodeTinyPng(seed + f.toLong * fpix * 0x9e3779b97f4a7c15L,
+        Mp4FrameW, Mp4FrameH)
+      require(png.length <= Mp4FrameSize,
+        s"PNG frame (${png.length} B) exceeds the $Mp4FrameSize B slot")
+      val at = bb.position()
+      bb.put(png)
+      bb.position(at + Mp4FrameSize) // allocate() zero-fills → zero pad
+      f += 1
+    }
     bb.array()
   }
 
