@@ -45,6 +45,13 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
       plan.indexOf("GroupTopK") != plan.lastIndexOf("GroupTopK"), plan)
   }
 
+  test("diversity sample (qL36) runs on GroupTopK, not a window") {
+    val plan = graft.operators.Similarity.qL36(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("group_top_k partial-phase group cap passes overflow through, result unchanged") {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
