@@ -212,6 +212,7 @@ object SparkEntry {
     "q_j20_tpch_q19"        -> (Relational.qJ20 _),
     "q_j21_tpch_q12"        -> (Relational.qJ21 _),
     "q_a21_tpch_q16"        -> (Relational.qA21 _),
+    "q_q10_tpch_q20"        -> (Relational.qQ10 _),
     "q_j17_tpch_q15"        -> (Relational.qJ17 _),
     // bucketed two-sample KS drift statistic
     "q_a20_ks_drift"        -> ((s: SparkSession, dir: String) => Profiler.qA20(s, dir)),
@@ -691,6 +692,10 @@ object SparkEntry {
     // sum of raw sqrt doubles would be accumulation-order-dependent
     "q_l37_mixture_weights" ->
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY source), w AS (SELECT source, n_docs, n_chars, CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT) AS w_int FROM c), t AS (SELECT CAST(SUM(w_int) AS BIGINT) AS z FROM w) SELECT source, n_docs, n_chars, CAST(w_int AS DOUBLE) / CAST(z AS DOUBLE) AS weight FROM w, t ORDER BY source""",
+    // Q20 shape: the volume subquery's exact-decimal sum makes the
+    // threshold set deterministic in both engines
+    "q_q10_tpch_q20" ->
+      """SELECT s_name, s_acctbal FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name IN ('NATION_5', 'NATION_8', 'NATION_13') AND s_suppkey IN (SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_name LIKE 'blue%' GROUP BY l_suppkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) ORDER BY s_name""",
     "q_a21_tpch_q16" ->
       """SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'PROMO%' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000) GROUP BY p_brand, p_type, p_size ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "q_j21_tpch_q12" ->

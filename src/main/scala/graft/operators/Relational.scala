@@ -1131,6 +1131,33 @@ object Relational {
           .otherwise(0L)).as("low_line_count"))
       .orderBy("l_linestatus")
 
+  /** Q-Q10 — TPC-H Q20 shape (excess-volume suppliers of a part family,
+    * region-scoped): the nested IN subquery — suppliers whose shipped
+    * quantity of 'blue%' parts exceeds a threshold — pre-aggregates ONCE
+    * over the part-pruned fact scan (the Q20 discipline every engine
+    * wants: never re-derive the per-supplier volume per outer row) and
+    * attaches to the nation-filtered supplier dim as a LEFT SEMI join.
+    * The volume compare runs on the exact DECIMAL sum, so the threshold
+    * set is bit-deterministic across engines and partition orders.
+    */
+  def qQ10(s: SparkSession, d: String): DataFrame = {
+    val blueParts = Tables.part(s, d)
+      .filter(col("p_name").like("blue%")).select("p_partkey")
+    val bigShippers = Tables.lineitem(s, d)
+      .join(broadcast(blueParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      .filter(col("qty") > 300)
+      .select("l_suppkey")
+    Tables.supplier(s, d)
+      .join(Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_5", "NATION_8", "NATION_13")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
   /** Q-A21 — TPC-H Q16 shape (supplier-count rollup with an exclusion
     * list): distinct suppliers per (brand, type, size) over the filtered
     * part attributes, excluding a NOT IN supplier set. lineitem's
