@@ -213,6 +213,7 @@ object SparkEntry {
     "q_j21_tpch_q12"        -> (Relational.qJ21 _),
     "q_a21_tpch_q16"        -> (Relational.qA21 _),
     "q_q10_tpch_q20"        -> (Relational.qQ10 _),
+    "q_q11_tpch_q11"        -> (Relational.qQ11 _),
     "q_j17_tpch_q15"        -> (Relational.qJ17 _),
     // bucketed two-sample KS drift statistic
     "q_a20_ks_drift"        -> ((s: SparkSession, dir: String) => Profiler.qA20(s, dir)),
@@ -692,6 +693,10 @@ object SparkEntry {
     // sum of raw sqrt doubles would be accumulation-order-dependent
     "q_l37_mixture_weights" ->
       """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY source), w AS (SELECT source, n_docs, n_chars, CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT) AS w_int FROM c), t AS (SELECT CAST(SUM(w_int) AS BIGINT) AS z FROM w) SELECT source, n_docs, n_chars, CAST(w_int AS DOUBLE) / CAST(z AS DOUBLE) AS weight FROM w, t ORDER BY source""",
+    // Q11 shape: value×1000 > total — exact decimal compare, no
+    // fractional literal, deterministic membership both engines
+    "q_q11_tpch_q11" ->
+      """WITH v AS (SELECT l_partkey AS partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value FROM lineitem JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY l_partkey), t AS (SELECT SUM(value) AS total FROM v) SELECT partkey, CAST(value AS DOUBLE) AS value FROM v, t WHERE value * 1000 > total ORDER BY value DESC, partkey""",
     // Q20 shape: the volume subquery's exact-decimal sum makes the
     // threshold set deterministic in both engines
     "q_q10_tpch_q20" ->

@@ -1158,6 +1158,34 @@ object Relational {
       .orderBy("s_name")
   }
 
+  /** Q-Q11 — TPC-H Q11 shape (important stock: per-part value vs a
+    * global-share threshold from a scalar subquery): part values within
+    * one region's suppliers aggregate ONCE (exact DECIMAL sums), the
+    * corpus-total value reduces to a 1-row broadcast, and the HAVING
+    * `value > total × fraction` runs as `value × 1000 > total` — an
+    * EXACT decimal comparison with no fractional literal, so the
+    * membership set is bit-deterministic in both engines (the qJ17
+    * scalar-broadcast discipline). lineitem extended price stands in for
+    * partsupp supplycost×availqty; the aggregate-vs-global-share shape
+    * is Q11's.
+    */
+  def qQ11(s: SparkSession, d: String): DataFrame = {
+    val regionSupp = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val v = Tables.lineitem(s, d)
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("value"))
+    val total = v.agg(sum(col("value")).as("total"))
+    v.crossJoin(broadcast(total))
+      .filter(col("value") * 1000 > col("total"))
+      .select(col("partkey"), col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
   /** Q-A21 — TPC-H Q16 shape (supplier-count rollup with an exclusion
     * list): distinct suppliers per (brand, type, size) over the filtered
     * part attributes, excluding a NOT IN supplier set. lineitem's
