@@ -161,6 +161,36 @@ object Writers {
     * no per-connection init hook (`sessionInitStatement` is a *read-path*
     * option), so the ON/OFF wrap needs the explicit partition writer.
     */
+  /** Small-file compaction — the table-maintenance pass every large lake
+    * needs: streaming/ingest jobs leave directories of KB-sized files
+    * whose per-file open/footer cost eventually dominates scans (and
+    * whose listing cost hits the driver). Rewrites `src` into
+    * `ceil(totalBytes / targetFileBytes)` files at `dst` (never
+    * in-place: the caller swaps directories after validating, so a
+    * failed compaction can't destroy the source). Uses coalesce — a
+    * partition-merge with NO shuffle — because compaction must not pay
+    * a corpus-wide exchange; pass `repartitionInstead = true` only when
+    * the input's partition sizes are so skewed that merged files would
+    * be too. Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(s: org.apache.spark.sql.SparkSession, src: String,
+      dst: String, targetFileBytes: Long = 128L << 20,
+      repartitionInstead: Boolean = false): (Int, Int) = {
+    def parquetFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    val before = parquetFiles(src)
+    val totalBytes = before.map(_.length).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = s.read.parquet(src)
+    val sliced = if (repartitionInstead) df.repartition(n) else df.coalesce(n)
+    sliced.write.mode(SaveMode.Overwrite).parquet(dst)
+    (before.size, parquetFiles(dst).size)
+  }
+
   def jdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties,
       batchSize: Int = 3000,

@@ -720,6 +720,27 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       events.filter(col("event_type") === "click").count())
   }
 
+  test("small-file compaction merges a fragmented directory without " +
+      "changing its contents") {
+    import graft.io.Writers
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val events = Tables.events(spark, sfDir)
+    // simulate an ingest job's fragmentation: 64 tiny files
+    events.repartition(64).write.parquet(s"$tmp/frag")
+    val (before, after) = Writers.compactParquet(spark, s"$tmp/frag",
+      s"$tmp/compact", targetFileBytes = 4L << 20)
+    assert(before == 64)
+    assert(after < 8, s"expected a handful of files, got $after")
+    // contents identical (row multiset; compaction must not drop or dup)
+    val a = spark.read.parquet(s"$tmp/frag").orderBy("event_id").collect()
+    val b = spark.read.parquet(s"$tmp/compact").orderBy("event_id").collect()
+    assert(a.sameElements(b))
+    // coalesce path: the compaction plan contains no shuffle exchange
+    val plan = spark.read.parquet(s"$tmp/frag").coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("dynamic partition pruning fires on a dim-filtered join against a " +
       "partitioned fact") {
     import graft.io.Writers
