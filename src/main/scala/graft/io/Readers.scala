@@ -21,6 +21,26 @@ object Readers {
 
   def json(s: SparkSession, path: String): DataFrame = s.read.json(path)
 
+  /** Error-tolerant CSV ingest: malformed rows are CAPTURED, not fatal and
+    * not silently dropped — PERMISSIVE mode parses what it can and lands
+    * the raw text of each bad line in `_quarantine`, so the caller can
+    * split the frame into clean rows (`_quarantine IS NULL`) and a
+    * quarantine sink for replay/inspection. At 100 TB a single mangled
+    * line must cost one quarantined row, never a failed task
+    * (FAILFAST) or an invisible data loss (DROPMALFORMED). Requires an
+    * explicit schema: the quarantine contract is only meaningful against
+    * a declared shape.
+    */
+  def csvWithQuarantine(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): DataFrame =
+    s.read
+      .option("header", header)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantine")
+      .schema(schema.add("_quarantine", "string"))
+      .csv(path)
+
   /** ORC source (columnar like parquet: pushdown + pruning apply; Avro is
     * omitted — the spark-avro datasource module isn't on this classpath).
     */

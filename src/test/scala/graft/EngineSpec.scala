@@ -556,6 +556,32 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq == exp)
   }
 
+  test("csvWithQuarantine captures malformed rows instead of failing or " +
+      "dropping them") {
+    import graft.io.Readers
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quarantine")
+    java.nio.file.Files.writeString(tmp.resolve("in.csv"),
+      """id,qty,name
+        |1,10,alpha
+        |2,notanumber,beta
+        |3,30,gamma
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("qty", LongType), StructField("name", StringType)))
+    val df = Readers.csvWithQuarantine(spark, tmp.toString, schema).cache()
+    try {
+      val clean = df.filter(col("_quarantine").isNull)
+        .select("id", "qty", "name").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(clean == Seq((1L, 10L, "alpha"), (3L, 30L, "gamma")))
+      // the bad line is captured verbatim for replay, not dropped
+      val quarantined = df.filter(col("_quarantine").isNotNull)
+        .select("_quarantine").collect().map(_.getString(0)).toSeq
+      assert(quarantined == Seq("2,notanumber,beta"))
+    } finally df.unpersist()
+  }
+
   test("incrementalSync: initial load, upsert merge, and no-op delta") {
     import spark.implicits._
     val tgt = Files.createTempDirectory("graft-sync").toString + "/t"
