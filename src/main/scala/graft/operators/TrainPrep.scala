@@ -357,6 +357,51 @@ object TrainPrep {
         sum(when(fLen && fWlen && fRep && fStop, 1L).otherwise(0L)).as("pass_all"))
   }
 
+  /** Q-L39 — the end-to-end corpus-prep pipeline as ONE flow: quality
+    * gate (qL22's four predicates) → exact dedup (keep the MIN doc_id
+    * per text — a deterministic winner, where `first` would be
+    * partition-order roulette) → content-hash split (qL20's md5 recipe)
+    * → per-split doc and token totals. This is the composition a real
+    * training-data run executes nightly; each stage is individually
+    * oracle-checked elsewhere (q_l22/q_l04/q_l20), this row pins that
+    * they compose without re-materializing: the only corpus-sized
+    * shuffles are qL22's (doc,token) aggregate and the dedup's
+    * text-keyed aggregate over quality SURVIVORS — everything after is
+    * split-cardinality.
+    */
+  def qL39(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val docs = Tables.documents(s, d)
+    val wc = size(LLMOps.tokens(col("text"))).cast("double")
+    val stats = docs.select(
+      col("doc_id"), col("text"),
+      wc.as("wc"),
+      (length(col("text")).cast("double") / wc).as("mean_tok_len"),
+      (size(filter(LLMOps.tokens(col("text")), t => t.isin(stop: _*)))
+        .cast("double") / wc).as("stop_ratio"))
+    val rep = docs
+      .select(col("doc_id"), explode(LLMOps.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").cast("double").as("max_tok"))
+    val quality = stats.join(rep, Seq("doc_id"))
+      .filter(col("wc").between(20.0, 80.0) &&
+        col("mean_tok_len").between(3.0, 10.0) &&
+        (col("max_tok") / col("wc")) <= 0.125 &&
+        col("stop_ratio") >= 0.01)
+      .select("doc_id", "text", "wc")
+    val deduped = quality.groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), min(col("wc")).as("wc"))
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 100
+    deduped
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("wc").cast("long")).as("total_tokens"))
+      .orderBy("split")
+  }
+
   /** Q-L30 — per-language length trimming (drop the p5/p95 tails of
     * `n_chars` within each language before training). Pass 1 reduces the
     * corpus to one (lo, hi) row per language — a bounded, broadcastable
