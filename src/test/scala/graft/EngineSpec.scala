@@ -1329,6 +1329,22 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(shuffles(plan) == 1, s"expected exactly one shuffle:\n$plan")
   }
 
+  test("tpch q19 shape: each side's OR-half is pushed into its parquet scan") {
+    import graft.operators.Relational
+    val q = Relational.qJ20(spark, sfDir)
+    val plan = q.queryExecution.executedPlan
+    val li = fileScans(plan, "lineitem.parquet")
+    val pt = fileScans(plan, "part.parquet")
+    assert(li.size == 1 && pt.size == 1)
+    // the quantity OR-bounds reach the fact scan; brand/size reach part —
+    // candidate rows are pruned at the parquet reader, not post-join
+    val liPushed = li.head.metadata("PushedFilters")
+    val ptPushed = pt.head.metadata("PushedFilters")
+    assert(liPushed.contains("Or(") && liPushed.contains("l_quantity"), liPushed)
+    assert(ptPushed.contains("Or(") && ptPushed.contains("p_brand") &&
+      ptPushed.contains("p_size"), ptPushed)
+  }
+
   test("pmi: exact integer lift on a constructed corpus, min-support filter") {
     import spark.implicits._
     import graft.operators.LLMOps
