@@ -186,16 +186,11 @@ object Similarity {
     * concentrate its region into one window sort.
     */
   def qL36(s: SparkSession, d: String, perBucket: Int = 4): DataFrame = {
-    val sketch = (0 until 8).map { i =>
-      val dot = aggregate(
-        zip_with(col("embedding"),
-          sequence(lit(0), size(col("embedding")) - 1),
-          (v, j) => v.cast("double") *
-            (((j.cast("long") + lit(i.toLong * 64)) * lit(2654435761L) % lit(1000003L))
-              .cast("double") / lit(1000003.0) - lit(0.5))),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // SignSketch = one bits × dim tight loop inside whole-stage codegen;
+    // the equivalent zip_with/aggregate formulation runs 8 INTERPRETED
+    // passes per row (Spark higher-order functions don't codegen — the
+    // LshBuckets lesson), byte-for-byte the same math and fold order
+    val sketch = graft.functions.SignSketch(col("embedding"), bits = 8)
     graft.plans.Graft.groupTopK(
         Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, LshBuckets, NGramGenerator, PolyHash, ShingleHash}
+import graft.functions.{CosineSim, LshBuckets, NGramGenerator, PolyHash, ShingleHash, SignSketch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, ExpressionInfo, Literal, SortOrder}
@@ -59,6 +59,10 @@ object Graft {
       LshBuckets(args(0), intArg(args(1), "lsh_buckets", 2),
         intArg(args(2), "lsh_buckets", 3),
         intArg(args(3), "lsh_buckets", 4).toLong)
+    },
+    "sign_sketch" -> { args: Seq[Expression] =>
+      require(args.length == 2, "sign_sketch(vec, bits)")
+      SignSketch(args(0), intArg(args(1), "sign_sketch", 2))
     },
     // table-valued: one row per n-gram (SELECT ngrams(text, 3) ...)
     "ngrams" -> { args: Seq[Expression] =>

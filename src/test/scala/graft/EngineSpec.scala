@@ -66,6 +66,41 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }.nonEmpty)
   }
 
+  test("SignSketch stays in codegen and matches the interpreted HOF math " +
+      "bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.SignSketch
+    val vecs = Seq(
+      (1L, Array(0.25f, -1.5f, 3.75f, 0.0f)),
+      (2L, Array(-0.1f, -0.2f, -0.3f, -0.4f)),
+      (3L, Array(Float.MinPositiveValue, 1e10f, -1e-10f, 42.42f)))
+      .toDF("vec_id", "embedding")
+    // the reference: the same planes and left fold spelled as (interpreted)
+    // higher-order functions — any divergence breaks the DuckDB oracle too
+    val hof = (0 until 8).map { i =>
+      val dot = aggregate(
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (v, j) => v.cast("double") *
+            (((j.cast("long") + lit(i.toLong * 64)) * lit(2654435761L) % lit(1000003L))
+              .cast("double") / lit(1000003.0) - lit(0.5))),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val got = vecs.select(col("vec_id"), SignSketch(col("embedding"), 8).as("b"),
+        hof.as("ref"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    got.foreach { case (b, ref) => assert(b == ref) }
+    // and it plans inside whole-stage codegen (the reason it exists)
+    val plan = spark.range(8)
+      .select(SignSketch(array(col("id").cast("float"),
+        (col("id") * 2).cast("float")), 8).as("b"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+  }
+
   test("ShingleHash matches the unfused shingle-string → PolyHash path") {
     import graft.operators.LLMOps
     val docs = Tables.documents(spark, sfDir).limit(100)
