@@ -15,6 +15,16 @@ object Readers {
 
   def parquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
 
+  /** Schema-evolution read: merge the footers of every file under `path`
+    * into the union schema, so a directory whose older files predate an
+    * added column still reads as one table (old rows surface NULL for the
+    * new column). Off the default path on purpose — footer merging lists
+    * and reads every file's schema, a driver-side cost a 100 TB table
+    * pays only when its files genuinely disagree.
+    */
+  def parquetMergeSchema(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
   def csv(s: SparkSession, path: String, header: Boolean = true,
       inferSchema: Boolean = true): DataFrame =
     s.read.option("header", header).option("inferSchema", inferSchema).csv(path)

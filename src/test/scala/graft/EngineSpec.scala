@@ -591,6 +591,22 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq == exp)
   }
 
+  test("parquetMergeSchema reads a schema-evolved directory as one table") {
+    import spark.implicits._
+    import graft.io.Readers
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // v1 files predate the `score` column; v2 files carry it
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$tmp/t")
+    Seq((3L, "c", 0.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(s"$tmp/t")
+    val df = Readers.parquetMergeSchema(spark, s"$tmp/t")
+    assert(df.schema.fieldNames.toSet == Set("id", "v", "score"))
+    val rows = df.select("id", "score").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(rows.toSeq == Seq((1L, None), (2L, None), (3L, Some(0.5))))
+  }
+
   test("csvWithQuarantine captures malformed rows instead of failing or " +
       "dropping them") {
     import graft.io.Readers
