@@ -15,6 +15,21 @@ import org.apache.spark.sql.SparkSession
   * JSON line must stay short — per-query keys are the query id prefix
   * (`q_a05_string_agg` → `q_a05`; asserted unique) and seconds are rounded
   * to 3 decimals. BASELINE.md's measured table is keyed the same way.
+  * Capture-proofing: the same JSON line is ALSO written to
+  * `bench_out.json` in the working directory — the r7 driver artifact
+  * lost seven queries to stdout tail-truncation; the file copy is the
+  * authoritative record when the stdout window clips.
+  *
+  * Adjacency isolation (r7 finding): q_mm02 read 2.49x in-suite but 0.97x
+  * isolated — pressure left behind by neighboring queries (page cache,
+  * un-collected heap from ~140 prior executions) was billed to whichever
+  * query ran next. Two countermeasures: (a) before every timed run the
+  * harness clears the SQL cache and runs System.gc(), so each query
+  * starts from the same reclaimed-heap state its isolated run would see;
+  * (b) passes >= 3 run in a deterministic per-pass scatter order, so a
+  * query's neighbors differ across passes and min() gets at least one
+  * sample with different adjacency (forward/reverse alone keeps
+  * same-block queries adjacent in every pass).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,12 +50,27 @@ object Bench {
     var spark = mkSession()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query pass failures, emitted in the JSON (not just stderr): a
+    // query that succeeded once but crashes on re-run would otherwise
+    // report a normal min() time with no machine-readable trace of the
+    // instability.
+    var failedPasses = Map.empty[String, Int].withDefaultValue(0)
+
+    // Untimed pre-query hygiene: drop any cached plans and reclaim heap so
+    // the timed window sees the same starting state an isolated run would.
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     def run(name: String): Double = {
+      hygiene()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failedPasses += name -> (failedPasses(name) + 1)
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
@@ -89,7 +119,13 @@ object Bench {
           spark = mkSession()
           spark.sparkContext.setLogLevel("WARN")
           System.gc()
-          val order = if (p % 2 == 0) names.reverse else names
+          // Pass 2 reverses (disjoint hit-sets for time-localized host
+          // disturbances); passes >= 3 scatter deterministically so
+          // same-block neighbors — adjacent in BOTH forward and reverse —
+          // get at least one differently-ordered sample.
+          val order =
+            if (p == 2) names.reverse
+            else names.sortBy(n => scala.util.hashing.MurmurHash3.stringHash(n, p))
           run(order.head) // absorb new-session scheduling warm-up, not charged
           order.foreach { n =>
             val t = run(n)
@@ -112,7 +148,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Only present when some pass failed, to keep the line short.
+    val failed =
+      if (failedPasses.isEmpty) ""
+      else failedPasses.toSeq.sortBy(_._1)
+        .map { case (k, c) => "\"" + shortId(k) + "\":" + c }
+        .mkString(""","failed_passes":{""", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failed,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

@@ -41,12 +41,28 @@ case class SignSketch(child: Expression, bits: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "sign_sketch"
 
-  override protected def nullSafeEval(input: Any): Any =
-    SignSketch.sketch(input.asInstanceOf[ArrayData], bits)
+  // A null ELEMENT propagates to a NULL sketch — the HOF formulation's dot
+  // product goes NULL on the first null component and DuckDB's list_reduce
+  // does the same, so reading unspecified bytes via getFloat would silently
+  // diverge from both. Hence nullable even over a non-null array column.
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (SignSketch.hasNullElement(arr)) null
+    else java.lang.Long.valueOf(SignSketch.sketch(arr, bits))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.SignSketch.sketch($c, $bits)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if (graft.functions.SignSketch.hasNullElement($c)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.SignSketch.sketch($c, $bits);
+      }""")
 
   override protected def withNewChildInternal(newChild: Expression): SignSketch =
     copy(child = newChild)
@@ -60,7 +76,22 @@ object SignSketch {
     */
   val Stride = 64
 
-  /** Called from both interpreted eval and generated code. */
+  /** Null-element scan shared by interpreted eval and generated code —
+    * one cheap pass vs the bits×n sketch loop.
+    */
+  def hasNullElement(arr: ArrayData): Boolean = {
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) return true
+      j += 1
+    }
+    false
+  }
+
+  /** Called from both interpreted eval and generated code; callers must
+    * reject null elements first ([[hasNullElement]]).
+    */
   def sketch(arr: ArrayData, bits: Int): Long = {
     val n = arr.numElements()
     var bucket = 0L

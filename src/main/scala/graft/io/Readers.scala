@@ -40,6 +40,14 @@ object Readers {
     * (FAILFAST) or an invisible data loss (DROPMALFORMED). Requires an
     * explicit schema: the quarantine contract is only meaningful against
     * a declared shape.
+    *
+    * Spark restriction: a query whose column pruning reaches the scan with
+    * ONLY `_quarantine` required (e.g. `.select("_quarantine")` straight
+    * off this frame) raises AnalysisException — the CSV source refuses to
+    * resolve the internal corrupt-record column alone. Keep at least one
+    * data column in any projection over the raw frame (or `cache()` it,
+    * which pins the full schema); [[csvSplitQuarantine]] packages the
+    * usual split so callers don't hit this edge.
     */
   def csvWithQuarantine(s: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -50,6 +58,22 @@ object Readers {
       .option("columnNameOfCorruptRecord", "_quarantine")
       .schema(schema.add("_quarantine", "string"))
       .csv(path)
+
+  /** The quarantine-sink pattern pre-split: (clean rows with the declared
+    * schema, quarantined rows keeping every parsed column PLUS
+    * `_quarantine`). The quarantine side deliberately carries the data
+    * columns — that is what a replay sink wants, and it keeps every
+    * reasonable downstream projection clear of the corrupt-column-only
+    * restriction documented on [[csvWithQuarantine]].
+    */
+  def csvSplitQuarantine(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val df = csvWithQuarantine(s, path, schema, header)
+    (df.filter(col("_quarantine").isNull).drop("_quarantine"),
+      df.filter(col("_quarantine").isNotNull))
+  }
 
   /** ORC source (columnar like parquet: pushdown + pruning apply; Avro is
     * omitted — the spark-avro datasource module isn't on this classpath).

@@ -172,18 +172,30 @@ object Writers {
     * a corpus-wide exchange; pass `repartitionInstead = true` only when
     * the input's partition sizes are so skewed that merged files would
     * be too. Returns (filesBefore, filesAfter).
+    *
+    * File walking goes through the Hadoop `FileSystem` API resolved from
+    * the path's own scheme — a 100 TB table lives on HDFS/S3, where a
+    * `java.io.File` walk would silently see nothing; `file:` paths (and
+    * bare local paths) resolve to the local FS and behave identically.
     */
   def compactParquet(s: org.apache.spark.sql.SparkSession, src: String,
       dst: String, targetFileBytes: Long = 128L << 20,
       repartitionInstead: Boolean = false): (Int, Int) = {
-    def parquetFiles(dir: String): Seq[java.io.File] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      walk(new java.io.File(dir))
+    import org.apache.hadoop.fs.Path
+    val conf = s.sparkContext.hadoopConfiguration
+    def parquetFiles(dir: String): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      val it = fs.listFiles(p, /* recursive = */ true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.result()
     }
     val before = parquetFiles(src)
-    val totalBytes = before.map(_.length).sum
+    val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = s.read.parquet(src)
     val sliced = if (repartitionInstead) df.repartition(n) else df.coalesce(n)

@@ -434,10 +434,16 @@ object Multimodal {
       try while (f < nFrames && ok) {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(mdat, f * slot, slot))
-        reader.setInput(iis)
-        val img = try reader.read(0)
-          catch { case _: java.io.IOException => null }
-        iis.close()
+        // NonFatal, not just IOException: ImageIO PNG readers throw
+        // IllegalArgumentException / IIO runtime errors on corrupt data,
+        // and the quarantine contract says ANY bad frame falls back
+        // rather than killing the task; close in finally so no reader
+        // failure path leaks the stream
+        val img = try {
+          reader.setInput(iis)
+          try reader.read(0)
+          catch { case scala.util.control.NonFatal(_) => null }
+        } finally iis.close()
         if (img == null) ok = false
         else {
           val (w, h) = (img.getWidth, img.getHeight)

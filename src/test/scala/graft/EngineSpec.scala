@@ -99,6 +99,17 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(plan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
     }.nonEmpty)
+    // a null ELEMENT propagates to a NULL sketch (the HOF dot product and
+    // DuckDB's list_reduce both go NULL), in both codegen and interpreted
+    // paths; a null ARRAY is NULL as before
+    val withNulls = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f)),
+      (2L, Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (3L, null))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), SignSketch(col("embedding"), 8).as("b"))
+    assert(withNulls.orderBy("vec_id").collect()
+      .map(r => r.isNullAt(1)).toSeq == Seq(true, false, true))
   }
 
   test("ShingleHash matches the unfused shingle-string → PolyHash path") {
@@ -620,17 +631,19 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
         |""".stripMargin)
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("qty", LongType), StructField("name", StringType)))
-    val df = Readers.csvWithQuarantine(spark, tmp.toString, schema).cache()
-    try {
-      val clean = df.filter(col("_quarantine").isNull)
-        .select("id", "qty", "name").orderBy("id").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
-      assert(clean == Seq((1L, 10L, "alpha"), (3L, 30L, "gamma")))
-      // the bad line is captured verbatim for replay, not dropped
-      val quarantined = df.filter(col("_quarantine").isNotNull)
-        .select("_quarantine").collect().map(_.getString(0)).toSeq
-      assert(quarantined == Seq("2,notanumber,beta"))
-    } finally df.unpersist()
+    // pre-split helper, UNCACHED on purpose: proves the split frames stay
+    // clear of Spark's corrupt-column-only pruning restriction without
+    // needing the cache() workaround
+    val (cleanDf, quarDf) = Readers.csvSplitQuarantine(spark, tmp.toString, schema)
+    val clean = cleanDf.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(clean == Seq((1L, 10L, "alpha"), (3L, 30L, "gamma")))
+    assert(cleanDf.columns.toSeq == Seq("id", "qty", "name"))
+    // the bad line is captured verbatim for replay, not dropped; the
+    // quarantine frame keeps the data columns (replay-sink shape)
+    val quarantined = quarDf.collect()
+      .map(_.getAs[String]("_quarantine")).toSeq
+    assert(quarantined == Seq("2,notanumber,beta"))
   }
 
   test("incrementalSync: initial load, upsert merge, and no-op delta") {
@@ -816,6 +829,14 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val plan = spark.read.parquet(s"$tmp/frag").coalesce(1)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // the walk goes through the Hadoop FileSystem API resolved from the
+    // path's scheme (HDFS/S3-ready): an explicit file:-scheme URI must
+    // behave identically to the bare path above
+    val (beforeFs, afterFs) = Writers.compactParquet(spark,
+      s"file:$tmp/frag", s"file:$tmp/compact_fs", targetFileBytes = 4L << 20)
+    assert(beforeFs == 64 && afterFs == after, s"($beforeFs, $afterFs)")
+    val c = spark.read.parquet(s"$tmp/compact_fs").orderBy("event_id").collect()
+    assert(a.sameElements(c))
   }
 
   test("dynamic partition pruning fires on a dim-filtered join against a " +
