@@ -73,6 +73,8 @@ object SparkEntry {
     "q_l04_dedup_keepers"  -> (LLMOps.qL04 _),
     "q_l05_ngram_jaccard"  -> (LLMOps.qL05 _),
     "q_l06_minhash_lsh"    -> (LLMOps.qL06 _),
+    // incremental dedup: new batch vs stored MinHash snapshot of history
+    "q_l40_delta_dedup"    -> (LLMOps.qL40 _),
     "q_l07_simhash"        -> (LLMOps.qL07 _),
     "q_l08_lang_id"        -> (LLMOps.qL08 _),
     "q_l09_quality_hist"   -> (LLMOps.qL09 _),
@@ -459,6 +461,12 @@ object SparkEntry {
       """WITH s AS (SELECT doc_id, text, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS wc, CAST(length(text) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_tok_len, CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_ratio FROM documents), r AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) AS max_tok FROM (SELECT doc_id, t, COUNT(*) AS cnt FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) GROUP BY doc_id, t) GROUP BY doc_id), q AS (SELECT s.doc_id, text, wc FROM s JOIN r USING (doc_id) WHERE wc BETWEEN 20 AND 80 AND mean_tok_len BETWEEN 3 AND 10 AND max_tok / wc <= 0.125 AND stop_ratio >= 0.01), dd AS (SELECT text, MIN(doc_id) AS doc_id, MIN(wc) AS wc FROM q GROUP BY text), b AS (SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket, wc FROM dd) SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS docs, CAST(SUM(CAST(wc AS BIGINT)) AS BIGINT) AS total_tokens FROM b GROUP BY split ORDER BY split""",
     "q_l06_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), h AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM h), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig) SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY doc_a, doc_b""",
+    // q_l40: the oracle recomputes FULL-corpus band keys from scratch and
+    // filters to pairs touching the new batch (doc_id >= 80% cutoff) —
+    // hash-match against Spark's delta plan (which never re-shingles
+    // history) proves incremental == full-recompute on the same data
+    "q_l40_delta_dedup" ->
+      """WITH c AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT) AS cut FROM documents), w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), h AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM h), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig) SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id, c WHERE a.doc_id >= c.cut OR b.doc_id >= c.cut ORDER BY doc_a, doc_b""",
     "q_l08_lang_id" ->
       """SELECT lang, CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) >= 0.03 THEN 'en' ELSE 'unk' END AS lang_pred, COUNT(*) AS cnt FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
     "q_l09_quality_hist" ->

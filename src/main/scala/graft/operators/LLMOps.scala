@@ -110,8 +110,14 @@ object LLMOps {
     * generation (qL06) and exact verification (qL05).
     */
   def shinglePostings(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(ShingleHash(col("text"), 3)).as("h"))
+    shinglePostingsOf(Tables.documents(s, d))
+
+  /** [[shinglePostings(s,d)]] over an arbitrary document frame, for
+    * callers that pre-slice the corpus (incremental dedup shingles ONLY
+    * the new batch).
+    */
+  def shinglePostingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(ShingleHash(col("text"), 3)).as("h"))
       .distinct()
 
   /** MinHash band keys per doc (16 hashes, bands of 4) from the postings. */
@@ -136,6 +142,63 @@ object LLMOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
+
+  // ------------------------------------------- incremental (delta) dedup
+
+  /** Persist the MinHash band keys of `docs` as a dedup snapshot — the
+    * per-batch artifact a daily pipeline stores so dedup against history
+    * never re-reads history text. The snapshot is band keys, not raw
+    * signatures: ~64 bytes/doc regardless of document size, so 100 TB of
+    * corpus stores as a few hundred GB of snapshot.
+    */
+  def writeMinhashSnapshot(docs: DataFrame, dir: String): Unit =
+    minhashBands(shinglePostingsOf(docs)).write.mode("overwrite").parquet(dir)
+
+  /** Delta-dedup candidates: LSH pairs touching at least one NEW doc,
+    * computed by shingling ONLY the new batch and joining its band keys
+    * against (stored snapshot ∪ the new batch itself). History's
+    * O(corpus) tokenize pass happened once, at snapshot-write time; the
+    * per-batch cost is O(batch) + a band-key join whose build side is the
+    * snapshot scan (two narrow columns). Pairs wholly inside history were
+    * emitted by earlier runs and are deliberately absent. Equals the
+    * full-corpus [[minhashCandidates]] restricted to pairs with a
+    * new-batch endpoint — which is exactly how the q_l40 oracle
+    * recomputes it from scratch.
+    */
+  def deltaDedupCandidates(s: SparkSession, newDocs: DataFrame,
+      snapshotDir: String): DataFrame = {
+    val fresh = minhashBands(shinglePostingsOf(newDocs))
+    val snap = s.read.parquet(snapshotDir).select("doc_id", "band_key")
+    val all = snap.unionByName(fresh)
+    fresh.select(col("band_key"), col("doc_id").as("id_a"))
+      .join(all.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+      .distinct()
+  }
+
+  /** Q-L40 — incremental dedup across corpus snapshots, end-to-end: the
+    * oldest 80% of the corpus (by doc_id — the stand-in for yesterday's
+    * date partitions) is snapshotted via [[writeMinhashSnapshot]], then
+    * the newest 20% dedups against history + itself via
+    * [[deltaDedupCandidates]] without re-shingling a single history doc
+    * (plan-pinned in EngineSpec: every documents scan carries the
+    * new-batch pushed filter). The DuckDB oracle recomputes the FULL
+    * corpus candidates and filters to pairs touching the new batch —
+    * hash-match proves delta == full on the same data.
+    */
+  def qL40(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // floor((max+1) * 0.8): exact double math both engines (ids << 2^52)
+    val cutoff = math.floor(
+      (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 0.8).toLong
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft_l40_snap").toString
+    writeMinhashSnapshot(docs.filter(col("doc_id") < cutoff), snap)
+    deltaDedupCandidates(s, docs.filter(col("doc_id") >= cutoff), snap)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Q-L05 — exact n-gram Jaccard verification of the MinHash-LSH

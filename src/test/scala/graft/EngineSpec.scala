@@ -839,6 +839,38 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(a.sameElements(c))
   }
 
+  test("delta dedup: new batch vs stored snapshot equals full recompute; " +
+      "history is never re-shingled") {
+    import graft.operators.LLMOps
+    val docs = Tables.documents(spark, sfDir)
+    val cutoff = math.floor(
+      (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 0.8).toLong
+    val tmp = java.nio.file.Files.createTempDirectory("graft-l40").toString
+    LLMOps.writeMinhashSnapshot(docs.filter(col("doc_id") < cutoff), s"$tmp/snap")
+    val delta = LLMOps.deltaDedupCandidates(spark,
+      docs.filter(col("doc_id") >= cutoff), s"$tmp/snap")
+      .orderBy("doc_a", "doc_b")
+    // semantics: exactly the full-corpus candidates touching the new batch
+    val d = delta.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val f = LLMOps.minhashCandidates(LLMOps.shinglePostings(spark, sfDir))
+      .filter(col("doc_a") >= cutoff || col("doc_b") >= cutoff)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(d == f)
+    // plan pins, through the SAME collected frame (AQE finalizes on it):
+    // every documents scan carries the new-batch pushed filter (history
+    // text is never read, let alone re-shingled), and band keys for
+    // history come from exactly one scan of the stored snapshot
+    val plan = delta.queryExecution.executedPlan
+    val docScans = fileScans(plan, "documents.parquet")
+    assert(docScans.nonEmpty)
+    docScans.foreach { sc =>
+      val pf = sc.metadata("PushedFilters")
+      assert(pf.contains(s"GreaterThanOrEqual(doc_id,$cutoff)"), pf)
+    }
+    assert(fileScans(plan, "snap").size == 1)
+  }
+
   test("dynamic partition pruning fires on a dim-filtered join against a " +
       "partitioned fact") {
     import graft.io.Writers
