@@ -518,6 +518,58 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(after <= before + 1e-9, s"distortion rose: $before -> $after")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (OptimizeSkewedJoin " +
+      "fires on a constructed hot key)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // the salted-join helper (q_j14) covers DELIBERATE skew handling; this
+    // pins Spark's own runtime answer — AQE detecting the hot partition
+    // from map-output sizes and splitting it — so we know the built-in
+    // path our plans rely on at 100 TB actually engages
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // hot key 1 carries 100k rows; keys 2..100 carry ~100 each — one
+      // shuffle partition dwarfs the median by far more than factor 2
+      val fact = spark.range(0, 100000)
+        .select(lit(1L).as("k"), col("id").as("payload"))
+        .unionAll(spark.range(0, 10000)
+          .select((col("id") % 99 + 2).as("k"), col("id").as("payload")))
+      val dim = spark.range(1, 101).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("name"))
+      val joined = fact.join(dim, "k")
+      // collect() through the SAME frame — count() would finalize a
+      // different QueryExecution and leave this one un-finalized
+      assert(joined.collect().length == 110000) // correctness first
+      def skewJoins(p: SparkPlan): Seq[SparkPlan] = {
+        val here = p match {
+          case j: SortMergeJoinExec if j.isSkewJoin    => Seq(j)
+          case j: ShuffledHashJoinExec if j.isSkewJoin => Seq(j)
+          case _                                       => Nil
+        }
+        val extra = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec        => Seq(q.plan)
+          case _                        => Nil
+        }
+        here ++ (extra ++ p.children).flatMap(skewJoins)
+      }
+      // the count() above finalized the adaptive plan on this frame
+      assert(skewJoins(joined.queryExecution.executedPlan).nonEmpty,
+        joined.queryExecution.executedPlan.toString)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin produces exactly the plain-join rows") {
     import graft.operators.Scale
     val o = Tables.orders(spark, sfDir)
