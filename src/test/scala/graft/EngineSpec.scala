@@ -891,6 +891,48 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(a.sameElements(c))
   }
 
+  test("jpeg rows decode through the real image path with bounded lossy " +
+      "error vs the lossless truth") {
+    import spark.implicits._
+    val dim = 16
+    // same pixels, two encodings: png is the lossless truth, jpg the
+    // JDK's real lossy codec (ImageIO encodes/decodes JPEG natively —
+    // no oracle row because lossy decode isn't bit-reproducible in
+    // another engine, per the multimodal oracle policy)
+    val rows = (1L to 32L).map { id =>
+      val w = 8 + (id % 12).toInt
+      val h = 8 + ((id * 7) % 12).toInt
+      (id, Multimodal.encodeImage(id, w, h, "png"),
+        Multimodal.encodeImage(id, w, h, "jpg"), w, h)
+    }
+    val truth = rows.map { case (id, png, _, _, _) =>
+      id -> Multimodal.decodeAndEmbedImage(png, dim).get }.toMap
+    // jpeg rows flow through the DISTRIBUTED feature extract, same as
+    // png/bmp/wav/mp4 corpus rows
+    val media = rows.toDF("doc_id", "png", "blob", "width", "height")
+      .select(col("doc_id"), col("blob"),
+        struct(lit("jpeg").as("format"), col("width"), col("height"),
+          lit(1).as("n_frames")).as("meta"))
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
+    assert(feats.keySet == truth.keySet)
+    rows.foreach { case (id, _, jpg, w, h) =>
+      val f = feats(id)
+      // the REAL decoder produced these, not the quarantine byte fold
+      assert(!f.toArray.sameElements(Multimodal.byteFoldFallback(jpg, dim)))
+      val t = truth(id)
+      // lossy-bounded: cosine vs the lossless-truth features stays high
+      // and per-bucket error stays a fraction of the bucket scale
+      val dot = f.zip(t).map { case (a, b) => a.toDouble * b }.sum
+      val cos = dot / (math.sqrt(f.map(x => x.toDouble * x).sum) *
+        math.sqrt(t.map(x => x.toDouble * x).sum))
+      assert(cos > 0.95, s"doc $id cosine $cos")
+      val scale = (w * h).toDouble / dim // pixels per bucket (lum <= 1 each)
+      val maxErr = f.zip(t).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr < 0.30 * scale, s"doc $id maxErr $maxErr scale $scale")
+    }
+  }
+
   test("delta dedup: new batch vs stored snapshot equals full recompute; " +
       "history is never re-shingled") {
     import graft.operators.LLMOps

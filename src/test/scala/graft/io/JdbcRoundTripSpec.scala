@@ -158,4 +158,50 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
       assert(markers == 1) // one partition → setup ran exactly once
     } finally conn.close()
   }
+
+  test("DSv2 JDBC catalog pushes MIN/MAX/COUNT/SUM into the database " +
+      "(PushedAggregates in the scan)") {
+    // The reference pushes string aggregation into SQL Server (FOR XML
+    // PATH, Program.cs:255-292); Spark's analog is DSv2 aggregate
+    // pushdown through a JDBCTableCatalog. MIN/MAX/COUNT/SUM compile for
+    // every dialect (V2ExpressionSQLBuilder); where support stops:
+    // AVG pushes only with decimal-safe dialect casts, and statistical
+    // aggregates (stddev, percentile) / string aggregation have no
+    // generic JDBC compilation, so those fall back to a raw-row scan with
+    // Spark-side aggregation — same rows, more transfer.
+    val conn = DriverManager.getConnection(url)
+    try {
+      ScriptExecutor.execute(conn,
+        "CREATE TABLE AGG_PD_T (K INT NOT NULL, V INT NOT NULL)\nGO")
+      val st = conn.createStatement()
+      (1 to 100).foreach(i =>
+        st.executeUpdate(s"INSERT INTO AGG_PD_T VALUES (${i % 5}, $i)"))
+      st.close()
+    } finally conn.close()
+    val cat = "graftderby"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.url", url)
+    spark.conf.set(s"spark.sql.catalog.$cat.pushDownAggregate", "true")
+    try {
+      val df = spark.sql(
+        s"""SELECT K, COUNT(*) AS cnt, MIN(V) AS mn, MAX(V) AS mx,
+           |       SUM(V) AS sm
+           |FROM $cat.APP.AGG_PD_T GROUP BY K ORDER BY K""".stripMargin)
+      val rows = df.collect()
+      // correctness first: 5 groups of 20, exact min/max/sum per group
+      assert(rows.length == 5)
+      val r0 = rows.head // K=0: values 5,10,...,100
+      assert(r0.getLong(1) == 20 && r0.getInt(2) == 5 &&
+        r0.getInt(3) == 100 && r0.getLong(4) == 1050)
+      val explained = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(explained.contains("PushedAggregates"), explained)
+      assert(explained.contains("PushedGroupByExpressions"), explained)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.url")
+      spark.conf.unset(s"spark.sql.catalog.$cat.pushDownAggregate")
+    }
+  }
 }
