@@ -128,6 +128,39 @@ object StreamOps {
         graft.io.Writers.jdbc(batch, url, table, props)
       }
 
+  /** Streaming incremental dedup — q_l40's daily-delta operator as a
+    * continuous pipeline. Each micro-batch of documents finds its LSH
+    * duplicate-candidate pairs against everything seen so far via
+    * [[graft.operators.LLMOps.deltaDedupCandidates]] (shingling ONLY the
+    * batch; history is the stored band-key snapshot in `snapshotDir`),
+    * appends the pairs to `pairsDir`, then publishes its own band keys
+    * into the snapshot so later batches dedup against it. Every candidate
+    * pair is emitted exactly once across a run — by the micro-batch that
+    * completes it — so the union of emitted pairs equals the full-corpus
+    * batch candidates (parity-checked in StreamBatchParitySpec).
+    * foreachBatch is at-least-once: a replayed batch re-emits its pairs
+    * and re-appends its bands, and both sinks tolerate that (candidates
+    * are distinct-ed downstream; duplicate band rows only produce
+    * duplicate candidates, removed by the same distinct). Seed
+    * `snapshotDir` with [[graft.operators.LLMOps.writeMinhashSnapshot]]
+    * (possibly of an empty frame) before starting.
+    */
+  def streamingDeltaDedup(docs: DataFrame, snapshotDir: String,
+      pairsDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.LLMOps
+        // pairs BEFORE publishing this batch's bands: the snapshot must
+        // hold strictly-earlier docs when the delta runs, or the batch
+        // would pair against itself through both sides
+        LLMOps.deltaDedupCandidates(batch.sparkSession, batch, snapshotDir)
+          .write.mode("append").parquet(pairsDir)
+        LLMOps.minhashBands(LLMOps.shinglePostingsOf(batch))
+          .write.mode("append").parquet(snapshotDir)
+      }
+
   // ---- custom stateful path: flatMapGroupsWithState ----------------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)

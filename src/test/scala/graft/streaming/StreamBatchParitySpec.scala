@@ -161,4 +161,40 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
       assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
     } finally q.stop()
   }
+
+  test("streaming incremental dedup emits exactly the batch LSH candidates") {
+    import graft.operators.LLMOps
+    val docs = Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-sdedup")
+    val landing = base.resolve("landing")
+    java.nio.file.Files.createDirectory(landing)
+    // three time-ordered arrival files (ascending mtimes — the file
+    // source forms micro-batches oldest-modified first)
+    val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1))
+      .zipWithIndex.foreach { case ((lo, hi), i) =>
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+        val part = new java.io.File(s"$base/stage$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = landing.resolve(f"arrive-$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1000000000L + i * 60000L)
+      }
+    // empty seed snapshot: the run starts with no history
+    LLMOps.writeMinhashSnapshot(docs.limit(0), s"$base/snap")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val q = StreamOps.streamingDeltaDedup(stream, s"$base/snap",
+      s"$base/pairs", s"$base/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    // union of per-batch deltas == the oracle-checked full-corpus
+    // candidates: no pair lost between batches, none double-counted
+    val streamed = spark.read.parquet(s"$base/pairs").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = LLMOps.minhashCandidates(LLMOps.shinglePostings(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
