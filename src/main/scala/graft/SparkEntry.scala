@@ -75,6 +75,9 @@ object SparkEntry {
     "q_l06_minhash_lsh"    -> (LLMOps.qL06 _),
     // incremental dedup: new batch vs stored MinHash snapshot of history
     "q_l40_delta_dedup"    -> (LLMOps.qL40 _),
+    // longest duplicated token span per candidate pair (exact-substring
+    // dedup measure: diagonal gaps-and-islands over positional shingles)
+    "q_l41_dup_span"       -> (LLMOps.qL41 _),
     "q_l07_simhash"        -> (LLMOps.qL07 _),
     "q_l08_lang_id"        -> (LLMOps.qL08 _),
     "q_l09_quality_hist"   -> (LLMOps.qL09 _),
@@ -246,7 +249,10 @@ object SparkEntry {
       // packing collects + prefix-sums the shard totals on the driver at
       // construction; bm25 materializes its top-k so its tf cache can be
       // unpersisted before returning
-      "q_l21_pack", "q_l25_bm25")
+      "q_l21_pack", "q_l25_bm25",
+      // dup-span localCheckpoints its candidate pairs at construction
+      // (lineage truncation; the returned span frame is still distributed)
+      "q_l41_dup_span")
 
   /** The shingle-postings CTE chain (3-word shingles → portable poly
     * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06
@@ -467,6 +473,11 @@ object SparkEntry {
     // history) proves incremental == full-recompute on the same data
     "q_l40_delta_dedup" ->
       """WITH c AS (SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT) AS cut FROM documents), w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), h AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM h), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig) SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id, c WHERE a.doc_id >= c.cut OR b.doc_id >= c.cut ORDER BY doc_a, doc_b""",
+    // q_l41: positional twin of the shingle chain — candidates as in
+    // q_l06, then positional postings join + diagonal islands give the
+    // longest consecutive shared-shingle run (run+2 tokens at n=3)
+    "q_l41_dup_span" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM hh), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), posts AS (SELECT doc_id, unnest(list_transform(range(1, len(hl)+1), i -> {'pos': i-1, 'h': hl[i]}), recursive := true) FROM hh), m AS (SELECT c.doc_a, c.doc_b, pa.pos AS pa, pb.pos AS pb FROM cand c JOIN posts pa ON pa.doc_id = c.doc_a JOIN posts pb ON pb.doc_id = c.doc_b AND pb.h = pa.h), isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS island FROM m), runs AS (SELECT doc_a, doc_b, diag, island, count(*) AS run FROM isl GROUP BY 1, 2, 3, 4) SELECT doc_a, doc_b, CAST(max(run) + 2 AS BIGINT) AS max_shared_tokens FROM runs GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_l08_lang_id" ->
       """SELECT lang, CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) >= 0.03 THEN 'en' ELSE 'unk' END AS lang_pred, COUNT(*) AS cnt FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
     "q_l09_quality_hist" ->

@@ -201,6 +201,52 @@ object LLMOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Q-L41 — longest duplicated token span per near-dup candidate pair:
+    * the exact-substring dedup measure (a duplicated SPAN inside
+    * otherwise-distinct documents is what paragraph-level dedup removes;
+    * pairwise Jaccard can't see it). Candidates come from the banded LSH
+    * pass (never all pairs); then POSITIONAL shingle postings of just the
+    * candidate docs join on hash, and the longest run of consecutive
+    * matches falls out of the classic diagonal gaps-and-islands: matches
+    * on one diagonal (pa − pb) that are consecutive in pa share
+    * `pa − row_number()`, so the max island size is the longest shared
+    * shingle run — `run + 2` tokens for 3-word shingles. All shuffles are
+    * keyed on the pair (bounded by candidate count), and postings are
+    * built only for docs that appear in some candidate pair.
+    */
+  def qL41(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // localCheckpoint (the qL19 pattern): cand is referenced three times
+    // below (both pairDocs halves + the match join), and without lineage
+    // truncation each reference re-runs the whole banded-LSH chain —
+    // measured 24 documents scans in the uncheckpointed plan vs 3 after.
+    // Candidate pairs are id-only rows bounded by the LSH collision count,
+    // safe to materialize.
+    val cand = minhashCandidates(shinglePostings(s, d)).localCheckpoint()
+    // positional (not distinct) postings, only for docs in some pair
+    val pairDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val posts = Tables.documents(s, d)
+      .join(pairDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(ShingleHash(col("text"), 3)).as(Seq("pos", "h")))
+    val m = cand
+      .join(posts.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+        col("h")), Seq("doc_a"))
+      .join(posts.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("h")), Seq("doc_b", "h"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg((max(col("run")) + 2L).as("max_shared_tokens"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Q-L05 — exact n-gram Jaccard verification of the MinHash-LSH
     * candidates: the two-stage dedup pipeline (candidate generation never
     * compares all pairs; the exact set-intersection join touches only
