@@ -193,6 +193,7 @@ object SparkEntry {
     "q_s02_group_topk"     -> (ExtensionShowcase.qS02 _),
     "q_x01_sql_cosine"     -> (ExtensionShowcase.qX01 _),
     "q_x02_lsh_rewrite"    -> (ExtensionShowcase.qX02 _),
+    "q_x03_zorder_profile" -> (ExtensionShowcase.qX03 _),
     // r5 batch 2: TPC-H Q14/Q22 shapes, per-group z-score outliers,
     // within-doc duplicate-n-gram ratio, type-token ratio, length trim
     "q_j15_tpch_q14"       -> (Relational.qJ15 _),
@@ -425,6 +426,11 @@ object SparkEntry {
     // recall, exact verify — ExtensionSpec asserts the equality)
     "q_x02_lsh_rewrite" ->
       """WITH s AS (SELECT a.vec_id AS id1, b.vec_id AS id2, list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p, r) -> p + r) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r))) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) SELECT id1, id2, sim FROM s WHERE sim >= 0.45 ORDER BY id1, id2""",
+    // q_x03: the oracle rebuilds the bit interleave from arithmetic alone
+    // (list_transform over bit positions) — pure integer shift/mask, so
+    // the z-values are exactly equal across engines
+    "q_x03_zorder_profile" ->
+      """WITH pts AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem), zv AS (SELECT x, y, CAST(list_sum(list_transform(range(0, 8), i -> ((x >> i) & 1) * (1::BIGINT << (2*i)) + ((y >> i) & 1) * (1::BIGINT << (2*i+1)))) AS BIGINT) AS z FROM pts) SELECT z >> 10 AS bucket, COUNT(*) AS cnt, MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y FROM zv GROUP BY bucket ORDER BY bucket""",
     "q_l03_token_top20" ->
       """SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     // q_j13/q_l18: the oracle recomputes the exact quantities; the sketch

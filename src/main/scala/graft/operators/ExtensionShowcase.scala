@@ -79,4 +79,29 @@ object ExtensionShowcase {
         Similarity.cosineSafe(col("emb1"), col("emb2")).as("sim"))
       .orderBy("id1", "id2")
   }
+
+  /** Q-X03 — Z-order (Morton) bucket profile of the
+    * [[graft.io.Writers.zValue]] interleave (the clustering key under
+    * `Writers.zOrdered`'s layout): lineitem keys folded onto a 256×256
+    * grid, interleaved to a 16-bit z-value, bucketed by the high 6 bits.
+    * Each bucket's (min,max) per dimension exhibits the property the
+    * layout exists for — every bucket is a bounded 32×32 rectangle of key
+    * space, so files written in z-order carry tight min-max footer
+    * statistics on BOTH dimensions and a filter on either one prunes most
+    * files (the write side + span pin live in EngineSpec's zOrdered
+    * tests; THIS row puts the interleave arithmetic itself under the
+    * DuckDB oracle). One scan, one 64-group agg — the profile a
+    * table-maintenance job would emit.
+    */
+  def qX03(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.lineitem(s, d)
+      .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+    pts
+      .withColumn("z", graft.io.Writers.zValue(col("x"), col("y"), 8))
+      .groupBy(shiftright(col("z"), 10).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("bucket")
+  }
 }
