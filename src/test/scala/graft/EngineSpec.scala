@@ -570,6 +570,46 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("runtime bloom filter: a selective dim predicate reaches the fact " +
+      "side as bloom_filter_might_contain (InjectRuntimeFilter fires)") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    // the third runtime-pruning leg next to DPP (partition granularity)
+    // and AQE skew split (shuffle granularity): at 100 TB a shuffle join
+    // against a filtered dim moves every fact row unless the dim's
+    // predicate reaches the fact SCAN as a row-level filter — Spark's
+    // InjectRuntimeFilter builds a bloom filter over the dim's join keys
+    // and semi-filters the fact leg pre-shuffle. The scan-size floor
+    // exists only because the test corpus is far below the 10 GB
+    // production threshold; the plan shape is the one a real cluster gets
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity")
+      val pr = Tables.part(spark, sfDir)
+        .where(col("p_type") === "PROMO").select("p_partkey")
+      val joined = li.join(pr, col("l_partkey") === col("p_partkey"))
+      val opt = joined.queryExecution.optimizedPlan
+      val hasBloom = opt.exists(
+        _.expressions.exists(_.exists(_.isInstanceOf[BloomFilterMightContain])))
+      assert(hasBloom, s"no bloom_filter_might_contain injected:\n$opt")
+      // the filter is pruning-only: row set identical with it disabled
+      val n = joined.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      try {
+        val plain = li.join(pr, col("l_partkey") === col("p_partkey")).count()
+        assert(n == plain, s"bloom-filtered count $n != plain $plain")
+      } finally
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin produces exactly the plain-join rows") {
     import graft.operators.Scale
     val o = Tables.orders(spark, sfDir)
