@@ -570,6 +570,72 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("stats manifest: footer-only stats equal a data-scan recount; " +
+      "range pruning opens fewer files and returns exactly the full-scan rows") {
+    import graft.io.StatsManifest
+    val dir = Files.createTempDirectory("graft-manifest").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    Writers.rangeClustered(li, dir, Seq("l_orderkey"), numFiles = 16)
+    val m = StatsManifest.build(spark, dir, Seq("l_orderkey"))
+    def byName(path: String) = new org.apache.hadoop.fs.Path(path).getName
+    // footer truth: every file's (min, max, rows) matches scanning the data
+    val rescan = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("mn"), max("l_orderkey").as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => byName(r.getString(0)) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val manifested = m.collect()
+      .map(r => byName(r.getString(0)) -> ((r.getLong(2), r.getLong(3), r.getLong(1))))
+      .toMap
+    assert(manifested == rescan)
+    // prune to a band ~1/8th of the key span: most files must drop out
+    val (kLo, kHi) = (li.agg(min("l_orderkey")).head().getLong(0),
+      li.agg(max("l_orderkey")).head().getLong(0))
+    val span = kHi - kLo
+    val bounds = Seq(("l_orderkey", kLo + span / 2, kLo + span / 2 + span / 8))
+    val keep = StatsManifest.pruneFiles(m, bounds)
+    assert(keep.nonEmpty && keep.size <= 4,
+      s"range clustering should confine a 1/8th band to ~2 of 16 files, kept ${keep.size}")
+    val pruned = StatsManifest.readPruned(spark, dir, m, bounds)
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").collect()
+    val full = spark.read.parquet(dir)
+      .where(col("l_orderkey").between(bounds.head._2, bounds.head._3))
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").collect()
+    assert(pruned.sameElements(full))
+  }
+
+  test("stats manifest over the z-ordered layout: a bound on EITHER " +
+      "dimension alone prunes files") {
+    import graft.io.StatsManifest
+    val dir = Files.createTempDirectory("graft-manifest-z").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    Writers.zOrdered(li, dir, "l_partkey", "l_suppkey", numFiles = 16)
+    val m = StatsManifest.build(spark, dir, Seq("l_partkey", "l_suppkey"))
+    val nFiles = m.count()
+    // narrow band on each dimension SEPARATELY — the property rangeClustered
+    // cannot give its trailing key (its spec pins leading-key pruning only)
+    val pLo = li.agg(min("l_partkey")).head().getLong(0)
+    val pHi = li.agg(max("l_partkey")).head().getLong(0)
+    val partBand = Seq(("l_partkey", pLo, pLo + (pHi - pLo) / 8))
+    val suppBand = Seq(("l_suppkey", li.agg(min("l_suppkey")).head().getLong(0),
+      li.agg(min("l_suppkey")).head().getLong(0)))
+    val keptP = StatsManifest.pruneFiles(m, partBand).size
+    val keptS = StatsManifest.pruneFiles(m, suppBand).size
+    assert(keptP < nFiles, s"partkey band kept all $nFiles files")
+    assert(keptS < nFiles, s"suppkey band kept all $nFiles files")
+    // and pruned reads stay exact on the non-leading dimension
+    val got = StatsManifest.readPruned(spark, dir, m, suppBand)
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").collect()
+    val want = spark.read.parquet(dir)
+      .where(col("l_suppkey").between(suppBand.head._2, suppBand.head._3))
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").collect()
+    assert(got.sameElements(want))
+  }
+
   test("runtime bloom filter: a selective dim predicate reaches the fact " +
       "side as bloom_filter_might_contain (InjectRuntimeFilter fires)") {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
