@@ -45,23 +45,35 @@ object StatsManifest {
     * pruner then keeps the file (skipping is an optimization, never a
     * correctness bet).
     */
-  def build(s: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+  def build(s: SparkSession, dir: String, cols: Seq[String]): DataFrame =
+    buildForFiles(s, listParquet(s, dir), cols)
+
+  /** The parquet files under `dir` (recursive), via the path's own
+    * `FileSystem` — listing only, no footers touched.
+    */
+  def listParquet(s: SparkSession, dir: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
-    val conf = s.sparkContext.hadoopConfiguration
     val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(root, /* recursive = */ true)
     val paths = Seq.newBuilder[String]
     while (it.hasNext) {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) paths += f.getPath.toString
     }
+    paths.result()
+  }
+
+  private def buildForFiles(s: SparkSession, paths: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
     // Configuration is not serializable; ship its entries and rebuild per
     // executor so scheme-specific settings (S3 endpoints/credential
     // providers) survive the trip
-    val confEntries = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toVector
+    val confEntries = s.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toVector
     val colsLocal = cols
-    val rows = s.sparkContext.parallelize(paths.result(), 32).mapPartitions { files =>
+    val rows = s.sparkContext.parallelize(paths, 32).mapPartitions { files =>
       val c = new org.apache.hadoop.conf.Configuration(false)
       confEntries.foreach { case (k, v) => c.set(k, v) }
       files.map { file =>
@@ -88,7 +100,32 @@ object StatsManifest {
         } finally reader.close()
       }
     }
-    s.createDataFrame(rows, manifestSchema(cols))
+    // a manifest is a SNAPSHOT of the directory, not a recipe to re-list
+    // it: materialize eagerly so later evaluations (after files are
+    // compacted/vacuumed away) never re-run the footer reads — the
+    // in-session stand-in for the manifest table a production pipeline
+    // persists next to the data
+    s.createDataFrame(rows, manifestSchema(cols)).localCheckpoint(eager = true)
+  }
+
+  /** Incremental manifest maintenance: footer-read ONLY files not yet in
+    * `existing` and union them in (dropped files fall out). An ingest job
+    * appending a few files to a million-file table pays a few footer
+    * reads, not a full relisting of stats — same incremental-at-the-
+    * corpus-boundary contract as the delta-dedup snapshot (q_l40).
+    */
+  def append(s: SparkSession, dir: String, existing: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val current = s.createDataFrame(
+      s.sparkContext.parallelize(listParquet(s, dir).map(Row(_)), 8),
+      StructType(Seq(StructField("file", StringType, nullable = false))))
+    val newFiles = current.join(existing.select("file"), Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toSeq
+    val fresh =
+      if (newFiles.isEmpty) existing.limit(0)
+      else buildForFiles(s, newFiles, cols)
+    existing.join(current, Seq("file"), "left_semi").unionByName(fresh)
+      .localCheckpoint(eager = true) // same snapshot semantics as build()
   }
 
   /** The conjunctive range-intersection predicate: a file can hold a row

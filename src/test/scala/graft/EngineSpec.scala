@@ -636,6 +636,35 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(got.sameElements(want))
   }
 
+  test("stats manifest append: only new files are footer-read, dropped " +
+      "files fall out, result equals a full rebuild") {
+    import graft.io.StatsManifest
+    import org.apache.spark.sql.SaveMode
+    val dir = Files.createTempDirectory("graft-manifest-inc").toString
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    li.where(col("l_orderkey") % 2 === 0).repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    val m1 = StatsManifest.build(spark, dir, Seq("l_orderkey"))
+    li.where(col("l_orderkey") % 2 === 1).repartition(3)
+      .write.mode(SaveMode.Append).parquet(dir)
+    val m2 = StatsManifest.append(spark, dir, m1, Seq("l_orderkey"))
+    val rebuilt = StatsManifest.build(spark, dir, Seq("l_orderkey"))
+    assert(m2.orderBy("file").collect()
+      .sameElements(rebuilt.orderBy("file").collect()))
+    // a no-op append over an unchanged directory adds nothing
+    val m3 = StatsManifest.append(spark, dir, m2, Seq("l_orderkey"))
+    assert(m3.orderBy("file").collect()
+      .sameElements(rebuilt.orderBy("file").collect()))
+    // compaction/vacuum deletes a file: the next append drops its row
+    val victim = new org.apache.hadoop.fs.Path(
+      rebuilt.orderBy("file").head().getString(0))
+    victim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(victim, false)
+    val m4 = StatsManifest.append(spark, dir, m3, Seq("l_orderkey"))
+    assert(m4.count() == rebuilt.count() - 1 &&
+      !m4.select("file").collect().map(_.getString(0)).contains(victim.toString))
+  }
+
   test("runtime bloom filter: a selective dim predicate reaches the fact " +
       "side as bloom_filter_might_contain (InjectRuntimeFilter fires)") {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
