@@ -87,8 +87,12 @@ object StatsManifest {
             val perBlock = blocks.map(_.getColumns.asScala
               .find(_.getPath.toDotString == col)
               .map(_.getStatistics).orNull)
+            // a non-integral column (binary stats — outside this
+            // manifest's declared scope) degrades to NULL = keep-the-file,
+            // same as missing stats, rather than a task-killing cast
             if (perBlock.isEmpty ||
-                perBlock.exists(st => st == null || !st.hasNonNullValue))
+                perBlock.exists(st => st == null || !st.hasNonNullValue ||
+                  !st.genericGetMin.isInstanceOf[Number]))
               Seq(null, null)
             else {
               val mins = perBlock.map(_.genericGetMin.asInstanceOf[Number].longValue)

@@ -42,6 +42,43 @@ object LLMOps {
     */
   def charHash(sh: Column): Column = PolyHash(sh)
 
+  /** Canonicalization ahead of exact-hash dedup: Unicode NFC
+    * ([[graft.functions.NfcNormalize]]), casefold, whitespace-run
+    * collapse, trim. Web-scale crawls carry the same text composed and
+    * decomposed (café as U+00E9 vs e+U+0301) — byte-different, so an
+    * un-canonicalized fingerprint splits true duplicates across keys.
+    * ASCII text is a fixed point (NFC fast-path, no reallocation), which
+    * is why the oracle-checked dedup rows over this corpus need no
+    * canonicalize step of their own — identity there, pinned in
+    * EngineSpec along with the variants-collapse property.
+    */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(lower(graft.functions.NfcNormalize(c)), "\\s+", " "))
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re  = "(?<!\\d)(?:\\d{1,3}\\.){3}\\d{1,3}(?!\\d)"
+  // country code only with an explicit '+': without it the bare-digit
+  // form is exactly the 10-digit 3-3-4 shape, so long numeric IDs
+  // (12-digit counters, order numbers) never read as phones
+  private val PhoneRe =
+    "(?<!\\d)(?:\\+\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}(?!\\d)"
+
+  /** Regex PII redaction to typed placeholders — the scrub pass a
+    * training-data pipeline runs before anything leaves quarantine.
+    * Most-specific first (email, then IPv4, then NANP-ish phone) so an
+    * earlier pass never leaves digit runs a later pattern re-matches;
+    * digit look-arounds keep phone/IP from biting into longer numbers.
+    * Three codegen'd `regexp_replace`s, no UDF. The synthetic corpus
+    * contains no PII (TESTDATA.md) so there is deliberately no oracle row
+    * — the operator is pinned on constructed rows in EngineSpec.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   // ------------------------------------------------------ postings builders
 
   /** Shared (keep..., token `t`) postings: the corpus tokenize pass that

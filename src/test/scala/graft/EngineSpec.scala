@@ -665,6 +665,49 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       !m4.select("file").collect().map(_.getString(0)).contains(victim.toString))
   }
 
+  test("canonicalize: NFC/case/whitespace variants share one fingerprint; " +
+      "the ASCII corpus is a fixed point") {
+    import graft.operators.LLMOps
+    import spark.implicits._
+    val composed   = "Café du Monde"        // é as U+00E9
+    val decomposed = "Café du Monde"       // e + combining acute
+    val spaced     = "  café   DU  monde "  // case + whitespace noise
+    assert(composed != decomposed) // byte-different inputs...
+    val fps = Seq(composed, decomposed, spaced).toDF("text")
+      .select(LLMOps.charHash(LLMOps.canonicalize(col("text"))).as("fp"))
+      .distinct().collect()
+    assert(fps.length == 1) // ...one canonical fingerprint
+    // on the synthetic corpus canonicalize is the identity — the reason
+    // the oracle-checked dedup rows need no canonicalize of their own
+    val docs = Tables.documents(spark, sfDir)
+    assert(docs.where(
+      LLMOps.canonicalize(col("text")) =!= col("text")).count() == 0)
+  }
+
+  test("NfcNormalize stays inside whole-stage codegen") {
+    val plan = spark.range(4)
+      .select(graft.functions.NfcNormalize(
+        concat(lit("café"), col("id").cast("string"))).as("t"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, s"NfcNormalize fell out of codegen:\n$plan")
+  }
+
+  test("scrubPii replaces emails, IPv4s and phone numbers with typed tokens") {
+    import graft.operators.LLMOps
+    import spark.implicits._
+    val rows = Seq(
+      "contact john.doe+spam@example.co.uk or call +1 (415) 555-2671 now",
+      "server at 192.168.0.1 port 8080 uptime 123456789012",
+      "no pii here").toDF("text")
+    val out = rows.select(LLMOps.scrubPii(col("text")).as("t"))
+      .as[String].collect()
+    assert(out(0) == "contact <EMAIL> or call <PHONE> now")
+    assert(out(1) == "server at <IP> port 8080 uptime 123456789012")
+    assert(out(2) == "no pii here")
+  }
+
   test("runtime bloom filter: a selective dim predicate reaches the fact " +
       "side as bloom_filter_might_contain (InjectRuntimeFilter fires)") {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
