@@ -78,6 +78,7 @@ object SparkEntry {
     // longest duplicated token span per candidate pair (exact-substring
     // dedup measure: diagonal gaps-and-islands over positional shingles)
     "q_l41_dup_span"       -> (LLMOps.qL41 _),
+    "q_l42_cdc_chunks"     -> (LLMOps.qL42 _),
     "q_l07_simhash"        -> (LLMOps.qL07 _),
     "q_l08_lang_id"        -> (LLMOps.qL08 _),
     "q_l09_quality_hist"   -> (LLMOps.qL09 _),
@@ -484,6 +485,12 @@ object SparkEntry {
     // longest consecutive shared-shingle run (run+2 tokens at n=3)
     "q_l41_dup_span" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM hh), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || CAST(sig[b*4+1] AS VARCHAR) || ':' || CAST(sig[b*4+2] AS VARCHAR) || ':' || CAST(sig[b*4+3] AS VARCHAR) || ':' || CAST(sig[b*4+4] AS VARCHAR))) AS band_key FROM sig), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), posts AS (SELECT doc_id, unnest(list_transform(range(1, len(hl)+1), i -> {'pos': i-1, 'h': hl[i]}), recursive := true) FROM hh), m AS (SELECT c.doc_a, c.doc_b, pa.pos AS pa, pb.pos AS pb FROM cand c JOIN posts pa ON pa.doc_id = c.doc_a JOIN posts pb ON pb.doc_id = c.doc_b AND pb.h = pa.h), isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS island FROM m), runs AS (SELECT doc_a, doc_b, diag, island, count(*) AS run FROM isl GROUP BY 1, 2, 3, 4) SELECT doc_a, doc_b, CAST(max(run) + 2 AS BIGINT) AS max_shared_tokens FROM runs GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q_l42: the oracle rebuilds the CDC chunking from arithmetic alone —
+    // rolling PolyHash windows (w=8), boundary at h % 32 = 0, per-chunk
+    // PolyHash packed as h*2^20 + len; pure integer folds both engines
+    // reproduce exactly
+    "q_l42_cdc_chunks" ->
+      """WITH cp AS (SELECT source, list_transform(range(1, len(text)+1), i -> ord(text[i])) AS cs FROM documents), cut AS (SELECT source, cs, list_filter(range(8, len(cs)+1), i -> list_reduce(list_prepend(0::BIGINT, cs[i-7:i]), (a,c) -> (a*31 + c) % 1000000007) % 32 = 0) AS cuts FROM cp), sp AS (SELECT source, cs, CASE WHEN len(cuts) > 0 AND cuts[len(cuts)] = len(cs) THEN cuts ELSE list_append(cuts, len(cs)) END AS ends FROM cut), ch AS (SELECT source, unnest(list_transform(range(1, len(ends)+1), k -> list_reduce(list_prepend(0::BIGINT, cs[(CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END)+1 : ends[k]]), (a,c) -> (a*31+c) % 1000000007) * 1048576 + LEAST(ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END, 1048575))) AS p FROM sp), g AS (SELECT source, p // 1048576 AS h, p % 1048576 AS len, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3) SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_chunks, COUNT(*) AS distinct_chunks, CAST(SUM((cnt-1)*len) AS BIGINT) AS dup_chars FROM g GROUP BY source ORDER BY source""",
     "q_l08_lang_id" ->
       """SELECT lang, CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) >= 0.03 THEN 'en' ELSE 'unk' END AS lang_pred, COUNT(*) AS cnt FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
     "q_l09_quality_hist" ->

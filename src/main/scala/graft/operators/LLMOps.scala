@@ -715,4 +715,29 @@ object LLMOps {
       .select("token_id", "token", "cnt")
       .orderBy("token_id")
   }
+
+  /** Q-L42 — content-defined chunk dedup
+    * ([[graft.functions.ContentChunks]]: rolling-hash boundaries, w=8,
+    * div=32): per source, total vs distinct chunks and the characters a
+    * chunk-store would reclaim from repeats. The sub-document granularity
+    * between whole-doc fingerprints (qL11) and shingle similarity (qL05) —
+    * repeated SPANS dedup even when no two documents are equal. Linear
+    * fan-out (≈len/div chunks per doc), group keys are packed longs: the
+    * shuffle carries hashes, never text.
+    */
+  def qL42(s: SparkSession, d: String): DataFrame = {
+    val packed = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.ContentChunks(col("text"))).as("p"))
+    val g = packed
+      .select(col("source"), expr("p DIV 1048576").as("h"),
+        (col("p") % 1048576L).as("len"))
+      .groupBy("source", "h", "len")
+      .agg(count(lit(1)).as("cnt"))
+    g.groupBy("source")
+      .agg(sum(col("cnt")).as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum((col("cnt") - 1) * col("len")).as("dup_chars"))
+      .orderBy("source")
+  }
 }

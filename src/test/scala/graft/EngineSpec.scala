@@ -665,6 +665,37 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       !m4.select("file").collect().map(_.getString(0)).contains(victim.toString))
   }
 
+  test("ContentChunks: chunks tile the text exactly, an edit stays local " +
+      "(shared suffix re-hashes identically), and the expression is codegen'd") {
+    import graft.functions.ContentChunks
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 30).trim
+    val edited = "XY " + base // edit at the very front
+    val rows = Seq(base, edited).toDF("text")
+      .select(ContentChunks(col("text")).as("ps"), length(col("text")).as("n"))
+      .collect()
+    // coverage: packed lengths tile the document with no gap/overlap
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).map(_ % 1048576L).sum == r.getInt(1).toLong)
+    }
+    // content-defined boundaries: after the first post-edit cut the chunk
+    // sequences realign, so all but a prefix of the chunk stream is
+    // byte-identical — the property offset-based (fixed-size) chunking
+    // fundamentally lacks
+    val a = rows(0).getSeq[Long](0)
+    val b = rows(1).getSeq[Long](0)
+    val common = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.length
+    assert(common >= a.length - 3,
+      s"front edit disturbed ${a.length - common} of ${a.length} chunks")
+    // codegen presence, same pin as PolyHash
+    val plan = spark.range(4)
+      .select(ContentChunks(concat(lit("txt"), col("id").cast("string"))).as("c"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+  }
+
   test("canonicalize: NFC/case/whitespace variants share one fingerprint; " +
       "the ASCII corpus is a fixed point") {
     import graft.operators.LLMOps
