@@ -161,6 +161,40 @@ object StreamOps {
           .write.mode("append").parquet(snapshotDir)
       }
 
+  /** Streaming parquet ingest that keeps the table's stats manifest
+    * ([[graft.io.StatsManifest]]) current: each micro-batch appends its
+    * rows under `tableDir`, then incrementally manifests ONLY the files
+    * it just added (`StatsManifest.append` footer-reads new files alone —
+    * history is never re-read, the same corpus-boundary contract as
+    * [[streamingDeltaDedup]]'s band snapshot) and atomically replaces the
+    * manifest table. Readers prune with a manifest at most one batch
+    * stale — and staleness only costs skipping opportunity, never rows
+    * (`readPruned` re-applies the predicate). The overwrite is safe
+    * against its own read because `append` returns an EAGER localCheckpoint:
+    * the updated manifest is materialized before the old one is replaced.
+    * foreachBatch is at-least-once: a replayed batch re-appends data
+    * files (the usual file-sink caveat), and the manifest simply tracks
+    * whatever files exist — append == rebuild at every point
+    * (parity-checked in StreamBatchParitySpec).
+    */
+  def ingestWithManifest(docs: DataFrame, tableDir: String,
+      manifestDir: String, statCols: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.io.StatsManifest
+        val s = batch.sparkSession
+        batch.write.mode("append").parquet(tableDir)
+        val mPath = new org.apache.hadoop.fs.Path(manifestDir)
+        val fs = mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val updated =
+          if (fs.exists(mPath) && StatsManifest.listParquet(s, manifestDir).nonEmpty)
+            StatsManifest.append(s, tableDir, s.read.parquet(manifestDir), statCols)
+          else StatsManifest.build(s, tableDir, statCols)
+        updated.write.mode("overwrite").parquet(manifestDir)
+      }
+
   // ---- custom stateful path: flatMapGroupsWithState ----------------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)

@@ -197,4 +197,34 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming ingest maintains the stats manifest: incremental append " +
+      "equals a from-scratch rebuild, and no row is lost") {
+    import graft.io.StatsManifest
+    val docs = Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    // 3 landing files => 3 micro-batches at maxFilesPerTrigger=1
+    docs.repartition(3).write.parquet(s"$base/landing")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/landing")
+    val q = StreamOps.ingestWithManifest(stream, s"$base/table",
+      s"$base/manifest", Seq("doc_id"), s"$base/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val maintained = spark.read.parquet(s"$base/manifest")
+      .select("file", "rows", "min_doc_id", "max_doc_id")
+      .collect().map(key).toSet
+    val rebuilt = StatsManifest.build(spark, s"$base/table", Seq("doc_id"))
+      .select("file", "rows", "min_doc_id", "max_doc_id")
+      .collect().map(key).toSet
+    assert(maintained == rebuilt)
+    // every ingested row is accounted for, and pruning works off the
+    // maintained manifest
+    assert(maintained.toSeq.map(_._2).sum == docs.count())
+    val lo = docs.agg(min("doc_id")).head().getLong(0)
+    val pruned = StatsManifest.readPruned(spark, s"$base/table",
+      spark.read.parquet(s"$base/manifest"), Seq(("doc_id", lo, lo)))
+    assert(pruned.count() == 1)
+  }
 }
