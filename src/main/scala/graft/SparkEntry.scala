@@ -56,6 +56,7 @@ object SparkEntry {
     "q_f03_math_fns"       -> (Relational.qF03 _),
     "q_f04_json"           -> (Relational.qF04 _),
     "q_f05_full_join"      -> (Relational.qF05 _),
+    "q_f14_variant_json"   -> (Relational.qF14 _),
     "q_f06_conditional"    -> (Relational.qF06 _),
     "q_f08_date_arith"     -> (Relational.qF08 _),
     "q_v01_array_ops"      -> (Relational.qV01 _),
@@ -373,6 +374,10 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 0) AS price_rounded, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil, abs(l_discount - 0.05) AS disc_dev FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q_f04_json" ->
       """SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt FROM events GROUP BY k_val ORDER BY k_val NULLS FIRST""",
+    // q_f14: Spark answers from the binary VARIANT encoding, DuckDB from
+    // JSON text — same field, same typed values, representation-neutral
+    "q_f14_variant_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, COUNT(*) AS cnt, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY k_mod ORDER BY k_mod NULLS FIRST""",
     "q_f05_full_join" ->
       """SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey, COUNT(s_suppkey) AS supp_rows, COUNT(c_custkey) AS cust_rows FROM supplier FULL OUTER JOIN customer ON s_nationkey = c_nationkey GROUP BY 1 ORDER BY nationkey NULLS FIRST""",
     "q_f06_conditional" ->

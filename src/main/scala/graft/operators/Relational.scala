@@ -439,6 +439,23 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("k_val"))
 
+  /** Q-F14 — the VARIANT path through the same JSON column qF04 reads as
+    * text: `parse_json` shreds `props` into Spark 4's binary variant
+    * encoding once, `variant_get` extracts typed fields without
+    * re-parsing. At 100 TB this is the semi-structured answer to reading
+    * JSON strings per-query — parse once at ingest, store variant, every
+    * downstream extraction is a typed offset walk instead of a string
+    * scan (and unlike a rigid from_json schema, unknown keys survive).
+    * The oracle reads the same field with DuckDB's JSON extraction — the
+    * values must agree exactly whichever representation served them.
+    */
+  def qF14(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+      .orderBy(asc_nulls_first("k_mod"))
+
   /** Q-F06 — conditional scalar functions: NULLIF / LEAST / GREATEST and a
     * two-branch IF, all codegen'd.
     */
