@@ -357,6 +357,47 @@ object TrainPrep {
         sum(when(fLen && fWlen && fRep && fStop, 1L).otherwise(0L)).as("pass_all"))
   }
 
+  /** The funnel ACCOUNTING as a side-channel of the real job: where qL22
+    * runs the counters as their own aggregate, a production pipeline's
+    * output is the SURVIVING documents — and the per-rule pass counts
+    * should ride along via `Dataset.observe`, collected by the executors
+    * during the same pass (no second scan, no extra shuffle, no separate
+    * accounting job — at 100 TB the dedicated recount IS the cost
+    * difference). Returns (survivors, observation); read
+    * `observation.get` after any action on the survivors. Counter
+    * equality with the oracle-checked qL22 row is pinned in EngineSpec.
+    */
+  def observedQualityFunnel(s: SparkSession, d: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val docs = Tables.documents(s, d)
+    val wc = size(LLMOps.tokens(col("text"))).cast("double")
+    val stats = docs.select(
+      col("doc_id"),
+      wc.as("wc"),
+      (length(col("text")).cast("double") / wc).as("mean_tok_len"),
+      (size(filter(LLMOps.tokens(col("text")), t => t.isin(stop: _*)))
+        .cast("double") / wc).as("stop_ratio"))
+    val rep = docs
+      .select(col("doc_id"), explode(LLMOps.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").cast("double").as("max_tok"))
+    val fLen = col("wc").between(20.0, 80.0)
+    val fWlen = col("mean_tok_len").between(3.0, 10.0)
+    val fRep = (col("max_tok") / col("wc")) <= 0.125
+    val fStop = col("stop_ratio") >= 0.01
+    val obs = org.apache.spark.sql.Observation("quality_funnel")
+    val observed = stats.join(rep, Seq("doc_id"))
+      .observe(obs,
+        count(lit(1)).as("total"),
+        sum(when(fLen, 1L).otherwise(0L)).as("pass_len"),
+        sum(when(fWlen, 1L).otherwise(0L)).as("pass_wlen"),
+        sum(when(fRep, 1L).otherwise(0L)).as("pass_rep"),
+        sum(when(fStop, 1L).otherwise(0L)).as("pass_stop"),
+        sum(when(fLen && fWlen && fRep && fStop, 1L).otherwise(0L)).as("pass_all"))
+    (observed.where(fLen && fWlen && fRep && fStop).select("doc_id"), obs)
+  }
+
   /** Q-L39 — the end-to-end corpus-prep pipeline as ONE flow: quality
     * gate (qL22's four predicates) → exact dedup (keep the MIN doc_id
     * per text — a deterministic winner, where `first` would be

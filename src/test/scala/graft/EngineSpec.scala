@@ -665,6 +665,19 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       !m4.select("file").collect().map(_.getString(0)).contains(victim.toString))
   }
 
+  test("observedQualityFunnel: counters ride the survivor pass via " +
+      "Dataset.observe and equal the oracle-checked aggregate (q_l22)") {
+    import graft.operators.TrainPrep
+    val (survivors, obs) = TrainPrep.observedQualityFunnel(spark, sfDir)
+    val nSurvivors = survivors.count() // the action that flushes observe
+    val got = obs.get
+    val want = TrainPrep.qL22(spark, sfDir).head()
+    for (k <- Seq("total", "pass_len", "pass_wlen", "pass_rep", "pass_stop",
+        "pass_all"))
+      assert(got(k) == want.getAs[Long](k), s"counter $k: $got vs $want")
+    assert(nSurvivors == want.getAs[Long]("pass_all"))
+  }
+
   test("ContentChunks: chunks tile the text exactly, an edit stays local " +
       "(shared suffix re-hashes identically), and the expression is codegen'd") {
     import graft.functions.ContentChunks
