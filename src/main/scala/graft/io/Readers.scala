@@ -75,6 +75,30 @@ object Readers {
       df.filter(col("_quarantine").isNotNull))
   }
 
+  /** JSON-lines twin of [[csvWithQuarantine]]: same PERMISSIVE +
+    * `_quarantine` contract over `spark.read.json` (one mangled line =
+    * one quarantined row carrying the raw text), same explicit-schema
+    * requirement, same corrupt-column-only projection restriction.
+    */
+  def jsonWithQuarantine(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantine")
+      .schema(schema.add("_quarantine", "string"))
+      .json(path)
+
+  /** The pre-split quarantine pattern for JSON lines — see
+    * [[csvSplitQuarantine]].
+    */
+  def jsonSplitQuarantine(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val df = jsonWithQuarantine(s, path, schema)
+    (df.filter(col("_quarantine").isNull).drop("_quarantine"),
+      df.filter(col("_quarantine").isNotNull))
+  }
+
   /** ORC source (columnar like parquet: pushdown + pruning apply; Avro is
     * omitted — the spark-avro datasource module isn't on this classpath).
     */

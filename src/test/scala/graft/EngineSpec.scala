@@ -920,6 +920,28 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(quarantined == Seq("2,notanumber,beta"))
   }
 
+  test("jsonWithQuarantine captures malformed JSON lines with the same " +
+      "contract as the CSV path") {
+    import graft.io.Readers
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jquarantine")
+    java.nio.file.Files.writeString(tmp.resolve("in.json"),
+      """{"id": 1, "qty": 10, "name": "alpha"}
+        |{"id": 2, "qty": oops not json
+        |{"id": 3, "qty": 30, "name": "gamma"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("qty", LongType), StructField("name", StringType)))
+    val (cleanDf, quarDf) = Readers.jsonSplitQuarantine(spark, tmp.toString, schema)
+    val clean = cleanDf.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(clean == Seq((1L, 10L, "alpha"), (3L, 30L, "gamma")))
+    assert(cleanDf.columns.toSeq == Seq("id", "qty", "name"))
+    val quarantined = quarDf.collect()
+      .map(_.getAs[String]("_quarantine")).toSeq
+    assert(quarantined == Seq("""{"id": 2, "qty": oops not json"""))
+  }
+
   test("incrementalSync: initial load, upsert merge, and no-op delta") {
     import spark.implicits._
     val tgt = Files.createTempDirectory("graft-sync").toString + "/t"
