@@ -103,13 +103,24 @@ object Writers {
     * shift/mask/or), so it stays inside whole-stage codegen.
     */
   def zValue(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftrightunsigned(a.cast("long"), i)
-          .bitwiseAND(1L), 2 * i))
-        .bitwiseOR(shiftleft(shiftrightunsigned(b.cast("long"), i)
-          .bitwiseAND(1L), 2 * i + 1))
+    zValueN(Seq(a, b), bits)
+
+  /** N-dimensional Morton interleave: output bit `k·N + d` is bit `k` of
+    * dimension `d` — [[zValue]] is the N=2 case. `N·bits` must fit a
+    * long's positive range; 3 dims × 16 bits or 4 × 12 are typical
+    * (a date × tenant × key clustering wants exactly this).
+    */
+  def zValueN(dims: Seq[Column], bits: Int = 16): Column = {
+    require(dims.nonEmpty && dims.size * bits <= 63,
+      s"zValueN: ${dims.size} dims x $bits bits exceeds a long")
+    val n = dims.size
+    dims.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, d)) =>
+      (0 until bits).foldLeft(acc) { (a, k) =>
+        a.bitwiseOR(shiftleft(shiftrightunsigned(c.cast("long"), k)
+          .bitwiseAND(1L), k * n + d))
+      }
     }
+  }
 
   /** Z-order-clustered parquet layout: range-partition + sort on the
     * Morton interleave of TWO cluster keys, so every file's row-group
@@ -129,13 +140,24 @@ object Writers {
     */
   def zOrdered(df: DataFrame, path: String, colA: String, colB: String,
       numFiles: Int = 32, bits: Int = 16,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    zOrderedN(df, path, Seq(colA, colB), numFiles, bits, mode)
+
+  /** N-dimensional [[zOrdered]]: range-partition + sort on
+    * [[zValueN]] of the min-max-normalized cluster keys. Same contract,
+    * any number of dimensions that fits the bit budget — each output
+    * file bounds a small HYPER-rectangle, so row-group stats prune a
+    * range predicate on ANY of the cluster keys.
+    */
+  def zOrderedN(df: DataFrame, path: String, clusterCols: Seq[String],
+      numFiles: Int = 32, bits: Int = 16,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val mm = df.agg(
-      min(col(colA).cast("long")), max(col(colA).cast("long")),
-      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    val aggs = clusterCols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
     // empty input OR an all-null key column: no meaningful bounds to
     // normalize against — write unclustered rather than NPE on null stats
-    if ((0 to 3).exists(mm.isNullAt)) {
+    if ((0 until 2 * clusterCols.size).exists(mm.isNullAt)) {
       df.write.mode(mode).parquet(path)
       return
     }
@@ -146,9 +168,10 @@ object Writers {
       if (hi == lo) lit(0L)
       else ((c.cast("double") - lit(lo.toDouble)) / lit((hi - lo).toDouble) *
         lit(((1L << bits) - 1).toDouble)).cast("long")
-    df.withColumn("_z", zValue(
-        norm(col(colA), mm.getLong(0), mm.getLong(1)),
-        norm(col(colB), mm.getLong(2), mm.getLong(3)), bits))
+    val dims = clusterCols.zipWithIndex.map { case (c, i) =>
+      norm(col(c), mm.getLong(2 * i), mm.getLong(2 * i + 1))
+    }
+    df.withColumn("_z", zValueN(dims, bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

@@ -636,6 +636,49 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(got.sameElements(want))
   }
 
+  test("zValueN matches a reference 3-D Morton interleave; the 3-D layout " +
+      "prunes files on ANY of its three dimensions") {
+    import graft.io.StatsManifest
+    // reference bit-interleave on random triples
+    def ref(v: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      for (k <- 0 until bits; d <- v.indices)
+        z |= ((v(d) >> k) & 1L) << (k * v.size + d)
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val triples = Seq.fill(200)(Seq(rnd.nextInt(1 << 12).toLong,
+      rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 12).toLong))
+    import spark.implicits._
+    val got = triples.map(t => (t(0), t(1), t(2))).toDF("a", "b", "c")
+      .select(Writers.zValueN(Seq(col("a"), col("b"), col("c")), 12).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == triples.map(ref(_, 12)))
+    // 3-D clustered layout: a narrow band on EACH dimension alone drops files
+    val dir = Files.createTempDirectory("graft-z3").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    Writers.zOrderedN(li, dir, Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      numFiles = 16, bits = 12)
+    val m = StatsManifest.build(spark, dir,
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    val nFiles = m.count()
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey")) {
+      val lo = li.agg(min(c)).head().getLong(0)
+      val hi = li.agg(max(c)).head().getLong(0)
+      val band = Seq((c, lo, lo + (hi - lo) / 8))
+      val kept = StatsManifest.pruneFiles(m, band).size
+      assert(kept < nFiles, s"$c band kept all $nFiles files")
+      // pruned read stays exact
+      val got = StatsManifest.readPruned(spark, dir, m, band)
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").collect()
+      val want = spark.read.parquet(dir)
+        .where(col(c).between(band.head._2, band.head._3))
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").collect()
+      assert(got.sameElements(want))
+    }
+  }
+
   test("stats manifest append: only new files are footer-read, dropped " +
       "files fall out, result equals a full rebuild") {
     import graft.io.StatsManifest
