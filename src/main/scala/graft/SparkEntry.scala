@@ -80,6 +80,7 @@ object SparkEntry {
     // dedup measure: diagonal gaps-and-islands over positional shingles)
     "q_l41_dup_span"       -> (LLMOps.qL41 _),
     "q_l42_cdc_chunks"     -> (LLMOps.qL42 _),
+    "q_l43_chunk_catalog"  -> (LLMOps.qL43 _),
     "q_l07_simhash"        -> (LLMOps.qL07 _),
     "q_l08_lang_id"        -> (LLMOps.qL08 _),
     "q_l09_quality_hist"   -> (LLMOps.qL09 _),
@@ -496,6 +497,10 @@ object SparkEntry {
     // reproduce exactly
     "q_l42_cdc_chunks" ->
       """WITH cp AS (SELECT source, list_transform(range(1, len(text)+1), i -> ord(text[i])) AS cs FROM documents), cut AS (SELECT source, cs, list_filter(range(8, len(cs)+1), i -> list_reduce(list_prepend(0::BIGINT, cs[i-7:i]), (a,c) -> (a*31 + c) % 1000000007) % 32 = 0) AS cuts FROM cp), sp AS (SELECT source, cs, CASE WHEN len(cuts) > 0 AND cuts[len(cuts)] = len(cs) THEN cuts ELSE list_append(cuts, len(cs)) END AS ends FROM cut), ch AS (SELECT source, unnest(list_transform(range(1, len(ends)+1), k -> list_reduce(list_prepend(0::BIGINT, cs[(CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END)+1 : ends[k]]), (a,c) -> (a*31+c) % 1000000007) * 1048576 + LEAST(ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END, 1048575))) AS p FROM sp), g AS (SELECT source, p // 1048576 AS h, p % 1048576 AS len, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3) SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_chunks, COUNT(*) AS distinct_chunks, CAST(SUM((cnt-1)*len) AS BIGINT) AS dup_chars FROM g GROUP BY source ORDER BY source""",
+    // q_l43: same CDC chunking CTE as q_l42, catalog granularity — which
+    // spans repeat, where, and what a reclaim job would save
+    "q_l43_chunk_catalog" ->
+      """WITH cp AS (SELECT doc_id, list_transform(range(1, len(text)+1), i -> ord(text[i])) AS cs FROM documents), cut AS (SELECT doc_id, cs, list_filter(range(8, len(cs)+1), i -> list_reduce(list_prepend(0::BIGINT, cs[i-7:i]), (a,c) -> (a*31 + c) % 1000000007) % 32 = 0) AS cuts FROM cp), sp AS (SELECT doc_id, cs, CASE WHEN len(cuts) > 0 AND cuts[len(cuts)] = len(cs) THEN cuts ELSE list_append(cuts, len(cs)) END AS ends FROM cut), ch AS (SELECT doc_id, unnest(list_transform(range(1, len(ends)+1), k -> list_reduce(list_prepend(0::BIGINT, cs[(CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END)+1 : ends[k]]), (a,c) -> (a*31+c) % 1000000007) * 1048576 + LEAST(ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END, 1048575))) AS p FROM sp), g AS (SELECT p // 1048576 AS h, p % 1048576 AS len, COUNT(*) AS copies, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc FROM ch GROUP BY 1, 2) SELECT h, len, copies, n_docs, first_doc, CAST((copies-1)*len AS BIGINT) AS reclaimable_chars FROM g WHERE copies > 1 ORDER BY reclaimable_chars DESC, h, len LIMIT 50""",
     "q_l08_lang_id" ->
       """SELECT lang, CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) >= 0.03 THEN 'en' ELSE 'unk' END AS lang_pred, COUNT(*) AS cnt FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
     "q_l09_quality_hist" ->

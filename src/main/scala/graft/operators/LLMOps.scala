@@ -740,4 +740,31 @@ object LLMOps {
         sum((col("cnt") - 1) * col("len")).as("dup_chars"))
       .orderBy("source")
   }
+
+  /** Q-L43 — the repeated-span CATALOG over the same CDC chunking: the
+    * top-50 chunks by reclaimable characters, with copy/document counts
+    * and the earliest holder — qL42 says how much a chunk-store saves
+    * per source; this says WHICH spans and WHERE, the worklist an actual
+    * dedup/reclaim job executes. Same linear fan-out; the only shuffle
+    * keys are packed chunk longs, and GroupTopK-style truncation happens
+    * in the final TakeOrdered(50), not a full sort spill.
+    */
+  def qL43(s: SparkSession, d: String): DataFrame = {
+    val packed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.ContentChunks(col("text"))).as("p"))
+    packed
+      .select(expr("p DIV 1048576").as("h"), (col("p") % 1048576L).as("len"),
+        col("doc_id"))
+      .groupBy("h", "len")
+      .agg(count(lit(1)).as("copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("copies") > 1)
+      .select(col("h"), col("len"), col("copies"), col("n_docs"),
+        col("first_doc"),
+        ((col("copies") - 1) * col("len")).as("reclaimable_chars"))
+      .orderBy(col("reclaimable_chars").desc, col("h"), col("len"))
+      .limit(50)
+  }
 }
