@@ -67,6 +67,7 @@ object SparkEntry {
     "q_t01_tumbling"       -> (Temporal.qT01 _),
     "q_t02_sessionize"     -> (Temporal.qT02 _),
     "q_t03_sliding"        -> (Temporal.qT03 _),
+    "q_t09_twap"           -> (Temporal.qT09 _),
     // LLM-data-pipeline mandate
     "q_l01_dedup_counts"   -> (LLMOps.qL01 _),
     "q_l02_cosine_topk"    -> (Similarity.qL02 _),
@@ -397,6 +398,12 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS users FROM events GROUP BY hr, event_type ORDER BY hr, event_type""",
     "q_t02_sessionize" ->
       """WITH g AS (SELECT user_id, CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_session FROM events) SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS sessions, COUNT(*) AS events FROM g GROUP BY user_id ORDER BY user_id""",
+    // q_t09: exact integer/decimal time-weighting — cents via
+    // floor(·100+0.5), DECIMAL(18,0)×µs products summed in DECIMAL(38,0);
+    // the quotient is deliberately left to the consumer (double division
+    // would be the one non-bit-exact step)
+    "q_t09_twap" ->
+      """WITH iv AS (SELECT user_id, LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS dt, CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(18,0)) AS cents FROM events) SELECT user_id, COUNT(*) AS n_intervals, CAST(SUM(dt) AS BIGINT) AS total_dt_us, CAST(SUM(cents * CAST(dt AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS value_time FROM iv WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""",
     "q_t03_sliding" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) - i.i * INTERVAL '15 minutes' AS w_start, event_type, COUNT(*) AS cnt FROM events, (SELECT unnest(range(0, 4)) AS i) i GROUP BY w_start, event_type ORDER BY w_start, event_type""",
     "q_l01_dedup_counts" ->

@@ -211,4 +211,32 @@ object Temporal {
       .select("user_id", "s_start", "n_events", "path")
       .orderBy("user_id", "s_start")
   }
+
+  /** Q-T09 — time-weighted value per user (the TWAP shape): each event's
+    * value is weighted by how long it REMAINED current (lead(ts) − ts),
+    * the standard correction for irregularly-sampled series where a plain
+    * AVG over-counts bursts. Deliberately emits the exact integer pair
+    * (Σ value·dt, Σ dt) rather than their quotient: values go through
+    * `floor(·100 + 0.5)` cents and DECIMAL(18,0)×µs products summed in
+    * DECIMAL(38,0) — bit-identical across engines where a double
+    * division would not be. ONE user_id exchange serves both the window
+    * and the aggregate (the qT08 partitioning-reuse pattern).
+    */
+  def qT09(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("dt",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .where(col("dt").isNotNull)
+      .select(col("user_id"), col("dt"),
+        floor(col("value") * 100 + 0.5).cast("decimal(18,0)").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("total_dt_us"),
+        sum(col("cents") * col("dt").cast("decimal(18,0)"))
+          .cast("decimal(38,0)").as("value_time"))
+      .orderBy("user_id")
+  }
 }
