@@ -166,8 +166,11 @@ object StreamOps {
     * rows under `tableDir`, then incrementally manifests ONLY the files
     * it just added (`StatsManifest.append` footer-reads new files alone —
     * history is never re-read, the same corpus-boundary contract as
-    * [[streamingDeltaDedup]]'s band snapshot) and atomically replaces the
-    * manifest table. Readers prune with a manifest at most one batch
+    * [[streamingDeltaDedup]]'s band snapshot) and rewrites the manifest
+    * table (overwrite is delete-then-write, not atomic — a concurrent
+    * manifest reader should retry, or the manifest should live in a
+    * table format with atomic swap; the DATA table is append-only and
+    * never at risk). Readers prune with a manifest at most one batch
     * stale — and staleness only costs skipping opportunity, never rows
     * (`readPruned` re-applies the predicate). The overwrite is safe
     * against its own read because `append` returns an EAGER localCheckpoint:

@@ -743,6 +743,11 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val common = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.length
     assert(common >= a.length - 3,
       s"front edit disturbed ${a.length - common} of ${a.length} chunks")
+    // the empty string yields exactly one empty chunk (hash 0, len 0) —
+    // the same single-element reduce the oracle's empty slice produces
+    assert(Seq("").toDF("text")
+      .select(ContentChunks(col("text")).as("ps"))
+      .head().getSeq[Long](0) == Seq(0L))
     // codegen presence, same pin as PolyHash
     val plan = spark.range(4)
       .select(ContentChunks(concat(lit("txt"), col("id").cast("string"))).as("c"))
