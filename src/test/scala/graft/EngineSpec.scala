@@ -708,6 +708,34 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       !m4.select("file").collect().map(_.getString(0)).contains(victim.toString))
   }
 
+  test("qT09 plan: ONE hash exchange serves both the lead() window and " +
+      "the per-user aggregate") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // the qT08 partitioning-reuse pattern, pinned: a window followed by a
+    // groupBy on the SAME key must not pay a second data shuffle — at
+    // 100 TB the second exchange would double the job's network cost
+    val df = graft.operators.Temporal.qT09(spark, sfDir)
+    df.collect() // finalize the adaptive plan on this frame
+    def hashExchanges(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case e: ShuffleExchangeLike
+          if e.outputPartitioning.toString.contains("hashpartitioning") => Seq(e)
+        case _ => Nil
+      }
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case _                        => Nil
+      }
+      here ++ (extra ++ p.children).flatMap(hashExchanges)
+    }
+    val n = hashExchanges(df.queryExecution.executedPlan).size
+    assert(n == 1,
+      s"expected exactly one hash exchange, found $n:\n${df.queryExecution.executedPlan}")
+  }
+
   test("observedQualityFunnel: counters ride the survivor pass via " +
       "Dataset.observe and equal the oracle-checked aggregate (q_l22)") {
     import graft.operators.TrainPrep
