@@ -73,7 +73,12 @@ object StatsManifest {
     val confEntries = s.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue).toVector
     val colsLocal = cols
-    val rows = s.sparkContext.parallelize(paths, 32).mapPartitions { files =>
+    // slices scale with the file count: a fixed small number would leave
+    // one task sequentially opening tens of thousands of S3 footers on
+    // the advertised million-file table
+    val slices = math.max(1, math.min(paths.size,
+      math.max(s.sparkContext.defaultParallelism, paths.size / 64)))
+    val rows = s.sparkContext.parallelize(paths, slices).mapPartitions { files =>
       val c = new org.apache.hadoop.conf.Configuration(false)
       confEntries.foreach { case (k, v) => c.set(k, v) }
       files.map { file =>
@@ -120,15 +125,20 @@ object StatsManifest {
     */
   def append(s: SparkSession, dir: String, existing: DataFrame,
       cols: Seq[String]): DataFrame = {
-    val current = s.createDataFrame(
-      s.sparkContext.parallelize(listParquet(s, dir).map(Row(_)), 8),
-      StructType(Seq(StructField("file", StringType, nullable = false))))
-    val newFiles = current.join(existing.select("file"), Seq("file"), "left_anti")
-      .collect().map(_.getString(0)).toSeq
+    // both file lists are driver-sized (one path per file — the same
+    // order as any planner's file listing), so the set difference is
+    // plain driver code; only the kept-rows filter runs as a join
+    val current = listParquet(s, dir)
+    val known = existing.select("file").collect().map(_.getString(0)).toSet
+    val newFiles = current.filterNot(known)
     val fresh =
       if (newFiles.isEmpty) existing.limit(0)
       else buildForFiles(s, newFiles, cols)
-    existing.join(current, Seq("file"), "left_semi").unionByName(fresh)
+    val currentDf = s.createDataFrame(
+      s.sparkContext.parallelize(current.map(Row(_)),
+        math.max(1, math.min(current.size, s.sparkContext.defaultParallelism))),
+      StructType(Seq(StructField("file", StringType, nullable = false))))
+    existing.join(currentDf, Seq("file"), "left_semi").unionByName(fresh)
       .localCheckpoint(eager = true) // same snapshot semantics as build()
   }
 
@@ -137,7 +147,8 @@ object StatsManifest {
     * [min, max] overlaps it. NULL stats keep the file (null-safe trues).
     */
   private def survives(bounds: Seq[(String, Long, Long)]): Column =
-    bounds.map { case (c, lo, hi) =>
+    if (bounds.isEmpty) lit(true) // no bounds = nothing pruned
+    else bounds.map { case (c, lo, hi) =>
       col(s"min_$c").isNull || col(s"max_$c").isNull ||
         (col(s"max_$c") >= lo && col(s"min_$c") <= hi)
     }.reduce(_ && _)
@@ -152,17 +163,28 @@ object StatsManifest {
       .collect().map(_.getString(0)).toSeq
 
   /** Manifest-pruned read: hand Spark ONLY the surviving files, then
-    * re-apply the full predicate — the manifest decides what to OPEN,
-    * the engine still decides what to RETURN, so a stale or lossy
-    * manifest can cost speed, never rows (callers rebuild manifests on
-    * write, as with any table-format stats).
+    * re-apply the full predicate. The manifest decides what to OPEN, the
+    * engine still decides what to RETURN — so NULL/lossy STATS can only
+    * cost speed. The manifest's FILE LIST, however, is the source of
+    * truth for what exists: a file the manifest has never seen is not
+    * read, so the snapshot a reader uses defines the data version it
+    * sees (exactly the Delta/Iceberg contract — readers pin a manifest
+    * version; writers publish a new one after the data lands, as
+    * `StreamOps.ingestWithManifest` does per batch).
+    *
+    * `basePath` keeps hive-style partition columns resolvable when the
+    * leaf files live under `key=value/` directories (footer stats never
+    * cover partition columns — bounds on them keep every file — but the
+    * columns themselves survive the pruned read).
     */
   def readPruned(s: SparkSession, dir: String, manifest: DataFrame,
       bounds: Seq[(String, Long, Long)]): DataFrame = {
     val keep = pruneFiles(manifest, bounds)
-    val pred = bounds.map { case (c, lo, hi) => col(c).between(lo, hi) }
-      .reduce(_ && _)
     if (keep.isEmpty) Readers.parquet(s, dir).where(lit(false))
-    else s.read.parquet(keep: _*).where(pred)
+    else {
+      val pred = bounds.map { case (c, lo, hi) => col(c).between(lo, hi) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      s.read.option("basePath", dir).parquet(keep: _*).where(pred)
+    }
   }
 }

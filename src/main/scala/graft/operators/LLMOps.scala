@@ -43,19 +43,27 @@ object LLMOps {
   def charHash(sh: Column): Column = PolyHash(sh)
 
   /** Canonicalization ahead of exact-hash dedup: Unicode NFC
-    * ([[graft.functions.NfcNormalize]]), casefold, whitespace-run
-    * collapse, trim. Web-scale crawls carry the same text composed and
-    * decomposed (café as U+00E9 vs e+U+0301) — byte-different, so an
-    * un-canonicalized fingerprint splits true duplicates across keys.
-    * ASCII text is a fixed point (NFC fast-path, no reallocation), which
-    * is why the oracle-checked dedup rows over this corpus need no
-    * canonicalize step of their own — identity there, pinned in
-    * EngineSpec along with the variants-collapse property.
+    * ([[graft.functions.NfcNormalize]]), lowercase, whitespace-run
+    * collapse (UNICODE_CHARACTER_CLASS `\s`, so NBSP and friends — what
+    * every HTML `&nbsp;` becomes — collapse like ASCII spaces), trim.
+    * Web-scale crawls carry the same text composed and decomposed (café
+    * as U+00E9 vs e+U+0301) — byte-different, so an un-canonicalized
+    * fingerprint splits true duplicates across keys. Lowercasing is
+    * locale-neutral `lower`, not full case folding (ß≠SS) — duplicates
+    * differing only under full folding stay separate, a deliberate
+    * conservative choice. ASCII text is a fixed point (NFC fast-path, no
+    * reallocation), which is why the oracle-checked dedup rows over this
+    * corpus need no canonicalize step of their own — identity there,
+    * pinned in EngineSpec along with the variants-collapse property.
     */
   def canonicalize(c: Column): Column =
-    trim(regexp_replace(lower(graft.functions.NfcNormalize(c)), "\\s+", " "))
+    trim(regexp_replace(lower(graft.functions.NfcNormalize(c)), "(?U)\\s+", " "))
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  // user@10.0.0.1 has a digit TLD, so EmailRe misses it; without this
+  // pass the IP rewrite would leave the identifying local part behind
+  // ("john.doe@<IP>")
+  private val EmailIpRe = "[A-Za-z0-9._%+-]+@(?:\\d{1,3}\\.){3}\\d{1,3}"
   private val Ipv4Re  = "(?<!\\d)(?:\\d{1,3}\\.){3}\\d{1,3}(?!\\d)"
   // country code only with an explicit '+': without it the bare-digit
   // form is exactly the 10-digit 3-3-4 shape, so long numeric IDs
@@ -68,14 +76,16 @@ object LLMOps {
     * Most-specific first (email, then IPv4, then NANP-ish phone) so an
     * earlier pass never leaves digit runs a later pattern re-matches;
     * digit look-arounds keep phone/IP from biting into longer numbers.
-    * Three codegen'd `regexp_replace`s, no UDF. The synthetic corpus
+    * Four codegen'd `regexp_replace`s, no UDF. The synthetic corpus
     * contains no PII (TESTDATA.md) so there is deliberately no oracle row
     * — the operator is pinned on constructed rows in EngineSpec.
     */
   def scrubPii(c: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(c, EmailRe, "<EMAIL>"),
+        regexp_replace(
+          regexp_replace(c, EmailRe, "<EMAIL>"),
+          EmailIpRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 

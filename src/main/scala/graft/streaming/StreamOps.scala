@@ -170,9 +170,13 @@ object StreamOps {
     * table (overwrite is delete-then-write, not atomic — a concurrent
     * manifest reader should retry, or the manifest should live in a
     * table format with atomic swap; the DATA table is append-only and
-    * never at risk). Readers prune with a manifest at most one batch
-    * stale — and staleness only costs skipping opportunity, never rows
-    * (`readPruned` re-applies the predicate). The overwrite is safe
+    * never at risk). The manifest is the reader's snapshot: `readPruned`
+    * opens ONLY manifest-listed files, so a reader on the N−1 manifest
+    * sees the table as of batch N−1 — consistent, but batch N's rows
+    * arrive only when its manifest publishes (the Delta/Iceberg version
+    * contract; it is the STATS that are advisory, not the file list).
+    * Readers that must see unpublished files read the directory
+    * directly. The overwrite is safe
     * against its own read because `append` returns an EAGER localCheckpoint:
     * the updated manifest is materialized before the old one is replaced.
     * foreachBatch is at-least-once: a replayed batch re-appends data

@@ -679,6 +679,33 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("stats manifest over a hive-partitioned layout: partition columns " +
+      "survive the pruned read; data-column bounds still prune") {
+    import graft.io.StatsManifest
+    val dir = Files.createTempDirectory("graft-manifest-hive").toString
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    Writers.partitionedParquet(o, dir, Seq("o_orderpriority"))
+    val m = StatsManifest.build(spark, dir, Seq("o_orderkey"))
+    val (kLo, kHi) = (o.agg(min("o_orderkey")).head().getLong(0),
+      o.agg(max("o_orderkey")).head().getLong(0))
+    val bounds = Seq(("o_orderkey", kLo, kLo + (kHi - kLo) / 4))
+    val pruned = StatsManifest.readPruned(spark, dir, m, bounds)
+    // the partition column is still resolvable (basePath), so the pruned
+    // frame answers the same query the full read does
+    val got = pruned.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).orderBy("o_orderpriority").collect()
+    val want = spark.read.parquet(dir)
+      .where(col("o_orderkey").between(bounds.head._2, bounds.head._3))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).orderBy("o_orderpriority").collect()
+    assert(got.sameElements(want) && got.nonEmpty)
+    // bounds on the PARTITION column have no footer stats: every file
+    // survives (skipping never bets on absent stats) — and empty bounds
+    // are the no-op, not a crash
+    assert(StatsManifest.pruneFiles(m, Seq.empty).size == m.count())
+  }
+
   test("stats manifest append: only new files are footer-read, dropped " +
       "files fall out, result equals a full rebuild") {
     import graft.io.StatsManifest
@@ -776,13 +803,18 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Seq("").toDF("text")
       .select(ContentChunks(col("text")).as("ps"))
       .head().getSeq[Long](0) == Seq(0L))
-    // codegen presence, same pin as PolyHash
-    val plan = spark.range(4)
+    // codegen presence, same pin as PolyHash — and EXECUTED with the
+    // interpreted fallback off, so a Janino compile failure in the
+    // generated chunking loop fails the test instead of silently
+    // degrading to interpreted eval
+    val cg = spark.range(4)
       .select(ContentChunks(concat(lit("txt"), col("id").cast("string"))).as("c"))
-      .queryExecution.executedPlan
-    assert(plan.collect {
+    assert(cg.queryExecution.executedPlan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
     }.nonEmpty)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(cg.collect().length == 4)
+    finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("canonicalize: NFC/case/whitespace variants share one fingerprint; " +
@@ -792,8 +824,9 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val composed   = "Café du Monde"        // é as U+00E9
     val decomposed = "Café du Monde"       // e + combining acute
     val spaced     = "  café   DU  monde "  // case + whitespace noise
+    val nbsp       = "caf\u00e9 du\u00a0monde"  // &nbsp; between words
     assert(composed != decomposed) // byte-different inputs...
-    val fps = Seq(composed, decomposed, spaced).toDF("text")
+    val fps = Seq(composed, decomposed, spaced, nbsp).toDF("text")
       .select(LLMOps.charHash(LLMOps.canonicalize(col("text"))).as("fp"))
       .distinct().collect()
     assert(fps.length == 1) // ...one canonical fingerprint
@@ -805,13 +838,19 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("NfcNormalize stays inside whole-stage codegen") {
-    val plan = spark.range(4)
+    val df = spark.range(4)
       .select(graft.functions.NfcNormalize(
         concat(lit("café"), col("id").cast("string"))).as("t"))
-      .queryExecution.executedPlan
+    val plan = df.queryExecution.executedPlan
     assert(plan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
     }.nonEmpty, s"NfcNormalize fell out of codegen:\n$plan")
+    // plan shape alone passes even when Janino rejects the generated
+    // source at runtime (Spark silently falls back to interpreted) —
+    // execute with the fallback OFF so a codegen compile error fails here
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(df.collect().length == 4)
+    finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("scrubPii replaces emails, IPv4s and phone numbers with typed tokens") {
@@ -820,12 +859,16 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val rows = Seq(
       "contact john.doe+spam@example.co.uk or call +1 (415) 555-2671 now",
       "server at 192.168.0.1 port 8080 uptime 123456789012",
+      "reach me: john.doe@192.168.0.1",
       "no pii here").toDF("text")
     val out = rows.select(LLMOps.scrubPii(col("text")).as("t"))
       .as[String].collect()
     assert(out(0) == "contact <EMAIL> or call <PHONE> now")
     assert(out(1) == "server at <IP> port 8080 uptime 123456789012")
-    assert(out(2) == "no pii here")
+    // an IP-literal domain is still an email: the local part must not
+    // survive as "john.doe@<IP>"
+    assert(out(2) == "reach me: <EMAIL>")
+    assert(out(3) == "no pii here")
   }
 
   test("runtime bloom filter: a selective dim predicate reaches the fact " +
