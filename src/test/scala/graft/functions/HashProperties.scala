@@ -67,4 +67,38 @@ object HashProperties extends Properties("graft.hash") {
       seq.contains("HH") && merged.contains("HH") &&
         seq.size <= 4 && merged.size <= 4
     }
+
+  // CDC invariants: chunks tile the input exactly (no gap, no overlap)
+  // and every chunk's hash field IS the polyHash of its substring — the
+  // property that makes chunk keys comparable across engines and across
+  // re-chunkings of edited documents.
+  property("contentChunks tile the text; every chunk hash is the polyHash " +
+      "of its substring") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val arr = ContentChunks.chunks(UTF8String.fromString(s), 8, 32)
+      val packed = (0 until arr.numElements()).map(arr.getLong)
+      val lens = packed.map(p => (p % 1048576L).toInt)
+      val tiles = lens.sum == s.codePoints().toArray.length
+      var st = 0
+      val hashesMatch = packed.forall { p =>
+        val len = (p % 1048576L).toInt
+        val sub = s.substring(st, st + len) // ascii ⇒ cp index = char index
+        st += len
+        p / 1048576L == naive(sub)
+      }
+      tiles && hashesMatch && packed.nonEmpty
+    }
+
+  private val unicodeStr: Gen[String] =
+      Gen.listOf(Gen.oneOf('a', 'Z', ' ', '\u00e9', '\u0301', 'e', '\u00df', '\u4e2d', '\u00a0'))
+      .map(_.mkString)
+
+  property("nfcNormalize is idempotent; ASCII is a same-reference fixed point") =
+    Prop.forAll(Gen.asciiPrintableStr, unicodeStr) { (ascii, uni) =>
+      val a = UTF8String.fromString(ascii)
+      val u = UTF8String.fromString(uni)
+      val once = NfcNormalize.normalize(u)
+      (NfcNormalize.normalize(a) eq a) &&
+        NfcNormalize.normalize(once) == once
+    }
 }
