@@ -214,6 +214,84 @@ object StreamOps {
     * custom per-session aggregates). Emits a session when its gap timeout
     * expires. State per user is O(1); the watermark bounds total state.
     */
+  /** The [[statefulSessions]] semantics re-expressed on Spark 4's
+    * `transformWithState` (arbitrary stateful processing v2): typed
+    * `ValueState` from the handle, EXPLICIT event-time timers
+    * (register/delete) instead of the single implicit fMGWS timeout, and
+    * the RocksDB state-store provider it requires — the API new state
+    * gets written against, proven here to carry the same session
+    * semantics (exact-output parity with the fMGWS twin is pinned in
+    * StreamOpsSpec). Per-user state stays O(1); the watermark bounds
+    * timers and state exactly as before.
+    */
+  def statefulSessionsTws(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    class SessionProcessor extends StatefulProcessor[Long, Event, SessionOut] {
+      @transient private var st: ValueState[SessionState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[SessionState]("session",
+          org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+      private def micros(t: Timestamp): Long =
+        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+      override def handleInputRows(userId: Long, rows: Iterator[Event],
+          timers: TimerValues): Iterator[SessionOut] = {
+        var out = List.empty[SessionOut]
+        var cur = if (st.exists()) Some(st.get()) else None
+        rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+          val us = micros(e.ts)
+          cur match {
+            case Some(s) if us - s.lastSeenUs <= gapUs =>
+              cur = Some(s.copy(
+                sessionStartUs = math.min(s.sessionStartUs, us),
+                lastSeenUs = math.max(s.lastSeenUs, us),
+                nEvents = s.nEvents + 1))
+            case Some(s) =>
+              out ::= SessionOut(userId, new Timestamp(s.sessionStartUs / 1000L),
+                new Timestamp(s.lastSeenUs / 1000L), s.nEvents)
+              cur = Some(SessionState(us, us, 1L))
+            case None =>
+              cur = Some(SessionState(us, us, 1L))
+          }
+        }
+        cur.foreach { s =>
+          st.update(s)
+          // explicit timer management replaces fMGWS's setTimeoutTimestamp:
+          // drop any stale timer, arm one at lastSeen+gap (floored past the
+          // watermark, which rejects already-expired registrations)
+          getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+          val timeoutMs = s.lastSeenUs / 1000L + gapMinutes * 60L * 1000L
+          getHandle.registerTimer(
+            math.max(timeoutMs, timers.getCurrentWatermarkInMs() + 1000L))
+        }
+        out.reverseIterator
+      }
+
+      override def handleExpiredTimer(userId: Long, timers: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+        if (!st.exists()) return Iterator.empty
+        val s = st.get()
+        st.clear()
+        Iterator(SessionOut(userId, new Timestamp(s.sessionStartUs / 1000L),
+          new Timestamp(s.lastSeenUs / 1000L), s.nEvents))
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .selectExpr("user_id", "ts", "event_type")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   def statefulSessions(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30): Dataset[SessionOut] = {
     import spark.implicits._

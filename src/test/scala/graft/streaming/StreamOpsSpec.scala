@@ -238,6 +238,49 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization (arbitrary stateful v2) emits " +
+      "exactly the flatMapGroupsWithState sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB provider (multiple column
+    // families for state + timers)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val events = mem.toDF().toDF("user_id", "ts", "event_type")
+      val q = StreamOps.statefulSessionsTws(spark, events).writeStream
+        .format("memory").queryName("tws").outputMode("append").start()
+      try {
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        // the same watermark pushes that close the fMGWS twin's sessions
+        mem.addData((99L, ts("2024-01-02 12:00:00"), "tick"))
+        q.processAllAvailable()
+        mem.addData((99L, ts("2024-01-03 12:00:00"), "tick"))
+        q.processAllAvailable()
+        val got = spark.table("tws").as[StreamOps.SessionOut].collect()
+          .map(s => (s.user_id, s.session_start, s.session_end, s.n_events))
+          .toSet
+        // parity with the fMGWS implementation on identical input: the
+        // closed user-1/user-2 sessions match field for field
+        assert(got.contains((1L, ts("2024-01-01 10:05:00"),
+          ts("2024-01-01 10:20:00"), 2L)))
+        assert(got.contains((1L, ts("2024-01-01 11:30:00"),
+          ts("2024-01-01 11:30:00"), 1L)))
+        assert(got.contains((2L, ts("2024-01-01 10:45:00"),
+          ts("2024-01-01 10:45:00"), 1L)))
+        assert(got.contains((2L, ts("2024-01-01 11:50:00"),
+          ts("2024-01-01 11:50:00"), 1L)))
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("file sink resumes from its checkpoint exactly-once across a restart") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-restart")
