@@ -41,7 +41,10 @@ def main():
         # is above timing noise (~50 ms).
         d21, d32 = t2[q] - t1.get(q, t2[q]), t3[q] - t2[q]
         import math
-        inc = math.log(d32 / d21, data_ratio) if d21 > 0.05 and d32 > 0 else None
+        # t1 <= 0 is Bench's every-pass-failed sentinel: d21 would be
+        # inflated and the 'slope' fabricated — skip inc entirely
+        inc = (math.log(d32 / d21, data_ratio)
+               if t1.get(q, 0) > 0 and d21 > 0.05 and d32 > 0 else None)
         flag = "SUPERLINEAR" if r23 > data_ratio else (
             "watch" if r23 > 0.7 * data_ratio else "")
         rows.append((q, t1.get(q, float("nan")), t2[q], t3[q], r12, r23, inc, flag))

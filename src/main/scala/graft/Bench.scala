@@ -63,14 +63,17 @@ object Bench {
       System.gc()
     }
 
-    def run(name: String): Double = {
+    // `charged = false` for warm-up runs: failed_passes is the machine-
+    // readable instability record for TIMED samples — an uncharged
+    // warm-up flake must not impugn timings that were all valid
+    def run(name: String, charged: Boolean = true): Double = {
       hygiene()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failedPasses += name -> (failedPasses(name) + 1)
+        if (charged) failedPasses += name -> (failedPasses(name) + 1)
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
@@ -126,7 +129,7 @@ object Bench {
           val order =
             if (p == 2) names.reverse
             else names.sortBy(n => scala.util.hashing.MurmurHash3.stringHash(n, p))
-          run(order.head) // absorb new-session scheduling warm-up, not charged
+          run(order.head, charged = false) // new-session warm-up, not charged
           order.foreach { n =>
             val t = run(n)
             // A transient failure in a later pass must not discard a valid

@@ -257,7 +257,10 @@ object SparkEntry {
       "q_l21_pack", "q_l25_bm25",
       // dup-span localCheckpoints its candidate pairs at construction
       // (lineage truncation; the returned span frame is still distributed)
-      "q_l41_dup_span")
+      "q_l41_dup_span",
+      // delta-dedup builds + writes its history snapshot (cutoff collect,
+      // full snapshot parquet job) at construction
+      "q_l40_delta_dedup")
 
   /** The shingle-postings CTE chain (3-word shingles → portable poly
     * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06

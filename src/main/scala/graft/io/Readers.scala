@@ -62,9 +62,17 @@ object Readers {
   /** The quarantine-sink pattern pre-split: (clean rows with the declared
     * schema, quarantined rows keeping every parsed column PLUS
     * `_quarantine`). The quarantine side deliberately carries the data
-    * columns — that is what a replay sink wants, and it keeps every
-    * reasonable downstream projection clear of the corrupt-column-only
-    * restriction documented on [[csvWithQuarantine]].
+    * columns — the shape a replay sink wants. NOTE the scan restriction
+    * documented on [[csvWithQuarantine]] still applies to the RETURNED
+    * frames: an action whose pruned schema is only the corrupt column —
+    * a bare `count()` on either side, whose plan references nothing but
+    * the `_quarantine` filter (count() prunes any intermediate select
+    * away) — raises the corrupt-column-only AnalysisException. And a
+    * column-pruned projection is WORSE than refused: the scan re-parses
+    * only the selected columns, so a row malformed in an unselected
+    * column parses clean and silently leaves the quarantine. Work
+    * full-width (collect/save of all columns) or `cache()` the frame —
+    * both pin the full-schema parse. Both edges pinned in EngineSpec.
     */
   def csvSplitQuarantine(s: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,

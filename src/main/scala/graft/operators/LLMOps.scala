@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
 object LLMOps {
   private val P = PolyHash.Mod // portable polynomial-hash modulus
 
+  /** qL40's self-contained snapshot target: ONE dir per JVM, overwritten
+    * per construction, so repeated bench/verify constructions can't grow
+    * /tmp without bound.
+    */
+  private[operators] lazy val l40SnapDir: String =
+    java.nio.file.Files.createTempDirectory("graft_l40_snap").toString
+
   /** Stopword list for lang-ID / quality scoring — mirrored verbatim in the
     * q_l08/q_l09 oracle SQL; edit all sites together or parity breaks.
     */
@@ -215,7 +222,10 @@ object LLMOps {
     */
   def deltaDedupCandidates(s: SparkSession, newDocs: DataFrame,
       snapshotDir: String): DataFrame = {
-    val fresh = minhashBands(shinglePostingsOf(newDocs))
+    // fresh is referenced twice below (union + join left side): without
+    // lineage truncation the batch would be shingled and minhashed TWICE
+    // per invocation — bands are ~64 B/doc, so the checkpoint is cheap
+    val fresh = minhashBands(shinglePostingsOf(newDocs)).localCheckpoint()
     val snap = s.read.parquet(snapshotDir).select("doc_id", "band_key")
     val all = snap.unionByName(fresh)
     fresh.select(col("band_key"), col("doc_id").as("id_a"))
@@ -241,8 +251,10 @@ object LLMOps {
     // floor((max+1) * 0.8): exact double math both engines (ids << 2^52)
     val cutoff = math.floor(
       (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 0.8).toLong
-    val snap = java.nio.file.Files
-      .createTempDirectory("graft_l40_snap").toString
+    // one snapshot dir per JVM, overwritten per construction — a fresh
+    // createTempDirectory here leaked a full band-key snapshot into /tmp
+    // on EVERY Bench pass / Verify / PlanAudit construction
+    val snap = LLMOps.l40SnapDir
     writeMinhashSnapshot(docs.filter(col("doc_id") < cutoff), snap)
     deltaDedupCandidates(s, docs.filter(col("doc_id") >= cutoff), snap)
       .orderBy("doc_a", "doc_b")

@@ -438,12 +438,17 @@ object Multimodal {
         // IllegalArgumentException / IIO runtime errors on corrupt data,
         // and the quarantine contract says ANY bad frame falls back
         // rather than killing the task; close in finally so no reader
-        // failure path leaks the stream
-        val img = try {
-          reader.setInput(iis)
-          try reader.read(0)
-          catch { case scala.util.control.NonFatal(_) => null }
-        } finally iis.close()
+        // failure path leaks the stream. createImageInputStream can
+        // return NULL (no registered SPI): setInput(null) would throw
+        // OUTSIDE the catch and the finally would NPE on top of it —
+        // treat it as one more bad frame instead
+        val img =
+          if (iis == null) null
+          else try {
+            reader.setInput(iis)
+            try reader.read(0)
+            catch { case scala.util.control.NonFatal(_) => null }
+          } finally iis.close()
         if (img == null) ok = false
         else {
           val (w, h) = (img.getWidth, img.getHeight)

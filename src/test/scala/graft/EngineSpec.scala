@@ -561,7 +561,7 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
         }
         here ++ (extra ++ p.children).flatMap(skewJoins)
       }
-      // the count() above finalized the adaptive plan on this frame
+      // the collect() above finalized the adaptive plan on this frame
       assert(skewJoins(joined.queryExecution.executedPlan).nonEmpty,
         joined.queryExecution.executedPlan.toString)
     } finally saved.foreach {
@@ -1037,6 +1037,22 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val quarantined = quarDf.collect()
       .map(_.getAs[String]("_quarantine")).toSeq
     assert(quarantined == Seq("2,notanumber,beta"))
+    // the corrupt-column-only scan restriction SURVIVES the split (as the
+    // helper's doc now states): a bare count() prunes to nothing but the
+    // _quarantine filter and Spark refuses the scan — pinned so the doc
+    // can't drift from the behavior
+    val e = intercept[Exception] { quarDf.count() }
+    assert(e.getMessage.toLowerCase.contains("corrupt"), e.getMessage)
+    // ...and column-pruned projections are WORSE than refused: the scan
+    // re-parses only the selected columns, so a row malformed in an
+    // UNSELECTED column ("notanumber" in qty) parses clean and its
+    // quarantine row vanishes — subset-selects silently change the
+    // quarantine semantics (pinned so the doc can't drift)
+    assert(quarDf.select("id", "_quarantine").collect().isEmpty)
+    // the sound workarounds: full-width actions (the collect()s above),
+    // or cache(), which pins the full-schema parse
+    assert(quarDf.cache().count() == 1)
+    quarDf.unpersist()
   }
 
   test("jsonWithQuarantine captures malformed JSON lines with the same " +
@@ -1314,18 +1330,26 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .orderBy("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(d == f)
-    // plan pins, through the SAME collected frame (AQE finalizes on it):
-    // every documents scan carries the new-batch pushed filter (history
-    // text is never read, let alone re-shingled), and band keys for
-    // history come from exactly one scan of the stored snapshot
+    // plan pins. The batch's bands are localCheckpointed inside
+    // deltaDedupCandidates (one shingle pass, not two), so the candidate
+    // plan must contain NO documents scan AT ALL — document text is read
+    // exactly once, at band-build time — while history's band keys come
+    // from exactly one scan of the stored snapshot.
     val plan = delta.queryExecution.executedPlan
-    val docScans = fileScans(plan, "documents.parquet")
+    assert(fileScans(plan, "documents.parquet").isEmpty,
+      "candidate plan re-reads document text")
+    assert(fileScans(plan, "snap").size == 1)
+    // and the band-build expression the operator checkpoints carries the
+    // new-batch pushed filter: history text is never shingled
+    val bandPlan = LLMOps.minhashBands(LLMOps.shinglePostingsOf(
+        docs.filter(col("doc_id") >= cutoff)))
+      .queryExecution.executedPlan
+    val docScans = fileScans(bandPlan, "documents.parquet")
     assert(docScans.nonEmpty)
     docScans.foreach { sc =>
       val pf = sc.metadata("PushedFilters")
       assert(pf.contains(s"GreaterThanOrEqual(doc_id,$cutoff)"), pf)
     }
-    assert(fileScans(plan, "snap").size == 1)
   }
 
   test("dynamic partition pruning fires on a dim-filtered join against a " +
