@@ -735,6 +735,76 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       !m4.select("file").collect().map(_.getString(0)).contains(victim.toString))
   }
 
+  test("plan contract, every registered query: no CartesianProduct " +
+      "anywhere; every BroadcastNestedLoopJoin broadcasts a provably " +
+      "bounded side (scalar agg, unique-key lookup, or capped local table)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the standing scale audit, automated: a cartesian is never an
+    // acceptable plan at 100 TB, and a nested-loop broadcast is only safe
+    // when the broadcast side is an ungrouped aggregate (<= 1 row by
+    // construction — the scalar-subquery pattern q_q01/q_l37 use). This
+    // encodes what previous rounds verified by reading 140+ plan dumps.
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case _                        => Nil
+      }
+      p +: (extra ++ p.children ++ p.subqueries).flatMap(walk)
+    }
+    def oneRowAgg(p: SparkPlan): Boolean = walk(p).exists {
+      case h: HashAggregateExec       => h.groupingExpressions.isEmpty
+      case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+      case s: SortAggregateExec       => s.groupingExpressions.isEmpty
+      case _                          => false
+    }
+    // the OTHER legitimate scalar broadcast: an equality point lookup on
+    // a corpus-unique id (the q_l02/q_l31 query-vector pattern) — one row
+    // by data contract rather than by aggregate structure
+    val uniqueIds = Set("vec_id", "doc_id")
+    def pointLookup(p: SparkPlan): Boolean = walk(p).exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.exists {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+            _: org.apache.spark.sql.catalyst.expressions.Literal) =>
+            uniqueIds.contains(a.name)
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            _: org.apache.spark.sql.catalyst.expressions.Literal,
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
+            uniqueIds.contains(a.name)
+          case _ => false
+        }
+      case _ => false
+    }
+    // ...and the third: a driver-local table (IVF centroids — O(cells)
+    // by construction; if it were unbounded the driver could not have
+    // built it). The cap makes "bounded" a checked number, not a vibe.
+    def smallLocalTable(p: SparkPlan): Boolean = walk(p).exists {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+        l.rows.lengthCompare(10000) <= 0
+      case _ => false
+    }
+    val dir = sfDir // sf0.001: planning cost only, no large jobs
+    SparkEntry.queries.foreach { case (name, build) =>
+      val nodes = walk(build(spark, dir).queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name plans a CartesianProduct")
+      nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
+        val buildPlan = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+        }
+        assert(oneRowAgg(buildPlan) || pointLookup(buildPlan) ||
+            smallLocalTable(buildPlan),
+          s"$name broadcasts a non-scalar side through BNLJ:\n$buildPlan")
+      }
+    }
+  }
+
   test("qT09 plan: ONE hash exchange serves both the lead() window and " +
       "the per-user aggregate") {
     import org.apache.spark.sql.execution.SparkPlan
