@@ -146,7 +146,7 @@ object Bench {
           }
         }
         names.map(n => n -> best(n))
-      } else { run(names.head); names.map(n => n -> run(n)) }
+      } else { run(names.head, charged = false); names.map(n => n -> run(n)) }
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")

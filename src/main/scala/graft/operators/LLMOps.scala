@@ -19,12 +19,18 @@ import org.apache.spark.sql.functions._
 object LLMOps {
   private val P = PolyHash.Mod // portable polynomial-hash modulus
 
-  /** qL40's self-contained snapshot target: ONE dir per JVM, overwritten
-    * per construction, so repeated bench/verify constructions can't grow
-    * /tmp without bound.
+  /** qL40's self-contained snapshot target: ONE root per JVM with a
+    * subdirectory per corpus dir, so repeated bench/verify constructions
+    * can't grow /tmp without bound (the leak the old per-construction
+    * createTempDirectory had) AND a frame built for one corpus never
+    * aliases a snapshot later overwritten for another — same-corpus
+    * reconstruction rewrites identical content, which a held frame
+    * tolerates.
     */
-  private[operators] lazy val l40SnapDir: String =
+  private lazy val l40SnapRoot: String =
     java.nio.file.Files.createTempDirectory("graft_l40_snap").toString
+  private[operators] def l40SnapDir(corpusDir: String): String =
+    s"$l40SnapRoot/${corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
 
   /** Stopword list for lang-ID / quality scoring — mirrored verbatim in the
     * q_l08/q_l09 oracle SQL; edit all sites together or parity breaks.
@@ -251,10 +257,9 @@ object LLMOps {
     // floor((max+1) * 0.8): exact double math both engines (ids << 2^52)
     val cutoff = math.floor(
       (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 0.8).toLong
-    // one snapshot dir per JVM, overwritten per construction — a fresh
-    // createTempDirectory here leaked a full band-key snapshot into /tmp
-    // on EVERY Bench pass / Verify / PlanAudit construction
-    val snap = LLMOps.l40SnapDir
+    // per-JVM, per-corpus snapshot dir (see l40SnapDir): bounded /tmp
+    // use, no cross-corpus aliasing for held frames
+    val snap = LLMOps.l40SnapDir(d)
     writeMinhashSnapshot(docs.filter(col("doc_id") < cutoff), snap)
     deltaDedupCandidates(s, docs.filter(col("doc_id") >= cutoff), snap)
       .orderBy("doc_a", "doc_b")

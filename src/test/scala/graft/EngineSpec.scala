@@ -23,23 +23,28 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     * so it is deliberately not descended into.
     */
   private def fileScans(p: org.apache.spark.sql.execution.SparkPlan,
-      pathPart: String): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def walk(n: SparkPlan): Seq[FileSourceScanExec] = {
-      val here = n match {
-        case s: FileSourceScanExec
-          if s.relation.location.rootPaths.exists(_.toString.contains(pathPart)) => Seq(s)
-        case _ => Nil
-      }
-      val extra = n match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case _                        => Nil
-      }
-      here ++ (extra ++ n.children ++ n.subqueries).flatMap(walk)
+      pathPart: String): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    planNodes(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(pathPart)) => s
     }
-    walk(p)
+
+  /** Every node of a physical plan, descending through AQE wrappers
+    * (AdaptiveSparkPlanExec and the QueryStageExec leaves a finalized
+    * plan nests stages in) and subquery plans — the ONE traversal every
+    * plan-pin in this suite shares, so an unwrap fix lands everywhere at
+    * once. ReusedExchangeExec is a LeafExecNode (a reference to an
+    * exchange walked elsewhere), so it contributes no duplicates.
+    */
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case _                        => Nil
+    }
+    p +: (extra ++ p.children ++ p.subqueries).flatMap(planNodes)
   }
 
   test("PolyHash matches the reference fold and handles edge cases") {
@@ -548,18 +553,9 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       // collect() through the SAME frame — count() would finalize a
       // different QueryExecution and leave this one un-finalized
       assert(joined.collect().length == 110000) // correctness first
-      def skewJoins(p: SparkPlan): Seq[SparkPlan] = {
-        val here = p match {
-          case j: SortMergeJoinExec if j.isSkewJoin    => Seq(j)
-          case j: ShuffledHashJoinExec if j.isSkewJoin => Seq(j)
-          case _                                       => Nil
-        }
-        val extra = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec        => Seq(q.plan)
-          case _                        => Nil
-        }
-        here ++ (extra ++ p.children).flatMap(skewJoins)
+      def skewJoins(p: SparkPlan): Seq[SparkPlan] = planNodes(p).collect {
+        case j: SortMergeJoinExec if j.isSkewJoin    => j
+        case j: ShuffledHashJoinExec if j.isSkewJoin => j
       }
       // the collect() above finalized the adaptive plan on this frame
       assert(skewJoins(joined.queryExecution.executedPlan).nonEmpty,
@@ -738,59 +734,64 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
   test("plan contract, every registered query: no CartesianProduct " +
       "anywhere; every BroadcastNestedLoopJoin broadcasts a provably " +
       "bounded side (scalar agg, unique-key lookup, or capped local table)") {
-    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, InputAdapter, LocalTableScanExec, ProjectExec, SortExec, SparkPlan, WholeStageCodegenExec}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     // the standing scale audit, automated: a cartesian is never an
     // acceptable plan at 100 TB, and a nested-loop broadcast is only safe
-    // when the broadcast side is an ungrouped aggregate (<= 1 row by
-    // construction — the scalar-subquery pattern q_q01/q_l37 use). This
-    // encodes what previous rounds verified by reading 140+ plan dumps.
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val extra = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case _                        => Nil
-      }
-      p +: (extra ++ p.children ++ p.subqueries).flatMap(walk)
+    // when the BUILD SIDE'S OUTPUT cardinality is bounded. The bounding
+    // node must be the build side's root (below cardinality-preserving
+    // wrappers) — an exists-anywhere match would bless a huge join that
+    // merely CONTAINS a scalar aggregate somewhere.
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x         => Seq(x)
     }
-    def oneRowAgg(p: SparkPlan): Boolean = walk(p).exists {
+    // Sound cardinality bounding: every case either bounds the node's
+    // OUTPUT directly — ungrouped aggregate (<= 1 row by structure, the
+    // scalar-subquery pattern q_q01/q_l37 use), a filter with a bare
+    // equality conjunct on a corpus-unique id (the q_l02/q_l31
+    // query-vector lookup; a disjunction would not bound it), a
+    // driver-local table under a CHECKED row cap (IVF centroids) — or
+    // recurses into a child whose cardinality is an upper bound
+    // (filters, projections, exchanges, sorts, codegen/AQE wrappers are
+    // all cardinality-non-increasing). Anything else is unbounded.
+    val uniqueIds = Set("vec_id", "doc_id")
+    def bounded(p: SparkPlan): Boolean = p match {
       case h: HashAggregateExec       => h.groupingExpressions.isEmpty
       case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
       case s: SortAggregateExec       => s.groupingExpressions.isEmpty
-      case _                          => false
+      case l: LocalTableScanExec      => l.rows.lengthCompare(10000) <= 0
+      case f: FilterExec =>
+        conjuncts(f.condition).exists {
+          case EqualTo(a: AttributeReference, _: Literal) => uniqueIds(a.name)
+          case EqualTo(_: Literal, a: AttributeReference) => uniqueIds(a.name)
+          case _                                          => false
+        } || bounded(f.child)
+      case e: BroadcastExchangeExec => bounded(e.child)
+      // a reused exchange has exactly the referenced exchange's output
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        bounded(r.child)
+      case pr: ProjectExec          => bounded(pr.child)
+      case w: WholeStageCodegenExec => bounded(w.child)
+      case i: InputAdapter          => bounded(i.child)
+      case c: ColumnarToRowExec     => bounded(c.child)
+      case s: SortExec              => bounded(s.child)
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case q: QueryStageExec        => bounded(q.plan)
+      case _                        => false
     }
-    // the OTHER legitimate scalar broadcast: an equality point lookup on
-    // a corpus-unique id (the q_l02/q_l31 query-vector pattern) — one row
-    // by data contract rather than by aggregate structure
-    val uniqueIds = Set("vec_id", "doc_id")
-    def pointLookup(p: SparkPlan): Boolean = walk(p).exists {
-      case f: org.apache.spark.sql.execution.FilterExec =>
-        f.condition.exists {
-          case org.apache.spark.sql.catalyst.expressions.EqualTo(
-            a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
-            _: org.apache.spark.sql.catalyst.expressions.Literal) =>
-            uniqueIds.contains(a.name)
-          case org.apache.spark.sql.catalyst.expressions.EqualTo(
-            _: org.apache.spark.sql.catalyst.expressions.Literal,
-            a: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
-            uniqueIds.contains(a.name)
-          case _ => false
-        }
-      case _ => false
-    }
-    // ...and the third: a driver-local table (IVF centroids — O(cells)
-    // by construction; if it were unbounded the driver could not have
-    // built it). The cap makes "bounded" a checked number, not a vibe.
-    def smallLocalTable(p: SparkPlan): Boolean = walk(p).exists {
-      case l: org.apache.spark.sql.execution.LocalTableScanExec =>
-        l.rows.lengthCompare(10000) <= 0
-      case _ => false
-    }
-    val dir = sfDir // sf0.001: planning cost only, no large jobs
+    val dir = sfDir
     SparkEntry.queries.foreach { case (name, build) =>
-      val nodes = walk(build(spark, dir).queryExecution.executedPlan)
+      val df = build(spark, dir)
+      // execute (t1 scale, results are aggregate-sized) so AQE FINALIZES
+      // this frame's plan — the static plan would hide any join strategy
+      // adaptive re-planning swaps in at runtime
+      df.collect()
+      val nodes = planNodes(df.queryExecution.executedPlan)
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
         s"$name plans a CartesianProduct")
       nodes.collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
@@ -798,9 +799,8 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
           case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
           case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
         }
-        assert(oneRowAgg(buildPlan) || pointLookup(buildPlan) ||
-            smallLocalTable(buildPlan),
-          s"$name broadcasts a non-scalar side through BNLJ:\n$buildPlan")
+        assert(bounded(buildPlan),
+          s"$name broadcasts an unbounded side through BNLJ:\n$buildPlan")
       }
     }
   }
@@ -1094,9 +1094,9 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
         |""".stripMargin)
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("qty", LongType), StructField("name", StringType)))
-    // pre-split helper, UNCACHED on purpose: proves the split frames stay
-    // clear of Spark's corrupt-column-only pruning restriction without
-    // needing the cache() workaround
+    // pre-split helper, uncached: full-width actions work as-is; the
+    // restriction/pruning edges that DO survive the split are pinned
+    // explicitly at the end of this test
     val (cleanDf, quarDf) = Readers.csvSplitQuarantine(spark, tmp.toString, schema)
     val clean = cleanDf.orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
