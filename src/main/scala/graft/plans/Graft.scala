@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
     ext.injectOptimizerRule(_ => SimilarityJoinRewrite)
+    ext.injectOptimizerRule(_ => ManifestPruneRule)
   }
 }
 
@@ -82,6 +83,9 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(SimilarityJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimilarityJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(ManifestPruneRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ManifestPruneRule
   }
 
   /** Top-k rows per group via the custom operator: the rows whose

@@ -1,0 +1,154 @@
+package graft.plans
+
+import graft.io.StatsManifest
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Driver-side registry of stats manifests ([[graft.io.StatsManifest]])
+  * keyed by the qualified table root path — what [[ManifestPruneRule]]
+  * consults. Registering is the caller's statement that the manifest is
+  * CURRENT for that directory (the same snapshot contract as
+  * `readPruned`: the file list is the data version readers see).
+  * Driver-sized state: one (path, manifest-frame) entry per table.
+  */
+object ManifestRegistry {
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def qualify(s: SparkSession, root: String): String = {
+    val p = new Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).makeQualified(p).toString
+  }
+
+  def register(s: SparkSession, root: String, manifest: DataFrame): Unit =
+    entries.put(qualify(s, root), manifest)
+
+  def deregister(s: SparkSession, root: String): Unit =
+    entries.remove(qualify(s, root))
+
+  private[plans] def isEmpty: Boolean = entries.isEmpty
+
+  /** The manifest for a scan whose (single) root path IS a registered
+    * table root. A pruned relation's index roots are leaf FILES, which
+    * never match a registered directory — that asymmetry is the rule's
+    * idempotence guard.
+    */
+  private[plans] def lookup(rootPaths: Seq[Path]): Option[(String, DataFrame)] =
+    rootPaths match {
+      case Seq(only) => Option(entries.get(only.toString)).map(only.toString -> _)
+      case _         => None
+    }
+}
+
+/** Opt-in optimizer rule (`spark.graft.manifest.prune = true`): a filter
+  * over a parquet table whose root is registered in [[ManifestRegistry]]
+  * is rewritten to scan ONLY the files the manifest's per-file min/max
+  * cannot rule out — `StatsManifest.readPruned` made transparent, the
+  * way a table format's planner integration works. The predicate itself
+  * is untouched (the engine still decides what to RETURN), so lossy or
+  * NULL stats only cost skipping; bounds are extracted conservatively
+  * (bare integral-literal comparison conjuncts only — a disjunction or
+  * expression-wrapped column contributes nothing and the file keeps).
+  *
+  * The manifest lookup during optimization runs a driver-side collect
+  * over the manifest frame — manifest-sized (one row per file, the same
+  * magnitude as the file listing planning already materializes), and the
+  * frames `StatsManifest.build/append` return are eager localCheckpoints,
+  * so no lineage recomputation hides behind it.
+  */
+object ManifestPruneRule extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.manifest.prune", "false").toBoolean
+
+  private def litLong(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType)   => Some(v)
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Short, ShortType) => Some(v.toLong)
+    case Literal(v: Byte, ByteType)   => Some(v.toLong)
+    case _                            => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x         => Seq(x)
+  }
+
+  /** (column, lo, hi) bounds implied by the predicate, conservatively:
+    * `>`/`>=` both widen to `>=` and `<`/`<=` to `<=` (a superset of
+    * matching files is always sound), only bare attribute-vs-literal
+    * conjuncts participate, and only for columns the manifest covers.
+    */
+  private def extractBounds(cond: Expression,
+      covered: Set[String]): Seq[(String, Long, Long)] = {
+    val per = collection.mutable.Map.empty[String, (Long, Long)]
+    def tighten(name: String, lo: Long, hi: Long): Unit =
+      if (covered(name)) {
+        val (l0, h0) = per.getOrElse(name, (Long.MinValue, Long.MaxValue))
+        per(name) = (math.max(l0, lo), math.min(h0, hi))
+      }
+    conjuncts(cond).foreach {
+      case GreaterThanOrEqual(a: AttributeReference, l) =>
+        litLong(l).foreach(v => tighten(a.name, v, Long.MaxValue))
+      case GreaterThan(a: AttributeReference, l) =>
+        litLong(l).foreach(v => tighten(a.name, v, Long.MaxValue))
+      case LessThanOrEqual(a: AttributeReference, l) =>
+        litLong(l).foreach(v => tighten(a.name, Long.MinValue, v))
+      case LessThan(a: AttributeReference, l) =>
+        litLong(l).foreach(v => tighten(a.name, Long.MinValue, v))
+      case EqualTo(a: AttributeReference, l) =>
+        litLong(l).foreach(v => tighten(a.name, v, v))
+      case GreaterThanOrEqual(l, a: AttributeReference) =>
+        litLong(l).foreach(v => tighten(a.name, Long.MinValue, v))
+      case GreaterThan(l, a: AttributeReference) =>
+        litLong(l).foreach(v => tighten(a.name, Long.MinValue, v))
+      case LessThanOrEqual(l, a: AttributeReference) =>
+        litLong(l).foreach(v => tighten(a.name, v, Long.MaxValue))
+      case LessThan(l, a: AttributeReference) =>
+        litLong(l).foreach(v => tighten(a.name, v, Long.MaxValue))
+      case EqualTo(l, a: AttributeReference) =>
+        litLong(l).foreach(v => tighten(a.name, v, v))
+      case _ => ()
+    }
+    per.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+      .filter { case (_, lo, hi) => lo != Long.MinValue || hi != Long.MaxValue }
+      .sortBy(_._1)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled || ManifestRegistry.isEmpty) plan
+    else plan.transformUp {
+      case f @ Filter(cond, lr: LogicalRelation)
+          if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
+        ManifestRegistry.lookup(fsRel.location.rootPaths) match {
+          case None => f
+          case Some((root, manifest)) =>
+            val covered = manifest.columns
+              .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
+            val bounds = extractBounds(cond, covered)
+            if (bounds.isEmpty) f
+            else {
+              val kept = StatsManifest.pruneFiles(manifest, bounds)
+              if (kept.size >= fsRel.location.inputFiles.length) f
+              else {
+                val session = fsRel.sparkSession
+                // basePath keeps hive partition columns resolvable, as in
+                // StatsManifest.readPruned
+                val prunedIndex = new InMemoryFileIndex(session,
+                  kept.map(new Path(_)), Map("basePath" -> root),
+                  Some(fsRel.dataSchema))
+                val prunedRel = fsRel.copy(location = prunedIndex)(session)
+                // same output attributes, so `cond` and every parent
+                // resolve unchanged; the predicate is re-applied in full
+                Filter(cond, lr.copy(relation = prunedRel))
+              }
+            }
+        }
+    }
+}

@@ -176,4 +176,54 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
     assert(r.getInt(2) == 8)
   }
+
+  test("manifest-prune rule: a filter over a registered table scans only " +
+      "manifest-surviving files, with full result parity") {
+    import graft.io.{StatsManifest, Writers}
+    val dir = java.nio.file.Files.createTempDirectory("graft-mprune").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Writers.rangeClustered(li, dir, Seq("l_orderkey"), numFiles = 16)
+    ManifestRegistry.register(spark, dir,
+      StatsManifest.build(spark, dir, Seq("l_orderkey")))
+    try {
+      val (kLo, kHi) = (li.agg(min("l_orderkey")).head().getLong(0),
+        li.agg(max("l_orderkey")).head().getLong(0))
+      val (lo, hi) = (kLo + (kHi - kLo) / 2, kLo + (kHi - kLo) / 2 + (kHi - kLo) / 8)
+      // opt-in on an isolated session, the qX02 pattern
+      val iso = spark.newSession()
+      Graft.ensureRegistered(iso)
+      iso.conf.set("spark.graft.manifest.prune", "true")
+      def query(s: org.apache.spark.sql.SparkSession) =
+        s.read.parquet(dir)
+          .where(col("l_orderkey").between(lo, hi) && col("l_quantity") > 0)
+          .orderBy("l_orderkey", "l_partkey", "l_quantity")
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Int = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def walk(p: SparkPlan): Seq[SparkPlan] = {
+          val extra = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec        => Seq(q.plan)
+            case _                        => Nil
+          }
+          p +: (extra ++ p.children).flatMap(walk)
+        }
+        val n = walk(df.queryExecution.executedPlan).collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.inputFiles.length
+        }
+        assert(n.nonEmpty); n.sum
+      }
+      val pruned = query(iso)
+      val filesRead = scanFiles(pruned)
+      assert(filesRead > 0 && filesRead <= 4,
+        s"range band should confine the scan to ~2 of 16 files, read $filesRead")
+      // the predicate is re-applied in full: rows identical to a session
+      // with no rule, no registry, no pruning
+      assert(pruned.collect().sameElements(query(spark).collect()))
+      // a query with no usable bounds is untouched (all 16 files)
+      assert(scanFiles(iso.read.parquet(dir).where(col("l_quantity") > 0)) == 16)
+    } finally ManifestRegistry.deregister(spark, dir)
+  }
 }
