@@ -224,6 +224,31 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
       assert(pruned.collect().sameElements(query(spark).collect()))
       // a query with no usable bounds is untouched (all 16 files)
       assert(scanFiles(iso.read.parquet(dir).where(col("l_quantity") > 0)) == 16)
+
+      // hive-partitioned table: the rewritten relation keeps partition
+      // columns resolvable (the rule passes basePath), data-column bounds
+      // still prune, and results carry the partition column intact
+      val pdir = java.nio.file.Files.createTempDirectory("graft-mprune-p").toString
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      // range-cluster on the key WITHIN the hive partitioning, so each
+      // partition dir holds several files with narrow key spans — the
+      // layout where per-file stats can actually prune
+      o.repartitionByRange(8, col("o_orderkey"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(pdir)
+      ManifestRegistry.register(spark, pdir,
+        StatsManifest.build(spark, pdir, Seq("o_orderkey")))
+      try {
+        val oHi = o.agg(max("o_orderkey")).head().getLong(0)
+        def pq(s: org.apache.spark.sql.SparkSession) =
+          s.read.parquet(pdir).where(col("o_orderkey") <= oHi / 8)
+            .orderBy("o_orderkey", "o_custkey", "o_orderpriority")
+        val prunedP = pq(iso)
+        val total = scanFiles(spark.read.parquet(pdir).where(col("o_custkey") > 0))
+        assert(scanFiles(prunedP) < total,
+          "partitioned table: data-column band did not prune files")
+        assert(prunedP.collect().sameElements(pq(spark).collect()))
+      } finally ManifestRegistry.deregister(spark, pdir)
     } finally ManifestRegistry.deregister(spark, dir)
   }
 }
