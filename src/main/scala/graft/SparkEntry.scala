@@ -406,7 +406,7 @@ object SparkEntry {
     // the quotient is deliberately left to the consumer (double division
     // would be the one non-bit-exact step)
     "q_t09_twap" ->
-      """WITH iv AS (SELECT user_id, LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS dt, CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(18,0)) AS cents FROM events) SELECT user_id, COUNT(*) AS n_intervals, CAST(SUM(dt) AS BIGINT) AS total_dt_us, CAST(SUM(cents * CAST(dt AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS value_time FROM iv WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""",
+      """WITH iv AS (SELECT user_id, LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS dt, CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(18,0)) AS cents FROM events), s AS (SELECT user_id, COUNT(*) AS n_intervals, CAST(SUM(dt) AS BIGINT) AS total_dt_us, CAST(SUM(cents * CAST(dt AS DECIMAL(18,0))) AS HUGEINT) AS vt FROM iv WHERE dt IS NOT NULL GROUP BY user_id) SELECT user_id, n_intervals, total_dt_us, CAST(vt // 1000000 AS BIGINT) AS value_time_hi, CAST(vt % 1000000 AS BIGINT) AS value_time_lo FROM s ORDER BY user_id""",
     "q_t03_sliding" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) - i.i * INTERVAL '15 minutes' AS w_start, event_type, COUNT(*) AS cnt FROM events, (SELECT unnest(range(0, 4)) AS i) i GROUP BY w_start, event_type ORDER BY w_start, event_type""",
     "q_l01_dedup_counts" ->

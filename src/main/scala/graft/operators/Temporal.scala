@@ -219,8 +219,12 @@ object Temporal {
     * (Σ value·dt, Σ dt) rather than their quotient: values go through
     * `floor(·100 + 0.5)` cents and DECIMAL(18,0)×µs products summed in
     * DECIMAL(38,0) — bit-identical across engines where a double
-    * division would not be. ONE user_id exchange serves both the window
-    * and the aggregate (the qT08 partitioning-reuse pattern).
+    * division would not be. The Σ value·dt sum exceeds 2^53, the point
+    * past which a float64-canonicalizing hasher silently diverges even
+    * when values are exact, so it is emitted as two sub-2^53 BIGINTs
+    * (DIV / MOD 10^6; the sum is non-negative, so truncating and
+    * flooring division agree). ONE user_id exchange serves both the
+    * window and the aggregate (the qT08 partitioning-reuse pattern).
     */
   def qT09(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -236,7 +240,10 @@ object Temporal {
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("dt")).as("total_dt_us"),
         sum(col("cents") * col("dt").cast("decimal(18,0)"))
-          .cast("decimal(38,0)").as("value_time"))
+          .cast("decimal(38,0)").as("vt"))
+      .select(col("user_id"), col("n_intervals"), col("total_dt_us"),
+        expr("CAST(vt DIV 1000000 AS BIGINT)").as("value_time_hi"),
+        expr("CAST(vt % 1000000 AS BIGINT)").as("value_time_lo"))
       .orderBy("user_id")
   }
 }
