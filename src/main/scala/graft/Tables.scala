@@ -22,23 +22,42 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-    * natively; read it as raw nanos and floor-truncate to a µs timestamp —
-    * exactly what DuckDB does when it maps ns → TIMESTAMP (FIXTURES.md note).
-    * Side effect (deliberate): this sets the session-wide legacy
-    * nanosAsLong flag, because the scan consults it at EXECUTION time —
+  /** The corpus's `events.ts` physical type has drifted across testdata
+    * regenerations — observed variants so far:
+    *   - parquet TIMESTAMP(NANOS): Spark 4 refuses it natively; with the
+    *     legacy nanosAsLong flag it surfaces as LongType nanos
+    *   - TIMESTAMP_MICROS(isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ,
+    *     which `unix_micros`/window functions reject
+    *   - TIMESTAMP_MICROS(isAdjustedToUTC=true): plain TimestampType
+    * Normalize every variant to a µs-precision TimestampType `ts`. The
+    * session timezone is pinned to UTC (build.sbt / SparkFixture), so the
+    * NTZ→instant cast is value-preserving and matches DuckDB, which reads
+    * the same column as a naive TIMESTAMP whose `epoch_us` equals
+    * `unix_micros` under UTC. Any OTHER type is a corpus contract break we
+    * refuse loudly (drift guard) instead of letting six downstream queries
+    * each throw their own analysis error.
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // legacy ns-as-long corpus
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType => // µs naive: reinterpret as UTC instant
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts drifted to unsupported type $other — extend Tables.normalizeEventsTs " +
+          "(corpus schema contract: TESTDATA.md/FIXTURES.md)")
+    }
+
+  /** Side effect (deliberate): sets the session-wide legacy nanosAsLong
+    * flag, because a TIMESTAMP(NANOS) scan consults it at EXECUTION time —
     * restoring it after schema resolution would break the deferred read.
-    * Other ns-parquet reads in the session will therefore surface ns
-    * columns as LongType instead of erroring.
+    * Harmless for µs corpora (the flag only affects ns columns).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    normalizeEventsTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

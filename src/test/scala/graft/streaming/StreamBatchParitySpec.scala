@@ -16,8 +16,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
 
   /** Stage the events corpus file into a fresh directory (simulating an
-    * arriving-files landing zone) and return a normalized streaming frame
-    * (nanos → µs ts, the same normalization Tables.events applies).
+    * arriving-files landing zone) and return a normalized streaming frame —
+    * THE SAME normalization Tables.events applies (shared helper, so the
+    * spec can't drift from the corpus contract again).
     */
   private def stagedEventsStream(): org.apache.spark.sql.DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -26,8 +27,8 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("part-0.parquet"))
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
   }
 
   test("file-source streaming tumbling counts equal the batch query") {
@@ -42,7 +43,7 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
       dir.resolve("part-0.parquet"))
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(dir.toString)
-    val events = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = Tables.normalizeEventsTs(raw)
 
     val q = StreamOps.tumblingCounts(events).writeStream
       .format("memory").queryName("parity").outputMode("update").start()
@@ -119,14 +120,19 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
     import java.nio.file.Files
     val stage = Files.createTempDirectory("graft-replay-stage")
     val dir = Files.createTempDirectory("graft-replay")
-    val rawBatch = spark.read.parquet(s"$sfDir/events.parquet")
-    val mm = rawBatch.agg(min("ts"), max("ts")).head()
+    // normalize BEFORE slicing so the slice math is corpus-variant-agnostic
+    // (Long nanos / NTZ µs / UTC µs all become TimestampType here) and the
+    // re-written slice files are plain µs-UTC parquet
+    val rawBatch = Tables.normalizeEventsTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    val tsUs = unix_micros(col("ts"))
+    val mm = rawBatch.agg(min(tsUs), max(tsUs)).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
     val slices = Seq(
-      rawBatch.filter(col("ts") <= cuts(0)),
-      rawBatch.filter(col("ts") > cuts(0) && col("ts") <= cuts(1)),
-      rawBatch.filter(col("ts") > cuts(1)))
+      rawBatch.filter(tsUs <= cuts(0)),
+      rawBatch.filter(tsUs > cuts(0) && tsUs <= cuts(1)),
+      rawBatch.filter(tsUs > cuts(1)))
     slices.zipWithIndex.foreach { case (df, i) =>
       val out = stage.resolve(s"s$i")
       df.coalesce(1).write.parquet(out.toString)
@@ -141,9 +147,11 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
       assert(moved, s"slice $i produced no parquet part file")
       Thread.sleep(1050) // distinct mtimes → deterministic replay order
     }
+    // slices were written post-normalization, so the stream reads plain
+    // TimestampType and normalizeEventsTs is an identity passthrough here
     val schema = rawBatch.schema
-    val raw = StreamOps.replayFiles(spark, dir.toString, schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = Tables.normalizeEventsTs(
+      StreamOps.replayFiles(spark, dir.toString, schema))
     val q = StreamOps.tumblingCounts(raw).writeStream
       .format("memory").queryName("parity_replay").outputMode("update").start()
     try {
