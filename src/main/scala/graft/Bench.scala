@@ -56,6 +56,15 @@ object Bench {
     // instability.
     var failedPasses = Map.empty[String, Int].withDefaultValue(0)
 
+    // Every charged timing, in pass order, so breach adjudication can live
+    // IN the artifact: the r9 driver bench ran on a host under ~2.5× load
+    // and 50 queries breached the 2× gate on untouched code, with no
+    // per-pass evidence to tell ambience from regression. Offenders
+    // (min > 1.5× their BASELINE.md row) carry their per-pass times on
+    // the stdout JSON line; the full per-pass record for every query is
+    // written to bench_passes.json.
+    var passTimes = Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+
     // Untimed pre-query hygiene: drop any cached plans and reclaim heap so
     // the timed window sees the same starting state an isolated run would.
     def hygiene(): Unit = {
@@ -73,10 +82,15 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        if (charged) failedPasses += name -> (failedPasses(name) + 1)
+        if (charged) {
+          failedPasses += name -> (failedPasses(name) + 1)
+          passTimes += name -> (passTimes(name) :+ -1.0)
+        }
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (charged) passTimes += name -> (passTimes(name) :+ dt)
+      dt
     }
 
     // SPARK_GRAFT_ONLY=q_x,q_y — time a subset while iterating; full
@@ -108,11 +122,14 @@ object Bench {
     // alphabetical blocks at 2–3.7× with the rest of the suite at 1×,
     // on code unchanged since r1/r4). Reversing alternate passes makes
     // the hit sets disjoint, restoring min()'s protection.
-    // SPARK_GRAFT_PASSES (default 2) adds more passes for noisier hosts.
+    // SPARK_GRAFT_PASSES (default 3; min 2) adds more passes for noisier
+    // hosts — 3 is the default because with 2 a single time-localized host
+    // disturbance can hit a query in both passes and min() has nothing
+    // clean to keep (exactly the r9 artifact failure mode).
     val results =
       if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
         val nPasses = {
-          val raw = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2")
+          val raw = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3")
           raw.toIntOption.getOrElse(sys.error(
             s"SPARK_GRAFT_PASSES must be an integer, got '$raw'")).max(2)
         }
@@ -157,11 +174,44 @@ object Bench {
       else failedPasses.toSeq.sortBy(_._1)
         .map { case (k, c) => "\"" + shortId(k) + "\":" + c }
         .mkString(""","failed_passes":{""", ",", "}")
+    // Breach evidence on the line itself: queries whose charged min exceeds
+    // 1.5× their BASELINE.md row (or failed every pass) carry per-pass
+    // times, so a load-inflated run self-adjudicates — uniform inflation
+    // across all passes of many queries is host ambience; a single query
+    // slow in every pass with idle neighbors is a regression.
+    val baseline = loadBaseline()
+    val breaches = results.filter { case (k, v) =>
+      v < 0 || baseline.get(shortId(k)).exists(b => v > 1.5 * b)
+    }
+    val passesJson =
+      if (breaches.isEmpty) ""
+      else breaches.sortBy(_._1).map { case (k, _) =>
+        "\"" + shortId(k) + "\":[" + passTimes(k).map(r3).mkString(",") + "]"
+      }.mkString(""","passes":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failed$passesJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Full per-pass record for EVERY query (not just breaches) — the
+    // on-disk adjudication archive that survives stdout tail-truncation.
+    val allPasses = names.map { n =>
+      "\"" + shortId(n) + "\":[" + passTimes(n).map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_passes.json"),
+      (allPasses + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
     spark.stop()
+  }
+
+  /** `| q_xxx | 1.234 |` rows from BASELINE.md (env-overridable path);
+    * absent file or unparseable rows just mean no breach annotation.
+    */
+  private[graft] def loadBaseline(): Map[String, Double] = {
+    val path = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))
+    if (!java.nio.file.Files.exists(path)) return Map.empty
+    val row = """\|\s*(q_\w+)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|""".r
+    scala.io.Source.fromFile(path.toFile, "UTF-8").getLines()
+      .collect { case row(id, sec) => id -> sec.toDouble }.toMap
   }
 }

@@ -788,4 +788,57 @@ object SparkEntry {
     "q_a20_ks_drift" ->
       """WITH o AS (SELECT o_orderpriority AS p, o_totalprice AS x FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM o), counts AS (SELECT least(CAST(floor((x - mn) * 20 / (mx - mn)) AS BIGINT), 19) AS bucket, CAST(SUM(CASE WHEN p = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS ca, CAST(SUM(CASE WHEN p = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS cb FROM o, mm GROUP BY bucket), c AS (SELECT bucket, SUM(ca) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a, SUM(cb) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b FROM counts), n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM counts) SELECT na AS n_a, nb AS n_b, MAX(ABS(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)) AS ks_stat FROM c, n GROUP BY na, nb""",
   )
+
+  /** SQL-text entry point: Spark-dialect spellings of the relational
+    * suite, runnable via `spark.sql` over the views `Tables.registerAll`
+    * registers — the hand-written-SQL surface the reference exposes
+    * (`Program.cs:240-301` builds raw SQL text against its catalog).
+    * Where the DuckDB oracle spelling is pure ANSI that Spark parses with
+    * identical semantics, the text is shared verbatim from [[oracleSql]]
+    * (one source of truth, no drift); dialect-divergent queries carry an
+    * explicit Spark spelling below. `SqlTextParitySpec` hash-matches every
+    * entry against its DataFrame implementation.
+    */
+  def sparkSql: Map[String, String] = {
+    val verbatim = Seq(
+      "q_p01_scan_filter", "q_a01_hash_agg", "q_a02_case_agg",
+      "q_a03_distinct_agg", "q_a04_rollup", "q_a08_cube", "q_a09_argminmax",
+      "q_a10_pivot", "q_a12_corr_moments", "q_a16_tpch_q6",
+      "q_j01_inner_join", "q_j02_join4", "q_j03_left_join", "q_j04_semi_join",
+      "q_j05_anti_join", "q_j06_range_join", "q_j08_tpch_q3", "q_j09_tpch_q5",
+      "q_j10_tpch_q10", "q_j11_tpch_q7", "q_j12_tpch_q8", "q_j14_salted_join",
+      "q_q01_corr_subquery", "q_q02_corr_sql", "q_q03_lateral", "q_q05_not_in",
+      "q_q06_tpch_q4", "q_w01_rank", "q_w02_running_sum", "q_w03_lag",
+      "q_w04_range_frame", "q_w05_distribution", "q_w06_first_last",
+      "q_s01_topk", "q_u01_union", "q_u02_intersect", "q_u03_except",
+      "q_u04_union_all", "q_f01_string_fns", "q_f03_math_fns",
+      "q_f06_conditional", "q_f11_bit_aggs",
+      "q_f13_string_shape", "q_t01_tumbling", "q_t06_funnel")
+    verbatim.map(n => n -> oracleSql(n)).toMap ++ Map(
+      // DuckDB string_agg(expr, sep ORDER BY ...) → Spark listagg ... WITHIN GROUP
+      "q_a05_string_agg" ->
+        """SELECT n_name, listagg(c_name, ', ') WITHIN GROUP (ORDER BY c_name) AS customers FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name""",
+      // DuckDB GROUPING(a, b) bitmask → Spark grouping_id(a, b)
+      "q_a11_grouping_id" ->
+        """SELECT n_regionkey, n_nationkey, CAST(grouping_id(n_regionkey, n_nationkey) AS BIGINT) AS gid, COUNT(*) AS cnt FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey) ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+      // DuckDB epoch_us → Spark unix_micros
+      "q_t02_sessionize" ->
+        """WITH g AS (SELECT user_id, CASE WHEN unix_micros(ts) - LAG(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_session FROM events) SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS sessions, COUNT(*) AS events FROM g GROUP BY user_id ORDER BY user_id""",
+      // DuckDB sha256(x) → Spark sha2(x, 256)
+      "q_f12_hash_fns" ->
+        """SELECT c_custkey, md5(c_name) AS h_md5, sha2(c_name, 256) AS h_sha256 FROM customer ORDER BY c_custkey""",
+      // DuckDB json_extract_string → Spark get_json_object
+      "q_f04_json" ->
+        """SELECT get_json_object(props, '$.k') AS k_val, COUNT(*) AS cnt FROM events GROUP BY k_val ORDER BY k_val NULLS FIRST""",
+      // DuckDB date arithmetic names → Spark date_add/datediff
+      "q_f08_date_arith" ->
+        """SELECT o_orderkey, date_add(CAST(o_orderdate AS DATE), 30) AS plus30, CAST(datediff(DATE '1999-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_to_1999, CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m FROM orders ORDER BY o_orderkey""",
+      // DuckDB len/list_* and 1-based [] → Spark size/element_at
+      "q_v01_array_ops" ->
+        """SELECT label, CAST(size(embedding) AS BIGINT) AS dim, CAST(SUM(CASE WHEN element_at(embedding, 1) >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonneg_first, COUNT(*) AS cnt FROM embeddings GROUP BY label, dim ORDER BY label, dim""",
+      // DuckDB year()=BIGINT vs Spark year()=INT: the DataFrame impl emits
+      // BIGINT l_year, so the SQL text casts to match its own engine twin
+      "q_f02_date_fns" ->
+        """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, COUNT(*) AS cnt FROM orders GROUP BY yr, mo, month_start ORDER BY yr, mo""")
+  }
 }

@@ -22,10 +22,17 @@ import scala.jdk.CollectionConverters._
   * per write (footer reads only, distributed — one task per file batch),
   * persist it wherever tables live, prune file lists manifest-side.
   *
-  * Columns are restricted to integral types (parquet INT32/INT64 — keys,
-  * epoch timestamps, z-values): min/max comparison semantics for
-  * truncated binary stats are subtle (PARQUET-1685) and not needed for
-  * the clustering keys this serves.
+  * Columns are restricted to physically-numeric parquet types — INT32/
+  * INT64 keys and z-values, DATE (epoch-day INT32), TIMESTAMP_MILLIS/
+  * _MICROS (normalized to epoch-µs on read, so the manifest domain always
+  * matches Catalyst's internal micros), and ≤18-digit DECIMAL (unscaled
+  * INT32/INT64, the layout Spark writes for those precisions). Binary-
+  * backed stats (strings, wide decimals, INT96) degrade to NULL =
+  * keep-the-file: min/max comparison semantics for truncated binary stats
+  * are subtle (PARQUET-1685) and skipping is an optimization, never a
+  * correctness bet. TIMESTAMP(NANOS) also degrades to NULL — under the
+  * legacy nanosAsLong flag the engine sees raw ns Longs, so µs-normalized
+  * stats would prune in the wrong unit.
   */
 object StatsManifest {
 
@@ -88,20 +95,42 @@ object StatsManifest {
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           val nRows = blocks.map(_.getRowCount).sum
+          // normalize a chunk's numeric stat into the domain Catalyst
+          // compares in: TIMESTAMP_MILLIS → µs (exact: ms-precision data
+          // has µs = ms*1000), MICROS/DATE/ints → identity, NANOS → None
+          // (the legacy read path surfaces raw ns Longs — µs stats would
+          // prune in the wrong unit)
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+          def statDomain(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+              : Option[Long => Long] =
+            cc.getPrimitiveType.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case TimeUnit.MILLIS => Some(v => Math.multiplyExact(v, 1000L))
+                  case TimeUnit.MICROS => Some(identity)
+                  case _               => None // NANOS: see above
+                }
+              case _ => Some(identity) // ints, DATE days, decimal unscaled
+            }
           val stats: Seq[Any] = colsLocal.flatMap { col =>
-            val perBlock = blocks.map(_.getColumns.asScala
-              .find(_.getPath.toDotString == col)
-              .map(_.getStatistics).orNull)
-            // a non-integral column (binary stats — outside this
-            // manifest's declared scope) degrades to NULL = keep-the-file,
-            // same as missing stats, rather than a task-killing cast
-            if (perBlock.isEmpty ||
-                perBlock.exists(st => st == null || !st.hasNonNullValue ||
-                  !st.genericGetMin.isInstanceOf[Number]))
+            val chunks = blocks.map(_.getColumns.asScala
+              .find(_.getPath.toDotString == col).orNull)
+            // a physically-binary column (string/wide-decimal/INT96 stats —
+            // outside this manifest's declared scope) degrades to NULL =
+            // keep-the-file, same as missing stats, rather than a
+            // task-killing cast
+            if (chunks.isEmpty ||
+                chunks.exists(cc => cc == null || cc.getStatistics == null ||
+                  !cc.getStatistics.hasNonNullValue ||
+                  !cc.getStatistics.genericGetMin.isInstanceOf[Number] ||
+                  statDomain(cc).isEmpty))
               Seq(null, null)
             else {
-              val mins = perBlock.map(_.genericGetMin.asInstanceOf[Number].longValue)
-              val maxs = perBlock.map(_.genericGetMax.asInstanceOf[Number].longValue)
+              val mins = chunks.map(cc => statDomain(cc).get(
+                cc.getStatistics.genericGetMin.asInstanceOf[Number].longValue))
+              val maxs = chunks.map(cc => statDomain(cc).get(
+                cc.getStatistics.genericGetMax.asInstanceOf[Number].longValue))
               Seq(mins.min, maxs.max)
             }
           }

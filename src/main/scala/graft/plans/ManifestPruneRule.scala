@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types._
 
 /** Driver-side registry of stats manifests ([[graft.io.StatsManifest]])
   * keyed by the qualified table root path — what [[ManifestPruneRule]]
@@ -52,8 +52,12 @@ object ManifestRegistry {
   * way a table format's planner integration works. The predicate itself
   * is untouched (the engine still decides what to RETURN), so lossy or
   * NULL stats only cost skipping; bounds are extracted conservatively
-  * (bare integral-literal comparison conjuncts only — a disjunction or
-  * expression-wrapped column contributes nothing and the file keeps).
+  * (bare attribute-vs-literal comparison conjuncts only — a disjunction
+  * or expression-wrapped column contributes nothing and the file keeps).
+  * Literal domains mirror what [[StatsManifest]] records: integrals as-is,
+  * DATE as Catalyst epoch days, TIMESTAMP/TIMESTAMP_NTZ as Catalyst epoch
+  * micros, ≤18-digit DECIMAL as its unscaled long — so `o_orderdate >=
+  * DATE '1995-01-01'`, the #1 real skipping predicate, now prunes.
   *
   * The manifest lookup during optimization runs a driver-side collect
   * over the manifest frame — manifest-sized (one row per file, the same
@@ -66,12 +70,27 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.manifest.prune", "false").toBoolean
 
+  /** The literal's value in the manifest's Long stat domain. Post-analysis
+    * a bare-attribute comparison has identical types on both sides, so the
+    * literal's Catalyst representation IS the parquet stats domain:
+    * DateType = epoch-day Int (parquet DATE INT32), Timestamp(NTZ)Type =
+    * epoch-µs Long (TIMESTAMP_MICROS; MILLIS files are µs-normalized at
+    * manifest build), DecimalType ≤ 18 digits = unscaled long (the
+    * INT32/INT64 layout Spark writes at those precisions; wider decimals
+    * are binary-backed → NULL stats → never pruned, so skipping them here
+    * is consistency, not just caution).
+    */
   private def litLong(e: Expression): Option[Long] = e match {
-    case Literal(v: Long, LongType)   => Some(v)
-    case Literal(v: Int, IntegerType) => Some(v.toLong)
-    case Literal(v: Short, ShortType) => Some(v.toLong)
-    case Literal(v: Byte, ByteType)   => Some(v.toLong)
-    case _                            => None
+    case Literal(v: Long, LongType)             => Some(v)
+    case Literal(v: Int, IntegerType)           => Some(v.toLong)
+    case Literal(v: Short, ShortType)           => Some(v.toLong)
+    case Literal(v: Byte, ByteType)             => Some(v.toLong)
+    case Literal(v: Int, DateType)              => Some(v.toLong)
+    case Literal(v: Long, TimestampType)        => Some(v)
+    case Literal(v: Long, TimestampNTZType)     => Some(v)
+    case Literal(d: Decimal, dt: DecimalType)
+        if dt.precision <= Decimal.MAX_LONG_DIGITS => Some(d.toUnscaledLong)
+    case _                                      => None
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {

@@ -177,6 +177,25 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
     assert(r.getInt(2) == 8)
   }
 
+  /** Files actually fed to the (possibly AQE-wrapped) parquet scan. */
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case _                        => Nil
+      }
+      p +: (extra ++ p.children).flatMap(walk)
+    }
+    val n = walk(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }
+    assert(n.nonEmpty); n.sum
+  }
+
   test("manifest-prune rule: a filter over a registered table scans only " +
       "manifest-surviving files, with full result parity") {
     import graft.io.{StatsManifest, Writers}
@@ -198,23 +217,6 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
         s.read.parquet(dir)
           .where(col("l_orderkey").between(lo, hi) && col("l_quantity") > 0)
           .orderBy("l_orderkey", "l_partkey", "l_quantity")
-      def scanFiles(df: org.apache.spark.sql.DataFrame): Int = {
-        import org.apache.spark.sql.execution.SparkPlan
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        def walk(p: SparkPlan): Seq[SparkPlan] = {
-          val extra = p match {
-            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-            case q: QueryStageExec        => Seq(q.plan)
-            case _                        => Nil
-          }
-          p +: (extra ++ p.children).flatMap(walk)
-        }
-        val n = walk(df.queryExecution.executedPlan).collect {
-          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-            s.relation.location.inputFiles.length
-        }
-        assert(n.nonEmpty); n.sum
-      }
       val pruned = query(iso)
       val filesRead = scanFiles(pruned)
       assert(filesRead > 0 && filesRead <= 4,
@@ -250,5 +252,121 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
         assert(prunedP.collect().sameElements(pq(spark).collect()))
       } finally ManifestRegistry.deregister(spark, pdir)
     } finally ManifestRegistry.deregister(spark, dir)
+  }
+
+  test("manifest-prune rule: date, timestamp, ntz and decimal bands prune " +
+      "files on flat, hive-partitioned and MILLIS-written layouts, with parity") {
+    import graft.io.{StatsManifest, Writers}
+    import org.apache.spark.sql.types.{DecimalType, TimestampType}
+    // the corpus's o_orderdate is TIMESTAMP_NTZ since the 2026-08 regen;
+    // derive every temporal flavor + a decimal from it so the spec
+    // exercises each stat domain the rule claims to prune on
+    val o = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      to_date(col("o_orderdate")).as("o_date"),                    // DATE (INT32 days)
+      col("o_orderdate").cast(TimestampType).as("o_ts"),           // TIMESTAMP_MICROS utc
+      col("o_orderdate").as("o_ntz"),                              // TIMESTAMP_MICROS ntz
+      col("o_totalprice").cast(DecimalType(12, 2)).as("o_price"))  // INT64 unscaled
+    val (dLo, dHi) = {
+      val r = o.agg(min("o_date"), max("o_date")).head()
+      (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+    }
+    val span = java.time.temporal.ChronoUnit.DAYS.between(dLo, dHi)
+    val (bandLo, bandHi) = (dLo.plusDays(span / 2), dLo.plusDays(span / 2 + span / 8))
+
+    val iso = spark.newSession()
+    Graft.ensureRegistered(iso)
+    iso.conf.set("spark.graft.manifest.prune", "true")
+
+    def checkBand(dir: String, mk: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame,
+        total: Int, tag: String): Unit = {
+      val pruned = mk(iso)
+      val files = scanFiles(pruned)
+      assert(files > 0 && files < total,
+        s"$tag: band should skip files ($files of $total read)")
+      assert(pruned.collect().sameElements(mk(spark).collect()), s"$tag: parity")
+    }
+
+    // flat layout, date-clustered: all temporal flavors correlate with the
+    // cluster key, so each bound domain must prune on the same files.
+    // Spark's DEFAULT parquet timestamp encoding is INT96, whose stats are
+    // binary → NULL in the manifest → no skipping; a stats-aware layout
+    // writer must use TIMESTAMP_MICROS (the modern encoding) for pruning
+    // to exist at all
+    val dir = java.nio.file.Files.createTempDirectory("graft-mprune-dt").toString
+    val prevEnc = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try Writers.rangeClustered(o, dir, Seq("o_date"), numFiles = 16)
+    finally prevEnc match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    ManifestRegistry.register(spark, dir,
+      StatsManifest.build(spark, dir, Seq("o_date", "o_ts", "o_ntz", "o_price")))
+    try {
+      checkBand(dir, s => s.read.parquet(dir)
+        .where(col("o_date").between(lit(java.sql.Date.valueOf(bandLo)),
+          lit(java.sql.Date.valueOf(bandHi))))
+        .orderBy("o_orderkey"), 16, "date band")
+      checkBand(dir, s => s.read.parquet(dir)
+        .where(col("o_ts") >= lit(java.sql.Timestamp.valueOf(bandLo.atStartOfDay)) &&
+          col("o_ts") < lit(java.sql.Timestamp.valueOf(bandHi.atStartOfDay)))
+        .orderBy("o_orderkey"), 16, "timestamp band")
+      checkBand(dir, s => s.read.parquet(dir)
+        .where(col("o_ntz") >= lit(bandLo.atStartOfDay) &&
+          col("o_ntz") < lit(bandHi.atStartOfDay))
+        .orderBy("o_orderkey"), 16, "ntz band")
+    } finally ManifestRegistry.deregister(spark, dir)
+
+    // decimal bounds need a price-clustered layout to have skippable files
+    val pdir = java.nio.file.Files.createTempDirectory("graft-mprune-dec").toString
+    Writers.rangeClustered(o, pdir, Seq("o_price"), numFiles = 16)
+    ManifestRegistry.register(spark, pdir,
+      StatsManifest.build(spark, pdir, Seq("o_price")))
+    try {
+      val cut = o.stat.approxQuantile("o_price", Array(0.25), 0.01).head
+      checkBand(pdir, s => s.read.parquet(pdir)
+        .where(col("o_price") <= lit(BigDecimal(cut).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+        .orderBy("o_orderkey"), 16, "decimal band")
+    } finally ManifestRegistry.deregister(spark, pdir)
+
+    // hive-partitioned layout: date-band pruning must survive partition
+    // directories (basePath keeps the partition column resolvable)
+    val hdir = java.nio.file.Files.createTempDirectory("graft-mprune-hive").toString
+    val op = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+      col("o_orderpriority"))
+    op.repartitionByRange(8, col("o_date"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(hdir)
+    ManifestRegistry.register(spark, hdir,
+      StatsManifest.build(spark, hdir, Seq("o_date")))
+    try {
+      val htotal = scanFiles(spark.read.parquet(hdir).where(col("o_orderkey") > 0))
+      checkBand(hdir, s => s.read.parquet(hdir)
+        .where(col("o_date").between(lit(java.sql.Date.valueOf(bandLo)),
+          lit(java.sql.Date.valueOf(bandHi))))
+        .orderBy("o_orderkey", "o_orderpriority"), htotal, "hive date band")
+    } finally ManifestRegistry.deregister(spark, hdir)
+
+    // TIMESTAMP_MILLIS-written files: the manifest normalizes ms stats to
+    // µs, so the same µs-domain timestamp band prunes there too
+    val mdir = java.nio.file.Files.createTempDirectory("graft-mprune-ms").toString
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try Writers.rangeClustered(o.select("o_orderkey", "o_ts"), mdir,
+      Seq("o_ts"), numFiles = 16)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    ManifestRegistry.register(spark, mdir,
+      StatsManifest.build(spark, mdir, Seq("o_ts")))
+    try {
+      checkBand(mdir, s => s.read.parquet(mdir)
+        .where(col("o_ts") >= lit(java.sql.Timestamp.valueOf(bandLo.atStartOfDay)) &&
+          col("o_ts") < lit(java.sql.Timestamp.valueOf(bandHi.atStartOfDay)))
+        .orderBy("o_orderkey"), 16, "millis-written timestamp band")
+    } finally ManifestRegistry.deregister(spark, mdir)
   }
 }
