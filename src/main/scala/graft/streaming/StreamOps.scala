@@ -292,6 +292,52 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  final case class KeyCount(user_id: Long, cnt: Long)
+
+  /** Per-key running counts on `transformWithState`'s OTHER mode —
+    * `TimeMode.ProcessingTime` with state TTL (`TTLConfig`), the idiom for
+    * "forget keys not seen for X" caches (dim lookups, rate limits) where
+    * no event-time watermark exists. Spark 4.1 trap, reproduced and
+    * pinned in StreamOpsSpec: in ProcessingTime mode the planner keeps
+    * scheduling micro-batches to advance processing time for TTL/timers,
+    * so an unbounded-trigger query never drains and
+    * `processAllAvailable()` livelocks. ProcessingTime+TTL pipelines must
+    * therefore run under a BOUNDED trigger (`Trigger.AvailableNow`, or a
+    * periodic trigger without drain-and-wait); state resumes from the
+    * checkpoint across runs. EventTime+explicit-timer pipelines
+    * ([[statefulSessionsTws]]) drain normally. The spec fails if either
+    * arm stops holding.
+    */
+  def ttlCountsTws(spark: SparkSession, events: DataFrame,
+      ttlMs: Long): Dataset[KeyCount] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig,
+      TimeMode, TimerValues, ValueState}
+
+    class CountProcessor extends StatefulProcessor[Long, Event, KeyCount] {
+      @transient private var st: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[Long]("cnt",
+          org.apache.spark.sql.Encoders.scalaLong,
+          TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+      override def handleInputRows(key: Long, rows: Iterator[Event],
+          timers: TimerValues): Iterator[KeyCount] = {
+        // an expired (TTL-evicted) value reads as absent — the count
+        // restarts, which is exactly the cache semantics TTL buys
+        val prev = if (st.exists()) st.get() else 0L
+        val n = prev + rows.size
+        st.update(n)
+        Iterator(KeyCount(key, n))
+      }
+    }
+
+    events.selectExpr("user_id", "ts", "event_type").as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new CountProcessor, TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
+
   def statefulSessions(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30): Dataset[SessionOut] = {
     import spark.implicits._

@@ -369,4 +369,68 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
         .orderBy("o_orderkey"), 16, "millis-written timestamp band")
     } finally ManifestRegistry.deregister(spark, mdir)
   }
+
+  test("a streaming-maintained manifest drives the prune rule: multi-batch " +
+      "ingest, transparent file skipping, and snapshot version pinning") {
+    import graft.io.StatsManifest
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-smanifest").toString
+    val landing = new java.io.File(s"$base/landing"); landing.mkdirs()
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    // two landing files holding disjoint doc_id halves, ascending mtimes →
+    // two micro-batches at maxFilesPerTrigger=1, so the manifest's
+    // incremental append path (not just the initial build) is exercised
+    Seq((0L, n / 2, 0), (n / 2, n + 1, 1)).foreach { case (lo, hi, i) =>
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+      val part = new java.io.File(s"$base/stage$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(landing, f"arrive-$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val q = StreamOps.ingestWithManifest(stream, s"$base/table",
+      s"$base/manifest", Seq("doc_id"), s"$base/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "ingest should have run as at least two micro-batches")
+
+    val iso = spark.newSession()
+    Graft.ensureRegistered(iso)
+    iso.conf.set("spark.graft.manifest.prune", "true")
+    val manifest = spark.read.parquet(s"$base/manifest")
+    val total = StatsManifest.listParquet(spark, s"$base/table").size
+    assert(total >= 2)
+
+    // current manifest: a band inside batch 1's half skips batch 2's files
+    ManifestRegistry.register(spark, s"$base/table", manifest)
+    try {
+      def pq(s: org.apache.spark.sql.SparkSession) =
+        s.read.parquet(s"$base/table")
+          .where(col("doc_id") < lit(n / 10)).orderBy("doc_id")
+      val files = scanFiles(pq(iso))
+      assert(files > 0 && files < total,
+        s"band in first ingest half should skip later files ($files of $total)")
+      assert(pq(iso).collect().sameElements(pq(spark).collect()))
+    } finally ManifestRegistry.deregister(spark, s"$base/table")
+
+    // pinned OLD snapshot (batch-1 files only): the manifest's file list
+    // is the data version — a full-range query through the rule returns
+    // exactly the rows that version held, though newer files exist on disk
+    val snapshot1 = manifest.where(col("min_doc_id") < n / 2)
+    assert(snapshot1.count() < total)
+    ManifestRegistry.register(spark, s"$base/table", snapshot1)
+    try {
+      val pinned = iso.read.parquet(s"$base/table")
+        .where(col("doc_id") >= 0L).orderBy("doc_id")
+      val expected = docs.filter(col("doc_id") < n / 2)
+        .select(docs.columns.map(col): _*).orderBy("doc_id")
+      assert(scanFiles(pinned) < total)
+      assert(pinned.select("doc_id").collect().toSeq ==
+        expected.select("doc_id").collect().toSeq)
+    } finally ManifestRegistry.deregister(spark, s"$base/table")
+  }
 }

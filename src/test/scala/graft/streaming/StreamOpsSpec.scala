@@ -281,6 +281,73 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("transformWithState ProcessingTime+TTL: poll-and-stop discipline " +
+      "works, TTL state expires, and the 4.1 drain-livelock is still present") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // THE TRAP (reproduced on Spark 4.1.2, this repo, 2026-08, and
+    // confirmed in the shipped bytecode): TransformWithStateExecBase
+    // .shouldRunAnotherBatch returns TRUE unconditionally when timeMode ==
+    // ProcessingTime, so the runner schedules empty micro-batch after
+    // empty micro-batch to advance processing time. EVERY drain-style wait
+    // livelocks — processAllAvailable() (~490 epochs/120 s observed) AND
+    // Trigger.AvailableNow (~330 epochs before its 120 s timeout; it can
+    // never see "done"). The supported discipline for ProcessingTime+TTL
+    // pipelines is a periodic/default trigger + POLL THE SINK + explicit
+    // stop, exactly what this test does. EventTime+explicit-timer
+    // pipelines (statefulSessionsTws) drain normally — the parity test
+    // above runs them under processAllAvailable.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val events = mem.toDF().toDF("user_id", "ts", "event_type")
+      val ttlMs = 1000L
+      def poll(deadlineMs: Long)(cond: => Boolean): Boolean = {
+        val t0 = System.currentTimeMillis()
+        while (!cond && System.currentTimeMillis() - t0 < deadlineMs)
+          Thread.sleep(100L)
+        cond
+      }
+      val q = StreamOps.ttlCountsTws(spark, events, ttlMs).writeStream
+        .format("memory").queryName("ttl_counts").outputMode("update").start()
+      try {
+        def counts(): Map[Long, Seq[Long]] =
+          spark.table("ttl_counts").as[StreamOps.KeyCount].collect()
+            .groupBy(_.user_id).view.mapValues(_.map(_.cnt).toSeq).toMap
+        mem.addData((1L, ts("2024-01-01 10:00:00"), "a"),
+          (1L, ts("2024-01-01 10:00:01"), "b"),
+          (2L, ts("2024-01-01 10:00:02"), "a"))
+        assert(poll(60000L) {
+          counts().get(1L).exists(_.contains(2L)) &&
+            counts().get(2L).exists(_.contains(1L))
+        }, s"first batch never reached the sink: ${counts()}")
+        // let the TTL lapse in processing time, then touch key 1 again:
+        // the evicted count restarts at 1 instead of resuming at 3
+        Thread.sleep(3 * ttlMs)
+        mem.addData((1L, ts("2024-01-01 10:00:10"), "c"))
+        assert(poll(60000L) { counts().get(1L).exists(_.size >= 2) },
+          s"second batch never reached the sink: ${counts()}")
+        val k1 = counts()(1L)
+        assert(k1.contains(1L) && !k1.contains(3L),
+          s"key 1 should have restarted at 1 after TTL expiry, got $k1")
+        // the livelock mechanism is still present: the runner keeps
+        // emitting EMPTY batches between ours. If this count comes back
+        // tiny on a future Spark, shouldRunAnotherBatch was fixed —
+        // re-adjudicate the bounded-trigger guidance in ttlCountsTws's doc
+        assert(poll(30000L) {
+          q.recentProgress.count(_.numInputRows == 0) >= 5
+        }, "ProcessingTime no longer schedules idle batches: the 4.1 " +
+          "livelock seems FIXED — update StreamOps.ttlCountsTws guidance")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("file sink resumes from its checkpoint exactly-once across a restart") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-restart")
