@@ -214,6 +214,7 @@ object SparkEntry {
     // clone reconciliation: distributed diff + order-independent checksum
     "q_m07_table_diff"      -> (Profiler.qM07 _),
     "q_m08_checksum"        -> (Profiler.qM08 _),
+    "q_m09_chunk_store"     -> (Profiler.qM09 _),
     // TPC-H Q13/Q18/Q17/Q15 shapes
     "q_a19_custdist"        -> (Relational.qA19 _),
     "q_q08_tpch_q18"        -> (Relational.qQ08 _),
@@ -734,6 +735,17 @@ object SparkEntry {
         s"SELECT '$t' AS table_name, COUNT(*) AS row_cnt, " +
           s"CAST(SUM(${duckPoly(duckCanon(cols))}) AS BIGINT) AS checksum FROM $t"
       }.mkString(" UNION ALL ") + " ORDER BY table_name"),
+    // q_m09: DuckDB recomputes the corpus checksum from the ORIGINAL
+    // documents and the distinct-chunk count from its own CDC derivation
+    // (same CTE as q_l42/q_l43) — equality certifies the Spark-side
+    // store write + re-materialization round trip end to end
+    "q_m09_chunk_store" ->
+      (s"""WITH cp AS (SELECT doc_id, list_transform(range(1, len(text)+1), i -> ord(text[i])) AS cs FROM documents WHERE text IS NOT NULL), """ +
+        """cut AS (SELECT doc_id, cs, list_filter(range(8, len(cs)+1), i -> list_reduce(list_prepend(0::BIGINT, cs[i-7:i]), (a,c) -> (a*31 + c) % 1000000007) % 32 = 0) AS cuts FROM cp), """ +
+        """sp AS (SELECT doc_id, cs, CASE WHEN len(cuts) > 0 AND cuts[len(cuts)] = len(cs) THEN cuts ELSE list_append(cuts, len(cs)) END AS ends FROM cut), """ +
+        """ch AS (SELECT doc_id, unnest(list_transform(range(1, len(ends)+1), k -> list_reduce(list_prepend(0::BIGINT, cs[(CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END)+1 : ends[k]]), (a,c) -> (a*31+c) % 1000000007) * 1048576 + LEAST(ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END, 1048575))) AS p FROM sp), """ +
+        """g AS (SELECT DISTINCT p // 1048576 AS h, p % 1048576 AS len FROM ch) """ +
+        s"""SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) AS row_cnt, (SELECT CAST(SUM(${duckPoly("(CAST(doc_id AS VARCHAR) || '|' || text)")}) AS BIGINT) FROM documents WHERE text IS NOT NULL) AS checksum, (SELECT COUNT(*) FROM g) AS store_chunks"""),
     "q_a19_custdist" ->
       """WITH c AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) SELECT c_count, COUNT(*) AS custdist FROM c GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
     "q_q08_tpch_q18" ->

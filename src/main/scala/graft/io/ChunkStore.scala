@@ -1,0 +1,88 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The WRITE side of the CDC chunk economy: q_l42/q_l43 MEASURE what a
+  * content-addressed chunk store would reclaim; this object actually
+  * builds one — a unique-chunk store plus a per-document manifest — and
+  * re-materializes documents from it, the storage-dedup primitive
+  * (rsync/LBFS/backup dedup) applied corpus-wide. Reference analog: the
+  * clone pipeline's extract→reload round trip (Program.cs:560-720), here
+  * at sub-document granularity with content-defined boundaries.
+  *
+  * Layout under `dir`:
+  *   - `chunks/`   — one row per UNIQUE chunk: (h, len, x, chunk_text,
+  *     refs). Identity is (rolling-hash h, len, xxhash64 x): h alone is
+  *     mod 1e9+7 and WOULD birthday-collide on large corpora (~5 expected
+  *     collisions per 10^5 distinct chunks); the 64-bit x pushes
+  *     corruption odds below 2^-40 at 100 TB scale while staying
+  *     engine-reproducible. refs is the reference count a reclaim job
+  *     audits against.
+  *   - `manifest/` — one row per document chunk slot: (doc_id, idx, h,
+  *     len, x). Re-materialization is manifest ⋈ chunks, re-assembled in
+  *     idx order.
+  *
+  * Scale shape: chunking is the one corpus-sized computation and runs
+  * TWICE (once per output) rather than being cached — a localCheckpoint
+  * here would materialize the whole corpus to executor disk, strictly
+  * worse than re-running a shuffle-free codegen pass. The store write
+  * shuffles one (h, len, x)-keyed exchange whose payload is each unique
+  * chunk's text once; the manifest write carries only ids and hashes.
+  */
+object ChunkStore {
+
+  /** Per-document chunk spans: (doc_id, idx, h, len, chunk_text). Offsets
+    * are recovered from the packed (hash, len) array the codegen chunker
+    * emits — lengths arrive in document order, so offset = running sum —
+    * keeping the boundary logic in exactly one place
+    * ([[graft.functions.ContentChunks]]). Documents longer than the
+    * packed-length cap (2^20-1 codepoints per chunk) are out of contract.
+    */
+  private[graft] def chunked(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    docs
+      .select(col("doc_id"), col("text"),
+        posexplode(graft.functions.ContentChunks(col("text"))).as(Seq("idx", "p")))
+      .select(col("doc_id"), col("text"), col("idx"),
+        expr("p DIV 1048576").as("h"), (col("p") % 1048576L).as("len"))
+      .withColumn("off", sum(col("len")).over(w) - col("len"))
+      .select(col("doc_id"), col("idx"), col("h"), col("len"),
+        expr("substring(text, CAST(off + 1 AS INT), CAST(len AS INT))")
+          .as("chunk_text"))
+  }
+
+  /** Build the store: unique chunks (with reference counts) + the per-doc
+    * manifest. Null-text documents are excluded by contract (they have no
+    * chunks to store); callers that must round-trip them keep them in a
+    * side table.
+    */
+  def write(docs: DataFrame, dir: String): Unit = {
+    val c = chunked(docs.select("doc_id", "text").where(col("text").isNotNull))
+      .withColumn("x", xxhash64(col("chunk_text")))
+    c.groupBy("h", "len", "x")
+      .agg(first(col("chunk_text")).as("chunk_text"), count(lit(1)).as("refs"))
+      .write.mode("overwrite").parquet(s"$dir/chunks")
+    c.select("doc_id", "idx", "h", "len", "x")
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  /** Re-materialize (doc_id, text) from the store: manifest ⋈ chunks on
+    * the full identity triple, chunks re-assembled in slot order. One
+    * manifest-sized shuffle for the join (the store side is
+    * unique-chunks-sized) and one doc_id-keyed aggregation.
+    */
+  def materialize(s: SparkSession, dir: String): DataFrame = {
+    val chunks = s.read.parquet(s"$dir/chunks")
+      .select("h", "len", "x", "chunk_text")
+    s.read.parquet(s"$dir/manifest")
+      .join(chunks, Seq("h", "len", "x"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk_text")))),
+          e => e("chunk_text")),
+        "").as("text"))
+  }
+}

@@ -282,6 +282,34 @@ object Profiler {
         .select(lit(t).as("table_name"), col("row_cnt"), col("checksum"))
     }.reduce(_ unionByName _).orderBy("table_name")
 
+  /** Q-M09 — CDC chunk-store round trip, the write side q_l42/q_l43 only
+    * measure: build the unique-chunk store + per-doc manifest
+    * ([[graft.io.ChunkStore]]), re-materialize every document from it,
+    * and emit (row_cnt, checksum) of the REBUILT corpus plus the store's
+    * distinct-(h, len) chunk count. The oracle computes the same checksum
+    * from the ORIGINAL documents and the same chunk count from its own
+    * CDC derivation — so a single lost, duplicated, reordered or
+    * corrupted chunk anywhere in write→store→join→reassemble shows up as
+    * a checksum mismatch. Same certification shape as qM08, pointed at
+    * the chunk store instead of the cloned tables.
+    */
+  def qM09(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore").toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).where(col("text").isNotNull)
+    graft.io.ChunkStore.write(docs, dir)
+    val rebuilt = graft.io.ChunkStore.materialize(s, dir)
+    val canon = concat(col("doc_id").cast("string"), lit("|"), col("text"))
+    // (h, len)-keyed count for oracle parity — the store itself is keyed
+    // (h, len, x) but x (xxhash64) is not engine-portable
+    val stats = s.read.parquet(s"$dir/manifest")
+      .agg(countDistinct(col("h"), col("len")).as("store_chunks"))
+    rebuilt.select(graft.functions.PolyHash(canon).as("ph"))
+      .agg(count(lit(1)).as("row_cnt"), sum(col("ph")).as("checksum"))
+      .crossJoin(stats)
+      .select("row_cnt", "checksum", "store_chunks")
+  }
+
   /** Distributed table diff: key + row-fingerprint projections of both
     * sides, one full-outer join on the key, and a four-way classification
     * aggregate (only-source / only-target / changed / identical). Rows
