@@ -261,7 +261,10 @@ object SparkEntry {
       "q_l41_dup_span",
       // delta-dedup builds + writes its history snapshot (cutoff collect,
       // full snapshot parquet job) at construction
-      "q_l40_delta_dedup")
+      "q_l40_delta_dedup",
+      // chunk-store write (two parquet jobs to a temp dir) runs at
+      // construction; the returned frame reads the re-materialized store
+      "q_m09_chunk_store")
 
   /** The shingle-postings CTE chain (3-word shingles → portable poly
     * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06
@@ -825,7 +828,13 @@ object SparkEntry {
       "q_s01_topk", "q_u01_union", "q_u02_intersect", "q_u03_except",
       "q_u04_union_all", "q_f01_string_fns", "q_f03_math_fns",
       "q_f06_conditional", "q_f11_bit_aggs",
-      "q_f13_string_shape", "q_t01_tumbling", "q_t06_funnel")
+      "q_f13_string_shape", "q_t01_tumbling", "q_t06_funnel",
+      "q_a19_custdist", "q_a20_ks_drift", "q_a21_tpch_q16",
+      "q_j16_tpch_q17", "q_j17_tpch_q15", "q_j18_tpch_q21",
+      "q_j19_tpch_q9", "q_j20_tpch_q19", "q_j21_tpch_q12",
+      "q_q08_tpch_q18", "q_q09_tpch_q2", "q_q10_tpch_q20",
+      "q_q11_tpch_q11", "q_q04_recursive_cte",
+      "q_l01_dedup_counts", "q_l04_dedup_keepers", "q_l37_mixture_weights")
     verbatim.map(n => n -> oracleSql(n)).toMap ++ Map(
       // DuckDB string_agg(expr, sep ORDER BY ...) → Spark listagg ... WITHIN GROUP
       "q_a05_string_agg" ->
