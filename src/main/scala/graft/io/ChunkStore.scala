@@ -13,13 +13,14 @@ import org.apache.spark.sql.functions._
   * at sub-document granularity with content-defined boundaries.
   *
   * Layout under `dir`:
-  *   - `chunks/`   — one row per UNIQUE chunk: (h, len, x, chunk_text,
-  *     refs). Identity is (rolling-hash h, len, xxhash64 x): h alone is
-  *     mod 1e9+7 and WOULD birthday-collide on large corpora (~5 expected
+  *   - `chunks/`   — one row per UNIQUE chunk: (h, len, x, chunk_text).
+  *     Identity is (rolling-hash h, len, xxhash64 x): h alone is mod
+  *     1e9+7 and WOULD birthday-collide on large corpora (~5 expected
   *     collisions per 10^5 distinct chunks); the 64-bit x pushes
   *     corruption odds below 2^-40 at 100 TB scale while staying
-  *     engine-reproducible. refs is the reference count a reclaim job
-  *     audits against.
+  *     engine-reproducible. Reference counts are NOT stored — they are
+  *     derivable from the manifest ([[referenceCounts]]) and storing them
+  *     would force [[append]] to rewrite history on every batch.
   *   - `manifest/` — one row per document chunk slot: (doc_id, idx, h,
   *     len, x). Re-materialization is manifest ⋈ chunks, re-assembled in
   *     idx order.
@@ -30,6 +31,11 @@ import org.apache.spark.sql.functions._
   * worse than re-running a shuffle-free codegen pass. The store write
   * shuffles one (h, len, x)-keyed exchange whose payload is each unique
   * chunk's text once; the manifest write carries only ids and hashes.
+  * [[append]] makes growth incremental at the corpus boundary: a new
+  * batch is chunked, anti-joined against the (store-sized, text-free)
+  * existing key set, and only never-seen chunk text lands — history is
+  * never re-read, never rewritten, exactly the q_l40 delta-dedup /
+  * ingestWithManifest contract.
   */
 object ChunkStore {
 
@@ -53,20 +59,50 @@ object ChunkStore {
           .as("chunk_text"))
   }
 
-  /** Build the store: unique chunks (with reference counts) + the per-doc
-    * manifest. Null-text documents are excluded by contract (they have no
-    * chunks to store); callers that must round-trip them keep them in a
-    * side table.
+  private def keyed(docs: DataFrame): DataFrame =
+    chunked(docs.select("doc_id", "text").where(col("text").isNotNull))
+      .withColumn("x", xxhash64(col("chunk_text")))
+
+  /** Build the store from scratch: unique chunks + the per-doc manifest.
+    * Null-text documents are excluded by contract (they have no chunks to
+    * store); callers that must round-trip them keep them in a side table.
     */
   def write(docs: DataFrame, dir: String): Unit = {
-    val c = chunked(docs.select("doc_id", "text").where(col("text").isNotNull))
-      .withColumn("x", xxhash64(col("chunk_text")))
+    val c = keyed(docs)
     c.groupBy("h", "len", "x")
-      .agg(first(col("chunk_text")).as("chunk_text"), count(lit(1)).as("refs"))
+      .agg(first(col("chunk_text")).as("chunk_text"))
       .write.mode("overwrite").parquet(s"$dir/chunks")
     c.select("doc_id", "idx", "h", "len", "x")
       .write.mode("overwrite").parquet(s"$dir/manifest")
   }
+
+  /** Incrementally ingest a batch of NEW documents (doc_ids not already
+    * in the manifest — re-appending an existing doc_id is out of
+    * contract): only chunks the store has never seen are written, found
+    * by a left-anti join against the existing KEY projection — the store
+    * side of that join carries no chunk text, so the exchange is
+    * key-sized, and history parquet is neither re-read for content nor
+    * rewritten. Cross-batch repeats therefore cost one manifest row, not
+    * a second copy of the span.
+    */
+  def append(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    val c = keyed(docs)
+    val existing = s.read.parquet(s"$dir/chunks").select("h", "len", "x")
+    c.select("h", "len", "x", "chunk_text")
+      .dropDuplicates("h", "len", "x")
+      .join(existing, Seq("h", "len", "x"), "left_anti")
+      .write.mode("append").parquet(s"$dir/chunks")
+    c.select("doc_id", "idx", "h", "len", "x")
+      .write.mode("append").parquet(s"$dir/manifest")
+  }
+
+  /** Reference counts, derived from the manifest at read time (stored
+    * counts would go stale on every append): the reclaim-audit view —
+    * refs == manifest slots per chunk, by construction.
+    */
+  def referenceCounts(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/manifest")
+      .groupBy("h", "len", "x").agg(count(lit(1)).as("refs"))
 
   /** Re-materialize (doc_id, text) from the store: manifest ⋈ chunks on
     * the full identity triple, chunks re-assembled in slot order. One

@@ -202,6 +202,27 @@ object StreamOps {
         updated.write.mode("overwrite").parquet(manifestDir)
       }
 
+  /** Streaming twin of the CDC chunk store ([[graft.io.ChunkStore]]):
+    * each micro-batch of arriving documents is ingested incrementally —
+    * first batch builds the store, later batches [[graft.io.ChunkStore
+    * .append]] only never-seen chunks. Same foreachBatch shape as
+    * [[ingestWithManifest]]; per-batch cost is batch-chunking plus one
+    * key-sized anti-join against the store, never a history re-read.
+    */
+  def ingestChunkStore(docs: DataFrame, storeDir: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.io.ChunkStore
+        val s = batch.sparkSession
+        val cPath = new org.apache.hadoop.fs.Path(s"$storeDir/chunks")
+        val fs = cPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(cPath)) ChunkStore.append(s, batch, storeDir)
+        else ChunkStore.write(batch, storeDir)
+      }
+
   // ---- custom stateful path: flatMapGroupsWithState ----------------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)

@@ -1920,16 +1920,59 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .count()
     assert(mismatches == 0, s"$mismatches docs failed the round trip")
     // the store is genuinely deduplicated: unique rows < manifest slots,
-    // and reference counts reconcile exactly with the manifest
+    // and derived reference counts reconcile exactly with the manifest
     val chunks = spark.read.parquet(s"$dir/chunks")
     val manifest = spark.read.parquet(s"$dir/manifest")
     assert(chunks.count() < manifest.count())
-    assert(chunks.agg(sum("refs")).head().getLong(0) == manifest.count())
+    assert(ChunkStore.referenceCounts(spark, dir)
+      .agg(sum("refs")).head().getLong(0) == manifest.count())
     // manifest slots are dense per doc: idx 0..n-1 with no gaps
     val badSlots = manifest.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), max("idx").as("mx"), min("idx").as("mn"))
       .where(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count()
     assert(badSlots == 0)
+  }
+
+  test("chunk store append ingests a new batch without duplicating chunks " +
+      "or rewriting history, and the combined store still round-trips") {
+    import graft.io.ChunkStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs-append").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").where(col("text").isNotNull)
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val (half1, half2) =
+      (docs.filter(col("doc_id") < n / 2), docs.filter(col("doc_id") >= n / 2))
+    ChunkStore.write(half1, dir)
+    val filesBefore = new java.io.File(s"$dir/chunks").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val rowsBefore = spark.read.parquet(s"$dir/chunks").count()
+    ChunkStore.append(spark, half2, dir)
+    // history untouched: every pre-append store file survives unmodified
+    val filesAfter = new java.io.File(s"$dir/chunks").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(filesBefore.forall { case (name, mtime) =>
+      filesAfter.get(name).contains(mtime)
+    }, "append rewrote pre-existing store files")
+    // no duplicate chunk keys across the batch boundary
+    val chunks = spark.read.parquet(s"$dir/chunks")
+    assert(chunks.groupBy("h", "len", "x").count()
+      .where(col("count") > 1).count() == 0)
+    // cross-batch reuse actually happened: batch 2 added fewer store rows
+    // than its own distinct-chunk count (shared spans were suppressed)
+    val added = chunks.count() - rowsBefore
+    val half2Distinct = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cs-h2").toString
+      ChunkStore.write(half2, tmp)
+      spark.read.parquet(s"$tmp/chunks").count()
+    }
+    assert(added < half2Distinct,
+      s"no cross-batch chunk reuse (added $added of $half2Distinct)")
+    // and the combined store reconstructs the FULL corpus byte-exactly
+    val mismatches = docs.as("o")
+      .join(ChunkStore.materialize(spark, dir).as("r"), "doc_id", "full_outer")
+      .where(col("o.text").isNull || col("r.text").isNull ||
+        col("o.text") =!= col("r.text")).count()
+    assert(mismatches == 0, s"$mismatches docs failed the post-append round trip")
   }
 
   test("content checksum is row-order independent and change-sensitive") {
