@@ -1933,6 +1933,40 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(badSlots == 0)
   }
 
+  test("chunk store round-trips multibyte unicode: offsets are codepoint-" +
+      "based end to end (UTF-16 slicing would corrupt supplementary chars)") {
+    import graft.io.ChunkStore
+    import spark.implicits._
+    // the corpus is ASCII, so only this spec guards the agreement between
+    // the chunker's codepoint offsets and substring's slicing on CJK,
+    // surrogate-pair (emoji), combining-mark and mixed content
+    val nasty = Seq(
+      "日本語のテキストを繰り返す。" * 20,
+      "emoji 😀🎉🚀 inside the stream 😀🎉🚀 " * 15,
+      "étude with combining marks étude " * 12, // é as e + U+0301
+      "ascii then 中文 then عربى then русский " * 10,
+      "𝕞𝕒𝕥𝕙𝕖𝕞𝕒𝕥𝕚𝕔𝕒𝕝 𝖇𝖔𝖑𝖉 " * 18, // supplementary-plane letters
+      "" // empty text round-trips as one empty chunk
+    )
+    val rng = new scala.util.Random(42)
+    val alphabet = "abc日本語😀𝕞é ".toCharArray
+    val fuzz = (0 until 40).map { _ =>
+      val sb = new StringBuilder
+      (0 until 200 + rng.nextInt(400)).foreach(_ => sb += alphabet(rng.nextInt(alphabet.length)))
+      sb.toString // may split surrogate pairs — substring/codePoints must still agree
+    }
+    val docs = (nasty ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs-uni").toString
+    ChunkStore.write(docs, dir)
+    val bad = docs.as("o")
+      .join(ChunkStore.materialize(spark, dir).as("r"), "doc_id", "full_outer")
+      .where(col("o.text").isNull || col("r.text").isNull ||
+        col("o.text") =!= col("r.text"))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(bad.isEmpty, s"unicode round trip corrupted doc_ids ${bad.mkString(",")}")
+  }
+
   test("chunk store append ingests a new batch without duplicating chunks " +
       "or rewriting history, and the combined store still round-trips") {
     import graft.io.ChunkStore
