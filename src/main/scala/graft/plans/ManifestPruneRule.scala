@@ -58,6 +58,9 @@ object ManifestRegistry {
   * DATE as Catalyst epoch days, TIMESTAMP/TIMESTAMP_NTZ as Catalyst epoch
   * micros, ≤18-digit DECIMAL as its unscaled long — so `o_orderdate >=
   * DATE '1995-01-01'`, the #1 real skipping predicate, now prunes.
+  * IN-lists (both the `In` form and the optimizer's `InSet`) contribute
+  * their [min, max] envelope — the #2 skipping shape (dimension-key and
+  * partition-date lists).
   *
   * The manifest lookup during optimization runs a driver-side collect
   * over the manifest frame — manifest-sized (one row per file, the same
@@ -132,6 +135,40 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
         litLong(l).foreach(v => tighten(a.name, v, Long.MaxValue))
       case EqualTo(l, a: AttributeReference) =>
         litLong(l).foreach(v => tighten(a.name, v, v))
+      case EqualNullSafe(a: AttributeReference, l) =>
+        litLong(l).foreach(v => tighten(a.name, v, v))
+      case EqualNullSafe(l, a: AttributeReference) =>
+        litLong(l).foreach(v => tighten(a.name, v, v))
+      // IN-lists bound to [min, max] of their members — lossy between the
+      // extremes (a file inside the band but missing every member still
+      // survives), which only costs skipping, never correctness. All
+      // members must convert; one unconvertible literal abandons the
+      // bound rather than narrowing it unsoundly.
+      case In(a: AttributeReference, values) if values.nonEmpty =>
+        val vs = values.map(litLong)
+        if (vs.forall(_.isDefined)) {
+          val longs = vs.flatten
+          tighten(a.name, longs.min, longs.max)
+        }
+      // the optimizer's large-list form: raw Catalyst values, convertible
+      // only when the attribute's type maps 1:1 onto the stat domain
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        val conv: Any => Option[Long] = a.dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            { case v: Long => Some(v); case _ => None }
+          case IntegerType | DateType =>
+            { case v: Int => Some(v.toLong); case _ => None }
+          case ShortType => { case v: Short => Some(v.toLong); case _ => None }
+          case ByteType  => { case v: Byte => Some(v.toLong); case _ => None }
+          case dt: DecimalType if dt.precision <= Decimal.MAX_LONG_DIGITS =>
+            { case d: Decimal => Some(d.toUnscaledLong); case _ => None }
+          case _ => _ => None
+        }
+        val vs = hset.toSeq.map(conv)
+        if (vs.forall(_.isDefined)) {
+          val longs = vs.flatten
+          tighten(a.name, longs.min, longs.max)
+        }
       case _ => ()
     }
     per.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }

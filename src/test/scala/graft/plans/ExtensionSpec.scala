@@ -318,6 +318,25 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
         .orderBy("o_orderkey"), 16, "ntz band")
     } finally ManifestRegistry.deregister(spark, dir)
 
+    // IN-list bounds: both the In form (small list) and the optimizer's
+    // InSet rewrite (large list) prune to the members' [min, max]
+    // envelope on the same date-clustered layout
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-mprune-in").toString
+    Writers.rangeClustered(o.select("o_orderkey"), dir2, Seq("o_orderkey"), numFiles = 16)
+    ManifestRegistry.register(spark, dir2,
+      StatsManifest.build(spark, dir2, Seq("o_orderkey")))
+    try {
+      val kHi = o.agg(max("o_orderkey")).head().getLong(0)
+      val few = Seq(kHi / 2, kHi / 2 + 1, kHi / 2 + 7) // In
+      checkBand(dir2, s => s.read.parquet(dir2)
+        .where(col("o_orderkey").isin(few: _*)).orderBy("o_orderkey"),
+        16, "IN-list band")
+      val many = (kHi / 2 to kHi / 2 + 40).toSeq // > 10 values → InSet
+      checkBand(dir2, s => s.read.parquet(dir2)
+        .where(col("o_orderkey").isin(many: _*)).orderBy("o_orderkey"),
+        16, "InSet band")
+    } finally ManifestRegistry.deregister(spark, dir2)
+
     // decimal bounds need a price-clustered layout to have skippable files
     val pdir = java.nio.file.Files.createTempDirectory("graft-mprune-dec").toString
     Writers.rangeClustered(o, pdir, Seq("o_price"), numFiles = 16)
