@@ -359,6 +359,63 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  final case class TypeStats(user_id: Long, event_type: String, cnt: Long,
+      recent_path: String)
+
+  /** Per-user composite state on `transformWithState`'s remaining typed
+    * primitives — `MapState` (per-event-type counts) and `ListState`
+    * (bounded last-`k` event-type ring) — under `TimeMode.None`, the
+    * time-free arbitrary-state mode (drains normally; no timers, no TTL,
+    * no watermark requirement). Emits, per user per batch, one row per
+    * type TOUCHED in that batch carrying its running count and the
+    * current ring. State per user is O(#types + k); StreamOpsSpec pins
+    * exact parity with the batch groupBy/window twin.
+    */
+  def typeStatsTws(spark: SparkSession, events: DataFrame,
+      k: Int = 3): Dataset[TypeStats] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ListState, MapState,
+      StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+    class StatsProcessor extends StatefulProcessor[Long, Event, TypeStats] {
+      @transient private var counts: MapState[String, Long] = _
+      @transient private var recent: ListState[String] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        val enc = org.apache.spark.sql.Encoders
+        counts = getHandle.getMapState[String, Long]("counts",
+          enc.STRING, enc.scalaLong, TTLConfig.NONE)
+        recent = getHandle.getListState[String]("recent",
+          enc.STRING, TTLConfig.NONE)
+      }
+
+      override def handleInputRows(userId: Long, rows: Iterator[Event],
+          timers: TimerValues): Iterator[TypeStats] = {
+        val batch = rows.toSeq.sortBy(e =>
+          (e.ts.getTime * 1000L + e.ts.getNanos / 1000L, e.event_type))
+        val touched = collection.mutable.LinkedHashSet.empty[String]
+        batch.foreach { e =>
+          val next = (if (counts.containsKey(e.event_type))
+            counts.getValue(e.event_type) else 0L) + 1L
+          counts.updateValue(e.event_type, next)
+          recent.appendValue(e.event_type)
+          touched += e.event_type
+        }
+        // trim the ring to its cap once per batch, not once per event —
+        // ListState reads are store scans, appends are cheap
+        val ring = recent.get().toArray.takeRight(k)
+        recent.put(ring)
+        val path = ring.mkString(">")
+        touched.iterator.map(t =>
+          TypeStats(userId, t, counts.getValue(t), path))
+      }
+    }
+
+    events.selectExpr("user_id", "ts", "event_type").as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new StatsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   def statefulSessions(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30): Dataset[SessionOut] = {
     import spark.implicits._

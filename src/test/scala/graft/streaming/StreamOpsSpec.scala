@@ -281,6 +281,51 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("transformWithState MapState+ListState (TimeMode.None) carries " +
+      "per-type counts and a bounded recent ring with batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val events = mem.toDF().toDF("user_id", "ts", "event_type")
+      val q = StreamOps.typeStatsTws(spark, events, k = 3).writeStream
+        .format("memory").queryName("type_stats").outputMode("update").start()
+      try {
+        mem.addData(rows: _*) // 3 user-1 clicks, 2 user-2 views (ts order)
+        q.processAllAvailable()
+        // TimeMode.None drains normally — this wait returning IS part of
+        // the pin (contrast with the ProcessingTime livelock below)
+        mem.addData(
+          (1L, ts("2024-01-01 12:00:00"), "view"),
+          (1L, ts("2024-01-01 12:05:00"), "purchase"),
+          (2L, ts("2024-01-01 12:10:00"), "view"))
+        q.processAllAvailable()
+        val out = spark.table("type_stats")
+          .as[StreamOps.TypeStats].collect()
+        // final counts per (user, type): the max across update-mode
+        // re-emissions equals the batch groupBy of the same feed
+        val finalCounts = out.groupBy(r => (r.user_id, r.event_type))
+          .view.mapValues(_.map(_.cnt).max).toMap
+        assert(finalCounts == Map(
+          (1L, "click") -> 3L, (1L, "view") -> 1L, (1L, "purchase") -> 1L,
+          (2L, "view") -> 3L))
+        // the ring holds the LAST THREE types in event order: batch-2
+        // rows for user 1 carry click>view>purchase, user 2 view>view>view
+        assert(out.filter(r => r.user_id == 1L && r.event_type == "purchase")
+          .map(_.recent_path).toSet == Set("click>view>purchase"))
+        assert(out.filter(r => r.user_id == 2L)
+          .map(_.recent_path).max == "view>view>view")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState ProcessingTime+TTL: poll-and-stop discipline " +
       "works, TTL state expires, and the 4.1 drain-livelock is still present") {
     import spark.implicits._
