@@ -82,6 +82,7 @@ object SparkEntry {
     "q_l41_dup_span"       -> (LLMOps.qL41 _),
     "q_l42_cdc_chunks"     -> (LLMOps.qL42 _),
     "q_l43_chunk_catalog"  -> (LLMOps.qL43 _),
+    "q_l44_chunk_churn"    -> (LLMOps.qL44 _),
     "q_l07_simhash"        -> (LLMOps.qL07 _),
     "q_l08_lang_id"        -> (LLMOps.qL08 _),
     "q_l09_quality_hist"   -> (LLMOps.qL09 _),
@@ -511,6 +512,22 @@ object SparkEntry {
     // reproduce exactly
     "q_l42_cdc_chunks" ->
       """WITH cp AS (SELECT source, list_transform(range(1, len(text)+1), i -> ord(text[i])) AS cs FROM documents), cut AS (SELECT source, cs, list_filter(range(8, len(cs)+1), i -> list_reduce(list_prepend(0::BIGINT, cs[i-7:i]), (a,c) -> (a*31 + c) % 1000000007) % 32 = 0) AS cuts FROM cp), sp AS (SELECT source, cs, CASE WHEN len(cuts) > 0 AND cuts[len(cuts)] = len(cs) THEN cuts ELSE list_append(cuts, len(cs)) END AS ends FROM cut), ch AS (SELECT source, unnest(list_transform(range(1, len(ends)+1), k -> list_reduce(list_prepend(0::BIGINT, cs[(CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END)+1 : ends[k]]), (a,c) -> (a*31+c) % 1000000007) * 1048576 + LEAST(ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END, 1048575))) AS p FROM sp), g AS (SELECT source, p // 1048576 AS h, p % 1048576 AS len, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3) SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_chunks, COUNT(*) AS distinct_chunks, CAST(SUM((cnt-1)*len) AS BIGINT) AS dup_chars FROM g GROUP BY source ORDER BY source""",
+    // q_l44: the q_l42 CDC chunking applied to BOTH corpus versions (v2 =
+    // the same deterministic mutation the Spark side applies), new chunks
+    // = v2 occurrences whose packed key the v1 distinct set lacks
+    "q_l44_chunk_churn" -> {
+      def cdc(src: String, keep: String, sfx: String): String =
+        s"""cp$sfx AS (SELECT $keep list_transform(range(1, len(text)+1), i -> ord(text[i])) AS cs FROM $src), """ +
+          s"""cut$sfx AS (SELECT $keep cs, list_filter(range(8, len(cs)+1), i -> list_reduce(list_prepend(0::BIGINT, cs[i-7:i]), (a,c) -> (a*31 + c) % 1000000007) % 32 = 0) AS cuts FROM cp$sfx), """ +
+          s"""sp$sfx AS (SELECT $keep cs, CASE WHEN len(cuts) > 0 AND cuts[len(cuts)] = len(cs) THEN cuts ELSE list_append(cuts, len(cs)) END AS ends FROM cut$sfx), """ +
+          s"""ch$sfx AS (SELECT $keep unnest(list_transform(range(1, len(ends)+1), k -> list_reduce(list_prepend(0::BIGINT, cs[(CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END)+1 : ends[k]]), (a,c) -> (a*31+c) % 1000000007) * 1048576 + LEAST(ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END, 1048575))) AS p FROM sp$sfx)"""
+      s"""WITH v2 AS (SELECT doc_id, source, CASE WHEN doc_id % 10 = 0 THEN text || ' updated content block' WHEN doc_id % 17 = 3 THEN 'breaking prefix ' || text ELSE text END AS text FROM documents), """ +
+        cdc("documents", "", "1") + ", " + cdc("v2", "source,", "2") + ", " +
+        """k1 AS (SELECT DISTINCT p FROM ch1), """ +
+        """n AS (SELECT source, COUNT(*) AS new_chunks, CAST(SUM(p % 1048576) AS BIGINT) AS new_chars FROM ch2 WHERE NOT EXISTS (SELECT 1 FROM k1 WHERE k1.p = ch2.p) GROUP BY source), """ +
+        """t AS (SELECT source, COUNT(*) AS total_chunks FROM ch2 GROUP BY source) """ +
+        """SELECT t.source, t.total_chunks, t.total_chunks - COALESCE(n.new_chunks, 0) AS reused_chunks, COALESCE(n.new_chunks, 0) AS new_chunks, COALESCE(n.new_chars, 0) AS new_chars FROM t LEFT JOIN n USING (source) ORDER BY source"""
+    },
     // q_l43: same CDC chunking CTE as q_l42, catalog granularity — which
     // spans repeat, where, and what a reclaim job would save
     "q_l43_chunk_catalog" ->

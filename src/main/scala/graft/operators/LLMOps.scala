@@ -794,4 +794,42 @@ object LLMOps {
       .orderBy(col("reclaimable_chars").desc, col("h"), col("len"))
       .limit(50)
   }
+
+  /** Q-L44 — chunk-level churn between corpus versions: how much of a
+    * re-crawl is actually NEW bytes once the chunk store absorbs it. A
+    * deterministic "v2" mutates every 10th document (an appended span)
+    * and every 17th≡3 (a prepended span); both corpora are CDC-chunked
+    * and v2's chunks anti-join v1's distinct key set — content-defined
+    * boundaries localize each edit, so a mutated document re-uses almost
+    * all of its spans and the store ingests only the edit neighborhoods
+    * ([[graft.io.ChunkStore.append]]'s exact admission rule). Per source:
+    * total v2 chunks, chunks the v1 store already serves, new chunks, and
+    * the characters those new occurrences carry (occurrence-level churn —
+    * the bytes v1 cannot serve; the store's distinct-absorption cost is
+    * bounded above by it). One scan per version; the anti-join carries
+    * only packed longs.
+    */
+  def qL44(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val v2 = docs.withColumn("text",
+      when(col("doc_id") % 10 === 0, concat(col("text"), lit(" updated content block")))
+        .when(col("doc_id") % 17 === 3, concat(lit("breaking prefix "), col("text")))
+        .otherwise(col("text")))
+    val v1Keys = docs
+      .select(explode(graft.functions.ContentChunks(col("text"))).as("p"))
+      .distinct()
+    val v2Chunks = v2.select(col("source"),
+      explode(graft.functions.ContentChunks(col("text"))).as("p"))
+    val newPerSource = v2Chunks.join(v1Keys, Seq("p"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("new_chunks"),
+        sum(col("p") % 1048576L).as("new_chars"))
+    v2Chunks.groupBy("source").agg(count(lit(1)).as("total_chunks"))
+      .join(newPerSource, Seq("source"), "left_outer")
+      .select(col("source"), col("total_chunks"),
+        (col("total_chunks") - coalesce(col("new_chunks"), lit(0L))).as("reused_chunks"),
+        coalesce(col("new_chunks"), lit(0L)).as("new_chunks"),
+        coalesce(col("new_chars"), lit(0L)).as("new_chars"))
+      .orderBy("source")
+  }
 }
