@@ -171,6 +171,57 @@ object StatsManifest {
       .localCheckpoint(eager = true) // same snapshot semantics as build()
   }
 
+  /** Per-file BLOOM sidecars for equality/IN skipping on columns where
+    * min/max bounds cannot prune (unclustered, high-cardinality ids —
+    * the Delta bloom-index use case): each of `bloomCols` gains a
+    * `bloom_<col>` binary column holding a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` over the file's values,
+    * canonicalized THROUGH STRINGS (both build and probe cast to string,
+    * so integral and string columns share one portable code path). Build
+    * is one distributed pass grouped by `input_file_name()` — per-group
+    * state is one file's values, the same magnitude a file's writer
+    * already held. Blooms ride the manifest as data, and probing happens
+    * manifest-side in Spark ([[pruneFiles]]) — at an 800k-file table the
+    * driver never holds the sketch bytes, only surviving file names.
+    * `expectedItems` sizes the sketch (~1.2 bytes/item at fpp 0.03):
+    * tune to rows-per-file; undersizing only raises false positives,
+    * which cost skipping, never correctness.
+    */
+  def withBlooms(s: SparkSession, dir: String, manifest: DataFrame,
+      bloomCols: Seq[String], expectedItems: Long = 100000L,
+      fpp: Double = 0.03): DataFrame = {
+    val mk = udf { vals: Seq[String] =>
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(expectedItems, vals.size.toLong), fpp)
+      vals.foreach(v => if (v != null) bf.putString(v))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // input_file_name() renders URIs (file:///a/b) where the listing-based
+    // manifest holds Path strings (file:/a/b) — normalize through Path or
+    // the join silently misses and every bloom stays NULL (= no skipping)
+    val normPath = udf { u: String =>
+      new org.apache.hadoop.fs.Path(new java.net.URI(u)).toString
+    }
+    val perFile = s.read.parquet(dir)
+      .select(normPath(input_file_name()).as("file") +:
+        bloomCols.map(c => col(c).cast("string").as(c)): _*)
+      .groupBy("file")
+      .agg(mk(collect_list(col(bloomCols.head))).as(s"bloom_${bloomCols.head}"),
+        bloomCols.tail.map(c => mk(collect_list(col(c))).as(s"bloom_$c")): _*)
+    manifest.join(perFile, Seq("file"), "left_outer")
+      .localCheckpoint(eager = true) // same snapshot semantics as build()
+  }
+
+  private val bloomMightContain = udf { (b: Array[Byte], points: Seq[String]) =>
+    b == null || {
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b))
+      points.exists(bf.mightContainString)
+    }
+  }
+
   /** The conjunctive range-intersection predicate: a file can hold a row
     * satisfying `lo <= col <= hi` for ALL bounds only if every bound's
     * [min, max] overlaps it. NULL stats keep the file (null-safe trues).
@@ -182,14 +233,27 @@ object StatsManifest {
         (col(s"max_$c") >= lo && col(s"min_$c") <= hi)
     }.reduce(_ && _)
 
-  /** Files the bounds cannot rule out. Driver-sized output: one string
-    * per SURVIVING file — the same order of magnitude as the file listing
-    * Spark's own planner materializes for any read.
+  /** AND across point-set columns, OR within one column's points: a file
+    * survives a column's point set if its bloom is absent/NULL or might
+    * contain ANY point. String-canonical domain (see [[withBlooms]]).
     */
-  def pruneFiles(manifest: DataFrame,
-      bounds: Seq[(String, Long, Long)]): Seq[String] =
-    manifest.where(survives(bounds)).select("file")
-      .collect().map(_.getString(0)).toSeq
+  private def survivesPoints(manifest: DataFrame,
+      points: Seq[(String, Seq[String])]): Column =
+    points.filter { case (c, ps) =>
+      ps.nonEmpty && manifest.columns.contains(s"bloom_$c")
+    }.map { case (c, ps) =>
+      bloomMightContain(col(s"bloom_$c"), typedLit(ps))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Files the bounds (and, when blooms exist, the equality point sets)
+    * cannot rule out. Driver-sized output: one string per SURVIVING
+    * file — the same order of magnitude as the file listing Spark's own
+    * planner materializes for any read.
+    */
+  def pruneFiles(manifest: DataFrame, bounds: Seq[(String, Long, Long)],
+      points: Seq[(String, Seq[String])] = Nil): Seq[String] =
+    manifest.where(survives(bounds) && survivesPoints(manifest, points))
+      .select("file").collect().map(_.getString(0)).toSeq
 
   /** Manifest-pruned read: hand Spark ONLY the surviving files, then
     * re-apply the full predicate. The manifest decides what to OPEN, the

@@ -60,7 +60,10 @@ object ManifestRegistry {
   * DATE '1995-01-01'`, the #1 real skipping predicate, now prunes.
   * IN-lists (both the `In` form and the optimizer's `InSet`) contribute
   * their [min, max] envelope — the #2 skipping shape (dimension-key and
-  * partition-date lists).
+  * partition-date lists). When the manifest carries bloom sidecars
+  * ([[StatsManifest.withBlooms]]), equality/IN predicates additionally
+  * probe the per-file blooms — skipping on UNclustered high-cardinality
+  * columns where min/max spans everything (the Delta bloom-index case).
   *
   * The manifest lookup during optimization runs a driver-side collect
   * over the manifest frame — manifest-sized (one row per file, the same
@@ -100,6 +103,55 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case x         => Seq(x)
   }
+
+  /** The literal in the bloom probe's string-canonical domain (see
+    * [[graft.io.StatsManifest.withBlooms]] — build casts values through
+    * `string`, so probes must render identically; only types whose cast
+    * is a plain decimal rendering participate).
+    */
+  private def litString(e: Expression): Option[String] = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      Some(s.toString)
+    case Literal(v: Long, LongType)   => Some(v.toString)
+    case Literal(v: Int, IntegerType) => Some(v.toString)
+    case Literal(v: Short, ShortType) => Some(v.toString)
+    case Literal(v: Byte, ByteType)   => Some(v.toString)
+    case _                            => None
+  }
+
+  /** Equality/IN point sets per bloom-covered column. Each entry ANDs in
+    * [[graft.io.StatsManifest.pruneFiles]]; points within an entry OR. A
+    * single unconvertible member abandons its predicate's contribution
+    * (keeping more files — sound) rather than probing a partial set.
+    */
+  private def extractPoints(cond: Expression,
+      bloomCovered: Set[String]): Seq[(String, Seq[String])] =
+    conjuncts(cond).flatMap {
+      case EqualTo(a: AttributeReference, l) if bloomCovered(a.name) =>
+        litString(l).map(v => a.name -> Seq(v))
+      case EqualTo(l, a: AttributeReference) if bloomCovered(a.name) =>
+        litString(l).map(v => a.name -> Seq(v))
+      case EqualNullSafe(a: AttributeReference, l) if bloomCovered(a.name) =>
+        litString(l).map(v => a.name -> Seq(v))
+      case EqualNullSafe(l, a: AttributeReference) if bloomCovered(a.name) =>
+        litString(l).map(v => a.name -> Seq(v))
+      case In(a: AttributeReference, values)
+          if bloomCovered(a.name) && values.nonEmpty =>
+        val vs = values.map(litString)
+        if (vs.forall(_.isDefined)) Some(a.name -> vs.flatten) else None
+      case InSet(a: AttributeReference, hset)
+          if bloomCovered(a.name) && hset.nonEmpty =>
+        val conv: Any => Option[String] = a.dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            v => Option(v).map(_.toString)
+          case StringType => { case s: org.apache.spark.unsafe.types.UTF8String =>
+            Some(s.toString); case _ => None }
+          case _ => _ => None
+        }
+        val vs = hset.toSeq.map(conv)
+        if (vs.forall(_.isDefined)) Some(a.name -> vs.flatten) else None
+      case _ => None
+    }
 
   /** (column, lo, hi) bounds implied by the predicate, conservatively:
     * `>`/`>=` both widen to `>=` and `<`/`<=` to `<=` (a superset of
@@ -187,10 +239,13 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
           case Some((root, manifest)) =>
             val covered = manifest.columns
               .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
+            val bloomCovered = manifest.columns
+              .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSet
             val bounds = extractBounds(cond, covered)
-            if (bounds.isEmpty) f
+            val points = extractPoints(cond, bloomCovered)
+            if (bounds.isEmpty && points.isEmpty) f
             else {
-              val kept = StatsManifest.pruneFiles(manifest, bounds)
+              val kept = StatsManifest.pruneFiles(manifest, bounds, points)
               if (kept.size >= fsRel.location.inputFiles.length) f
               else {
                 val session = fsRel.sparkSession

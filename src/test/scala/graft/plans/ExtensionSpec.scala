@@ -389,6 +389,52 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
     } finally ManifestRegistry.deregister(spark, mdir)
   }
 
+  test("bloom sidecars prune on equality over an UNCLUSTERED column where " +
+      "min/max bounds span every file, with full result parity") {
+    import graft.io.{StatsManifest, Writers}
+    // cluster by o_orderkey: every file's o_custkey min/max spans nearly
+    // the whole domain, so range stats prune NOTHING for a custkey
+    // lookup — exactly the case the bloom sidecar exists for
+    val dir = java.nio.file.Files.createTempDirectory("graft-mprune-bloom").toString
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Writers.rangeClustered(o, dir, Seq("o_orderkey"), numFiles = 16)
+    val manifest = StatsManifest.withBlooms(spark, dir,
+      StatsManifest.build(spark, dir, Seq("o_orderkey")),
+      Seq("o_custkey"), expectedItems = 10000L)
+    ManifestRegistry.register(spark, dir, manifest)
+    try {
+      val iso = spark.newSession()
+      Graft.ensureRegistered(iso)
+      iso.conf.set("spark.graft.manifest.prune", "true")
+      // the rarest customer: present in the fewest files, so the bloom
+      // probe must confine the scan well below the full 16
+      val rare = o.groupBy("o_custkey").count()
+        .orderBy(col("count"), col("o_custkey")).head().getLong(0)
+      def eq(s: org.apache.spark.sql.SparkSession) =
+        s.read.parquet(dir).where(col("o_custkey") === rare)
+          .orderBy("o_orderkey")
+      val files = scanFiles(eq(iso))
+      assert(files > 0 && files < 16,
+        s"bloom should confine an unclustered equality lookup, read $files/16")
+      assert(eq(iso).collect().sameElements(eq(spark).collect()))
+      // range stats alone really couldn't have done this: the same query
+      // through a bloom-free manifest reads everything
+      ManifestRegistry.register(spark, dir,
+        StatsManifest.build(spark, dir, Seq("o_orderkey")))
+      assert(scanFiles(eq(iso)) == 16)
+      ManifestRegistry.register(spark, dir, manifest)
+      // IN-list probes OR across points
+      val rare2 = o.groupBy("o_custkey").count()
+        .orderBy(col("count"), col("o_custkey")).collect()(1).getLong(0)
+      def in(s: org.apache.spark.sql.SparkSession) =
+        s.read.parquet(dir).where(col("o_custkey").isin(rare, rare2))
+          .orderBy("o_orderkey")
+      assert(scanFiles(in(iso)) < 16)
+      assert(in(iso).collect().sameElements(in(spark).collect()))
+    } finally ManifestRegistry.deregister(spark, dir)
+  }
+
   test("a streaming-maintained manifest drives the prune rule: multi-batch " +
       "ingest, transparent file skipping, and snapshot version pinning") {
     import graft.io.StatsManifest
