@@ -189,7 +189,44 @@ object StatsManifest {
     */
   def withBlooms(s: SparkSession, dir: String, manifest: DataFrame,
       bloomCols: Seq[String], expectedItems: Long = 100000L,
-      fpp: Double = 0.03): DataFrame = {
+      fpp: Double = 0.03): DataFrame =
+    manifest
+      .join(bloomsForFiles(s, listParquet(s, dir), bloomCols, expectedItems,
+        fpp), Seq("file"), "left_outer")
+      .localCheckpoint(eager = true) // same snapshot semantics as build()
+
+  /** Incremental stats+bloom maintenance: the [[append]] contract with
+    * bloom sidecars — only files absent from `existing` get footer reads
+    * AND bloom passes; every already-manifested file keeps its rows and
+    * sketches untouched. `existing` must itself carry `bloom_<c>` columns
+    * for exactly `bloomCols` (i.e. came from [[withBlooms]] or here).
+    */
+  def appendWithBlooms(s: SparkSession, dir: String, existing: DataFrame,
+      cols: Seq[String], bloomCols: Seq[String],
+      expectedItems: Long = 100000L, fpp: Double = 0.03): DataFrame = {
+    val current = listParquet(s, dir)
+    val known = existing.select("file").collect().map(_.getString(0)).toSet
+    val newFiles = current.filterNot(known)
+    val fresh =
+      if (newFiles.isEmpty) existing.limit(0)
+      else buildForFiles(s, newFiles, cols)
+        .join(bloomsForFiles(s, newFiles, bloomCols, expectedItems, fpp),
+          Seq("file"), "left_outer")
+    val currentDf = s.createDataFrame(
+      s.sparkContext.parallelize(current.map(Row(_)),
+        math.max(1, math.min(current.size, s.sparkContext.defaultParallelism))),
+      StructType(Seq(StructField("file", StringType, nullable = false))))
+    existing.join(currentDf, Seq("file"), "left_semi").unionByName(fresh)
+      .localCheckpoint(eager = true)
+  }
+
+  /** One distributed pass over exactly `files`: (file, bloom_<c>...) —
+    * the per-file value sets a file's writer already held in memory.
+    */
+  private def bloomsForFiles(s: SparkSession, files: Seq[String],
+      bloomCols: Seq[String], expectedItems: Long,
+      fpp: Double): DataFrame = {
+    require(bloomCols.nonEmpty, "bloomCols must name at least one column")
     val mk = udf { vals: Seq[String] =>
       val bf = org.apache.spark.util.sketch.BloomFilter
         .create(math.max(expectedItems, vals.size.toLong), fpp)
@@ -204,14 +241,12 @@ object StatsManifest {
     val normPath = udf { u: String =>
       new org.apache.hadoop.fs.Path(new java.net.URI(u)).toString
     }
-    val perFile = s.read.parquet(dir)
+    s.read.parquet(files: _*)
       .select(normPath(input_file_name()).as("file") +:
         bloomCols.map(c => col(c).cast("string").as(c)): _*)
       .groupBy("file")
       .agg(mk(collect_list(col(bloomCols.head))).as(s"bloom_${bloomCols.head}"),
         bloomCols.tail.map(c => mk(collect_list(col(c))).as(s"bloom_$c")): _*)
-    manifest.join(perFile, Seq("file"), "left_outer")
-      .localCheckpoint(eager = true) // same snapshot semantics as build()
   }
 
   private val bloomMightContain = udf { (b: Array[Byte], points: Seq[String]) =>

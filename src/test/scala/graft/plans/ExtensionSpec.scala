@@ -432,6 +432,21 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
           .orderBy("o_orderkey")
       assert(scanFiles(in(iso)) < 16)
       assert(in(iso).collect().sameElements(in(spark).collect()))
+
+      // incremental maintenance: land 4 more files, appendWithBlooms
+      // must footer+bloom ONLY them yet prune identically to a rebuild
+      o.limit(200).repartition(4).write.mode("append").parquet(dir)
+      val appended = StatsManifest.appendWithBlooms(spark, dir, manifest,
+        Seq("o_orderkey"), Seq("o_custkey"), expectedItems = 10000L)
+      val rebuilt = StatsManifest.withBlooms(spark, dir,
+        StatsManifest.build(spark, dir, Seq("o_orderkey")),
+        Seq("o_custkey"), expectedItems = 10000L)
+      assert(appended.count() == rebuilt.count())
+      def surviving(m: org.apache.spark.sql.DataFrame) =
+        StatsManifest.pruneFiles(m, Nil,
+          Seq("o_custkey" -> Seq(rare.toString))).toSet
+      assert(surviving(appended) == surviving(rebuilt),
+        "incrementally-appended blooms prune differently from a rebuild")
     } finally ManifestRegistry.deregister(spark, dir)
   }
 
