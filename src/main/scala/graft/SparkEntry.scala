@@ -877,6 +877,28 @@ object SparkEntry {
       // DuckDB year()=BIGINT vs Spark year()=INT: the DataFrame impl emits
       // BIGINT l_year, so the SQL text casts to match its own engine twin
       "q_f02_date_fns" ->
-        """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, COUNT(*) AS cnt FROM orders GROUP BY yr, mo, month_start ORDER BY yr, mo""")
+        """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, COUNT(*) AS cnt FROM orders GROUP BY yr, mo, month_start ORDER BY yr, mo""",
+      // epoch_us → unix_micros; the session_window twin spelled as the
+      // lag+cumsum derivation (identical semantics, see qT05's doc)
+      "q_t05_session_window" ->
+        """WITH e AS (SELECT user_id, event_id, unix_micros(ts) AS us FROM events), m AS (SELECT user_id, event_id, us, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, MIN(us) AS s_start, MAX(us) + 1800000000 AS s_end, COUNT(*) AS cnt FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""",
+      // + ordered string_agg → listagg WITHIN GROUP
+      "q_t08_session_paths" ->
+        """WITH e AS (SELECT user_id, event_id, event_type, unix_micros(ts) AS us FROM events), m AS (SELECT user_id, event_id, event_type, us, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, event_id, event_type, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, MIN(us) AS s_start, CAST(COUNT(*) AS BIGINT) AS n_events, listagg(event_type, '>') WITHIN GROUP (ORDER BY us, event_id) AS path FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""",
+      // DuckDB '0x'||hex-cast → Spark conv(hex, 16, 10)
+      "q_l20_hash_split" ->
+        """WITH b AS (SELECT CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT) % 100 AS bucket, n_chars FROM documents) SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM b GROUP BY split ORDER BY split""",
+      // DuckDB // → Spark DIV; string_split → split
+      "q_l21_pack" ->
+        """WITH t AS (SELECT source, doc_id, CAST(size(split(lower(text), ' ')) AS BIGINT) AS n_tok FROM documents), c AS (SELECT source, doc_id, n_tok, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) SELECT source, doc_id, n_tok, CAST((cum - n_tok) DIV 2048 AS BIGINT) AS start_bin, CAST((cum - 1) DIV 2048 AS BIGINT) AS end_bin FROM c ORDER BY source, doc_id""",
+      // verbatim-shaped but with Spark array/lambda names
+      "q_v02_array_fns" ->
+        """SELECT vec_id, CAST(size(slice(embedding, 1, 8)) AS BIGINT) AS slice_len, round(CAST(element_at(reverse(embedding), 1) AS DOUBLE), 4) AS last_elem, round(CAST(element_at(array_sort(embedding), 1) AS DOUBLE), 4) AS min_elem, CAST(size(array_distinct(transform(embedding, x -> round(CAST(x AS DOUBLE) * 10, 0)))) AS BIGINT) AS coarse_distinct FROM embeddings ORDER BY vec_id""",
+      // DuckDB quantile_cont(x, q) → ANSI percentile_cont WITHIN GROUP
+      "q_a13_percentiles" ->
+        """SELECT o_orderpriority, ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS median_price, ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      // verbatim except ORDER BY inside the window over md5 — Spark-legal
+      "q_l23_balanced_sample" ->
+        """WITH r AS (SELECT lang, n_chars, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn FROM documents) SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""")
   }
 }
