@@ -188,8 +188,13 @@ object Bench {
       else breaches.sortBy(_._1).map { case (k, _) =>
         "\"" + shortId(k) + "\":[" + passTimes(k).map(r3).mkString(",") + "]"
       }.mkString(""","passes":{""", ",", "}")
+    // Field ORDER is capture-proofing: the driver keeps the TAIL of stdout,
+    // so truncation clips the line's HEAD — put the adjudication extras
+    // (failed passes, breach pass-times) first and the per-query times +
+    // total LAST, so a clipped capture loses passes, never timings (the
+    // r10 driver artifact shipped parsed:null with the head clipped).
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failed$passesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec"$failed$passesJson,"queries":$qs,"value":${r3(total)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Full per-pass record for EVERY query (not just breaches) — the
@@ -211,7 +216,9 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))
     if (!java.nio.file.Files.exists(path)) return Map.empty
     val row = """\|\s*(q_\w+)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|""".r
-    scala.io.Source.fromFile(path.toFile, "UTF-8").getLines()
-      .collect { case row(id, sec) => id -> sec.toDouble }.toMap
+    scala.util.Using.resource(
+      scala.io.Source.fromFile(path.toFile, "UTF-8")) { src =>
+      src.getLines().collect { case row(id, sec) => id -> sec.toDouble }.toMap
+    }
   }
 }

@@ -15,7 +15,18 @@ import java.sql.Timestamp
   * All of these are *unbounded-input* designs: watermarks bound state, and
   * every aggregation is keyed so state partitions across executors.
   */
-object StreamOps {
+object StreamOps extends Serializable {
+
+  /** True microseconds since epoch. `Timestamp.getTime` is whole millis
+    * (it already includes the integral-ms part of `getNanos`), so the
+    * sub-ms remainder must be added via `getNanos / 1000 % 1000` — or,
+    * equivalently and more simply, truncate getTime to seconds and add
+    * the full micros-of-second. Naive `getTime * 1000 + getNanos / 1000`
+    * double-counts the millisecond component and is non-monotonic across
+    * second boundaries (12:00:00.600 would sort after 12:00:01.000).
+    */
+  private[streaming] def tsMicros(t: Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 
   /** Tumbling 1-hour count per event type with a 10-minute watermark —
     * streaming Q-T01. Late events beyond the watermark are dropped;
@@ -208,20 +219,52 @@ object StreamOps {
     * .append]] only never-seen chunks. Same foreachBatch shape as
     * [[ingestWithManifest]]; per-batch cost is batch-chunking plus one
     * key-sized anti-join against the store, never a history re-read.
+    *
+    * foreachBatch is at-least-once, and a replayed batch carries the SAME
+    * batchId — so the store keeps a `_last_batch` marker and skips any
+    * batchId already committed, making recovery replays no-ops instead of
+    * duplicating manifest slots (which would corrupt `materialize`'s
+    * byte-exact reconstruction). Residual window: a crash BETWEEN the
+    * append and the marker write still re-applies that one batch on
+    * restart — closing it fully needs a transactional sink; the guard
+    * covers the common replay (checkpoint commit lost after a successful
+    * batch), and the idempotence is pinned in StreamOpsSpec.
     */
   def ingestChunkStore(docs: DataFrame, storeDir: String,
       checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        import graft.io.ChunkStore
-        val s = batch.sparkSession
-        val cPath = new org.apache.hadoop.fs.Path(s"$storeDir/chunks")
-        val fs = cPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(cPath)) ChunkStore.append(s, batch, storeDir)
-        else ChunkStore.write(batch, storeDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestChunkStoreBatch(batch, batchId, storeDir)
       }
+
+  /** The per-batch body of [[ingestChunkStore]], exposed for the
+    * idempotence pin in StreamOpsSpec: a second call with an
+    * already-committed batchId must be a no-op.
+    */
+  private[graft] def ingestChunkStoreBatch(batch: DataFrame, batchId: Long,
+      storeDir: String): Unit = {
+    import graft.io.ChunkStore
+    val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$storeDir/_last_batch")
+    val fs = marker.getFileSystem(conf)
+    val lastCommitted: Long =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      } else -1L
+    if (batchId > lastCommitted) {
+      val cPath = new org.apache.hadoop.fs.Path(s"$storeDir/chunks")
+      if (fs.exists(cPath)) ChunkStore.append(s, batch, storeDir)
+      else ChunkStore.write(batch, storeDir)
+      val out = fs.create(marker, true)
+      try out.write(batchId.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
 
   // ---- custom stateful path: flatMapGroupsWithState ----------------------
 
@@ -258,8 +301,7 @@ object StreamOps {
         st = getHandle.getValueState[SessionState]("session",
           org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
 
-      private def micros(t: Timestamp): Long =
-        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      private def micros(t: Timestamp): Long = tsMicros(t)
 
       override def handleInputRows(userId: Long, rows: Iterator[Event],
           timers: TimerValues): Iterator[SessionOut] = {
@@ -390,8 +432,7 @@ object StreamOps {
 
       override def handleInputRows(userId: Long, rows: Iterator[Event],
           timers: TimerValues): Iterator[TypeStats] = {
-        val batch = rows.toSeq.sortBy(e =>
-          (e.ts.getTime * 1000L + e.ts.getNanos / 1000L, e.event_type))
+        val batch = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_type))
         val touched = collection.mutable.LinkedHashSet.empty[String]
         batch.foreach { e =>
           val next = (if (counts.containsKey(e.event_type))
@@ -432,10 +473,8 @@ object StreamOps {
       } else {
         var out = List.empty[SessionOut]
         var st = state.getOption
-        // true microseconds: Timestamp.getTime is whole millis (sub-ms
-        // precision lives in getNanos) — ms truncation would diverge from
-        // the µs-exact batch twin Temporal.qT02
-        def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        // µs-exact to match the batch twin Temporal.qT02 (see tsMicros)
+        def micros(t: Timestamp): Long = tsMicros(t)
         rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
           val us = micros(e.ts)
           st match {

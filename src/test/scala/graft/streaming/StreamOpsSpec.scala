@@ -393,6 +393,73 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tsMicros is monotonic across second boundaries, and typeStatsTws " +
+      "orders sub-second events correctly within one micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the trap the r10 advice caught: Timestamp.getTime already includes
+    // integral ms from nanos, so getTime*1000 + nanos/1000 double-counts
+    // the ms component — 12:00:00.600 would sort AFTER 12:00:01.000
+    assert(StreamOps.tsMicros(ts("2024-01-01 12:00:00.6")) <
+      StreamOps.tsMicros(ts("2024-01-01 12:00:01")))
+    assert(StreamOps.tsMicros(ts("2024-01-01 12:00:01")) <
+      StreamOps.tsMicros(ts("2024-01-01 12:00:01.2")))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val events = mem.toDF().toDF("user_id", "ts", "event_type")
+      val q = StreamOps.typeStatsTws(spark, events, k = 3).writeStream
+        .format("memory").queryName("subsec_stats").outputMode("update").start()
+      try {
+        // one batch, sub-second timestamps straddling a second boundary:
+        // the buggy ms-double-count key would order this b>a>c
+        mem.addData(
+          (1L, ts("2024-01-01 12:00:00.6"), "a"),
+          (1L, ts("2024-01-01 12:00:01"), "b"),
+          (1L, ts("2024-01-01 12:00:01.2"), "c"))
+        q.processAllAvailable()
+        val paths = spark.table("subsec_stats")
+          .as[StreamOps.TypeStats].collect().map(_.recent_path).toSet
+        assert(paths == Set("a>b>c"),
+          s"sub-second within-batch order broke: $paths")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("ingestChunkStoreBatch skips a replayed (already-committed) batchId") {
+    import spark.implicits._
+    import graft.io.ChunkStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString + "/store"
+    val b0 = Seq((0L, "alpha beta gamma delta"), (1L, "epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    StreamOps.ingestChunkStoreBatch(b0, 0L, dir)
+    val manifest0 = spark.read.parquet(s"$dir/manifest").count()
+    val chunks0 = spark.read.parquet(s"$dir/chunks").count()
+    // foreachBatch replay: same batchId arrives again after a recovery —
+    // must be a no-op, not a duplicate manifest append
+    StreamOps.ingestChunkStoreBatch(b0, 0L, dir)
+    assert(spark.read.parquet(s"$dir/manifest").count() == manifest0)
+    assert(spark.read.parquet(s"$dir/chunks").count() == chunks0)
+    // a genuinely new batch still lands
+    val b1 = Seq((2L, "theta iota kappa")).toDF("doc_id", "text")
+    StreamOps.ingestChunkStoreBatch(b1, 1L, dir)
+    assert(spark.read.parquet(s"$dir/manifest")
+      .select("doc_id").distinct().count() == 3)
+    // and the store still round-trips byte-exactly
+    val all = b0.union(b1)
+    val mismatches = all.as("o")
+      .join(ChunkStore.materialize(spark, dir).as("r"), "doc_id", "full_outer")
+      .where(col("o.text").isNull || col("r.text").isNull ||
+        col("o.text") =!= col("r.text")).count()
+    assert(mismatches == 0)
+  }
+
   test("file sink resumes from its checkpoint exactly-once across a restart") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-restart")
