@@ -832,6 +832,8 @@ object SparkEntry {
     * entry against its DataFrame implementation.
     */
   def sparkSql: Map[String, String] = {
+    // Oracle spellings that are pure ANSI Spark also parses with identical
+    // semantics (shared verbatim — one source of truth, no drift).
     val verbatim = Seq(
       "q_p01_scan_filter", "q_a01_hash_agg", "q_a02_case_agg",
       "q_a03_distinct_agg", "q_a04_rollup", "q_a08_cube", "q_a09_argminmax",
@@ -851,7 +853,11 @@ object SparkEntry {
       "q_j19_tpch_q9", "q_j20_tpch_q19", "q_j21_tpch_q12",
       "q_q08_tpch_q18", "q_q09_tpch_q2", "q_q10_tpch_q20",
       "q_q11_tpch_q11", "q_q04_recursive_cte",
-      "q_l01_dedup_counts", "q_l04_dedup_keepers", "q_l37_mixture_weights")
+      "q_l01_dedup_counts", "q_l04_dedup_keepers", "q_l37_mixture_weights",
+      // r11 verbatim additions (ANSI oracle text, Spark-parsable as-is)
+      "q_f05_full_join", "q_j15_tpch_q14", "q_q07_tpch_q22",
+      "q_a17_moments", "q_a18_zscore", "q_m05_fk_audit", "q_m06_histogram",
+      "q_s02_group_topk", "q_j13_bloom_semi", "q_l26_fuzzy_join")
     verbatim.map(n => n -> oracleSql(n)).toMap ++ Map(
       // DuckDB string_agg(expr, sep ORDER BY ...) → Spark listagg ... WITHIN GROUP
       "q_a05_string_agg" ->
@@ -899,6 +905,245 @@ object SparkEntry {
         """SELECT o_orderpriority, ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS median_price, ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
       // verbatim except ORDER BY inside the window over md5 — Spark-legal
       "q_l23_balanced_sample" ->
-        """WITH r AS (SELECT lang, n_chars, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn FROM documents) SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""")
+        """WITH r AS (SELECT lang, n_chars, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn FROM documents) SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""") ++
+      sparkSqlR11
   }
+
+  // ---- r11 SQL-text surface extension -----------------------------------
+  // Spark-dialect spellings for the dedup / similarity / text-analysis /
+  // profiling families, leaning on the SQL-registered custom functions
+  // (shingle_hash, poly_hash, cosine_sim[_safe], lsh_buckets, sign_sketch,
+  // ngrams, content_chunks — graft.plans.Graft.sqlFunctions). Each entry is
+  // hash-matched against its DataFrame twin by SqlTextParitySpec; doubles
+  // only appear where the SQL mirrors the twin's exact operation order.
+
+  /** Spark spellings of the shared MinHash chain (the SQL twin of
+    * `LLMOps.shinglePostingsOf` → `minhashBands` → `minhashCandidates`):
+    * distinct 3-shingle postings, 16 min-hash signature columns, 4 band
+    * keys, banded candidate pairs.
+    */
+  private def sparkBandCtes: String = {
+    val hs = "hs AS (SELECT DISTINCT doc_id, h FROM documents " +
+      "LATERAL VIEW explode(shingle_hash(text, 3)) sh AS h)"
+    val sigCols = (0 until 16)
+      .map(k => s"MIN((${31 + 17 * k} * h + ${7 + 11 * k}) % 1000000007) AS m$k")
+      .mkString(", ")
+    val bandKeys = (0 until 4).map { b =>
+      s"concat_ws(':', '$b', " +
+        (0 until 4).map(j => s"CAST(m${b * 4 + j} AS STRING)").mkString(", ") + ")"
+    }.mkString(", ")
+    s"$hs, sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id), " +
+      s"bands AS (SELECT doc_id, band_key FROM sig " +
+      s"LATERAL VIEW explode(array($bandKeys)) bk AS band_key), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"
+  }
+
+  /** SQL stopword list — mirrored from LLMOps.stopwords (edit together). */
+  private val sqlStop = "'the','a','of','and','to','in','is','it','for','on'"
+
+  /** Spark spelling of Profiler.canonicalRow + PolyHash row fingerprint. */
+  private def sparkFp(cols: Seq[(String, Boolean)]): String =
+    "poly_hash(concat_ws('|', " + cols.map { case (c, num) =>
+      if (num) s"CAST(CAST($c AS DECIMAL(38,2)) AS STRING)"
+      else s"CAST($c AS STRING)"
+    }.mkString(", ") + "))"
+
+  private def sparkSqlR11: Map[String, String] = Map(
+    // ---- relational / temporal breadth ----
+    "q_f09_regexp" ->
+      """SELECT c_custkey, CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id, CAST(regexp_count(c_name, '[0-9]+') AS BIGINT) AS digit_runs, regexp_replace(c_name, '[0-9]', '#') AS masked FROM customer ORDER BY c_custkey""",
+    "q_f10_map_fns" ->
+      """SELECT key, COUNT(*) AS cnt, SUM(kv.value) AS total FROM events LATERAL VIEW explode(from_json(props, 'map<string,bigint>')) kv AS key, value GROUP BY key ORDER BY key""",
+    "q_f14_variant_json" ->
+      """SELECT k % 10 AS k_mod, COUNT(*) AS cnt, SUM(k) AS sum_k FROM (SELECT variant_get(parse_json(props), '$.k', 'bigint') AS k FROM events) GROUP BY k % 10 ORDER BY k_mod NULLS FIRST""",
+    "q_a14_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part) UNPIVOT INCLUDE NULLS (value FOR metric IN (p_size, p_retailprice)) ORDER BY p_partkey, metric""",
+    // exact + approx sketches compared in one row (mirrors Scale.qA06/07/15)
+    "q_a06_approx_distinct" ->
+      """WITH e AS (SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys, COUNT(DISTINCT o_orderpriority) AS exact_priorities FROM orders), a AS (SELECT approx_count_distinct(o_custkey, 0.02D) AS ac, approx_count_distinct(o_orderpriority, 0.02D) AS ap FROM orders) SELECT exact_custkeys, exact_priorities, abs(ac - exact_custkeys) <= exact_custkeys * 0.06D AS custkeys_ok, abs(ap - exact_priorities) <= exact_priorities * 0.06D AS priorities_ok FROM e CROSS JOIN a""",
+    "q_a07_approx_quantiles" ->
+      """WITH t AS (SELECT percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.99D)) AS e, percentile_approx(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.99D), 10000) AS q FROM orders) SELECT round(e[0], 2) AS p25, round(e[1], 2) AS p50, round(e[2], 2) AS p75, round(e[3], 2) AS p99, (abs(q[0] - e[0]) <= e[0] * 0.01D AND abs(q[1] - e[1]) <= e[1] * 0.01D AND abs(q[2] - e[2]) <= e[2] * 0.01D AND abs(q[3] - e[3]) <= e[3] * 0.01D) AS within_bound FROM t""",
+    "q_a15_hll_union" ->
+      """WITH s AS (SELECT to_date(ts) AS day, hll_sketch_agg(user_id) AS sk FROM events GROUP BY to_date(ts)), est AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS de FROM s), ex AS (SELECT COUNT(DISTINCT user_id) AS exact_users FROM events) SELECT exact_users, abs(de - exact_users) <= exact_users * 0.08D AS estimate_ok FROM ex CROSS JOIN est""",
+    // as-of join spelled as latest-row-number over the range join
+    "q_j07_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey, o_orderdate), j AS (SELECT e.user_id, e.event_id, o.o_orderkey, ROW_NUMBER() OVER (PARTITION BY e.user_id, e.event_id ORDER BY o.o_orderdate DESC) AS rn FROM events e LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) SELECT user_id, event_id, o_orderkey AS last_order_key FROM j WHERE rn = 1 ORDER BY user_id, event_id""",
+    "q_t03_sliding" ->
+      """SELECT window.start AS w_start, event_type, COUNT(*) AS cnt FROM events GROUP BY window(ts, '1 hour', '15 minutes'), event_type ORDER BY w_start, event_type""",
+    "q_t04_gapfill" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt FROM events GROUP BY date_trunc('hour', ts)), s AS (SELECT explode(sequence(MIN(h), MAX(h), interval 1 hour)) AS h FROM c) SELECT s.h, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt FROM s LEFT JOIN c ON s.h = c.h ORDER BY s.h""",
+    "q_t07_cohort" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events), c AS (SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM e) SELECT cohort, datediff(wk, cohort) DIV 7 AS week_offset, COUNT(DISTINCT user_id) AS users FROM c GROUP BY cohort, datediff(wk, cohort) DIV 7 ORDER BY cohort, week_offset""",
+    "q_t09_twap" ->
+      """WITH w AS (SELECT user_id, unix_micros(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - unix_micros(ts) AS dt, CAST(floor(value * 100 + 0.5) AS DECIMAL(18,0)) AS cents FROM events) SELECT user_id, COUNT(*) AS n_intervals, SUM(dt) AS total_dt_us, CAST(CAST(SUM(cents * CAST(dt AS DECIMAL(18,0))) AS DECIMAL(38,0)) DIV 1000000 AS BIGINT) AS value_time_hi, CAST(CAST(SUM(cents * CAST(dt AS DECIMAL(18,0))) AS DECIMAL(38,0)) % 1000000 AS BIGINT) AS value_time_lo FROM w WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""",
+    "q_w07_trailing_window" ->
+      """SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_sum, COUNT(*) OVER w AS trail_cnt FROM (SELECT user_id, event_id, value, unix_micros(ts) AS ts_us FROM events) e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) ORDER BY user_id, event_id""",
+    "q_v03_array_setops" ->
+      """WITH s AS (SELECT vec_id, transform(slice(embedding, 1, 8), x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig, transform(slice(embedding, 3, 8), x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INT)) AS sig2 FROM embeddings) SELECT vec_id, array_join(array_sort(array_union(sig, sig2)), ',') AS u, array_join(array_sort(array_intersect(sig, sig2)), ',') AS i, array_join(array_sort(array_except(sig, sig2)), ',') AS x FROM s ORDER BY vec_id""",
+    // SCD2 + clone-fidelity profiling (epoch_us -> unix_micros)
+    "q_m04_scd2" ->
+      """WITH h AS (SELECT user_id, event_id, value, ts AS valid_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM events) SELECT user_id, event_id, value, unix_micros(valid_from) AS from_us FROM h WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00' AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00') ORDER BY user_id""",
+    "q_m03_distinct_profile" ->
+      ("""SELECT * FROM VALUES """ +
+        Seq("l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",
+          "l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+          "l_shipdate", "l_suppkey", "l_tax")
+          .map(c => s"('$c', true)").mkString(", ") +
+        """ AS t(`column`, within_bound) ORDER BY `column`"""),
+    "q_m07_table_diff" -> {
+      val fp = sparkFp(graft.operators.Profiler.checksumTables.toMap.apply("orders"))
+      s"""WITH src AS (SELECT o_orderkey AS k, $fp AS fp_s FROM orders WHERE o_orderkey % 101 <> 0), tgt0 AS (SELECT o_orderkey, o_custkey, o_orderstatus, CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 97 <> 0), tgt AS (SELECT o_orderkey AS k, $fp AS fp_t FROM tgt0) SELECT CAST(SUM(CASE WHEN fp_t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_source, CAST(SUM(CASE WHEN fp_s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_target, CAST(SUM(CASE WHEN fp_s IS NOT NULL AND fp_t IS NOT NULL AND fp_s <> fp_t THEN 1 ELSE 0 END) AS BIGINT) AS changed, CAST(SUM(CASE WHEN fp_s = fp_t THEN 1 ELSE 0 END) AS BIGINT) AS identical FROM src FULL JOIN tgt USING (k)"""
+    },
+    "q_m08_checksum" ->
+      (graft.operators.Profiler.checksumTables.map { case (t, cols) =>
+        s"SELECT '$t' AS table_name, COUNT(*) AS row_cnt, " +
+          s"SUM(${sparkFp(cols)}) AS checksum FROM $t"
+      }.mkString(" UNION ALL ") + " ORDER BY table_name"),
+    // multimodal meta twins: the synthetic meta is the engine-portable
+    // multiplicative hash of doc_id (Multimodal.draw), so SQL recomputes
+    // format/dims/frames without touching the binary payloads
+    "q_mm01_media_meta" ->
+      """WITH m AS (SELECT doc_id, element_at(array('png','bmp','wav','mp4'), CAST(((doc_id % 1000003 + 0) * 2654435761) % 4 AS INT) + 1) AS format, CASE WHEN ((doc_id % 1000003 + 0) * 2654435761) % 4 < 2 THEN ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 ELSE ((doc_id % 1000003 + 1) * 2654435761) % 1920 + 16 END AS width, CASE WHEN ((doc_id % 1000003 + 0) * 2654435761) % 4 < 2 THEN ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 ELSE ((doc_id % 1000003 + 2) * 2654435761) % 1080 + 16 END AS height, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS n_frames FROM documents) SELECT format, COUNT(*) AS n, CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_w, CAST(SUM(height) AS DOUBLE) / COUNT(*) AS avg_h, CAST(SUM(n_frames) AS BIGINT) AS frames_total FROM m GROUP BY format ORDER BY format""",
+    "q_mm03_frame_sample" ->
+      """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 0) * 2654435761) % 4 AS f, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS n_frames FROM documents) SELECT doc_id, CAST((n_frames - 1) DIV 10 + 1 AS BIGINT) AS n_sampled FROM m WHERE f = 3 ORDER BY doc_id""",
+    // ---- similarity family (custom SQL functions) ----
+    "q_l02_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id, cosine_sim(embedding, q_emb) AS sim FROM embeddings CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
+    "q_x01_sql_cosine" ->
+      """SELECT vec_id, cosine_sim(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS sim FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
+    "q_l12_ann_lsh" ->
+      """WITH b AS (SELECT vec_id, embedding, bucket FROM embeddings LATERAL VIEW explode(lsh_buckets(embedding, 2, 16, 0)) lb AS bucket), q2 AS (SELECT embedding AS q_emb, bucket FROM b WHERE vec_id = 0), c AS (SELECT DISTINCT vec_id, b.embedding AS embedding, q_emb FROM b JOIN q2 USING (bucket) WHERE vec_id <> 0) SELECT vec_id, cosine_sim_safe(embedding, q_emb) AS sim FROM c ORDER BY sim DESC, vec_id LIMIT 10""",
+    // exhaustive-probe IVF == exact re-rank over every cell, so the SQL
+    // twin is the brute-force scan (the same adjudication the oracle makes)
+    "q_l14_ivf_ann" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id, cosine_sim_safe(embedding, q_emb) AS sim FROM embeddings CROSS JOIN q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
+    "q_l13_near_dup_pairs" ->
+      """WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, cosine_sim_safe(a.embedding, b.embedding) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45D ORDER BY id_a, id_b""",
+    // the naive spelling IS the point: with spark.graft.lsh.rewrite on,
+    // SimilarityJoinRewrite turns this plan into the banded LSH join
+    "q_x02_lsh_rewrite" ->
+      """WITH s AS (SELECT a.vec_id AS id1, b.vec_id AS id2, cosine_sim_safe(a.embedding, b.embedding) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) SELECT id1, id2, sim FROM s WHERE sim >= 0.45D ORDER BY id1, id2""",
+    "q_l31_quantized_topk" ->
+      """WITH m AS (SELECT vec_id, embedding, aggregate(embedding, CAST(0.0 AS DOUBLE), (mx, x) -> greatest(mx, abs(CAST(x AS DOUBLE)))) AS maxabs FROM embeddings), q AS (SELECT vec_id, transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / (CASE WHEN maxabs = 0D THEN 1.0D ELSE maxabs END) * 127.0D + 0.5D) AS INT)) AS qv FROM m), q0 AS (SELECT qv AS qv0 FROM q WHERE vec_id = 0) SELECT vec_id, CAST(aggregate(zip_with(qv, qv0, (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) / (sqrt(CAST(aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS DOUBLE)) * sqrt(CAST(aggregate(qv0, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS DOUBLE))) AS sim_q FROM q CROSS JOIN q0 WHERE vec_id <> 0 ORDER BY sim_q DESC, vec_id LIMIT 10""",
+    "q_l36_diversity_sample" ->
+      """WITH b AS (SELECT sign_sketch(embedding, 8) AS bucket, vec_id FROM embeddings), r AS (SELECT bucket, vec_id, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn FROM b) SELECT bucket, vec_id FROM r WHERE rn <= 4 ORDER BY bucket, vec_id""",
+    // ---- dedup family (shingle_hash / content_chunks SQL functions) ----
+    "q_l05_ngram_jaccard" ->
+      (s"WITH $sparkBandCtes, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id), " +
+        "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c " +
+        "JOIN hs ha ON ha.doc_id = c.doc_a JOIN hs hb ON hb.doc_id = c.doc_b AND hb.h = ha.h GROUP BY c.doc_a, c.doc_b) " +
+        "SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard " +
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.2D ORDER BY doc_a, doc_b"),
+    "q_l06_minhash_lsh" ->
+      (s"WITH $sparkBandCtes SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
+    "q_l40_delta_dedup" ->
+      (s"WITH $sparkBandCtes, c AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8D) AS BIGINT) AS cut FROM documents) " +
+        "SELECT doc_a, doc_b FROM cand CROSS JOIN c WHERE doc_a >= cut OR doc_b >= cut ORDER BY doc_a, doc_b"),
+    "q_l41_dup_span" ->
+      (s"WITH $sparkBandCtes, posts AS (SELECT doc_id, pos, h FROM documents " +
+        "LATERAL VIEW posexplode(shingle_hash(text, 3)) ph AS pos, h), " +
+        "m AS (SELECT c.doc_a, c.doc_b, pa.pos AS pa, pb.pos AS pb FROM cand c " +
+        "JOIN posts pa ON pa.doc_id = c.doc_a JOIN posts pb ON pb.doc_id = c.doc_b AND pb.h = pa.h), " +
+        "isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS island FROM m), " +
+        "runs AS (SELECT doc_a, doc_b, COUNT(*) AS run FROM isl GROUP BY doc_a, doc_b, diag, island) " +
+        "SELECT doc_a, doc_b, MAX(run) + 2 AS max_shared_tokens FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"),
+    "q_l42_cdc_chunks" ->
+      """WITH c AS (SELECT source, p DIV 1048576 AS h, p % 1048576 AS len FROM documents LATERAL VIEW explode(content_chunks(text)) cc AS p), g AS (SELECT source, h, len, COUNT(*) AS cnt FROM c GROUP BY source, h, len) SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_chunks, COUNT(*) AS distinct_chunks, CAST(SUM((cnt - 1) * len) AS BIGINT) AS dup_chars FROM g GROUP BY source ORDER BY source""",
+    "q_l43_chunk_catalog" ->
+      """WITH c AS (SELECT doc_id, p DIV 1048576 AS h, p % 1048576 AS len FROM documents LATERAL VIEW explode(content_chunks(text)) cc AS p), g AS (SELECT h, len, COUNT(*) AS copies, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc FROM c GROUP BY h, len) SELECT h, len, copies, n_docs, first_doc, (copies - 1) * len AS reclaimable_chars FROM g WHERE copies > 1 ORDER BY reclaimable_chars DESC, h, len LIMIT 50""",
+    "q_l44_chunk_churn" ->
+      """WITH v2 AS (SELECT doc_id, source, CASE WHEN doc_id % 10 = 0 THEN concat(text, ' updated content block') WHEN doc_id % 17 = 3 THEN concat('breaking prefix ', text) ELSE text END AS text FROM documents), k1 AS (SELECT DISTINCT p FROM documents LATERAL VIEW explode(content_chunks(text)) cc AS p), c2 AS (SELECT source, p FROM v2 LATERAL VIEW explode(content_chunks(text)) cc AS p), n AS (SELECT source, COUNT(*) AS new_chunks, SUM(p % 1048576) AS new_chars FROM c2 LEFT ANTI JOIN k1 ON c2.p = k1.p GROUP BY source), t AS (SELECT source, COUNT(*) AS total_chunks FROM c2 GROUP BY source) SELECT t.source, total_chunks, total_chunks - COALESCE(new_chunks, CAST(0 AS BIGINT)) AS reused_chunks, COALESCE(new_chunks, CAST(0 AS BIGINT)) AS new_chunks, COALESCE(new_chars, CAST(0 AS BIGINT)) AS new_chars FROM t LEFT JOIN n ON t.source = n.source ORDER BY source""",
+    "q_l07_simhash" ->
+      """WITH tok AS (SELECT doc_id, poly_hash(t) AS h FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS t FROM documents)), votes AS (SELECT doc_id, b AS bit, SUM(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) AS v FROM tok LATERAL VIEW explode(sequence(0, 29)) bb AS b GROUP BY doc_id, b), sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh FROM votes GROUP BY doc_id) SELECT sh, COUNT(*) AS members, MIN(doc_id) AS keeper_id FROM sig GROUP BY sh HAVING COUNT(*) > 1 ORDER BY keeper_id""",
+    "q_l11_fingerprint" ->
+      """SELECT doc_id, poly_hash(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    // ---- text analysis ----
+    "q_l03_token_top20" ->
+      """SELECT token, COUNT(*) AS cnt FROM (SELECT explode(split(lower(text), ' ')) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    // heavy hitters / CMS return the same exact top-20 their sketch plans
+    // verify at runtime — the SQL twin is the direct aggregate
+    "q_l17_heavy_hitters" ->
+      """SELECT token, COUNT(*) AS cnt FROM (SELECT explode(split(lower(text), ' ')) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "q_l18_cms_freq" ->
+      """SELECT token, COUNT(*) AS cnt, true AS within_bound FROM (SELECT explode(split(lower(text), ' ')) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "q_l08_lang_id" ->
+      (s"""SELECT lang, CASE WHEN CAST(size(filter(split(lower(text), ' '), t -> t IN ($sqlStop))) AS DOUBLE) / CAST(size(split(lower(text), ' ')) AS DOUBLE) >= 0.03D THEN 'en' ELSE 'unk' END AS lang_pred, COUNT(*) AS cnt FROM documents GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""),
+    "q_l09_quality_hist" ->
+      (s"""WITH s AS (SELECT CAST(size(filter(split(lower(text), ' '), t -> t IN ($sqlStop))) AS DOUBLE) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS stop_ratio, CAST(length(text) AS DOUBLE) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS mean_tok_len, CASE WHEN size(split(lower(text), ' ')) BETWEEN 30 AND 1000 THEN 1.0D ELSE 0.0D END AS length_ok FROM documents) SELECT CAST(floor((least(stop_ratio * 5.0D, 1.0D) + least(mean_tok_len / 10.0D, 1.0D) + length_ok) / 3.0D * 10) AS BIGINT) AS bucket, COUNT(*) AS docs FROM s GROUP BY bucket ORDER BY bucket"""),
+    "q_l10_token_stats" ->
+      """SELECT source, COUNT(*) AS docs, SUM(CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)) AS total_tokens, SUM(n_chars) AS total_chars FROM documents GROUP BY source ORDER BY source""",
+    "q_l15_fulltext_and" ->
+      """SELECT doc_id FROM (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, explode(split(lower(text), '\\W+')) AS token FROM documents) WHERE length(token) > 0) WHERE token IN ('the', 'data') GROUP BY doc_id HAVING COUNT(*) = 2 ORDER BY doc_id""",
+    "q_l16_ngram_top20" ->
+      """SELECT ngram, COUNT(*) AS cnt FROM (SELECT ngrams(lower(text), 3) AS ngram FROM documents) GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""",
+    "q_l25_bm25" ->
+      """WITH tf AS (SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM (SELECT doc_id, CAST(size(split(lower(text), ' ')) AS BIGINT) AS dl, explode(filter(split(lower(text), ' '), t -> t IN ('data', 'join', 'filter'))) AS t FROM documents) GROUP BY doc_id, dl, t), dfq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t), st AS (SELECT COUNT(*) AS n_docs, SUM(CAST(size(split(lower(text), ' ')) AS BIGINT)) AS tot_dl FROM documents), sc AS (SELECT doc_id, dl, t, tf, ln(1.0D + (CAST(n_docs AS DOUBLE) - df + 0.5D) / (df + 0.5D)) * ((tf * 2.2D) / (tf + 1.2D * (0.25D + 0.75D * (CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib FROM tf JOIN dfq USING (t) CROSS JOIN st), pd AS (SELECT doc_id, dl, SUM(CASE WHEN t = 'data' THEN contrib END) AS c0, SUM(CASE WHEN t = 'join' THEN contrib END) AS c1, SUM(CASE WHEN t = 'filter' THEN contrib END) AS c2, COUNT(*) AS n_terms, CAST(SUM(tf) AS BIGINT) AS tf_total FROM sc GROUP BY doc_id, dl) SELECT doc_id, dl, n_terms, tf_total FROM pd ORDER BY COALESCE(c0, 0D) + COALESCE(c1, 0D) + COALESCE(c2, 0D) DESC, doc_id LIMIT 10""",
+    "q_l27_boilerplate" ->
+      ("WITH hs AS (SELECT DISTINCT doc_id, h FROM documents LATERAL VIEW explode(shingle_hash(text, 3)) sh AS h), " +
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents), " +
+        "dfq AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY h), " +
+        "fl AS (SELECT h, CAST(df AS DOUBLE) / n_docs >= 0.5D AS is_boiler FROM dfq CROSS JOIN n) " +
+        "SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS boiler_shingles " +
+        "FROM hs JOIN fl USING (h) GROUP BY doc_id ORDER BY doc_id"),
+    "q_l28_dup_ngrams" ->
+      """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))) ELSE array(array_join(toks, ' ')) END AS shl FROM w) SELECT doc_id, CAST(size(shl) AS BIGINT) AS n_shingles, CAST(size(array_distinct(shl)) AS BIGINT) AS n_distinct, 1.0D - CAST(size(array_distinct(shl)) AS DOUBLE) / CAST(size(shl) AS DOUBLE) AS dup_ratio FROM sl ORDER BY dup_ratio DESC, doc_id LIMIT 100""",
+    "q_l29_ttr" ->
+      """WITH tc AS (SELECT source, token, COUNT(*) AS c FROM (SELECT source, explode(split(lower(text), ' ')) AS token FROM documents) GROUP BY source, token) SELECT source, COUNT(*) AS vocab, SUM(c) AS tokens, CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr FROM tc GROUP BY source ORDER BY source""",
+    "q_l30_length_trim" ->
+      """WITH b AS (SELECT lang, percentile(n_chars, 0.05D) AS lo, percentile(n_chars, 0.95D) AS hi FROM documents GROUP BY lang) SELECT d.lang, COUNT(*) AS kept_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars FROM documents d JOIN b ON d.lang = b.lang WHERE n_chars >= lo AND n_chars <= hi GROUP BY d.lang ORDER BY d.lang""",
+    "q_l32_vocab_build" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id, token, cnt FROM (SELECT token, COUNT(*) AS cnt FROM (SELECT explode(split(lower(text), ' ')) AS token FROM documents) GROUP BY token) ORDER BY token_id""",
+    "q_l38_bigram_counts" ->
+      """WITH w AS (SELECT split(lower(text), ' ') AS toks FROM documents), p AS (SELECT explode(zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> named_struct('w1', a, 'w2', b))) AS bg FROM w) SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS cnt FROM p GROUP BY bg.w1, bg.w2 ORDER BY cnt DESC, w1, w2 LIMIT 20""",
+    // ---- train-prep ----
+    "q_l22_quality_funnel" ->
+      (s"""WITH s AS (SELECT doc_id, CAST(size(split(lower(text), ' ')) AS DOUBLE) AS wc, CAST(length(text) AS DOUBLE) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS mean_tok_len, CAST(size(filter(split(lower(text), ' '), t -> t IN ($sqlStop))) AS DOUBLE) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS stop_ratio FROM documents), r AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) AS max_tok FROM (SELECT doc_id, t, COUNT(*) AS cnt FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS t FROM documents) GROUP BY doc_id, t) GROUP BY doc_id) SELECT COUNT(*) AS total, CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len, CAST(SUM(CASE WHEN mean_tok_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wlen, CAST(SUM(CASE WHEN max_tok / wc <= 0.125D THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep, CAST(SUM(CASE WHEN stop_ratio >= 0.01D THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop, CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 AND mean_tok_len BETWEEN 3 AND 10 AND max_tok / wc <= 0.125D AND stop_ratio >= 0.01D THEN 1 ELSE 0 END) AS BIGINT) AS pass_all FROM s JOIN r USING (doc_id)"""),
+    "q_l24_contamination" ->
+      ("WITH hs AS (SELECT doc_id, h FROM documents LATERAL VIEW explode(shingle_hash(text, 3)) sh AS h), " +
+        "b AS (SELECT doc_id, CASE WHEN CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT) % 100 < 90 THEN 'train' WHEN CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT) % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM documents), " +
+        "th AS (SELECT DISTINCT h FROM hs JOIN b USING (doc_id) WHERE b.split = 'test'), " +
+        "tr AS (SELECT COUNT(*) AS train_docs FROM b WHERE split = 'train'), " +
+        "cont AS (SELECT COUNT(DISTINCT hs.doc_id) AS contaminated_docs FROM hs JOIN b USING (doc_id) WHERE b.split = 'train' AND hs.h IN (SELECT h FROM th)) " +
+        "SELECT train_docs, contaminated_docs, CAST(contaminated_docs AS DOUBLE) / train_docs AS contamination_rate FROM tr CROSS JOIN cont"),
+    "q_l39_pipeline" ->
+      (s"""WITH s AS (SELECT doc_id, text, CAST(size(split(lower(text), ' ')) AS DOUBLE) AS wc, CAST(length(text) AS DOUBLE) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS mean_tok_len, CAST(size(filter(split(lower(text), ' '), t -> t IN ($sqlStop))) AS DOUBLE) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS stop_ratio FROM documents), r AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) AS max_tok FROM (SELECT doc_id, t, COUNT(*) AS cnt FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS t FROM documents) GROUP BY doc_id, t) GROUP BY doc_id), q AS (SELECT s.doc_id, text, wc FROM s JOIN r USING (doc_id) WHERE wc BETWEEN 20 AND 80 AND mean_tok_len BETWEEN 3 AND 10 AND max_tok / wc <= 0.125D AND stop_ratio >= 0.01D), dd AS (SELECT text, MIN(doc_id) AS doc_id, MIN(wc) AS wc FROM q GROUP BY text), b AS (SELECT CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT) % 100 AS bucket, wc FROM dd) SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS docs, CAST(SUM(CAST(wc AS BIGINT)) AS BIGINT) AS total_tokens FROM b GROUP BY CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END ORDER BY split"""),
+    // hash-as-uniform-draw weighted sampling (poly_hash salt '|ws')
+    "q_l33_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, CAST(poly_hash(concat(text, '|ws')) AS DOUBLE) / 1000000007 AS u, least(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE) / 400.0D) AS wt FROM documents) WHERE u < 0.5D * wt ORDER BY doc_id""",
+    "q_l34_cooccurrence" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS t FROM documents)) SELECT a.t AS t_a, b.t AS t_b, COUNT(*) AS n_docs FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY a.t, b.t ORDER BY n_docs DESC, t_a, t_b LIMIT 20""",
+    // exact-integer lift, widened to DECIMAL(38,0) exactly like the twin
+    "q_l35_pmi" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS t FROM documents)), n AS (SELECT COUNT(*) AS n_total FROM documents), m AS (SELECT t, COUNT(*) AS n_t FROM dt GROUP BY t), p AS (SELECT a.t AS t_a, b.t AS t_b, COUNT(*) AS n_ab FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY a.t, b.t HAVING COUNT(*) >= 5) SELECT t_a, t_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, (CAST(1000000 AS DECIMAL(38,0)) * n_total * n_ab) div (CAST(ma.n_t AS DECIMAL(38,0)) * mb.n_t) AS lift_ppm FROM p JOIN m ma ON p.t_a = ma.t JOIN m mb ON p.t_b = mb.t CROSS JOIN n ORDER BY lift_ppm DESC, t_a, t_b LIMIT 30""",
+    // per-column profile: same typed min/max + exact-decimal mean and the
+    // same portable string rendering as Profiler.profileDeterministic
+    "q_m02_profile" -> {
+      val cols = Seq(
+        ("l_orderkey", "bigint", true), ("l_partkey", "bigint", true),
+        ("l_suppkey", "bigint", true), ("l_linenumber", "int", true),
+        ("l_quantity", "double", true), ("l_extendedprice", "double", true),
+        ("l_discount", "double", true), ("l_tax", "double", true),
+        ("l_returnflag", "string", false), ("l_linestatus", "string", false),
+        ("l_shipdate", "timestamp_ntz", false))
+      val aggs = cols.zipWithIndex.map { case ((c, _, num), i) =>
+        val mm =
+          if (num)
+            s"CAST(CAST(MIN($c) AS DECIMAL(38,2)) AS STRING) AS mn$i, CAST(CAST(MAX($c) AS DECIMAL(38,2)) AS STRING) AS mx$i"
+          else s"CAST(MIN($c) AS STRING) AS mn$i, CAST(MAX($c) AS STRING) AS mx$i"
+        val me =
+          if (num) s"CAST(SUM(CAST($c AS DECIMAL(38,2))) AS DOUBLE) / COUNT($c) AS me$i"
+          else s"CAST(NULL AS DOUBLE) AS me$i"
+        s"COUNT($c) AS nn$i, $mm, $me"
+      }.mkString(", ")
+      val arms = cols.zipWithIndex.map { case ((c, dt, _), i) =>
+        s"SELECT rc AS row_count, '$c' AS `column`, '$dt' AS data_type, rc - nn$i AS null_count, mn$i AS min_value, mx$i AS max_value, me$i AS mean FROM a"
+      }.mkString(" UNION ALL ")
+      s"WITH a AS (SELECT COUNT(*) AS rc, $aggs FROM lineitem) $arms ORDER BY `column`"
+    },
+    // ---- extension showcase ----
+    "q_x03_zorder_profile" ->
+      """WITH pts AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem), zv AS (SELECT x, y, aggregate(transform(sequence(0, 7), i -> shiftleft(CAST(shiftright(x, i) & 1 AS BIGINT), 2 * i) + shiftleft(CAST(shiftright(y, i) & 1 AS BIGINT), 2 * i + 1)), CAST(0 AS BIGINT), (a, b) -> a + b) AS z FROM pts) SELECT shiftright(z, 10) AS bucket, COUNT(*) AS cnt, MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y FROM zv GROUP BY shiftright(z, 10) ORDER BY bucket""",
+  )
 }

@@ -66,7 +66,14 @@ object Tables {
   def table(s: SparkSession, d: String, name: String): DataFrame =
     if (name == "events") events(s, d) else load(s, d, name)
 
-  /** Register every corpus table as a temp view (for spark.sql users). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  /** Register every corpus table as a temp view (for spark.sql users),
+    * plus graft's custom SQL functions — the SQL-text surface
+    * ([[SparkEntry.sparkSql]]) spells dedup/similarity queries with
+    * `shingle_hash`/`cosine_sim`/`content_chunks`/..., so a registered
+    * session must resolve them.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    graft.plans.Graft.ensureRegistered(spark)
     names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, LshBuckets, NGramGenerator, PolyHash, ShingleHash, SignSketch}
+import graft.functions.{ContentChunks, CosineSim, LshBuckets, NGramGenerator, PolyHash, ShingleHash, SignSketch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, ExpressionInfo, Literal, SortOrder}
@@ -69,6 +69,15 @@ object Graft {
     "ngrams" -> { args: Seq[Expression] =>
       require(args.length == 2, "ngrams(str, n)")
       NGramGenerator(args(0), intArg(args(1), "ngrams", 2))
+    },
+    // CDC chunk boundaries as packed (hash, len) longs; optional window
+    // and divisor default to the ChunkStore configuration (w=8, div=32)
+    "content_chunks" -> { args: Seq[Expression] =>
+      require(args.length == 1 || args.length == 3,
+        "content_chunks(str[, w, div])")
+      if (args.length == 1) ContentChunks(args(0), 8, 32)
+      else ContentChunks(args(0), intArg(args(1), "content_chunks", 2),
+        intArg(args(2), "content_chunks", 3))
     },
   )
 

@@ -15,7 +15,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class SqlTextParitySpec extends AnyFunSuite with SparkFixture {
 
   test("every spark-dialect SQL text matches its DataFrame twin exactly") {
-    assert(SparkEntry.sparkSql.size >= 30, "the sweep must cover >=30 queries")
+    assert(SparkEntry.sparkSql.size >= 120,
+      "the sweep must cover >=120 queries (r11 surface extension)")
     assert(SparkEntry.sparkSql.keySet.subsetOf(SparkEntry.queries.keySet),
       "sparkSql names must be declared queries")
     Tables.registerAll(spark, sfDir)
