@@ -52,8 +52,13 @@ object ManifestRegistry {
   * way a table format's planner integration works. The predicate itself
   * is untouched (the engine still decides what to RETURN), so lossy or
   * NULL stats only cost skipping; bounds are extracted conservatively
-  * (bare attribute-vs-literal comparison conjuncts only — a disjunction
-  * or expression-wrapped column contributes nothing and the file keeps).
+  * (bare attribute-vs-literal comparison conjuncts only — an
+  * expression-wrapped column contributes nothing and the file keeps).
+  * Disjunctions prune set-algebraically (r11): OR keeps the UNION of its
+  * branches' surviving files, AND the intersection, and a branch with no
+  * extractable stats keeps everything — so `d BETWEEN a AND b OR d
+  * BETWEEN c AND e` (the classic two-period report) scans only the two
+  * bands' files, while `x = 1 OR unknowable(y)` soundly keeps all.
   * Literal domains mirror what [[StatsManifest]] records: integrals as-is,
   * DATE as Catalyst epoch days, TIMESTAMP/TIMESTAMP_NTZ as Catalyst epoch
   * micros, ≤18-digit DECIMAL as its unscaled long — so `o_orderdate >=
@@ -228,6 +233,40 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
       .sortBy(_._1)
   }
 
+  /** Surviving-file set of `cond`, or None when the predicate carries no
+    * extractable stats (keep everything — sound). Disjunctions union
+    * their branches' sets; conjunctions intersect (a branch with no
+    * stats constrains nothing); an OR nested under anything else (e.g. a
+    * un-simplified NOT) contributes nothing. Or-free subtrees evaluate
+    * in ONE `pruneFiles` pass exactly as the conjunct-only rule did, so
+    * the driver-side manifest work stays proportional to the number of
+    * OR branches, not the conjunct count.
+    */
+  private def keptFiles(cond: Expression, manifest: DataFrame,
+      covered: Set[String], bloomCovered: Set[String]): Option[Seq[String]] = {
+    def hasOr(e: Expression): Boolean = e.exists(_.isInstanceOf[Or])
+    cond match {
+      case Or(l, r) =>
+        for {
+          a <- keptFiles(l, manifest, covered, bloomCovered)
+          b <- keptFiles(r, manifest, covered, bloomCovered)
+        } yield (a ++ b).distinct
+      case And(l, r) if hasOr(cond) =>
+        (keptFiles(l, manifest, covered, bloomCovered),
+          keptFiles(r, manifest, covered, bloomCovered)) match {
+          case (Some(a), Some(b)) => Some(a.intersect(b))
+          case (a, None)          => a
+          case (None, b)          => b
+        }
+      case _ if hasOr(cond) => None
+      case leaf =>
+        val bounds = extractBounds(leaf, covered)
+        val points = extractPoints(leaf, bloomCovered)
+        if (bounds.isEmpty && points.isEmpty) None
+        else Some(StatsManifest.pruneFiles(manifest, bounds, points))
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || ManifestRegistry.isEmpty) plan
     else plan.transformUp {
@@ -241,13 +280,11 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
               .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
             val bloomCovered = manifest.columns
               .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSet
-            val bounds = extractBounds(cond, covered)
-            val points = extractPoints(cond, bloomCovered)
-            if (bounds.isEmpty && points.isEmpty) f
-            else {
-              val kept = StatsManifest.pruneFiles(manifest, bounds, points)
-              if (kept.size >= fsRel.location.inputFiles.length) f
-              else {
+            keptFiles(cond, manifest, covered, bloomCovered) match {
+              case None => f
+              case Some(kept) if kept.size >= fsRel.location.inputFiles.length => f
+              case Some(kept) =>
+                {
                 val session = fsRel.sparkSession
                 // basePath keeps hive partition columns resolvable, as in
                 // StatsManifest.readPruned

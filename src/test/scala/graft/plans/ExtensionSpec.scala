@@ -254,6 +254,52 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
     } finally ManifestRegistry.deregister(spark, dir)
   }
 
+  test("manifest-prune rule: disjunctions prune the union of their " +
+      "branches' files; an unprunable branch soundly keeps all") {
+    import graft.io.{StatsManifest, Writers}
+    val dir = java.nio.file.Files.createTempDirectory("graft-mprune-or").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Writers.rangeClustered(li, dir, Seq("l_orderkey"), numFiles = 16)
+    ManifestRegistry.register(spark, dir,
+      StatsManifest.build(spark, dir, Seq("l_orderkey")))
+    try {
+      val (kLo, kHi) = (li.agg(min("l_orderkey")).head().getLong(0),
+        li.agg(max("l_orderkey")).head().getLong(0))
+      val span = kHi - kLo
+      // two disjoint narrow bands at 1/4 and 3/4 of the key range — the
+      // two-period-report shape the r10 verdict called out
+      val band1 = col("l_orderkey").between(kLo + span / 4, kLo + span / 4 + span / 16)
+      val band2 = col("l_orderkey").between(kLo + 3 * span / 4, kLo + 3 * span / 4 + span / 16)
+      val iso = spark.newSession()
+      Graft.ensureRegistered(iso)
+      iso.conf.set("spark.graft.manifest.prune", "true")
+      def query(s: org.apache.spark.sql.SparkSession) =
+        s.read.parquet(dir).where(band1 || band2)
+          .orderBy("l_orderkey", "l_partkey", "l_quantity")
+      val pruned = query(iso)
+      val filesRead = scanFiles(pruned)
+      assert(filesRead > 0 && filesRead <= 6,
+        s"two bands should confine the scan to ~2x2 of 16 files, read $filesRead")
+      assert(pruned.collect().sameElements(query(spark).collect()),
+        "disjunctive prune: parity")
+      // an OR branch with no extractable stats keeps every file (sound)
+      assert(scanFiles(iso.read.parquet(dir)
+        .where(band1 || col("l_quantity") > 0)) == 16)
+      // AND of a disjunction with a further band intersects: the second
+      // band overlaps only band2's files, so band1's files drop out
+      val clip = col("l_orderkey") >= kLo + span / 2
+      val both = iso.read.parquet(dir).where((band1 || band2) && clip)
+        .orderBy("l_orderkey", "l_partkey", "l_quantity")
+      assert(scanFiles(both) < filesRead,
+        "conjoined band should intersect away the first disjunct's files")
+      assert(both.collect().sameElements(
+        spark.read.parquet(dir).where((band1 || band2) && clip)
+          .orderBy("l_orderkey", "l_partkey", "l_quantity").collect()),
+        "and-of-or prune: parity")
+    } finally ManifestRegistry.deregister(spark, dir)
+  }
+
   test("manifest-prune rule: date, timestamp, ntz and decimal bands prune " +
       "files on flat, hive-partitioned and MILLIS-written layouts, with parity") {
     import graft.io.{StatsManifest, Writers}
