@@ -27,22 +27,86 @@ import scala.jdk.CollectionConverters._
   * _MICROS (normalized to epoch-µs on read, so the manifest domain always
   * matches Catalyst's internal micros), and ≤18-digit DECIMAL (unscaled
   * INT32/INT64, the layout Spark writes for those precisions). Binary-
-  * backed stats (strings, wide decimals, INT96) degrade to NULL =
-  * keep-the-file: min/max comparison semantics for truncated binary stats
-  * are subtle (PARQUET-1685) and skipping is an optimization, never a
-  * correctness bet. TIMESTAMP(NANOS) also degrades to NULL — under the
-  * legacy nanosAsLong flag the engine sees raw ns Longs, so µs-normalized
-  * stats would prune in the wrong unit.
+  * backed stats (wide decimals, INT96) degrade to NULL = keep-the-file:
+  * min/max comparison semantics for truncated binary stats are subtle
+  * (PARQUET-1685) and skipping is an optimization, never a correctness
+  * bet. TIMESTAMP(NANOS) also degrades to NULL — under the legacy
+  * nanosAsLong flag the engine sees raw ns Longs, so µs-normalized stats
+  * would prune in the wrong unit.
+  *
+  * STRING columns (r11) get their own truncated-safe band channel,
+  * opt-in via `stringCols`: per file, `smin_<c>`/`smax_<c>` hold a
+  * ≤16-char ASCII band derived from the footer's binary min/max with the
+  * PARQUET-1685 discipline — the lower band is a plain prefix (a prefix
+  * sorts ≤ its extension in every lexicographic order), the upper band is
+  * truncate-AND-INCREMENT (the rightmost incrementable char bumps, the
+  * tail drops), so the stored band always CONTAINS the file's true
+  * values even though it is shorter than them. Values or literals
+  * outside printable ASCII degrade that side to NULL (keep-the-file):
+  * within ASCII, UTF-8 byte order, UTF8String order and Java char order
+  * all coincide, so band comparisons are order-consistent in every
+  * engine domain; outside it they can disagree (surrogates vs 4-byte
+  * code points) and no band is stored rather than betting on an order.
+  * This is what lets `c_name LIKE 'Customer#000001%'` and string ranges
+  * skip files on a name-clustered layout.
   */
 object StatsManifest {
 
-  private def manifestSchema(cols: Seq[String]): StructType =
+  /** Default max chars stored per string band (Iceberg's `truncate(16)`
+    * default) — wide enough to separate real key prefixes, narrow enough
+    * that an 800k-file manifest stays tiny. Keys whose discriminating
+    * chars sit deeper (e.g. zero-padded ids with a long shared prefix)
+    * pass a wider `bandWidth` to [[build]] — the band stays sound at any
+    * width; width only tunes how much it discriminates.
+    */
+  val StringBandWidth = 16
+
+  private def manifestSchema(cols: Seq[String],
+      stringCols: Seq[String]): StructType =
     StructType(
       StructField("file", StringType, nullable = false) +:
       StructField("rows", LongType, nullable = false) +:
-      cols.flatMap(c => Seq(
+      (cols.flatMap(c => Seq(
         StructField(s"min_$c", LongType, nullable = true),
-        StructField(s"max_$c", LongType, nullable = true))))
+        StructField(s"max_$c", LongType, nullable = true))) ++
+       stringCols.flatMap(c => Seq(
+        StructField(s"smin_$c", StringType, nullable = true),
+        StructField(s"smax_$c", StringType, nullable = true)))))
+
+  private[graft] def isPrintableAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x20 || c > 0x7e) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Truncated LOWER band of a string min: a plain ≤16-char prefix (a
+    * prefix is ≤ its extension in any lexicographic order). None outside
+    * printable ASCII.
+    */
+  private[graft] def bandLo(s: String,
+      width: Int = StringBandWidth): Option[String] =
+    if (!isPrintableAscii(s)) None else Some(s.take(width))
+
+  /** Truncated UPPER band of a string max: the value itself when short
+    * enough, else the 16-char prefix with its rightmost incrementable
+    * char bumped and the tail dropped — ≥ every string carrying the
+    * original prefix. None outside printable ASCII or when no char can
+    * bump (all '~').
+    */
+  private[graft] def bandHi(s: String,
+      width: Int = StringBandWidth): Option[String] =
+    if (!isPrintableAscii(s)) None
+    else if (s.length <= width) Some(s)
+    else {
+      val p = s.substring(0, width)
+      val i = p.lastIndexWhere(_ < '~')
+      if (i < 0) None
+      else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    }
 
   /** Per-file (min, max) of each of `cols` plus row count, from parquet
     * FOOTERS only — no data pages are read. Footer reads are distributed
@@ -52,8 +116,10 @@ object StatsManifest {
     * pruner then keeps the file (skipping is an optimization, never a
     * correctness bet).
     */
-  def build(s: SparkSession, dir: String, cols: Seq[String]): DataFrame =
-    buildForFiles(s, listParquet(s, dir), cols)
+  def build(s: SparkSession, dir: String, cols: Seq[String],
+      stringCols: Seq[String] = Nil,
+      bandWidth: Int = StringBandWidth): DataFrame =
+    buildForFiles(s, listParquet(s, dir), cols, stringCols, bandWidth)
 
   /** The parquet files under `dir` (recursive), via the path's own
     * `FileSystem` — listing only, no footers touched.
@@ -72,7 +138,8 @@ object StatsManifest {
   }
 
   private def buildForFiles(s: SparkSession, paths: Seq[String],
-      cols: Seq[String]): DataFrame = {
+      cols: Seq[String], stringCols: Seq[String] = Nil,
+      bandWidth: Int = StringBandWidth): DataFrame = {
     import org.apache.hadoop.fs.Path
     // Configuration is not serializable; ship its entries and rebuild per
     // executor so scheme-specific settings (S3 endpoints/credential
@@ -80,6 +147,8 @@ object StatsManifest {
     val confEntries = s.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue).toVector
     val colsLocal = cols
+    val stringColsLocal = stringCols
+    val bandWidthLocal = bandWidth
     // slices scale with the file count: a fixed small number would leave
     // one task sequentially opening tens of thousands of S3 footers on
     // the advertised million-file table
@@ -134,7 +203,35 @@ object StatsManifest {
               Seq(mins.min, maxs.max)
             }
           }
-          Row.fromSeq(file +: nRows +: stats)
+          // string bands: footer binary min/max decoded as UTF-8, reduced
+          // across row groups, then truncated with the PARQUET-1685
+          // discipline (bandLo/bandHi). Each side degrades independently;
+          // non-ASCII or unusable stats yield NULL = keep-the-file.
+          val strStats: Seq[Any] = stringColsLocal.flatMap { col =>
+            val chunks = blocks.map(_.getColumns.asScala
+              .find(_.getPath.toDotString == col).orNull)
+            if (chunks.isEmpty ||
+                chunks.exists(cc => cc == null || cc.getStatistics == null ||
+                  !cc.getStatistics.hasNonNullValue ||
+                  !cc.getStatistics.genericGetMin
+                    .isInstanceOf[org.apache.parquet.io.api.Binary]))
+              Seq(null, null)
+            else {
+              def str(b: Any): String = new String(
+                b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+                java.nio.charset.StandardCharsets.UTF_8)
+              val mins = chunks.map(cc => str(cc.getStatistics.genericGetMin))
+              val maxs = chunks.map(cc => str(cc.getStatistics.genericGetMax))
+              // Java-order reduce is safe here: orders only disagree on
+              // non-ASCII contenders, and any non-ASCII winner (or a
+              // non-ASCII true extreme hiding behind an ASCII pick —
+              // impossible: non-ASCII beats ASCII in every order) nulls
+              // out in bandLo/bandHi anyway
+              Seq(bandLo(mins.min, bandWidthLocal).orNull,
+                bandHi(maxs.max, bandWidthLocal).orNull)
+            }
+          }
+          Row.fromSeq(file +: nRows +: (stats ++ strStats))
         } finally reader.close()
       }
     }
@@ -143,7 +240,8 @@ object StatsManifest {
     // compacted/vacuumed away) never re-run the footer reads — the
     // in-session stand-in for the manifest table a production pipeline
     // persists next to the data
-    s.createDataFrame(rows, manifestSchema(cols)).localCheckpoint(eager = true)
+    s.createDataFrame(rows, manifestSchema(cols, stringCols))
+      .localCheckpoint(eager = true)
   }
 
   /** Incremental manifest maintenance: footer-read ONLY files not yet in
@@ -153,7 +251,8 @@ object StatsManifest {
     * corpus-boundary contract as the delta-dedup snapshot (q_l40).
     */
   def append(s: SparkSession, dir: String, existing: DataFrame,
-      cols: Seq[String]): DataFrame = {
+      cols: Seq[String], stringCols: Seq[String] = Nil,
+      bandWidth: Int = StringBandWidth): DataFrame = {
     // both file lists are driver-sized (one path per file — the same
     // order as any planner's file listing), so the set difference is
     // plain driver code; only the kept-rows filter runs as a join
@@ -162,7 +261,7 @@ object StatsManifest {
     val newFiles = current.filterNot(known)
     val fresh =
       if (newFiles.isEmpty) existing.limit(0)
-      else buildForFiles(s, newFiles, cols)
+      else buildForFiles(s, newFiles, cols, stringCols, bandWidth)
     val currentDf = s.createDataFrame(
       s.sparkContext.parallelize(current.map(Row(_)),
         math.max(1, math.min(current.size, s.sparkContext.defaultParallelism))),
@@ -203,13 +302,15 @@ object StatsManifest {
     */
   def appendWithBlooms(s: SparkSession, dir: String, existing: DataFrame,
       cols: Seq[String], bloomCols: Seq[String],
-      expectedItems: Long = 100000L, fpp: Double = 0.03): DataFrame = {
+      expectedItems: Long = 100000L, fpp: Double = 0.03,
+      stringCols: Seq[String] = Nil,
+      bandWidth: Int = StringBandWidth): DataFrame = {
     val current = listParquet(s, dir)
     val known = existing.select("file").collect().map(_.getString(0)).toSet
     val newFiles = current.filterNot(known)
     val fresh =
       if (newFiles.isEmpty) existing.limit(0)
-      else buildForFiles(s, newFiles, cols)
+      else buildForFiles(s, newFiles, cols, stringCols, bandWidth)
         .join(bloomsForFiles(s, newFiles, bloomCols, expectedItems, fpp),
           Seq("file"), "left_outer")
     val currentDf = s.createDataFrame(
@@ -268,6 +369,22 @@ object StatsManifest {
         (col(s"max_$c") >= lo && col(s"min_$c") <= hi)
     }.reduce(_ && _)
 
+  /** String-band overlap: the file survives unless its (non-NULL) band
+    * provably misses the [lo, hi] query band. Each side checks
+    * independently so a file whose max degraded to NULL still prunes on
+    * its min. Comparisons run in Spark's UTF8String order; bands are
+    * printable-ASCII by construction, where every relevant order agrees.
+    */
+  private def survivesStr(
+      strBounds: Seq[(String, Option[String], Option[String])]): Column =
+    strBounds.map { case (c, lo, hi) =>
+      val okLo = lo.map(v => col(s"smax_$c").isNull || col(s"smax_$c") >= v)
+        .getOrElse(lit(true))
+      val okHi = hi.map(v => col(s"smin_$c").isNull || col(s"smin_$c") <= v)
+        .getOrElse(lit(true))
+      okLo && okHi
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
   /** AND across point-set columns, OR within one column's points: a file
     * survives a column's point set if its bloom is absent/NULL or might
     * contain ANY point. String-canonical domain (see [[withBlooms]]).
@@ -286,8 +403,14 @@ object StatsManifest {
     * planner materializes for any read.
     */
   def pruneFiles(manifest: DataFrame, bounds: Seq[(String, Long, Long)],
-      points: Seq[(String, Seq[String])] = Nil): Seq[String] =
-    manifest.where(survives(bounds) && survivesPoints(manifest, points))
+      points: Seq[(String, Seq[String])] = Nil,
+      strBounds: Seq[(String, Option[String], Option[String])] = Nil)
+      : Seq[String] =
+    manifest.where(survives(bounds) && survivesPoints(manifest, points) &&
+        survivesStr(strBounds.filter { case (c, lo, hi) =>
+          (lo.nonEmpty || hi.nonEmpty) &&
+            manifest.columns.contains(s"smin_$c")
+        }))
       .select("file").collect().map(_.getString(0)).toSeq
 
   /** Manifest-pruned read: hand Spark ONLY the surviving files, then

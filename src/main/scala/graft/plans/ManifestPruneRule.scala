@@ -233,6 +233,83 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
       .sortBy(_._1)
   }
 
+  /** A printable-ASCII string literal — the only domain where UTF-8 byte
+    * order, UTF8String order and Java char order provably coincide (see
+    * [[graft.io.StatsManifest]]'s string-band contract). Anything else
+    * contributes no string bound (keep-the-file).
+    */
+  private def litAscii(e: Expression): Option[String] = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+        if StatsManifest.isPrintableAscii(s.toString) => Some(s.toString)
+    case _ => None
+  }
+
+  /** Exclusive-ish upper bound of a prefix match: the rightmost
+    * incrementable char bumps and the tail drops, so every string
+    * starting with `p` is ≤ the result. None when nothing can bump.
+    */
+  private def prefixUpper(p: String): Option[String] = {
+    val i = p.lastIndexWhere(_ < '~')
+    if (i < 0) None else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
+  /** (column, lo, hi) STRING bands implied by the predicate, same
+    * conservative discipline as [[extractBounds]]: strict and non-strict
+    * comparisons widen to inclusive, only bare attribute-vs-literal
+    * conjuncts participate, IN-lists contribute their envelope, and
+    * `StartsWith` (what `LIKE 'p%'` simplifies to by this point in the
+    * optimizer) contributes [p, bump(p)].
+    */
+  private def extractStrBounds(cond: Expression, covered: Set[String])
+      : Seq[(String, Option[String], Option[String])] = {
+    val per = collection.mutable.Map.empty[String, (Option[String], Option[String])]
+    def tighten(name: String, lo: Option[String], hi: Option[String]): Unit =
+      if (covered(name)) {
+        val (l0, h0) = per.getOrElse(name, (None, None))
+        val l = (l0 ++ lo).reduceOption((a, b) => if (a >= b) a else b)
+        val h = (h0 ++ hi).reduceOption((a, b) => if (a <= b) a else b)
+        per(name) = (l, h)
+      }
+    conjuncts(cond).foreach {
+      case GreaterThanOrEqual(a: AttributeReference, l) =>
+        litAscii(l).foreach(v => tighten(a.name, Some(v), None))
+      case GreaterThan(a: AttributeReference, l) =>
+        litAscii(l).foreach(v => tighten(a.name, Some(v), None))
+      case LessThanOrEqual(a: AttributeReference, l) =>
+        litAscii(l).foreach(v => tighten(a.name, None, Some(v)))
+      case LessThan(a: AttributeReference, l) =>
+        litAscii(l).foreach(v => tighten(a.name, None, Some(v)))
+      case GreaterThanOrEqual(l, a: AttributeReference) =>
+        litAscii(l).foreach(v => tighten(a.name, None, Some(v)))
+      case GreaterThan(l, a: AttributeReference) =>
+        litAscii(l).foreach(v => tighten(a.name, None, Some(v)))
+      case LessThanOrEqual(l, a: AttributeReference) =>
+        litAscii(l).foreach(v => tighten(a.name, Some(v), None))
+      case LessThan(l, a: AttributeReference) =>
+        litAscii(l).foreach(v => tighten(a.name, Some(v), None))
+      case EqualTo(a: AttributeReference, l) =>
+        litAscii(l).foreach(v => tighten(a.name, Some(v), Some(v)))
+      case EqualTo(l, a: AttributeReference) =>
+        litAscii(l).foreach(v => tighten(a.name, Some(v), Some(v)))
+      case EqualNullSafe(a: AttributeReference, l) =>
+        litAscii(l).foreach(v => tighten(a.name, Some(v), Some(v)))
+      case EqualNullSafe(l, a: AttributeReference) =>
+        litAscii(l).foreach(v => tighten(a.name, Some(v), Some(v)))
+      case StartsWith(a: AttributeReference, l) =>
+        litAscii(l).foreach(p => tighten(a.name, Some(p), prefixUpper(p)))
+      case In(a: AttributeReference, values) if values.nonEmpty =>
+        val vs = values.map(litAscii)
+        if (vs.forall(_.isDefined)) {
+          val strs = vs.flatten
+          tighten(a.name, Some(strs.min), Some(strs.max))
+        }
+      case _ => ()
+    }
+    per.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+      .filter { case (_, lo, hi) => lo.nonEmpty || hi.nonEmpty }
+      .sortBy(_._1)
+  }
+
   /** Surviving-file set of `cond`, or None when the predicate carries no
     * extractable stats (keep everything — sound). Disjunctions union
     * their branches' sets; conjunctions intersect (a branch with no
@@ -243,17 +320,18 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
     * OR branches, not the conjunct count.
     */
   private def keptFiles(cond: Expression, manifest: DataFrame,
-      covered: Set[String], bloomCovered: Set[String]): Option[Seq[String]] = {
+      covered: Set[String], bloomCovered: Set[String],
+      strCovered: Set[String]): Option[Seq[String]] = {
     def hasOr(e: Expression): Boolean = e.exists(_.isInstanceOf[Or])
     cond match {
       case Or(l, r) =>
         for {
-          a <- keptFiles(l, manifest, covered, bloomCovered)
-          b <- keptFiles(r, manifest, covered, bloomCovered)
+          a <- keptFiles(l, manifest, covered, bloomCovered, strCovered)
+          b <- keptFiles(r, manifest, covered, bloomCovered, strCovered)
         } yield (a ++ b).distinct
       case And(l, r) if hasOr(cond) =>
-        (keptFiles(l, manifest, covered, bloomCovered),
-          keptFiles(r, manifest, covered, bloomCovered)) match {
+        (keptFiles(l, manifest, covered, bloomCovered, strCovered),
+          keptFiles(r, manifest, covered, bloomCovered, strCovered)) match {
           case (Some(a), Some(b)) => Some(a.intersect(b))
           case (a, None)          => a
           case (None, b)          => b
@@ -262,8 +340,9 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
       case leaf =>
         val bounds = extractBounds(leaf, covered)
         val points = extractPoints(leaf, bloomCovered)
-        if (bounds.isEmpty && points.isEmpty) None
-        else Some(StatsManifest.pruneFiles(manifest, bounds, points))
+        val strBounds = extractStrBounds(leaf, strCovered)
+        if (bounds.isEmpty && points.isEmpty && strBounds.isEmpty) None
+        else Some(StatsManifest.pruneFiles(manifest, bounds, points, strBounds))
     }
   }
 
@@ -280,7 +359,9 @@ object ManifestPruneRule extends Rule[LogicalPlan] {
               .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
             val bloomCovered = manifest.columns
               .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")).toSet
-            keptFiles(cond, manifest, covered, bloomCovered) match {
+            val strCovered = manifest.columns
+              .filter(_.startsWith("smin_")).map(_.stripPrefix("smin_")).toSet
+            keptFiles(cond, manifest, covered, bloomCovered, strCovered) match {
               case None => f
               case Some(kept) if kept.size >= fsRel.location.inputFiles.length => f
               case Some(kept) =>

@@ -603,6 +603,60 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(pruned.sameElements(full))
   }
 
+  test("stats manifest string bands: truncate-safe min/max prune string " +
+      "ranges and prefix queries with full parity") {
+    import graft.io.StatsManifest
+    // band helpers: the lower band is a plain prefix (<= its extension),
+    // the upper band bumps the rightmost char so it bounds every string
+    // carrying the truncated prefix; non-ASCII degrades to None
+    assert(StatsManifest.bandLo("Customer#000000123") == Some("Customer#0000001"))
+    assert(StatsManifest.bandHi("Customer#000000123") == Some("Customer#0000002"))
+    assert(StatsManifest.bandLo("short") == Some("short"))
+    assert(StatsManifest.bandHi("short") == Some("short"))
+    assert(StatsManifest.bandHi("Customer#000000123") .exists(_ > "Customer#000000123"))
+    assert(StatsManifest.bandLo("café") == None)
+    assert(StatsManifest.bandHi("café") == None)
+    assert(StatsManifest.bandHi("~" * 20) == None)
+
+    val dir = Files.createTempDirectory("graft-manifest-str").toString
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    Writers.rangeClustered(c, dir, Seq("c_name"), numFiles = 16)
+    // c_name is zero-padded ('Customer#000000042') so its discriminating
+    // chars sit at positions 17-18 — exactly the key shape the bandWidth
+    // knob exists for
+    val m = StatsManifest.build(spark, dir, Nil, stringCols = Seq("c_name"),
+      bandWidth = 18)
+    assert(m.columns.contains("smin_c_name") && m.columns.contains("smax_c_name"))
+    // every file carries a band (ASCII corpus), and the band truly bounds
+    // the file's values
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("c_name").as("mn"), max("c_name").as("mx")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName ->
+        ((r.getString(1), r.getString(2)))).toMap
+    m.collect().foreach { r =>
+      val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+      val (mn, mx) = perFile(name)
+      val (smin, smax) = (r.getAs[String]("smin_c_name"), r.getAs[String]("smax_c_name"))
+      assert(smin != null && smax != null, s"$name: band missing")
+      assert(smin <= mn && smax >= mx, s"$name: band [$smin,$smax] not a bound of [$mn,$mx]")
+    }
+    // a narrow string range prunes most of the 16 files
+    val names = c.select("c_name").orderBy("c_name").collect().map(_.getString(0))
+    val (lo, hi) = (names(names.length / 2), names(names.length / 2 + names.length / 16))
+    val kept = StatsManifest.pruneFiles(m, Nil,
+      strBounds = Seq(("c_name", Some(lo), Some(hi))))
+    assert(kept.nonEmpty && kept.size <= 4,
+      s"string band should confine a 1/16th range to a few of 16 files, kept ${kept.size}")
+    val got = spark.read.option("basePath", dir).parquet(kept: _*)
+      .where(col("c_name") >= lo && col("c_name") <= hi)
+      .orderBy("c_custkey").collect()
+    val full = spark.read.parquet(dir)
+      .where(col("c_name") >= lo && col("c_name") <= hi)
+      .orderBy("c_custkey").collect()
+    assert(got.sameElements(full), "string-band prune: parity")
+  }
+
   test("stats manifest over the z-ordered layout: a bound on EITHER " +
       "dimension alone prunes files") {
     import graft.io.StatsManifest

@@ -300,6 +300,48 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
     } finally ManifestRegistry.deregister(spark, dir)
   }
 
+  test("manifest-prune rule: string prefix (LIKE) and string ranges prune " +
+      "files via the truncated string bands, with parity") {
+    import graft.io.{StatsManifest, Writers}
+    val dir = java.nio.file.Files.createTempDirectory("graft-mprune-str").toString
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    Writers.rangeClustered(c, dir, Seq("c_name"), numFiles = 16)
+    ManifestRegistry.register(spark, dir,
+      StatsManifest.build(spark, dir, Nil, stringCols = Seq("c_name"),
+        bandWidth = 18))
+    try {
+      val iso = spark.newSession()
+      Graft.ensureRegistered(iso)
+      iso.conf.set("spark.graft.manifest.prune", "true")
+      // LIKE 'prefix%' simplifies to StartsWith by the time the rule runs
+      // and must confine the scan to the prefix's name band
+      def likeQ(s: org.apache.spark.sql.SparkSession) =
+        s.read.parquet(dir).where(col("c_name").like("Customer#00000001%"))
+          .orderBy("c_custkey")
+      val pruned = likeQ(iso)
+      val filesLike = scanFiles(pruned)
+      assert(filesLike > 0 && filesLike < 16,
+        s"prefix query should skip files, read $filesLike of 16")
+      assert(pruned.collect().sameElements(likeQ(spark).collect()),
+        "LIKE prune: parity")
+      // a plain string range prunes through the same bands
+      val names = c.select("c_name").orderBy("c_name").collect().map(_.getString(0))
+      val (lo, hi) = (names(names.length / 2), names(names.length / 2 + names.length / 8))
+      def rangeQ(s: org.apache.spark.sql.SparkSession) =
+        s.read.parquet(dir).where(col("c_name") >= lo && col("c_name") <= hi)
+          .orderBy("c_custkey")
+      val prunedR = rangeQ(iso)
+      val filesRange = scanFiles(prunedR)
+      assert(filesRange > 0 && filesRange < 16,
+        s"string range should skip files, read $filesRange of 16")
+      assert(prunedR.collect().sameElements(rangeQ(spark).collect()),
+        "string range prune: parity")
+      // a non-ASCII literal contributes nothing: all files kept (sound)
+      assert(scanFiles(iso.read.parquet(dir)
+        .where(col("c_name") <= "Customer#café")) == 16)
+    } finally ManifestRegistry.deregister(spark, dir)
+  }
+
   test("manifest-prune rule: date, timestamp, ntz and decimal bands prune " +
       "files on flat, hive-partitioned and MILLIS-written layouts, with parity") {
     import graft.io.{StatsManifest, Writers}
