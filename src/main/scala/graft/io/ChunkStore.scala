@@ -121,4 +121,103 @@ object ChunkStore {
           e => e("chunk_text")),
         "").as("text"))
   }
+
+  /** Vacuum report: manifest slots dropped, unique chunks reclaimed, chunk
+    * files rewritten vs left untouched.
+    */
+  final case class VacuumStats(droppedSlots: Long, reclaimedChunks: Long,
+      rewrittenFiles: Int, untouchedFiles: Int)
+
+  /** Reclaim storage after document deletion: drop the manifest rows of
+    * docs absent from `liveDocs` (a `doc_id` frame — the retention set),
+    * then delete every chunk whose derived reference count hits zero —
+    * q_l43's reclaim WORKLIST made actionable. The write side touches
+    * ONLY chunk files that actually hold a dead chunk: clean files are
+    * never read, never rewritten, so vacuum cost scales with the dirty
+    * file set, not the store size (the Delta/Iceberg rewrite-dirty-files
+    * discipline). Dirty files' surviving rows are staged to a temp dir,
+    * the dirty files are replaced file-by-file via rename, and the
+    * manifest swaps through the same stage-then-rename.
+    *
+    * Concurrency contract: vacuum is a MAINTENANCE operation — run it
+    * without concurrent readers/appenders (same as any file-level rewrite
+    * without a table format's snapshot isolation). A crash mid-swap
+    * leaves the displaced originals under `<dir>/.vacuum-trash/` for
+    * manual recovery; a completed vacuum removes it.
+    */
+  def vacuum(s: SparkSession, dir: String, liveDocs: DataFrame): VacuumStats = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val normPath = udf { u: String =>
+      new Path(new java.net.URI(u)).toString
+    }
+
+    val manifest = s.read.parquet(s"$dir/manifest").localCheckpoint()
+    val live = liveDocs.select("doc_id").distinct()
+    val liveManifest = manifest.join(live, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // severs lineage from the files about to swap
+    val droppedSlots = manifest.count() - liveManifest.count()
+
+    // chunks still referenced by at least one surviving slot
+    val liveKeys = liveManifest.select("h", "len", "x").distinct()
+    val chunks = s.read.parquet(s"$dir/chunks")
+      .withColumn("f", normPath(input_file_name()))
+    val dead = chunks.join(liveKeys, Seq("h", "len", "x"), "left_anti")
+    val reclaimed = dead.count()
+
+    val stats =
+      if (reclaimed == 0 && droppedSlots == 0)
+        VacuumStats(0L, 0L, 0, listFiles(fs, s"$dir/chunks").size)
+      else {
+        // only files holding >= 1 dead chunk get rewritten
+        val dirtyFiles = dead.select("f").distinct()
+          .collect().map(_.getString(0)).toSet
+        val allFiles = listFiles(fs, s"$dir/chunks")
+        val untouched = allFiles.filterNot(dirtyFiles)
+        val trash = new Path(s"$dir/.vacuum-trash")
+        fs.mkdirs(trash)
+        if (dirtyFiles.nonEmpty) {
+          val staged = s"$dir/.vacuum-staged"
+          chunks.filter(col("f").isin(dirtyFiles.toSeq: _*))
+            .join(liveKeys, Seq("h", "len", "x"), "left_semi")
+            .drop("f")
+            .write.mode("overwrite").parquet(staged)
+          // swap: displace dirty originals (recoverable), then move the
+          // staged survivors in under fresh names
+          dirtyFiles.foreach { f =>
+            val p = new Path(f)
+            fs.rename(p, new Path(trash, p.getName))
+          }
+          listFiles(fs, staged).zipWithIndex.foreach { case (f, i) =>
+            val p = new Path(f)
+            fs.rename(p, new Path(s"$dir/chunks/vacuum-$i-${p.getName}"))
+          }
+          fs.delete(new Path(staged), true)
+        }
+        // manifest swap through the same stage-then-rename
+        val stagedM = s"$dir/.vacuum-manifest"
+        liveManifest.write.mode("overwrite").parquet(stagedM)
+        fs.rename(new Path(s"$dir/manifest"), new Path(trash, "manifest"))
+        fs.rename(new Path(stagedM), new Path(s"$dir/manifest"))
+        fs.delete(trash, true)
+        VacuumStats(droppedSlots, reclaimed, dirtyFiles.size, untouched.size)
+      }
+    stats
+  }
+
+  private def listFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Nil
+    else {
+      val it = fs.listFiles(p, false)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+      }
+      buf.result()
+    }
+  }
 }

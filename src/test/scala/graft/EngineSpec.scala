@@ -603,6 +603,46 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(pruned.sameElements(full))
   }
 
+  test("chunk-store vacuum reclaims dead-doc chunks, rewrites only dirty " +
+      "files, and survivors still round-trip byte-exactly") {
+    import graft.io.ChunkStore
+    val dir = Files.createTempDirectory("graft-vacuum").toString + "/store"
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").where(col("text").isNotNull)
+    ChunkStore.write(docs, dir)
+    val filesBefore = spark.read.parquet(s"$dir/chunks")
+      .select(input_file_name()).distinct().count()
+    val chunksBefore = spark.read.parquet(s"$dir/chunks").count()
+    // retain two thirds of the corpus
+    val live = docs.filter(col("doc_id") % 3 =!= 0)
+    val stats = ChunkStore.vacuum(spark, dir, live.select("doc_id"))
+    assert(stats.droppedSlots > 0, "dead docs must drop manifest slots")
+    assert(stats.rewrittenFiles + stats.untouchedFiles >= filesBefore - 1)
+    // every surviving chunk is still referenced (no orphans), and the
+    // store shrank by exactly the reclaimed chunks
+    val keysOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("h", "len", "x").distinct()
+    val chunkKeys = keysOf(spark.read.parquet(s"$dir/chunks"))
+    val refKeys = keysOf(spark.read.parquet(s"$dir/manifest"))
+    assert(chunkKeys.join(refKeys, Seq("h", "len", "x"), "left_anti").count() == 0,
+      "vacuum left unreferenced chunks behind")
+    assert(spark.read.parquet(s"$dir/chunks").count() ==
+      chunksBefore - stats.reclaimedChunks)
+    // no duplicate keys introduced by the file swap
+    assert(spark.read.parquet(s"$dir/chunks")
+      .groupBy("h", "len", "x").count().where(col("count") > 1).count() == 0)
+    // byte-exact round trip of the survivors
+    val mismatches = live.as("o")
+      .join(ChunkStore.materialize(spark, dir).as("r"), "doc_id", "full_outer")
+      .where(col("o.text").isNull || col("r.text").isNull ||
+        col("o.text") =!= col("r.text")).count()
+    assert(mismatches == 0, s"$mismatches docs failed the post-vacuum round trip")
+    // idempotence: a second vacuum with the same retention is a no-op
+    val again = ChunkStore.vacuum(spark, dir, live.select("doc_id"))
+    assert(again.droppedSlots == 0 && again.reclaimedChunks == 0 &&
+      again.rewrittenFiles == 0)
+  }
+
   test("stats manifest string bands: truncate-safe min/max prune string " +
       "ranges and prefix queries with full parity") {
     import graft.io.StatsManifest
