@@ -32,7 +32,27 @@ object ClonePipeline {
   final case class CloneReport(
       tables: Seq[String],
       rowCounts: Map[String, Long],
-      ddl: Map[String, String])
+      ddl: Map[String, String],
+      manifests: Map[String, String] = Map.empty)
+
+  /** Opt-in per-table layout for [[clone]] — the Spark answer to the
+    * reference's clustered-index DDL (Program.cs:408-469): instead of an
+    * index structure, the cloned table LANDS clustered (range or Z-order
+    * on `clusterCols`) and a [[graft.io.StatsManifest]] is built from the
+    * fresh footers and persisted next to it — so a 100 TB clone is
+    * pruned-readable from its first query, without a second layout pass.
+    *   - `zOrder = false`: range-cluster (one sort dimension dominates);
+    *     `true`: Z-order (multi-dimensional range queries).
+    *   - `statCols` default to `clusterCols`; `stringStatCols` adds
+    *     truncated string bands (see StatsManifest.bandWidth).
+    */
+  final case class TableLayout(
+      clusterCols: Seq[String],
+      zOrder: Boolean = false,
+      numFiles: Int = 32,
+      statCols: Seq[String] = Nil,
+      stringStatCols: Seq[String] = Nil,
+      bandWidth: Int = graft.io.StatsManifest.StringBandWidth)
 
   /** Render the full pre-data DDL script for the corpus (A8+A9 phases).
     *
@@ -109,7 +129,8 @@ object ClonePipeline {
   def clone(spark: SparkSession, srcDir: String, tgtDir: String,
       tables: Seq[String] = Tables.names,
       excludeTables: Set[String] = Set.empty,
-      parallelism: Int = 4): CloneReport = {
+      parallelism: Int = 4,
+      layouts: Map[String, TableLayout] = Map.empty): CloneReport = {
     val work = tables.filterNot(excludeTables)
     val pool = Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -117,15 +138,38 @@ object ClonePipeline {
       val futures = work.map { t =>
         Future {
           val df = Tables.table(spark, srcDir, t)
+          val path = s"$tgtDir/$t.parquet"
           // empty-table short circuit (Program.cs:612-616) is a no-op for
           // parquet writes, so we just write; count is read from the
           // written files' footers (no second scan of the source).
-          Writers.parquet(df, s"$tgtDir/$t.parquet")
-          t -> spark.read.parquet(s"$tgtDir/$t.parquet").count()
+          layouts.get(t) match {
+            case None => Writers.parquet(df, path)
+            case Some(l) if l.zOrder =>
+              Writers.zOrderedN(df, path, l.clusterCols, l.numFiles)
+            case Some(l) =>
+              Writers.rangeClustered(df, path, l.clusterCols, l.numFiles)
+          }
+          // layout opt-in: footer-only manifest built from the fresh
+          // files, persisted NEXT TO the table and registered so this
+          // session's ManifestPruneRule prunes immediately
+          val manifestDir = layouts.get(t).map { l =>
+            val mDir = s"$tgtDir/$t.manifest"
+            val statCols =
+              if (l.statCols.nonEmpty) l.statCols
+              else l.clusterCols.filterNot(l.stringStatCols.contains)
+            val m = graft.io.StatsManifest.build(spark, path, statCols,
+              l.stringStatCols, l.bandWidth)
+            m.write.mode(SaveMode.Overwrite).parquet(mDir)
+            graft.plans.ManifestRegistry.register(spark, path, m)
+            mDir
+          }
+          (t, spark.read.parquet(path).count(), manifestDir)
         }
       }
-      val counts = Await.result(Future.sequence(futures), Duration.Inf).toMap
-      CloneReport(work, counts, renderDdl(spark, srcDir, work))
+      val done = Await.result(Future.sequence(futures), Duration.Inf)
+      CloneReport(work, done.map(r => r._1 -> r._2).toMap,
+        renderDdl(spark, srcDir, work),
+        done.collect { case (t, _, Some(m)) => t -> m }.toMap)
     } finally pool.shutdown()
   }
 

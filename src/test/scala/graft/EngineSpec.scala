@@ -474,6 +474,49 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ClonePipeline layout opt-in: the cloned table lands clustered with " +
+      "a persisted manifest, and a pruned read skips files with parity") {
+    import graft.io.StatsManifest
+    import graft.plans.{Graft, ManifestRegistry}
+    val tgt = Files.createTempDirectory("graft-clone-layout").toString
+    val report = ClonePipeline.clone(spark, sfDir, tgt,
+      tables = Seq("region", "orders"),
+      layouts = Map("orders" -> ClonePipeline.TableLayout(
+        clusterCols = Seq("o_orderkey"), numFiles = 16)))
+    try {
+      // un-layouted table: no manifest, plain clone unchanged
+      assert(!report.manifests.contains("region"))
+      // layouted table: manifest persisted next to the data and usable
+      val mDir = report.manifests("orders")
+      val m = spark.read.parquet(mDir)
+      assert(m.columns.contains("min_o_orderkey"))
+      assert(m.count() == 16)
+      val o = spark.read.parquet(s"$tgt/orders.parquet")
+      val (kLo, kHi) = (o.agg(min("o_orderkey")).head().getLong(0),
+        o.agg(max("o_orderkey")).head().getLong(0))
+      val span = kHi - kLo
+      val bounds = Seq(("o_orderkey", kLo + span / 2, kLo + span / 2 + span / 8))
+      val kept = StatsManifest.pruneFiles(m, bounds)
+      assert(kept.nonEmpty && kept.size <= 4,
+        s"cloned layout should confine a 1/8th band to ~2 of 16 files, kept ${kept.size}")
+      // and the clone() call itself registered the manifest: the rule
+      // prunes a plain read in an opted-in session
+      val iso = spark.newSession()
+      Graft.ensureRegistered(iso)
+      iso.conf.set("spark.graft.manifest.prune", "true")
+      def q(s: org.apache.spark.sql.SparkSession) =
+        s.read.parquet(s"$tgt/orders.parquet")
+          .where(col("o_orderkey").between(bounds.head._2, bounds.head._3))
+          .orderBy("o_orderkey")
+      assert(q(iso).collect().sameElements(q(spark).collect()),
+        "pruned clone read: parity")
+      // row counts + DDL behave exactly as the plain clone
+      assert(report.rowCounts("orders") ==
+        Tables.orders(spark, sfDir).count())
+      assert(report.ddl("orders").contains("CREATE TABLE [dbo].[orders]"))
+    } finally ManifestRegistry.deregister(spark, s"$tgt/orders.parquet")
+  }
+
   test("asofJoin picks the latest left row at or before each right timestamp") {
     import spark.implicits._
     import graft.operators.AsOf
