@@ -266,6 +266,98 @@ object StreamOps extends Serializable {
     }
   }
 
+  /** The composed corpus-ingest pipeline — every streaming ingest piece
+    * run as ONE foreachBatch, the shape a production crawl loop actually
+    * deploys. Per micro-batch of (doc_id, text[, ...]) documents, under
+    * `baseDir`:
+    *   1. `store/`    — chunk-store build/append (only never-seen chunks
+    *                    land; [[ingestChunkStoreBatch]]'s logic);
+    *   2. `table/`    — raw batch appended as parquet, and
+    *      `manifest/`  — the stats manifest incrementally republished
+    *                    (only the new files get footer reads);
+    *   3. `pairs/`    — near-dup candidate pairs touching this batch,
+    *                    banded against the running MinHash snapshot
+    *                    (history is never re-shingled), appended; and
+    *      `snapshot/` — the batch's band keys merged into the snapshot.
+    * One `_last_batch` marker makes the WHOLE composition idempotent
+    * under foreachBatch's at-least-once replay (same residual window as
+    * [[ingestChunkStore]], documented there). Accumulated `pairs/` over
+    * any batch split equals the batch q_l06 full-corpus candidate set:
+    * within-batch pairs surface when the batch arrives, cross-batch pairs
+    * when their later endpoint does — pinned in StreamBatchParitySpec.
+    */
+  def ingestPipeline(docs: DataFrame, baseDir: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.io.{ChunkStore, StatsManifest}
+        import graft.operators.LLMOps
+        val s = batch.sparkSession
+        val conf = s.sparkContext.hadoopConfiguration
+        val marker = new org.apache.hadoop.fs.Path(s"$baseDir/_last_batch")
+        val fs = marker.getFileSystem(conf)
+        val lastCommitted: Long =
+          if (fs.exists(marker)) {
+            val in = fs.open(marker)
+            try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+            finally in.close()
+          } else -1L
+        if (batchId > lastCommitted) {
+          // the batch feeds three consumers (chunking, manifest write,
+          // shingling) — materialize once instead of re-reading the
+          // source three times
+          val b = batch.localCheckpoint()
+
+          // 1) chunk store
+          val storeDir = s"$baseDir/store"
+          val cPath = new org.apache.hadoop.fs.Path(s"$storeDir/chunks")
+          if (fs.exists(cPath))
+            ChunkStore.append(s, b.select("doc_id", "text"), storeDir)
+          else ChunkStore.write(b.select("doc_id", "text"), storeDir)
+
+          // 2) raw table + incremental manifest
+          val tableDir = s"$baseDir/table"
+          val manifestDir = s"$baseDir/manifest"
+          b.write.mode("append").parquet(tableDir)
+          val mPath = new org.apache.hadoop.fs.Path(manifestDir)
+          val updated =
+            if (fs.exists(mPath) && StatsManifest.listParquet(s, manifestDir).nonEmpty)
+              StatsManifest.append(s, tableDir, s.read.parquet(manifestDir),
+                Seq("doc_id"))
+            else StatsManifest.build(s, tableDir, Seq("doc_id"))
+          updated.write.mode("overwrite").parquet(manifestDir)
+
+          // 3) banded delta-dedup against the running snapshot
+          val snapDir = s"$baseDir/snapshot"
+          val fresh = LLMOps.minhashBands(LLMOps.shinglePostingsOf(
+            b.select("doc_id", "text"))).localCheckpoint()
+          val all =
+            if (fs.exists(new org.apache.hadoop.fs.Path(snapDir)) &&
+                StatsManifest.listParquet(s, snapDir).nonEmpty)
+              s.read.parquet(snapDir).select("doc_id", "band_key")
+                .unionByName(fresh)
+            else fresh
+          fresh.select(col("band_key"), col("doc_id").as("id_a"))
+            .join(all.select(col("band_key"), col("doc_id").as("id_b")),
+              Seq("band_key"))
+            .filter(col("id_a") =!= col("id_b"))
+            .select(least(col("id_a"), col("id_b")).as("doc_a"),
+              greatest(col("id_a"), col("id_b")).as("doc_b"))
+            .distinct()
+            .write.mode("append").parquet(s"$baseDir/pairs")
+          // merge the batch's keys into the snapshot (materialized first:
+          // `all` reads the directory being overwritten)
+          val merged = all.localCheckpoint()
+          merged.write.mode("overwrite").parquet(snapDir)
+
+          val out = fs.create(marker, true)
+          try out.write(batchId.toString.getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
+
   // ---- custom stateful path: flatMapGroupsWithState ----------------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)

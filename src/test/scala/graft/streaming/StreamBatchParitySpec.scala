@@ -249,6 +249,70 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
       .groupBy("h", "len", "x").count().where(col("count") > 1).count() == 0)
   }
 
+  test("composed streaming ingest pipeline: chunk store, manifest and " +
+      "banded dedup pairs all reach batch parity over 3 micro-batches") {
+    import graft.io.{ChunkStore, StatsManifest}
+    import graft.operators.LLMOps
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").where(col("text").isNotNull)
+    val base = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    val landing = new java.io.File(s"$base/landing"); landing.mkdirs()
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    Seq((0L, n / 3, 0), (n / 3, 2 * n / 3, 1), (2 * n / 3, n + 1, 2))
+      .foreach { case (lo, hi, i) =>
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+        val part = new java.io.File(s"$base/stage$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(landing, f"arrive-$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(1000000000L + i * 60000L)
+      }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val q = StreamOps.ingestPipeline(stream, s"$base/out", s"$base/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "the pipeline must have run over >= 3 micro-batches")
+    // 1) chunk store: byte-exact reconstruction, no duplicate chunks
+    val mismatches = docs.as("o")
+      .join(ChunkStore.materialize(spark, s"$base/out/store").as("r"),
+        "doc_id", "full_outer")
+      .where(col("o.text").isNull || col("r.text").isNull ||
+        col("o.text") =!= col("r.text")).count()
+    assert(mismatches == 0, s"$mismatches docs failed the composed round trip")
+    assert(spark.read.parquet(s"$base/out/store/chunks")
+      .groupBy("h", "len", "x").count().where(col("count") > 1).count() == 0)
+    // 2) manifest: incremental republish equals a from-scratch rebuild
+    def mkey(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val maintained = spark.read.parquet(s"$base/out/manifest")
+      .select("file", "rows", "min_doc_id", "max_doc_id")
+      .collect().map(mkey).toSet
+    val rebuilt = StatsManifest.build(spark, s"$base/out/table", Seq("doc_id"))
+      .select("file", "rows", "min_doc_id", "max_doc_id")
+      .collect().map(mkey).toSet
+    assert(maintained == rebuilt)
+    assert(maintained.toSeq.map(_._2).sum == docs.count())
+    // 3) accumulated pairs equal the batch q_l06 full-corpus candidates:
+    // within-batch pairs surfaced with their batch, cross-batch pairs
+    // when the later endpoint arrived
+    val streamedPairs = spark.read.parquet(s"$base/out/pairs").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = LLMOps.minhashCandidates(LLMOps.shinglePostings(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedPairs.nonEmpty)
+    assert(streamedPairs == batchPairs)
+    // and the snapshot now covers the whole corpus's band keys
+    assert(spark.read.parquet(s"$base/out/snapshot")
+      .select("doc_id").distinct().count() == docs.count())
+  }
+
   test("streaming ingest maintains the stats manifest: incremental append " +
       "equals a from-scratch rebuild, and no row is lost") {
     import graft.io.StatsManifest
