@@ -1097,6 +1097,12 @@ object SparkEntry {
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id, token, cnt FROM (SELECT token, COUNT(*) AS cnt FROM (SELECT explode(split(lower(text), ' ')) AS token FROM documents) GROUP BY token) ORDER BY token_id""",
     "q_l38_bigram_counts" ->
       """WITH w AS (SELECT split(lower(text), ' ') AS toks FROM documents), p AS (SELECT explode(zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> named_struct('w1', a, 'w2', b))) AS bg FROM w) SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS cnt FROM p GROUP BY bg.w1, bg.w2 ORDER BY cnt DESC, w1, w2 LIMIT 20""",
+    // q_l19 (connected components) stays DataFrame-only: the DuckDB
+    // oracle's transitive-closure CTE needs UNION's per-step dedup to
+    // terminate on a symmetric edge set, and Spark 4.1 rejects UNION in
+    // recursive CTEs ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]; UNION ALL
+    // cannot terminate on cycles) — revisit when SPARK recursive CTEs
+    // grow distinct-union support.
     // ---- train-prep ----
     "q_l22_quality_funnel" ->
       (s"""WITH s AS (SELECT doc_id, CAST(size(split(lower(text), ' ')) AS DOUBLE) AS wc, CAST(length(text) AS DOUBLE) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS mean_tok_len, CAST(size(filter(split(lower(text), ' '), t -> t IN ($sqlStop))) AS DOUBLE) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS stop_ratio FROM documents), r AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) AS max_tok FROM (SELECT doc_id, t, COUNT(*) AS cnt FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS t FROM documents) GROUP BY doc_id, t) GROUP BY doc_id) SELECT COUNT(*) AS total, CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len, CAST(SUM(CASE WHEN mean_tok_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wlen, CAST(SUM(CASE WHEN max_tok / wc <= 0.125D THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep, CAST(SUM(CASE WHEN stop_ratio >= 0.01D THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop, CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 AND mean_tok_len BETWEEN 3 AND 10 AND max_tok / wc <= 0.125D AND stop_ratio >= 0.01D THEN 1 ELSE 0 END) AS BIGINT) AS pass_all FROM s JOIN r USING (doc_id)"""),
