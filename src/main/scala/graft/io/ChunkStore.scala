@@ -177,6 +177,12 @@ object ChunkStore {
         val untouched = allFiles.filterNot(dirtyFiles)
         val trash = new Path(s"$dir/.vacuum-trash")
         fs.mkdirs(trash)
+        // unique per-vacuum token: staged survivor files from THIS run can
+        // never collide with (and silently fail to rename over) leftovers
+        // of an earlier vacuum's names
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        def renameOrDie(from: Path, to: Path): Unit =
+          require(fs.rename(from, to), s"vacuum: rename $from -> $to failed")
         if (dirtyFiles.nonEmpty) {
           val staged = s"$dir/.vacuum-staged"
           chunks.filter(col("f").isin(dirtyFiles.toSeq: _*))
@@ -187,19 +193,19 @@ object ChunkStore {
           // staged survivors in under fresh names
           dirtyFiles.foreach { f =>
             val p = new Path(f)
-            fs.rename(p, new Path(trash, p.getName))
+            renameOrDie(p, new Path(trash, p.getName))
           }
           listFiles(fs, staged).zipWithIndex.foreach { case (f, i) =>
             val p = new Path(f)
-            fs.rename(p, new Path(s"$dir/chunks/vacuum-$i-${p.getName}"))
+            renameOrDie(p, new Path(s"$dir/chunks/vacuum-$token-$i-${p.getName}"))
           }
           fs.delete(new Path(staged), true)
         }
         // manifest swap through the same stage-then-rename
         val stagedM = s"$dir/.vacuum-manifest"
         liveManifest.write.mode("overwrite").parquet(stagedM)
-        fs.rename(new Path(s"$dir/manifest"), new Path(trash, "manifest"))
-        fs.rename(new Path(stagedM), new Path(s"$dir/manifest"))
+        renameOrDie(new Path(s"$dir/manifest"), new Path(trash, "manifest"))
+        renameOrDie(new Path(stagedM), new Path(s"$dir/manifest"))
         fs.delete(trash, true)
         VacuumStats(droppedSlots, reclaimed, dirtyFiles.size, untouched.size)
       }

@@ -684,6 +684,19 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val again = ChunkStore.vacuum(spark, dir, live.select("doc_id"))
     assert(again.droppedSlots == 0 && again.reclaimedChunks == 0 &&
       again.rewrittenFiles == 0)
+    // a FURTHER retention shrink vacuums again — possibly rewriting files
+    // the first vacuum itself produced — and still round-trips exactly
+    val live2 = live.filter(col("doc_id") % 5 =!= 1)
+    val third = ChunkStore.vacuum(spark, dir, live2.select("doc_id"))
+    assert(third.droppedSlots > 0)
+    assert(keysOf(spark.read.parquet(s"$dir/chunks"))
+      .join(keysOf(spark.read.parquet(s"$dir/manifest")),
+        Seq("h", "len", "x"), "left_anti").count() == 0)
+    val mismatches2 = live2.as("o")
+      .join(ChunkStore.materialize(spark, dir).as("r"), "doc_id", "full_outer")
+      .where(col("o.text").isNull || col("r.text").isNull ||
+        col("o.text") =!= col("r.text")).count()
+    assert(mismatches2 == 0, s"$mismatches2 docs failed the re-vacuum round trip")
   }
 
   test("stats manifest string bands: truncate-safe min/max prune string " +
