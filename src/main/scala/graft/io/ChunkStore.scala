@@ -149,9 +149,6 @@ object ChunkStore {
     import org.apache.hadoop.fs.Path
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
-    val normPath = udf { u: String =>
-      new Path(new java.net.URI(u)).toString
-    }
 
     val manifest = s.read.parquet(s"$dir/manifest").localCheckpoint()
     val live = liveDocs.select("doc_id").distinct()
@@ -159,21 +156,24 @@ object ChunkStore {
       .localCheckpoint() // severs lineage from the files about to swap
     val droppedSlots = manifest.count() - liveManifest.count()
 
-    // chunks still referenced by at least one surviving slot
+    // chunks still referenced by at least one surviving slot. The dead
+    // pass reads keys only (columnar projection); the per-file attribution
+    // normalizes input_file_name URIs to listing-style Path strings, the
+    // same discipline as StatsManifest's bloom build.
     val liveKeys = liveManifest.select("h", "len", "x").distinct()
     val chunks = s.read.parquet(s"$dir/chunks")
-      .withColumn("f", normPath(input_file_name()))
+      .withColumn("f", StatsManifest.normalizedInputFile())
     val dead = chunks.join(liveKeys, Seq("h", "len", "x"), "left_anti")
     val reclaimed = dead.count()
 
     val stats =
       if (reclaimed == 0 && droppedSlots == 0)
-        VacuumStats(0L, 0L, 0, listFiles(fs, s"$dir/chunks").size)
+        VacuumStats(0L, 0L, 0, StatsManifest.listParquet(s, s"$dir/chunks").size)
       else {
         // only files holding >= 1 dead chunk get rewritten
         val dirtyFiles = dead.select("f").distinct()
           .collect().map(_.getString(0)).toSet
-        val allFiles = listFiles(fs, s"$dir/chunks")
+        val allFiles = StatsManifest.listParquet(s, s"$dir/chunks")
         val untouched = allFiles.filterNot(dirtyFiles)
         val trash = new Path(s"$dir/.vacuum-trash")
         fs.mkdirs(trash)
@@ -185,9 +185,12 @@ object ChunkStore {
           require(fs.rename(from, to), s"vacuum: rename $from -> $to failed")
         if (dirtyFiles.nonEmpty) {
           val staged = s"$dir/.vacuum-staged"
-          chunks.filter(col("f").isin(dirtyFiles.toSeq: _*))
+          // the staging scan opens ONLY the dirty files — filtering the
+          // full-store frame on the input_file_name-derived column would
+          // read every clean file's pages too (UDF filters don't push
+          // down), defeating the rewrite-dirty-files design
+          s.read.parquet(dirtyFiles.toSeq: _*)
             .join(liveKeys, Seq("h", "len", "x"), "left_semi")
-            .drop("f")
             .write.mode("overwrite").parquet(staged)
           // swap: displace dirty originals (recoverable), then move the
           // staged survivors in under fresh names
@@ -195,9 +198,10 @@ object ChunkStore {
             val p = new Path(f)
             renameOrDie(p, new Path(trash, p.getName))
           }
-          listFiles(fs, staged).zipWithIndex.foreach { case (f, i) =>
-            val p = new Path(f)
-            renameOrDie(p, new Path(s"$dir/chunks/vacuum-$token-$i-${p.getName}"))
+          StatsManifest.listParquet(s, staged).zipWithIndex.foreach {
+            case (f, i) =>
+              val p = new Path(f)
+              renameOrDie(p, new Path(s"$dir/chunks/vacuum-$token-$i-${p.getName}"))
           }
           fs.delete(new Path(staged), true)
         }
@@ -212,18 +216,4 @@ object ChunkStore {
     stats
   }
 
-  private def listFiles(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(p)) Nil
-    else {
-      val it = fs.listFiles(p, false)
-      val buf = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
-      }
-      buf.result()
-    }
-  }
 }

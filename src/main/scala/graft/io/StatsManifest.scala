@@ -336,18 +336,26 @@ object StatsManifest {
       bf.writeTo(bos)
       bos.toByteArray
     }
-    // input_file_name() renders URIs (file:///a/b) where the listing-based
-    // manifest holds Path strings (file:/a/b) — normalize through Path or
-    // the join silently misses and every bloom stays NULL (= no skipping)
-    val normPath = udf { u: String =>
-      new org.apache.hadoop.fs.Path(new java.net.URI(u)).toString
-    }
     s.read.parquet(files: _*)
-      .select(normPath(input_file_name()).as("file") +:
+      .select(normalizedInputFile().as("file") +:
         bloomCols.map(c => col(c).cast("string").as(c)): _*)
       .groupBy("file")
       .agg(mk(collect_list(col(bloomCols.head))).as(s"bloom_${bloomCols.head}"),
         bloomCols.tail.map(c => mk(collect_list(col(c))).as(s"bloom_$c")): _*)
+  }
+
+  /** `input_file_name()` normalized to listing-style Path strings:
+    * the function renders URIs (`file:///a/b`) where listing-based
+    * manifests hold Path strings (`file:/a/b`) — joins between the two
+    * silently miss without this (every bloom NULL = no skipping; vacuum
+    * would see every file as clean). Shared by the bloom build and
+    * [[ChunkStore.vacuum]]'s dirty-file attribution.
+    */
+  private[io] def normalizedInputFile(): Column = {
+    val norm = udf { u: String =>
+      new org.apache.hadoop.fs.Path(new java.net.URI(u)).toString
+    }
+    norm(input_file_name())
   }
 
   private val bloomMightContain = udf { (b: Array[Byte], points: Seq[String]) =>

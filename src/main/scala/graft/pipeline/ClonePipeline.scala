@@ -141,27 +141,27 @@ object ClonePipeline {
           val path = s"$tgtDir/$t.parquet"
           // empty-table short circuit (Program.cs:612-616) is a no-op for
           // parquet writes, so we just write; count is read from the
-          // written files' footers (no second scan of the source).
-          layouts.get(t) match {
-            case None => Writers.parquet(df, path)
-            case Some(l) if l.zOrder =>
-              Writers.zOrderedN(df, path, l.clusterCols, l.numFiles)
+          // written files' footers (no second scan of the source). The
+          // whole per-table layout decision lives in this ONE match: the
+          // clustered write AND the footer-only manifest (persisted NEXT
+          // TO the table, registered so this session's ManifestPruneRule
+          // prunes immediately) come from the same TableLayout.
+          val manifestDir = layouts.get(t) match {
+            case None =>
+              Writers.parquet(df, path)
+              None
             case Some(l) =>
-              Writers.rangeClustered(df, path, l.clusterCols, l.numFiles)
-          }
-          // layout opt-in: footer-only manifest built from the fresh
-          // files, persisted NEXT TO the table and registered so this
-          // session's ManifestPruneRule prunes immediately
-          val manifestDir = layouts.get(t).map { l =>
-            val mDir = s"$tgtDir/$t.manifest"
-            val statCols =
-              if (l.statCols.nonEmpty) l.statCols
-              else l.clusterCols.filterNot(l.stringStatCols.contains)
-            val m = graft.io.StatsManifest.build(spark, path, statCols,
-              l.stringStatCols, l.bandWidth)
-            m.write.mode(SaveMode.Overwrite).parquet(mDir)
-            graft.plans.ManifestRegistry.register(spark, path, m)
-            mDir
+              if (l.zOrder) Writers.zOrderedN(df, path, l.clusterCols, l.numFiles)
+              else Writers.rangeClustered(df, path, l.clusterCols, l.numFiles)
+              val mDir = s"$tgtDir/$t.manifest"
+              val statCols =
+                if (l.statCols.nonEmpty) l.statCols
+                else l.clusterCols.filterNot(l.stringStatCols.contains)
+              val m = graft.io.StatsManifest.build(spark, path, statCols,
+                l.stringStatCols, l.bandWidth)
+              m.write.mode(SaveMode.Overwrite).parquet(mDir)
+              graft.plans.ManifestRegistry.register(spark, path, m)
+              Some(mDir)
           }
           (t, spark.read.parquet(path).count(), manifestDir)
         }

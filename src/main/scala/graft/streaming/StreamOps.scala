@@ -19,14 +19,43 @@ object StreamOps extends Serializable {
 
   /** True microseconds since epoch. `Timestamp.getTime` is whole millis
     * (it already includes the integral-ms part of `getNanos`), so the
-    * sub-ms remainder must be added via `getNanos / 1000 % 1000` — or,
-    * equivalently and more simply, truncate getTime to seconds and add
-    * the full micros-of-second. Naive `getTime * 1000 + getNanos / 1000`
+    * conversion floors getTime to seconds and adds the full
+    * micros-of-second (getNanos is the NON-NEGATIVE fraction even for
+    * pre-epoch instants, which is why the seconds division must FLOOR —
+    * `/` truncates toward zero and would mis-place 1969-12-31T23:59:59.5
+    * after the epoch). Naive `getTime * 1000 + getNanos / 1000`
     * double-counts the millisecond component and is non-monotonic across
     * second boundaries (12:00:00.600 would sort after 12:00:01.000).
     */
   private[streaming] def tsMicros(t: Timestamp): Long =
-    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** The per-store commit marker for foreachBatch idempotence: reads and
+    * writes live in ONE place so both ingest paths share the protocol.
+    * Writes are write-temp-then-rename — `fs.create(marker, true)`
+    * truncates in place, so a crash mid-write would otherwise leave an
+    * empty marker that both loses the committed id and poisons every
+    * restart with a parse failure.
+    */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(marker)) -1L
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      marker.getParent, marker.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    require(fs.rename(tmp, marker), s"marker rename $tmp -> $marker failed")
+  }
 
   /** Tumbling 1-hour count per event type with a 10-minute watermark —
     * streaming Q-T01. Late events beyond the watermark are dropped;
@@ -221,14 +250,18 @@ object StreamOps extends Serializable {
     * key-sized anti-join against the store, never a history re-read.
     *
     * foreachBatch is at-least-once, and a replayed batch carries the SAME
-    * batchId — so the store keeps a `_last_batch` marker and skips any
-    * batchId already committed, making recovery replays no-ops instead of
-    * duplicating manifest slots (which would corrupt `materialize`'s
-    * byte-exact reconstruction). Residual window: a crash BETWEEN the
-    * append and the marker write still re-applies that one batch on
-    * restart — closing it fully needs a transactional sink; the guard
-    * covers the common replay (checkpoint commit lost after a successful
-    * batch), and the idempotence is pinned in StreamOpsSpec.
+    * batchId — so a `_graft_last_batch` marker records the last committed
+    * id and already-committed batches no-op, making recovery replays
+    * harmless instead of duplicating manifest slots (which would corrupt
+    * `materialize`'s byte-exact reconstruction). The marker lives under
+    * the CHECKPOINT directory, not the store: batch ids are the
+    * checkpoint's counter, so clearing the checkpoint to reprocess also
+    * clears the marker (a store-side marker would silently swallow the
+    * restarted ids). Residual window: a crash BETWEEN the append and the
+    * marker write still re-applies that one batch on restart — closing it
+    * fully needs a transactional sink; the guard covers the common replay
+    * (checkpoint commit lost after a successful batch), and the
+    * idempotence is pinned in StreamOpsSpec.
     */
   def ingestChunkStore(docs: DataFrame, storeDir: String,
       checkpoint: String)
@@ -236,7 +269,7 @@ object StreamOps extends Serializable {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestChunkStoreBatch(batch, batchId, storeDir)
+        ingestChunkStoreBatch(batch, batchId, storeDir, checkpoint)
       }
 
   /** The per-batch body of [[ingestChunkStore]], exposed for the
@@ -244,25 +277,17 @@ object StreamOps extends Serializable {
     * already-committed batchId must be a no-op.
     */
   private[graft] def ingestChunkStoreBatch(batch: DataFrame, batchId: Long,
-      storeDir: String): Unit = {
+      storeDir: String, markerDir: String): Unit = {
     import graft.io.ChunkStore
     val s = batch.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
-    val marker = new org.apache.hadoop.fs.Path(s"$storeDir/_last_batch")
+    val marker = new org.apache.hadoop.fs.Path(s"$markerDir/_graft_last_batch")
     val fs = marker.getFileSystem(conf)
-    val lastCommitted: Long =
-      if (fs.exists(marker)) {
-        val in = fs.open(marker)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
-      } else -1L
-    if (batchId > lastCommitted) {
+    if (batchId > readMarker(fs, marker)) {
       val cPath = new org.apache.hadoop.fs.Path(s"$storeDir/chunks")
       if (fs.exists(cPath)) ChunkStore.append(s, batch, storeDir)
       else ChunkStore.write(batch, storeDir)
-      val out = fs.create(marker, true)
-      try out.write(batchId.toString.getBytes("UTF-8"))
-      finally out.close()
+      writeMarker(fs, marker, batchId)
     }
   }
 
@@ -279,9 +304,10 @@ object StreamOps extends Serializable {
     *                    banded against the running MinHash snapshot
     *                    (history is never re-shingled), appended; and
     *      `snapshot/` — the batch's band keys merged into the snapshot.
-    * One `_last_batch` marker makes the WHOLE composition idempotent
-    * under foreachBatch's at-least-once replay (same residual window as
-    * [[ingestChunkStore]], documented there). Accumulated `pairs/` over
+    * One checkpoint-resident `_graft_last_batch` marker makes the WHOLE
+    * composition idempotent under foreachBatch's at-least-once replay
+    * (same identity and residual-window contract as [[ingestChunkStore]],
+    * documented there). Accumulated `pairs/` over
     * any batch split equals the batch q_l06 full-corpus candidate set:
     * within-batch pairs surface when the batch arrives, cross-batch pairs
     * when their later endpoint does — pinned in StreamBatchParitySpec.
@@ -296,15 +322,9 @@ object StreamOps extends Serializable {
         import graft.operators.LLMOps
         val s = batch.sparkSession
         val conf = s.sparkContext.hadoopConfiguration
-        val marker = new org.apache.hadoop.fs.Path(s"$baseDir/_last_batch")
+        val marker = new org.apache.hadoop.fs.Path(s"$checkpoint/_graft_last_batch")
         val fs = marker.getFileSystem(conf)
-        val lastCommitted: Long =
-          if (fs.exists(marker)) {
-            val in = fs.open(marker)
-            try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-            finally in.close()
-          } else -1L
-        if (batchId > lastCommitted) {
+        if (batchId > readMarker(fs, marker)) {
           // the batch feeds three consumers (chunking, manifest write,
           // shingling) — materialize once instead of re-reading the
           // source three times
@@ -352,9 +372,7 @@ object StreamOps extends Serializable {
           val merged = all.localCheckpoint()
           merged.write.mode("overwrite").parquet(snapDir)
 
-          val out = fs.create(marker, true)
-          try out.write(batchId.toString.getBytes("UTF-8"))
-          finally out.close()
+          writeMarker(fs, marker, batchId)
         }
       }
 

@@ -435,20 +435,21 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
   test("ingestChunkStoreBatch skips a replayed (already-committed) batchId") {
     import spark.implicits._
     import graft.io.ChunkStore
-    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString + "/store"
+    val base = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val (dir, ckpt) = (s"$base/store", s"$base/ckpt")
     val b0 = Seq((0L, "alpha beta gamma delta"), (1L, "epsilon zeta eta"))
       .toDF("doc_id", "text")
-    StreamOps.ingestChunkStoreBatch(b0, 0L, dir)
+    StreamOps.ingestChunkStoreBatch(b0, 0L, dir, ckpt)
     val manifest0 = spark.read.parquet(s"$dir/manifest").count()
     val chunks0 = spark.read.parquet(s"$dir/chunks").count()
     // foreachBatch replay: same batchId arrives again after a recovery —
     // must be a no-op, not a duplicate manifest append
-    StreamOps.ingestChunkStoreBatch(b0, 0L, dir)
+    StreamOps.ingestChunkStoreBatch(b0, 0L, dir, ckpt)
     assert(spark.read.parquet(s"$dir/manifest").count() == manifest0)
     assert(spark.read.parquet(s"$dir/chunks").count() == chunks0)
     // a genuinely new batch still lands
     val b1 = Seq((2L, "theta iota kappa")).toDF("doc_id", "text")
-    StreamOps.ingestChunkStoreBatch(b1, 1L, dir)
+    StreamOps.ingestChunkStoreBatch(b1, 1L, dir, ckpt)
     assert(spark.read.parquet(s"$dir/manifest")
       .select("doc_id").distinct().count() == 3)
     // and the store still round-trips byte-exactly
