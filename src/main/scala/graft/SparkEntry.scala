@@ -154,6 +154,10 @@ object SparkEntry {
     // training-prep stage (r4): near-dup cluster resolution (connected
     // components), content-hash split, sequence packing, quality funnel
     "q_l19_dup_clusters"   -> (TrainPrep.qL19 _),
+    // cluster KEEPER selection: the action step q_l19 feeds (r11)
+    "q_l45_cluster_keepers" -> (TrainPrep.qL45 _),
+    // per-label quantized-centroid drift monitor (r11)
+    "q_l46_label_drift"    -> (Similarity.qL46 _),
     "q_l20_hash_split"     -> (TrainPrep.qL20 _),
     // shardSize=128 so the two-level cumulative sum actually spans
     // multiple shards at correctness/bench scale (production default 2^20)
@@ -472,6 +476,20 @@ object SparkEntry {
         """reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), """ +
         """comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a) """ +
         """SELECT comp AS cluster_id, COUNT(*) AS size FROM comp GROUP BY comp ORDER BY cluster_id"""),
+    // q_l45 (r11): q_l19's clusters joined to documents; keeper = longest
+    // member, ties to smallest id — exact-integer ordering both engines
+    "q_l45_cluster_keepers" ->
+      (s"""WITH RECURSIVE pairs AS ($l05OracleSql), """ +
+        """edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), """ +
+        """reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), """ +
+        """comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a), """ +
+        """j AS (SELECT c.comp, c.id, d.n_chars FROM comp c JOIN documents d ON d.doc_id = c.id), """ +
+        """k AS (SELECT comp, id, n_chars, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n_chars DESC, id) AS rn FROM j) """ +
+        """SELECT comp AS cluster_id, COUNT(*) AS size, CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keeper_id, CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars FROM k GROUP BY comp ORDER BY cluster_id"""),
+    // q_l46 (r11): int8-quantized per-label centroid sums — exact BIGINT
+    // dims/dots/norms, one terminal double division, same op order
+    "q_l46_label_drift" ->
+      """WITH m AS (SELECT label, embedding, CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 1.0 ELSE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) END AS maxabs FROM embeddings), q AS (SELECT label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / maxabs * 127.0 + 0.5) AS BIGINT)) AS qv FROM m), e AS (SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM q), s AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sv FROM e GROUP BY label, pos), n AS (SELECT label, SUM(sv * sv) AS n2 FROM s GROUP BY label), dt AS (SELECT a.label AS label_a, b.label AS label_b, SUM(a.sv * b.sv) AS dot FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label GROUP BY 1, 2) SELECT label_a, label_b, CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim FROM dt JOIN n na ON na.label = dt.label_a JOIN n nb ON nb.label = dt.label_b ORDER BY label_a, label_b""",
     "q_l20_hash_split" ->
       """WITH b AS (SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket, n_chars FROM documents) SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM b GROUP BY split ORDER BY split""",
     "q_l21_pack" ->
@@ -1097,12 +1115,16 @@ object SparkEntry {
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id, token, cnt FROM (SELECT token, COUNT(*) AS cnt FROM (SELECT explode(split(lower(text), ' ')) AS token FROM documents) GROUP BY token) ORDER BY token_id""",
     "q_l38_bigram_counts" ->
       """WITH w AS (SELECT split(lower(text), ' ') AS toks FROM documents), p AS (SELECT explode(zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> named_struct('w1', a, 'w2', b))) AS bg FROM w) SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS cnt FROM p GROUP BY bg.w1, bg.w2 ORDER BY cnt DESC, w1, w2 LIMIT 20""",
-    // q_l19 (connected components) stays DataFrame-only: the DuckDB
-    // oracle's transitive-closure CTE needs UNION's per-step dedup to
-    // terminate on a symmetric edge set, and Spark 4.1 rejects UNION in
-    // recursive CTEs ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]; UNION ALL
-    // cannot terminate on cycles) — revisit when SPARK recursive CTEs
-    // grow distinct-union support.
+    // q_l19/q_l45 (connected components + keepers) stay DataFrame-only:
+    // the DuckDB oracle's transitive-closure CTE needs UNION's per-step
+    // dedup to terminate on a symmetric edge set, and Spark 4.1 rejects
+    // UNION in recursive CTEs ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE];
+    // UNION ALL cannot terminate on cycles) — revisit when Spark
+    // recursive CTEs grow distinct-union support.
+    // per-label quantized-centroid drift (exact-integer sums, q_l31's
+    // quantization spelling, one terminal double division)
+    "q_l46_label_drift" ->
+      """WITH m AS (SELECT label, embedding, aggregate(embedding, CAST(0.0 AS DOUBLE), (mx, x) -> greatest(mx, abs(CAST(x AS DOUBLE)))) AS maxabs FROM embeddings), q AS (SELECT label, transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / (CASE WHEN maxabs = 0D THEN 1.0D ELSE maxabs END) * 127.0D + 0.5D) AS INT)) AS qv FROM m), e AS (SELECT label, pos, v FROM q LATERAL VIEW posexplode(qv) t AS pos, v), s AS (SELECT label, pos, SUM(CAST(v AS BIGINT)) AS sv FROM e GROUP BY label, pos), n AS (SELECT label, SUM(sv * sv) AS n2 FROM s GROUP BY label), dt AS (SELECT a.label AS label_a, b.label AS label_b, SUM(a.sv * b.sv) AS dot FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label GROUP BY a.label, b.label) SELECT label_a, label_b, CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim FROM dt JOIN n na ON na.label = dt.label_a JOIN n nb ON nb.label = dt.label_b ORDER BY label_a, label_b""",
     // ---- train-prep ----
     "q_l22_quality_funnel" ->
       (s"""WITH s AS (SELECT doc_id, CAST(size(split(lower(text), ' ')) AS DOUBLE) AS wc, CAST(length(text) AS DOUBLE) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS mean_tok_len, CAST(size(filter(split(lower(text), ' '), t -> t IN ($sqlStop))) AS DOUBLE) / CAST(size(split(lower(text), ' ')) AS DOUBLE) AS stop_ratio FROM documents), r AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) AS max_tok FROM (SELECT doc_id, t, COUNT(*) AS cnt FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS t FROM documents) GROUP BY doc_id, t) GROUP BY doc_id) SELECT COUNT(*) AS total, CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len, CAST(SUM(CASE WHEN mean_tok_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wlen, CAST(SUM(CASE WHEN max_tok / wc <= 0.125D THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep, CAST(SUM(CASE WHEN stop_ratio >= 0.01D THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop, CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 AND mean_tok_len BETWEEN 3 AND 10 AND max_tok / wc <= 0.125D AND stop_ratio >= 0.01D THEN 1 ELSE 0 END) AS BIGINT) AS pass_all FROM s JOIN r USING (doc_id)"""),

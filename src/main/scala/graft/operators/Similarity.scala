@@ -185,6 +185,43 @@ object Similarity {
     * (bucket, partition) cross the shuffle and a dense bucket can never
     * concentrate its region into one window sort.
     */
+  /** Q-L46 — embedding drift BETWEEN label populations: cosine between
+    * per-label centroid-sum vectors, the per-slice distribution-shift
+    * monitor an embedding pipeline runs between sources/batches/label
+    * slices (a drop in cross-label centroid similarity flags feature or
+    * upstream-model drift). Determinism: float centroid means are
+    * accumulation-order-dependent, so the vectors are int8-quantized
+    * FIRST ([[quantizeInt8]]'s exact half-up codes) and everything up to
+    * the single terminal division is BIGINT — per-(label, dimension)
+    * code sums, their dot products and squared norms are exact integers,
+    * and cosine(Σa, Σb) is invariant to the dropped 1/n scaling.
+    * Scale: one corpus scan fans out to labels × dim rows (map-side
+    * combined) — the pairwise stage runs on centroid sums, never
+    * vectors, so it is label-count², not corpus², work.
+    */
+  def qL46(s: SparkSession, d: String): DataFrame = {
+    val codes = quantizeInt8(Tables.embeddings(s, d), "embedding")
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+    val sums = codes.groupBy("label", "pos")
+      .agg(sum(col("v").cast("long")).as("sv"))
+    val norms = sums.groupBy("label").agg(sum(col("sv") * col("sv")).as("n2"))
+    sums.select(col("label").as("label_a"), col("pos"), col("sv").as("sa"))
+      .join(sums.select(col("label").as("label_b"), col("pos"),
+        col("sv").as("sb")), Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+      .join(norms.select(col("label").as("label_a"), col("n2").as("n2a")),
+        Seq("label_a"))
+      .join(norms.select(col("label").as("label_b"), col("n2").as("n2b")),
+        Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .as("sim"))
+      .orderBy("label_a", "label_b")
+  }
+
   def qL36(s: SparkSession, d: String, perBucket: Int = 4): DataFrame = {
     // SignSketch = one bits × dim tight loop inside whole-stage codegen;
     // the equivalent zip_with/aggregate formulation runs 8 INTERPRETED

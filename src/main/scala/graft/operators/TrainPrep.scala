@@ -141,6 +141,33 @@ object TrainPrep {
       .orderBy("cluster_id")
   }
 
+  /** Q-L45 — cluster KEEPER selection: the action step q_l19's cluster
+    * resolution feeds — per near-dup cluster, keep the longest member
+    * (ties to the smallest doc_id), the "most complete page wins"
+    * heuristic every dedup pipeline applies before dropping the rest.
+    * Exact-integer ordering key (n_chars), so keeper choice is
+    * engine-portable where a float quality score's ties are not.
+    * Scale: the per-cluster window partitions by component label —
+    * bounded by cluster size, never corpus-sized; everything upstream is
+    * the banded q_l05 chain.
+    */
+  def qL45(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = LLMOps.qL05(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = connectedComponents(pairs)
+    val j = comp.join(
+      Tables.documents(s, d).select(col("doc_id").as("id"), col("n_chars")),
+      Seq("id"))
+    val w = Window.partitionBy("comp").orderBy(col("n_chars").desc, col("id"))
+    j.withColumn("rn", row_number().over(w))
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("size"),
+        max(when(col("rn") === 1, col("id"))).as("keeper_id"),
+        max(when(col("rn") === 1, col("n_chars"))).as("kept_chars"))
+      .orderBy("cluster_id")
+  }
+
   /** Q-L20 — deterministic content-hash train/val/test split (90/5/5):
     * bucket = first 32 bits of md5(text) mod 100. Content-addressed, so
     * (a) re-ingesting the corpus with different doc_ids keeps every
