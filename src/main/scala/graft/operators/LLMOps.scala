@@ -436,6 +436,36 @@ object LLMOps {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("source")
 
+  /** Repeated-SENTENCE catalog: the dedup granularity between whole
+    * documents (qL11) and content-defined byte chunks (qL42) —
+    * boilerplate sentences ("click here to subscribe", license lines)
+    * repeat across otherwise-distinct pages and are what sentence-level
+    * dedup (C4's three-sentence rule, RefinedWeb's line dedup) removes.
+    * Sentences split on the given delimiter regex, fragments under
+    * `minChars` skipped, keyed by the portable poly hash: the shuffle
+    * carries (hash, len) longs, never sentence text, and the top-k
+    * catalog is a TakeOrdered, not a global sort — the same scale
+    * posture as the chunk catalog qL43. API-level operator (EngineSpec):
+    * the synthetic corpus carries no sentence punctuation, so an oracle
+    * row over it would be vacuous — the reason this one is spec-checked
+    * on constructed documents instead.
+    */
+  def sentenceDedup(docs: DataFrame, delim: String = "\\. ",
+      minChars: Int = 20, k: Int = 50): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), delim)).as("sent"))
+      .where(length(col("sent")) >= minChars)
+      .select(col("doc_id"), charHash(col("sent")).as("h"),
+        length(col("sent")).as("len"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("len")).cast("long").as("sent_chars"))
+      .where(col("copies") > 1)
+      .orderBy(col("copies").desc, col("h"))
+      .limit(k)
+
   /** Q-L11 — document fingerprint (polynomial rolling hash over the whole
     * text, portable math): the compact dedup key for the 100 TB path.
     */

@@ -97,6 +97,22 @@ object Graft {
         spark.experimental.extraOptimizations :+ ManifestPruneRule
   }
 
+  /** Load a PERSISTED stats manifest (e.g. one a clone-layout opt-in or
+    * `ingestPipeline` published next to its table) and register it for
+    * [[ManifestPruneRule]] — the one-call session bootstrap a new reader
+    * runs so an already-laid-out table is pruned-readable immediately.
+    * The manifest is materialized eagerly (registry entries must be
+    * snapshots, not re-listing recipes — same contract as
+    * `StatsManifest.build`). Returns the registered frame.
+    */
+  def registerManifest(spark: SparkSession, tableDir: String,
+      manifestDir: String): DataFrame = {
+    ensureRegistered(spark)
+    val m = spark.read.parquet(manifestDir).localCheckpoint(eager = true)
+    ManifestRegistry.register(spark, tableDir, m)
+    m
+  }
+
   /** Top-k rows per group via the custom operator: the rows whose
     * row_number under `order` within each `group` is ≤ k (arbitrary
     * tie-break — pass a total order for determinism). Plain columns in

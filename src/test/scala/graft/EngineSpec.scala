@@ -514,6 +514,14 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       assert(report.rowCounts("orders") ==
         Tables.orders(spark, sfDir).count())
       assert(report.ddl("orders").contains("CREATE TABLE [dbo].[orders]"))
+      // a NEW session (clone registration gone) bootstraps from the
+      // PERSISTED manifest with one registerManifest call and prunes again
+      ManifestRegistry.deregister(spark, s"$tgt/orders.parquet")
+      Graft.registerManifest(spark, s"$tgt/orders.parquet", mDir)
+      assert(StatsManifest.pruneFiles(
+        spark.read.parquet(mDir), bounds).size <= 4)
+      assert(q(iso).collect().sameElements(q(spark).collect()),
+        "persisted-manifest bootstrap: parity")
     } finally ManifestRegistry.deregister(spark, s"$tgt/orders.parquet")
   }
 
@@ -644,6 +652,35 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .where(col("l_orderkey").between(bounds.head._2, bounds.head._3))
       .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").collect()
     assert(pruned.sameElements(full))
+  }
+
+  test("sentenceDedup catalogs cross-document repeated sentences and " +
+      "skips fragments below the length floor") {
+    import spark.implicits._
+    import graft.operators.LLMOps
+    val boiler = "subscribe to our newsletter for updates"
+    val license = "all rights reserved by the original author"
+    val docs = Seq(
+      (0L, s"unique opening thought. $boiler. some closing words here"),
+      (1L, s"$boiler. another unrelated body sentence follows here"),
+      (2L, s"totally different content lives here. $license. tail text"),
+      (3L, s"$license. and a second body nobody else shares. ok"),
+      (4L, s"$boiler. $license. a document carrying both boilerplates")
+    ).toDF("doc_id", "text")
+    val cat = LLMOps.sentenceDedup(docs).collect()
+    // exactly the two boilerplate sentences repeat (short fragments like
+    // 'ok' are floored out); copies and holders are exact
+    assert(cat.length == 2, s"expected 2 repeated sentences, got ${cat.length}")
+    val byCopies = cat.map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(byCopies == Set((3L, 3L, 0L), (3L, 3L, 2L)),
+      s"copies/n_docs/first_doc drifted: ${byCopies.mkString(",")}")
+    // the catalog is keyed by the portable poly hash of the sentence text
+    val hs = cat.map(_.getLong(0)).toSet
+    def ph(s: String) = {
+      var acc = 0L; s.foreach(c => acc = (acc * 31 + c) % 1000000007L); acc
+    }
+    assert(hs == Set(ph(boiler), ph(license)))
   }
 
   test("chunk-store vacuum reclaims dead-doc chunks, rewrites only dirty " +
