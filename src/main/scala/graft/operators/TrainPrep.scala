@@ -211,7 +211,21 @@ object TrainPrep {
     * exchange reuse can't merge them without a cache).
     */
   def qL21(s: SparkSession, d: String, capacity: Int = 2048,
-      shardSize: Int = 1 << 20): DataFrame = {
+      shardSize: Int = 1 << 20): DataFrame =
+    docCumTokens(s, d, shardSize)
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        expr(s"(cum - n_tok) div $capacity").as("start_bin"),
+        expr(s"(cum - 1) div $capacity").as("end_bin"))
+      .orderBy("source", "doc_id")
+
+  /** The qL21 two-level cumulative token sum, shared with
+    * [[writePackedShards]]: per doc, `cum` = the running token total of
+    * its source up to AND including it (shard-local windows + driver
+    * prefix-summed shard offsets — see qL21's doc for why the single
+    * per-source window is a scale hazard).
+    */
+  private def docCumTokens(s: SparkSession, d: String,
+      shardSize: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val base = Tables.documents(s, d)
@@ -239,10 +253,49 @@ object TrainPrep {
     base.withColumn("local_cum", sum("n_tok").over(wLocal))
       .join(broadcast(offsets), Seq("source", "shard"))
       .withColumn("cum", col("local_cum") + col("offset"))
-      .select(col("source"), col("doc_id"), col("n_tok"),
-        expr(s"(cum - n_tok) div $capacity").as("start_bin"),
-        expr(s"(cum - 1) div $capacity").as("end_bin"))
-      .orderBy("source", "doc_id")
+      .select("source", "doc_id", "n_tok", "cum")
+  }
+
+  /** Write the packed corpus as bin-aligned TRAINING SHARDS — the
+    * artifact qL21 only measures, made real: per source, the token
+    * stream (documents concatenated in doc_id order) is cut into
+    * `capacity`-token bins, one row per bin carrying its space-joined
+    * text and token count, landed hive-partitioned by
+    * (source, shard = bin div binsPerShard) so a dataloader reads one
+    * shard directory per worker and partition pruning serves
+    * "source = X, shards [a, b)" requests without listing the rest.
+    * Every bin except each source's last holds exactly `capacity`
+    * tokens, and concatenating bins in bin order reproduces the source's
+    * token stream byte-exactly (both pinned in EngineSpec).
+    * Scale shape: the fan-out is one row per TOKEN but it carries only
+    * (gpos, token) pairs into a capacity-bounded per-bin aggregate
+    * (array_sort inside the agg — deterministic, like qT08's path
+    * build); no corpus-length sequential task anywhere (the two-level
+    * cumsum supplies global positions).
+    */
+  def writePackedShards(s: SparkSession, d: String, outDir: String,
+      capacity: Int = 2048, binsPerShard: Int = 64,
+      shardSize: Int = 1 << 20): (Long, Long) = {
+    val off = docCumTokens(s, d, shardSize)
+      .select(col("source"), col("doc_id"), (col("cum") - col("n_tok")).as("doc_off"))
+    val bins = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), LLMOps.tokens(col("text")).as("toks"))
+      .join(off, Seq("source", "doc_id"))
+      .select(col("source"), col("doc_off"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
+      .select(col("source"), (col("doc_off") + col("p")).as("gpos"), col("tok"))
+      .withColumn("bin", expr(s"gpos div $capacity"))
+      .groupBy("source", "bin")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("gpos"), col("tok")))),
+          e => e("tok")), " ").as("text"),
+        count(lit(1)).as("n_tok"))
+      .withColumn("shard", expr(s"bin div $binsPerShard"))
+    bins.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("source", "shard").parquet(outDir)
+    val out = s.read.parquet(outDir)
+    (out.count(), out.select("source", "shard").distinct().count())
   }
 
   /** The content-hash split expression shared by qL20/qL24 — first 32

@@ -654,6 +654,41 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(pruned.sameElements(full))
   }
 
+  test("writePackedShards lands bin-aligned hive-partitioned shards that " +
+      "reconstruct each source's token stream exactly") {
+    import graft.operators.{LLMOps, TrainPrep}
+    val out = Files.createTempDirectory("graft-shards").toString
+    val (nBins, nShards) = TrainPrep.writePackedShards(spark, sfDir, out,
+      capacity = 128, binsPerShard = 4, shardSize = 128)
+    assert(nBins > 0 && nShards > 0 && nShards <= nBins)
+    val bins = spark.read.parquet(out)
+    assert(bins.columns.sorted.toSeq ==
+      Seq("bin", "n_tok", "shard", "source", "text"))
+    // bin -> shard mapping is exact, and every bin except each source's
+    // last holds exactly `capacity` tokens
+    assert(bins.where(col("shard") =!= expr("bin div 4")).count() == 0)
+    val lastBin = bins.groupBy("source").agg(max("bin").as("mx"))
+    assert(bins.join(lastBin, Seq("source"))
+      .where(col("bin") =!= col("mx") && col("n_tok") =!= 128).count() == 0,
+      "a non-final bin missed its capacity")
+    // stream reconstruction: bins concatenated in bin order equal the
+    // source's documents concatenated in doc_id order, token for token
+    val rebuilt = bins.orderBy("source", "bin")
+      .collect().groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("bin"))
+        .map(_.getAs[String]("text")).mkString(" ")).toMap
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        array_join(LLMOps.tokens(col("text")), " ").as("t"))
+      .orderBy("source", "doc_id").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[String]("t")).mkString(" ")).toMap
+    assert(rebuilt.keySet == expected.keySet)
+    rebuilt.keySet.foreach { src =>
+      assert(rebuilt(src) == expected(src), s"stream drift in source $src")
+    }
+  }
+
   test("sentenceDedup catalogs cross-document repeated sentences and " +
       "skips fragments below the length floor") {
     import spark.implicits._
