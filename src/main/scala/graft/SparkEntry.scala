@@ -83,6 +83,10 @@ object SparkEntry {
     "q_l42_cdc_chunks"     -> (LLMOps.qL42 _),
     "q_l43_chunk_catalog"  -> (LLMOps.qL43 _),
     "q_l44_chunk_churn"    -> (LLMOps.qL44 _),
+    // Gopher-style per-doc repetition signals (map-side run-length folds)
+    "q_l47_repetition"     -> (LLMOps.qL47 _),
+    // cross-source shingle-overlap (leakage/provenance) matrix
+    "q_l48_source_overlap" -> (LLMOps.qL48 _),
     "q_l07_simhash"        -> (LLMOps.qL07 _),
     "q_l08_lang_id"        -> (LLMOps.qL08 _),
     "q_l09_quality_hist"   -> (LLMOps.qL09 _),
@@ -103,6 +107,8 @@ object SparkEntry {
     "q_l14_ivf_ann"        -> (Ivf.qL14 _),
     // embedding-diversity sample: portable sign-sketch buckets + GroupTopK
     "q_l36_diversity_sample" -> ((s: SparkSession, d: String) => Similarity.qL36(s, d)),
+    // SemDeDup-style drop catalog over q_l13's verified pair set
+    "q_l49_semantic_dedup"  -> ((s: SparkSession, d: String) => Similarity.qL49(s, d)),
     // data-mixture weights: sqrt-temperature source weighting
     "q_l37_mixture_weights" -> (TrainPrep.qL37 _),
     // session path extraction: ordered event-type sequences per session
@@ -275,8 +281,14 @@ object SparkEntry {
     * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06
     * dedup oracles and q_l24's contamination oracle.
     */
-  private val shingleCtes: String =
-    s"""w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> ${duckPoly("sh")}) AS hl FROM sl), hs AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hh)"""
+  private val shingleCtes: String = shingleCtesBy("doc_id")
+
+  /** [[shingleCtes]] parameterized on the carried key column — `doc_id`
+    * for the doc-pair dedup oracles, `source` for q_l48's cross-source
+    * overlap matrix (same shingling, hashing and distinct discipline).
+    */
+  private def shingleCtesBy(key: String): String =
+    s"""w AS (SELECT $key, string_split(lower(text), ' ') AS toks FROM documents), sl AS (SELECT $key, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT $key, list_transform(shl, sh -> ${duckPoly("sh")}) AS hl FROM sl), hs AS (SELECT DISTINCT $key, unnest(hl) AS h FROM hh)"""
 
   /** q_l05's oracle — the verified n-gram-Jaccard pair pipeline — shared
     * with q_l19, whose transitive-closure oracle clusters the same pairs.
@@ -490,6 +502,22 @@ object SparkEntry {
     // dims/dots/norms, one terminal double division, same op order
     "q_l46_label_drift" ->
       """WITH m AS (SELECT label, embedding, CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 1.0 ELSE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) END AS maxabs FROM embeddings), q AS (SELECT label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / maxabs * 127.0 + 0.5) AS BIGINT)) AS qv FROM m), e AS (SELECT label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM q), s AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sv FROM e GROUP BY label, pos), n AS (SELECT label, SUM(sv * sv) AS n2 FROM s GROUP BY label), dt AS (SELECT a.label AS label_a, b.label AS label_b, SUM(a.sv * b.sv) AS dot FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label GROUP BY 1, 2) SELECT label_a, label_b, CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim FROM dt JOIN n na ON na.label = dt.label_a JOIN n nb ON nb.label = dt.label_b ORDER BY label_a, label_b""",
+    // q_l47 (r11): same definitions via explode + window/group — the
+    // smallest-gram tiebreak is rn=1 of (cnt DESC, gram), matching the
+    // sorted-run fold; every fraction is exact-int ÷ exact-int in double
+    "q_l47_repetition" ->
+      """WITH w AS (SELECT doc_id, length(text) AS chars, string_split(lower(text), ' ') AS toks FROM documents), g AS (SELECT doc_id, chars, CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE [array_to_string(toks, ' ')] END AS g2, CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks) - 3), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) ELSE [array_to_string(toks, ' ')] END AS g5 FROM w), e2 AS (SELECT doc_id, chars, unnest(g2) AS gram FROM g), c2 AS (SELECT doc_id, chars, gram, COUNT(*) AS cnt FROM e2 GROUP BY 1, 2, 3), t2 AS (SELECT doc_id, chars, gram, cnt, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c2), top2 AS (SELECT doc_id, chars, gram AS top2_gram, cnt AS top2_cnt FROM t2 WHERE rn = 1), e5 AS (SELECT doc_id, unnest(g5) AS gram FROM g), c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM e5 GROUP BY 1, 2), d5 AS (SELECT doc_id, CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS BIGINT) AS dup5_chars FROM c5 GROUP BY 1) SELECT t.doc_id, t.top2_gram, CAST(t.top2_cnt AS BIGINT) AS top2_cnt, CAST(t.top2_cnt * length(t.top2_gram) AS DOUBLE) / CAST(t.chars AS DOUBLE) AS top2_frac, CAST(d.dup5_chars AS DOUBLE) / CAST(t.chars AS DOUBLE) AS dup5_frac FROM top2 t JOIN d5 d ON d.doc_id = t.doc_id ORDER BY dup5_frac DESC, top2_frac DESC, t.doc_id LIMIT 100""",
+    // q_l48 (r11): the doc-dedup shingle CTEs keyed by source; inter via
+    // postings self-join, union by inclusion-exclusion of per-source sizes
+    "q_l48_source_overlap" ->
+      (s"""WITH ${shingleCtesBy("source")}, """ +
+        """sizes AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY 1), """ +
+        """i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter_sh FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) """ +
+        """SELECT src_a, src_b, CAST(i.inter_sh AS BIGINT) AS inter_sh, CAST(sa.n + sb.n - i.inter_sh AS BIGINT) AS union_sh, CAST(i.inter_sh AS DOUBLE) / CAST(sa.n + sb.n - i.inter_sh AS DOUBLE) AS jaccard FROM i JOIN sizes sa ON sa.source = i.src_a JOIN sizes sb ON sb.source = i.src_b ORDER BY src_a, src_b"""),
+    // q_l49 (r11): the q_l13 exact pair set reduced to greedy first-seen
+    // drop rows; MIN/MAX/COUNT over engine-identical doubles and BIGINTs
+    "q_l49_semantic_dedup" ->
+      """WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p, r) -> p + r) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r))) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45), dr AS (SELECT id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS dup_of, MAX(sim) AS max_sim, CAST(COUNT(*) AS BIGINT) AS n_earlier FROM p GROUP BY id_b) SELECT dr.vec_id, e.label, dr.dup_of, dr.max_sim, dr.n_earlier FROM dr JOIN embeddings e ON e.vec_id = dr.vec_id ORDER BY dr.vec_id""",
     "q_l20_hash_split" ->
       """WITH b AS (SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket, n_chars FROM documents) SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM b GROUP BY split ORDER BY split""",
     "q_l21_pack" ->
@@ -968,6 +996,18 @@ object SparkEntry {
     }.mkString(", ") + "))"
 
   private def sparkSqlR11: Map[String, String] = Map(
+    // repetition signals: the SQL spelling trades the DataFrame side's
+    // map-side sorted-run folds for explode + window (same rows, same
+    // tiebreak: rn=1 of (cnt DESC, gram) = first max run in sorted order)
+    "q_l47_repetition" ->
+      """WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, split(lower(text), ' ') AS toks FROM documents), g AS (SELECT doc_id, chars, CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2))) ELSE array(array_join(toks, ' ')) END AS g2, CASE WHEN size(toks) >= 5 THEN transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4), element_at(toks, i + 5))) ELSE array(array_join(toks, ' ')) END AS g5 FROM w), c2 AS (SELECT doc_id, chars, gram, COUNT(*) AS cnt FROM (SELECT doc_id, chars, explode(g2) AS gram FROM g) GROUP BY doc_id, chars, gram), t2 AS (SELECT doc_id, chars, gram, cnt, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c2), top2 AS (SELECT doc_id, chars, gram AS top2_gram, cnt AS top2_cnt FROM t2 WHERE rn = 1), c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM (SELECT doc_id, explode(g5) AS gram FROM g) GROUP BY doc_id, gram), d5 AS (SELECT doc_id, COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * CAST(length(gram) AS BIGINT) END), 0L) AS dup5_chars FROM c5 GROUP BY doc_id) SELECT t.doc_id, t.top2_gram, t.top2_cnt, CAST(t.top2_cnt * CAST(length(t.top2_gram) AS BIGINT) AS DOUBLE) / CAST(t.chars AS DOUBLE) AS top2_frac, CAST(d.dup5_chars AS DOUBLE) / CAST(t.chars AS DOUBLE) AS dup5_frac FROM top2 t JOIN d5 d ON d.doc_id = t.doc_id ORDER BY dup5_frac DESC, top2_frac DESC, doc_id LIMIT 100""",
+    // semantic drop catalog: naive pair spelling (the rewrite target),
+    // reduced to greedy first-seen drops
+    "q_l49_semantic_dedup" ->
+      """WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, cosine_sim_safe(a.embedding, b.embedding) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45D), dr AS (SELECT id_b AS vec_id, MIN(id_a) AS dup_of, MAX(sim) AS max_sim, COUNT(*) AS n_earlier FROM p GROUP BY id_b) SELECT dr.vec_id, e.label, dr.dup_of, dr.max_sim, dr.n_earlier FROM dr JOIN embeddings e ON e.vec_id = dr.vec_id ORDER BY dr.vec_id""",
+    // cross-source overlap: shingle_hash carries the shingling from SQL
+    "q_l48_source_overlap" ->
+      """WITH hs AS (SELECT DISTINCT source, h FROM (SELECT source, explode(shingle_hash(text, 3)) AS h FROM documents)), sizes AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY source), i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter_sh FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source GROUP BY a.source, b.source) SELECT src_a, src_b, inter_sh, sa.n + sb.n - inter_sh AS union_sh, CAST(inter_sh AS DOUBLE) / CAST(sa.n + sb.n - inter_sh AS DOUBLE) AS jaccard FROM i JOIN sizes sa ON sa.source = i.src_a JOIN sizes sb ON sb.source = i.src_b ORDER BY src_a, src_b""",
     // ---- relational / temporal breadth ----
     "q_f09_regexp" ->
       """SELECT c_custkey, CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id, CAST(regexp_count(c_name, '[0-9]+') AS BIGINT) AS digit_runs, regexp_replace(c_name, '[0-9]', '#') AS masked FROM customer ORDER BY c_custkey""",

@@ -446,4 +446,67 @@ object StatsManifest {
       s.read.option("basePath", dir).parquet(keep: _*).where(pred)
     }
   }
+
+  /** Join-driven file pruning — Delta's "dynamic file pruning" shape as an
+    * explicit pre-pass: before an equi-join `fact.factCol = dim.dimCol`
+    * executes, prune the FACT side's file list with the BUILD side's
+    * observed key domain. Spark's own DPP covers hive PARTITION dirs and
+    * its runtime bloom covers ROWS post-scan; neither stops a 100 TB fact
+    * table from LISTING AND OPENING every parquet file when the dim
+    * predicate survives only a sliver of the key space — this does, from
+    * the same manifest the static prune path uses.
+    *
+    * Envelope first: the dim keys' [min, max] is computed over the FULL
+    * key set (one small-side aggregate — a subset's envelope would prune
+    * unsoundly), and any file whose [min_, max_] band misses it drops.
+    * When the dim side is small enough to enumerate (`countDistinct <=
+    * pointCap`, the broadcast-join regime where this matters), each file
+    * additionally survives only if SOME key lands inside its band
+    * (catches files straddling the envelope's interior gaps) and, when a
+    * `bloom_<factCol>` sidecar exists, only if the bloom might contain
+    * some key — the unclustered-layout path where bands cannot help.
+    * NULL dim keys never join, so they never widen the envelope; an empty
+    * build side keeps zero files (the join is provably empty).
+    *
+    * Sound by the same contract as every prune here: a file is dropped
+    * only when NO row of it can match ANY dim key; the join itself still
+    * re-filters exactly, so a false bloom positive costs I/O, never rows.
+    */
+  def pruneFilesByJoin(manifest: DataFrame, factCol: String,
+      dimKeys: DataFrame, dimCol: String, pointCap: Int = 10000)
+      : Seq[String] = {
+    val ks = dimKeys.select(col(dimCol).cast("long").as("k")).na.drop("any")
+    val env = ks.agg(min("k").as("lo"), max("k").as("hi"),
+      countDistinct(col("k")).as("n")).head()
+    if (env.isNullAt(0)) return Nil // no non-null dim keys: empty join
+    val (lo, hi, n) = (env.getLong(0), env.getLong(1), env.getLong(2))
+    val bounds = Seq((factCol, lo, hi))
+    if (n > pointCap) pruneFiles(manifest, bounds)
+    else {
+      val points = ks.distinct().collect().map(_.getLong(0)).toSeq.sorted
+      val pts = typedLit(points)
+      // band check per point-SET: min/max NULL keeps the file, else some
+      // key must land inside the file's band (subsumes the envelope test)
+      val inBand = col(s"min_$factCol").isNull ||
+        col(s"max_$factCol").isNull ||
+        exists(pts, p => p >= col(s"min_$factCol") &&
+          p <= col(s"max_$factCol"))
+      manifest
+        .where(inBand && survivesPoints(manifest,
+          Seq((factCol, points.map(_.toString)))))
+        .select("file").collect().map(_.getString(0)).toSeq
+    }
+  }
+
+  /** [[pruneFilesByJoin]] materialized as a read: the surviving fact
+    * files, ready for the caller's join (which re-filters exactly — no
+    * residual predicate is needed beyond the join itself).
+    */
+  def readPrunedByJoin(s: SparkSession, dir: String, manifest: DataFrame,
+      factCol: String, dimKeys: DataFrame, dimCol: String,
+      pointCap: Int = 10000): DataFrame = {
+    val keep = pruneFilesByJoin(manifest, factCol, dimKeys, dimCol, pointCap)
+    if (keep.isEmpty) Readers.parquet(s, dir).where(lit(false))
+    else s.read.option("basePath", dir).parquet(keep: _*)
+  }
 }

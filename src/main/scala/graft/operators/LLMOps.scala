@@ -862,4 +862,115 @@ object LLMOps {
         coalesce(col("new_chars"), lit(0L)).as("new_chars"))
       .orderBy("source")
   }
+
+  /** Q-L47 — per-document REPETITION signals, the Gopher/MassiveText
+    * repetition filters at word-n-gram granularity:
+    * `top2_frac` = fraction of the document's characters covered by its
+    * most frequent word 2-gram (count × gram chars ÷ text chars), and
+    * `dup5_frac` = fraction covered by ALL word 5-grams occurring more
+    * than once (Σ count × gram chars ÷ text chars, each occurrence
+    * counted — overlaps may push the numerator past the denominator,
+    * which is fine for a threshold signal). Ties for the top 2-gram
+    * resolve to the lexicographically smallest gram, so the argmax is
+    * engine-portable.
+    *
+    * Scale shape: entirely MAP-SIDE — per doc, the grams are
+    * `array_sort`ed and each signal is ONE `aggregate` fold over the
+    * sorted array (equal grams are adjacent, so run-lengths are counts;
+    * the first max-count run met in sorted order IS the smallest-gram
+    * tiebreak). O(n log n) per document, no exploded-gram shuffle — at
+    * 100 TB the only shuffle is the final order-by of per-doc rows,
+    * where a real pipeline would instead filter on the fractions
+    * map-side and shuffle nothing.
+    */
+  def qL47(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("chars"),
+      tokens(col("text")).as("w"))
+    val g = base.select(col("doc_id"), col("chars"),
+      array_sort(shingles(col("w"), 2)).as("g2"),
+      array_sort(shingles(col("w"), 5)).as("g5"))
+    // run-length argmax over the sorted 2-grams: (prev, run, bestCnt,
+    // bestGram); strict > keeps the FIRST (= smallest) gram on count ties
+    val top2 = aggregate(
+      col("g2"),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bestCnt"), lit("").as("bestGram")),
+      (acc, x) => {
+        val closed = x =!= acc("prev")
+        val promote = closed && acc("run") > acc("bestCnt")
+        struct(x.as("prev"),
+          when(closed, lit(1L)).otherwise(acc("run") + 1L).as("run"),
+          when(promote, acc("run")).otherwise(acc("bestCnt")).as("bestCnt"),
+          when(promote, acc("prev")).otherwise(acc("bestGram")).as("bestGram"))
+      },
+      acc => struct(
+        when(acc("run") > acc("bestCnt"), acc("run"))
+          .otherwise(acc("bestCnt")).as("cnt"),
+        when(acc("run") > acc("bestCnt"), acc("prev"))
+          .otherwise(acc("bestGram")).as("gram")))
+    // duplicated-5-gram chars: close each run, charge count × gram chars
+    // for runs of length >= 2
+    val dup5 = aggregate(
+      col("g5"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("chars")),
+      (acc, x) => {
+        val closed = x =!= acc("prev")
+        struct(x.as("prev"),
+          when(closed, lit(1L)).otherwise(acc("run") + 1L).as("run"),
+          (acc("chars") + when(closed && acc("run") >= 2L,
+            acc("run") * length(acc("prev")).cast("long")).otherwise(0L))
+            .as("chars"))
+      },
+      acc => acc("chars") + when(acc("run") >= 2L,
+        acc("run") * length(acc("prev")).cast("long")).otherwise(0L))
+    g.select(col("doc_id"), col("chars"), top2.as("t2"), dup5.as("d5"))
+      .select(col("doc_id"),
+        col("t2.gram").as("top2_gram"),
+        col("t2.cnt").as("top2_cnt"),
+        ((col("t2.cnt") * length(col("t2.gram")).cast("long")).cast("double")
+          / col("chars").cast("double")).as("top2_frac"),
+        (col("d5").cast("double") / col("chars").cast("double"))
+          .as("dup5_frac"))
+      .orderBy(col("dup5_frac").desc, col("top2_frac").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** Q-L48 — cross-SOURCE shingle-overlap matrix: pairwise Jaccard of the
+    * sources' distinct 3-shingle-hash sets — the corpus-level leakage /
+    * provenance monitor (which crawls duplicate which, which "independent"
+    * sources share boilerplate) that doc-pair dedup (qL05/qL06) never
+    * surfaces because it reports pairs, not populations.
+    *
+    * Scale shape: the self-join runs on (source, hash) postings — the
+    * shuffle carries packed longs, never text — and per-hash fan-out is
+    * bounded by sources-sharing-that-shingle squared (≤ sources², never
+    * docs²). At a real crawl with millions of sources, cap the per-shingle
+    * source list first (a shingle in >K sources is boilerplate — drop it
+    * from the matrix the way qL27 flags it per doc); the 20-source corpus
+    * needs no cap and keeps the oracle exact.
+    */
+  def qL48(s: SparkSession, d: String): DataFrame = {
+    val posts = Tables.documents(s, d)
+      .select(col("source"), explode(ShingleHash(col("text"), 3)).as("h"))
+      .distinct()
+    val sizes = posts.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = posts.as("a")
+      .join(posts.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter_sh"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter_sh"),
+        (col("n_a") + col("n_b") - col("inter_sh")).as("union_sh"),
+        (col("inter_sh").cast("double") /
+          (col("n_a") + col("n_b") - col("inter_sh")).cast("double"))
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 }

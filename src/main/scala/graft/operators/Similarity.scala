@@ -237,4 +237,33 @@ object Similarity {
         k = perBucket)
       .orderBy("bucket", "vec_id")
   }
+
+  /** Q-L49 — SemDeDup-style semantic DROP CATALOG: the actionable step
+    * [[nearDupPairs]] (q_l13) feeds. Greedy first-seen keeper semantics —
+    * a vector is dropped iff SOME earlier (smaller-id) vector sits within
+    * `threshold` cosine of it; `dup_of` is the smallest such id, the
+    * keeper chain's root candidate (the same convention as exact-dedup
+    * q_l04: earlier wins, so a rerun over a grown corpus never flips an
+    * old keep decision — the property an incremental pipeline needs).
+    * One row per DROPPED vector: (vec_id, label, dup_of, max_sim,
+    * n_earlier); survivors are the complement, so the output is the
+    * smaller side at every real dedup rate.
+    *
+    * Scale shape: candidate generation is the banded LSH join (ids only
+    * through the shuffle), verification exact-after-prune, and the
+    * keeper reduction is one groupBy over surviving pairs — never
+    * corpus² anywhere. The pinned full-recall config matches q_l13, so
+    * the exact DuckDB pair set is the oracle here too.
+    */
+  def qL49(s: SparkSession, d: String, threshold: Double = 0.45,
+      bits: Int = 2, tables: Int = 14): DataFrame = {
+    val pairs = nearDupPairs(s, d, threshold, bits, tables)
+    pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"), max(col("sim")).as("max_sim"),
+        count(lit(1)).as("n_earlier"))
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+      .select("vec_id", "label", "dup_of", "max_sim", "n_earlier")
+      .orderBy("vec_id")
+  }
 }

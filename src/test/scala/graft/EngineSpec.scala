@@ -654,6 +654,65 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(pruned.sameElements(full))
   }
 
+  test("join-driven file pruning: a selective dim key set opens few fact " +
+      "files on clustered AND hash-scattered layouts, with exact join parity") {
+    import graft.io.StatsManifest
+    val dir = Files.createTempDirectory("graft-dfp").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Writers.rangeClustered(li, dir, Seq("l_orderkey"), numFiles = 16)
+    val m = StatsManifest.withBlooms(spark, dir,
+      StatsManifest.build(spark, dir, Seq("l_orderkey")), Seq("l_orderkey"))
+    val kLo = li.agg(min("l_orderkey")).head().getLong(0)
+    val kHi = li.agg(max("l_orderkey")).head().getLong(0)
+    // two key islands near the ends of the key space: the ENVELOPE spans
+    // everything, so only the per-point band check can drop the interior
+    val dim = Tables.orders(spark, sfDir)
+      .where(col("o_orderkey").between(kLo, kLo + 20) ||
+        col("o_orderkey").between(kHi - 20, kHi))
+      .select("o_orderkey", "o_totalprice")
+    val keep = StatsManifest.pruneFilesByJoin(m, "l_orderkey", dim, "o_orderkey")
+    assert(keep.nonEmpty && keep.size <= 4,
+      s"two key islands should confine the join to ~2 of 16 files, kept ${keep.size}")
+    val pruned = StatsManifest
+      .readPrunedByJoin(spark, dir, m, "l_orderkey", dim, "o_orderkey")
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .collect().map(_.toString).sorted
+    val full = spark.read.parquet(dir)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .collect().map(_.toString).sorted
+    assert(pruned.nonEmpty && pruned.sameElements(full))
+    // past pointCap the envelope-only fallback stays SOUND (a superset of
+    // the point check's survivors, never fewer)
+    val keepEnv = StatsManifest.pruneFilesByJoin(m, "l_orderkey", dim,
+      "o_orderkey", pointCap = 1)
+    assert(keep.toSet.subsetOf(keepEnv.toSet))
+    // empty build side proves the join empty without opening any file
+    assert(StatsManifest.pruneFilesByJoin(m, "l_orderkey",
+      dim.where(lit(false)), "o_orderkey").isEmpty)
+
+    // hash-scattered layout: every file spans the whole key range (bands
+    // keep all 8), so skipping must come from the bloom sidecars
+    val dir2 = Files.createTempDirectory("graft-dfp2").toString
+    li.repartition(8, col("l_orderkey")).write.mode("overwrite").parquet(dir2)
+    val m2 = StatsManifest.withBlooms(spark, dir2,
+      StatsManifest.build(spark, dir2, Seq("l_orderkey")), Seq("l_orderkey"))
+    val dim2 = Tables.orders(spark, sfDir)
+      .where(col("o_orderkey").isin(kLo, kHi)).select("o_orderkey")
+    val keep2 = StatsManifest.pruneFilesByJoin(m2, "l_orderkey", dim2,
+      "o_orderkey")
+    assert(keep2.nonEmpty && keep2.size <= 3,
+      s"2 keys hit at most 2 hash buckets (+bloom fp margin), kept ${keep2.size}")
+    val pruned2 = StatsManifest
+      .readPrunedByJoin(spark, dir2, m2, "l_orderkey", dim2, "o_orderkey")
+      .join(dim2, col("l_orderkey") === col("o_orderkey"))
+      .collect().map(_.toString).sorted
+    val full2 = spark.read.parquet(dir2)
+      .join(dim2, col("l_orderkey") === col("o_orderkey"))
+      .collect().map(_.toString).sorted
+    assert(pruned2.nonEmpty && pruned2.sameElements(full2))
+  }
+
   test("writePackedShards lands bin-aligned hive-partitioned shards that " +
       "reconstruct each source's token stream exactly") {
     import graft.operators.{LLMOps, TrainPrep}
