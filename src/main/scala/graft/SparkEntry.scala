@@ -249,6 +249,13 @@ object SparkEntry {
     "q_j18_tpch_q21"        -> (Relational.qJ18 _),
     // pointwise mutual information over the co-occurrence pairs
     "q_l35_pmi"             -> ((s: SparkSession, dir: String) => LLMOps.qL35(s, dir)),
+    // fuzzy benchmark decontamination: banded near-dup match of the corpus
+    // against a deterministically-constructed eval set (r11)
+    "q_l50_fuzzy_decontam"  -> (TrainPrep.qL50 _),
+    // hybrid retrieval: BM25 + cosine top-k fused by integer-exact RRF
+    "q_l51_hybrid_rrf"      -> (FullText.qL51 _),
+    // bigram-LM quality scoring (CCNet perplexity-filter shape)
+    "q_l52_bigram_lm"       -> ((s: SparkSession, dir: String) => LLMOps.qL52(s, dir)),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -275,7 +282,10 @@ object SparkEntry {
       "q_l40_delta_dedup",
       // chunk-store write (two parquet jobs to a temp dir) runs at
       // construction; the returned frame reads the re-materialized store
-      "q_m09_chunk_store")
+      "q_m09_chunk_store",
+      // hybrid RRF materializes both k-bounded input rankings (BM25 +
+      // cosine top-10) at construction to extract their ranks
+      "q_l51_hybrid_rrf")
 
   /** The shingle-postings CTE chain (3-word shingles → portable poly
     * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06
@@ -518,6 +528,23 @@ object SparkEntry {
     // drop rows; MIN/MAX/COUNT over engine-identical doubles and BIGINTs
     "q_l49_semantic_dedup" ->
       """WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p, r) -> p + r) / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r)) * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p, r) -> p + r))) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45), dr AS (SELECT id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS dup_of, MAX(sim) AS max_sim, CAST(COUNT(*) AS BIGINT) AS n_earlier FROM p GROUP BY id_b) SELECT dr.vec_id, e.label, dr.dup_of, dr.max_sim, dr.n_earlier FROM dr JOIN embeddings e ON e.vec_id = dr.vec_id ORDER BY dr.vec_id""",
+    // q_l50 (r11): corpus ∪ (id-offset benchmark = every 13th doc + fixed
+    // suffix, the q_l44 deterministic-mutation idiom) through the same
+    // shingle/sig/band chain as q_l05; candidates are corpus-side ×
+    // bench-side band collisions, then the exact-intersection Jaccard
+    "q_l50_fuzzy_decontam" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents), bench AS (SELECT doc_id + 1000000 AS doc_id, text || ' held out eval sample' AS text FROM documents WHERE doc_id % 13 = 0), u AS (SELECT * FROM corpus UNION ALL SELECT * FROM bench), w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM u), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), hs AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hh), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM hh), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), bb -> CAST(bb AS VARCHAR) || ':' || CAST(sig[bb*4+1] AS VARCHAR) || ':' || CAST(sig[bb*4+2] AS VARCHAR) || ':' || CAST(sig[bb*4+3] AS VARCHAR) || ':' || CAST(sig[bb*4+4] AS VARCHAR))) AS band_key FROM sig), cand AS (SELECT DISTINCT a.doc_id AS doc_id, c.doc_id - 1000000 AS bench_id FROM bands a JOIN bands c ON c.band_key = a.band_key WHERE a.doc_id < 1000000 AND c.doc_id >= 1000000), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY 1), inter AS (SELECT c.doc_id, c.bench_id, COUNT(*) AS i FROM cand c JOIN hs x ON x.doc_id = c.doc_id JOIN hs y ON y.doc_id = c.bench_id + 1000000 AND y.h = x.h GROUP BY 1, 2) SELECT i.doc_id, i.bench_id, CAST(i.i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE) AS jaccard FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id JOIN sizes sb ON sb.doc_id = i.bench_id + 1000000 WHERE CAST(i.i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE) >= 0.5 ORDER BY i.doc_id, i.bench_id""",
+    // q_l51 (r11): the q_l25 BM25 CTE chain ranked to r_sparse, the q_l02
+    // cosine fold ranked to r_dense, fused with exact integral division —
+    // every hashed column is a BIGINT, so RRF needs no margin argument
+    "q_l51_hybrid_rrf" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl FROM documents), st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl), tf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) WHERE t IN ('data', 'join', 'filter') GROUP BY doc_id, t), dfq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t), sc AS (SELECT doc_id, dl, t, tf, ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id), st), pd AS (SELECT doc_id, SUM(CASE WHEN t = 'data' THEN contrib END) AS c0, SUM(CASE WHEN t = 'join' THEN contrib END) AS c1, SUM(CASE WHEN t = 'filter' THEN contrib END) AS c2 FROM sc GROUP BY doc_id), sp AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY COALESCE(c0, 0.0) + COALESCE(c1, 0.0) + COALESCE(c2, 0.0) DESC, doc_id) AS r_sparse FROM pd QUALIFY r_sparse <= 10), q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), cs AS (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings, q WHERE vec_id <> 0), dn AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS r_dense FROM cs QUALIFY r_dense <= 10) SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id, sp.r_sparse, dn.r_dense, CAST(COALESCE(1000000 // (60 + sp.r_sparse), 0) + COALESCE(1000000 // (60 + dn.r_dense), 0) AS BIGINT) AS rrf_score FROM sp FULL OUTER JOIN dn ON dn.doc_id = sp.doc_id ORDER BY rrf_score DESC, doc_id""",
+    // q_l52 (r11): identical count joins, then the per-doc fold over the
+    // (w1,w2)-sorted struct list — list_reduce's sequential order matches
+    // Spark's aggregate() exactly; ln() keeps the score out of the output
+    // (qL25 discipline), ranking pinned by the total-order sort
+    "q_l52_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg FROM w WHERE len(toks) >= 2), dtf AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3), c2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM p GROUP BY 1, 2), u AS (SELECT unnest(toks) AS t FROM w), c1 AS (SELECT t AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM u GROUP BY 1), v AS (SELECT COUNT(DISTINCT t) AS v FROM u), j AS (SELECT d.doc_id, d.w1, d.w2, d.tf, c2.c2, c1.c1 FROM dtf d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)), pd AS (SELECT doc_id, list_sort(list({'w1': w1, 'w2': w2, 'tf': tf, 'c2': c2, 'c1': c1})) AS lst, CAST(SUM(tf) AS BIGINT) AS n_bigrams, COUNT(*) AS distinct_bigrams FROM j GROUP BY doc_id), so AS (SELECT doc_id, n_bigrams, distinct_bigrams, list_reduce(list_prepend(0.0, list_transform(lst, x -> CAST(x.tf AS DOUBLE) * ln((CAST(x.c2 AS DOUBLE) + 1.0) / (CAST(x.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))))), (a, b) -> a + b) / CAST(n_bigrams AS DOUBLE) AS score FROM pd, v) SELECT doc_id, n_bigrams, distinct_bigrams FROM so ORDER BY score DESC, doc_id LIMIT 100""",
     "q_l20_hash_split" ->
       """WITH b AS (SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket, n_chars FROM documents) SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM b GROUP BY split ORDER BY split""",
     "q_l21_pack" ->
@@ -968,8 +995,17 @@ object SparkEntry {
     * distinct 3-shingle postings, 16 min-hash signature columns, 4 band
     * keys, banded candidate pairs.
     */
-  private def sparkBandCtes: String = {
-    val hs = "hs AS (SELECT DISTINCT doc_id, h FROM documents " +
+  private def sparkBandCtes: String =
+    sparkSigBandCtes("documents") +
+      ", cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"
+
+  /** The hs/sig/bands prefix of [[sparkBandCtes]] over an arbitrary
+    * (doc_id, text) source relation — q_l50 runs it over corpus ∪ benchmark
+    * while the doc-dedup family keeps the bare `documents` scan.
+    */
+  private def sparkSigBandCtes(srcRel: String): String = {
+    val hs = s"hs AS (SELECT DISTINCT doc_id, h FROM $srcRel " +
       "LATERAL VIEW explode(shingle_hash(text, 3)) sh AS h)"
     val sigCols = (0 until 16)
       .map(k => s"MIN((${31 + 17 * k} * h + ${7 + 11 * k}) % 1000000007) AS m$k")
@@ -980,9 +1016,7 @@ object SparkEntry {
     }.mkString(", ")
     s"$hs, sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id), " +
       s"bands AS (SELECT doc_id, band_key FROM sig " +
-      s"LATERAL VIEW explode(array($bandKeys)) bk AS band_key), " +
-      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-      "FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"
+      s"LATERAL VIEW explode(array($bandKeys)) bk AS band_key)"
   }
 
   /** SQL stopword list — mirrored from LLMOps.stopwords (edit together). */
@@ -1008,6 +1042,27 @@ object SparkEntry {
     // cross-source overlap: shingle_hash carries the shingling from SQL
     "q_l48_source_overlap" ->
       """WITH hs AS (SELECT DISTINCT source, h FROM (SELECT source, explode(shingle_hash(text, 3)) AS h FROM documents)), sizes AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY source), i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter_sh FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source GROUP BY a.source, b.source) SELECT src_a, src_b, inter_sh, sa.n + sb.n - inter_sh AS union_sh, CAST(inter_sh AS DOUBLE) / CAST(sa.n + sb.n - inter_sh AS DOUBLE) AS jaccard FROM i JOIN sizes sa ON sa.source = i.src_a JOIN sizes sb ON sb.source = i.src_b ORDER BY src_a, src_b""",
+    // fuzzy benchmark decontamination: the sig/band chain over corpus ∪
+    // id-offset benchmark, banded cross-side candidates, exact verify
+    "q_l50_fuzzy_decontam" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, concat(text, ' held out eval sample') AS text FROM documents WHERE doc_id % 13 = 0), " +
+        sparkSigBandCtes("u") +
+        ", cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id - 1000000 AS bench_id " +
+        "FROM bands a JOIN bands b ON a.band_key = b.band_key WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id), " +
+        "inter AS (SELECT c.doc_id, c.bench_id, COUNT(*) AS inter FROM cand c " +
+        "JOIN hs x ON x.doc_id = c.doc_id JOIN hs y ON y.doc_id = c.bench_id + 1000000 AND y.h = x.h GROUP BY c.doc_id, c.bench_id) " +
+        "SELECT i.doc_id, i.bench_id, CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard " +
+        "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id JOIN sizes sb ON sb.doc_id = i.bench_id + 1000000 " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5D ORDER BY doc_id, bench_id"),
+    // hybrid RRF: the q_l25 BM25 chain ranked, the q_l02 cosine ranked,
+    // fused with integral DIV — every output column exact
+    "q_l51_hybrid_rrf" ->
+      """WITH tf AS (SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM (SELECT doc_id, CAST(size(split(lower(text), ' ')) AS BIGINT) AS dl, explode(filter(split(lower(text), ' '), t -> t IN ('data', 'join', 'filter'))) AS t FROM documents) GROUP BY doc_id, dl, t), dfq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t), st AS (SELECT COUNT(*) AS n_docs, SUM(CAST(size(split(lower(text), ' ')) AS BIGINT)) AS tot_dl FROM documents), sc AS (SELECT doc_id, dl, t, tf, ln(1.0D + (CAST(n_docs AS DOUBLE) - df + 0.5D) / (df + 0.5D)) * ((tf * 2.2D) / (tf + 1.2D * (0.25D + 0.75D * (CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS contrib FROM tf JOIN dfq USING (t) CROSS JOIN st), pd AS (SELECT doc_id, SUM(CASE WHEN t = 'data' THEN contrib END) AS c0, SUM(CASE WHEN t = 'join' THEN contrib END) AS c1, SUM(CASE WHEN t = 'filter' THEN contrib END) AS c2 FROM sc GROUP BY doc_id, dl), sp AS (SELECT doc_id, r_sparse FROM (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(c0, 0D) + COALESCE(c1, 0D) + COALESCE(c2, 0D) DESC, doc_id) AS BIGINT) AS r_sparse FROM pd) WHERE r_sparse <= 10), q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), cs AS (SELECT vec_id, cosine_sim(embedding, q_emb) AS sim FROM embeddings CROSS JOIN q WHERE vec_id <> 0), dn AS (SELECT doc_id, r_dense FROM (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS r_dense FROM cs) WHERE r_dense <= 10) SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id, r_sparse, r_dense, COALESCE(1000000L DIV (60L + r_sparse), 0L) + COALESCE(1000000L DIV (60L + r_dense), 0L) AS rrf_score FROM sp FULL OUTER JOIN dn ON dn.doc_id = sp.doc_id ORDER BY rrf_score DESC, doc_id""",
+    // bigram-LM scoring: same count joins + the (w1,w2)-sorted struct fold
+    "q_l52_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS toks FROM documents), p AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (SELECT doc_id, explode(zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> named_struct('w1', a, 'w2', b))) AS bg FROM w)), dtf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM p GROUP BY doc_id, w1, w2), c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM p GROUP BY w1, w2), u AS (SELECT explode(toks) AS t FROM w), c1 AS (SELECT t AS w1, COUNT(*) AS c1 FROM u GROUP BY t), v AS (SELECT COUNT(DISTINCT t) AS v FROM u), j AS (SELECT d.doc_id, d.w1, d.w2, d.tf, c2.c2, c1.c1 FROM dtf d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)), pd AS (SELECT doc_id, sort_array(collect_list(named_struct('w1', w1, 'w2', w2, 'tf', tf, 'c2', c2, 'c1', c1))) AS lst, SUM(tf) AS n_bigrams, COUNT(*) AS distinct_bigrams FROM j GROUP BY doc_id), so AS (SELECT doc_id, n_bigrams, distinct_bigrams, aggregate(lst, 0D, (acc, x) -> acc + CAST(x.tf AS DOUBLE) * ln((CAST(x.c2 AS DOUBLE) + 1.0D) / (CAST(x.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))) / CAST(n_bigrams AS DOUBLE) AS score FROM pd CROSS JOIN v) SELECT doc_id, n_bigrams, distinct_bigrams FROM so ORDER BY score DESC, doc_id LIMIT 100""",
     // ---- relational / temporal breadth ----
     "q_f09_regexp" ->
       """SELECT c_custkey, CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id, CAST(regexp_count(c_name, '[0-9]+') AS BIGINT) AS digit_runs, regexp_replace(c_name, '[0-9]', '#') AS masked FROM customer ORDER BY c_custkey""",

@@ -141,4 +141,51 @@ object FullText {
     */
   def qL25(s: SparkSession, d: String): DataFrame =
     bm25(Tables.documents(s, d), Seq("data", "join", "filter"))
+
+  /** Reciprocal-rank fusion of two ranked lists — the standard way a
+    * hybrid retrieval stack (sparse BM25 + dense embedding ANN) combines
+    * rankings whose raw scores live on incomparable scales (Cormack &
+    * Clarke's RRF, the default fusion in every hybrid-search engine).
+    *
+    * Determinism contract: classic RRF sums 1/(K + rank) in floating
+    * point; this implementation defines the score as the exact integer
+    * Σ floor(1e6 / (K + rank)) instead — rank-monotone per list, and a
+    * BIGINT fold any engine reproduces bit-exactly, so the fused ranking
+    * AND the score are hashable (no BM25-style margin argument needed at
+    * the fusion layer). An id absent from one list contributes 0 from it.
+    *
+    * Scale shape: one full-outer equi-join on the id. Fused inputs are
+    * top-k lists (k-bounded) in the retrieval use, but nothing here
+    * assumes it — fusing two corpus-sized rankings is the same plan.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, kConst: Int = 60): DataFrame = {
+    // SQL `div`: exact integral division (a double `/` + cast would also
+    // land right here — denominators this small keep the quotient ≥ 1/80
+    // from any integer boundary — but exactness shouldn't need a proof)
+    def part(r: String) = coalesce(expr(s"1000000L div (${kConst}L + $r)"),
+      lit(0L))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_sparse"), col("r_dense"),
+        (part("r_sparse") + part("r_dense")).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
+  /** Q-L51 — hybrid retrieval: the q_l25 BM25 top-10 (sparse) fused with
+    * the q_l02 cosine top-10 (dense, `embeddings.vec_id` = `doc_id` by
+    * corpus construction) via integer-exact [[rrfFuse]]. Both input
+    * rankings are k-bounded, so extracting 1-based ranks from the ordered
+    * results is driver-side work on ≤ k rows (the Scale.scala top-k
+    * embellishment idiom), and the fusion itself is the distributed join.
+    * EAGER: both top-k lists materialize at construction.
+    */
+  def qL51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sparse = bm25(Tables.documents(s, d), Seq("data", "join", "filter"))
+      .select("doc_id").collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => (id, i + 1L) }.toSeq.toDF("doc_id", "r_sparse")
+    val dense = Similarity.qL02(s, d)
+      .select("vec_id").collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => (id, i + 1L) }.toSeq.toDF("doc_id", "r_dense")
+    rrfFuse(sparse, dense)
+  }
 }

@@ -753,6 +753,72 @@ object LLMOps {
       .limit(k)
   }
 
+  /** Q-L52 — bigram-LM quality scoring (the CCNet/KenLM perplexity-filter
+    * shape, self-contained): score every document by its mean add-1-
+    * smoothed bigram log-probability under the LM the corpus itself
+    * defines — lp(doc) = Σ tf·ln((c₂+1)/(c₁+V)) / n_bigrams — and keep
+    * the top-k most predictable documents. The production pipeline swaps
+    * the corpus counts for a reference-LM count table; the plan is
+    * unchanged (that table joins exactly like c₂/c₁ do here).
+    *
+    * Scale shape: bigram generation is qL38's linear positional zip (no
+    * pair join); the count tables are vocabulary-sized aggregates with
+    * full map-side combine that join back BY KEY (never broadcast by
+    * hint — a 100 TB corpus's bigram table outgrows any driver); per-doc
+    * state is one doc-bounded struct array.
+    *
+    * Determinism contract (the qL25 discipline): ln() is last-ulp
+    * non-portable, so the double score never enters the output — hashed
+    * columns are the doc id and exact-integer facts, and the RANKING is
+    * pinned by the total-order sort. To make that ranking reproducible at
+    * all, the per-doc sum folds in ONE fixed order in both engines: the
+    * (w1, w2)-sorted struct array, folded sequentially (a bare SUM of
+    * doubles would add in shuffle arrival order). Exact ties (duplicate
+    * texts) have identical fold inputs and fall to the doc_id tie-break;
+    * EngineSpec pins the adjacent-gap margin around the top-k boundary.
+    */
+  def qL52(s: SparkSession, d: String, k: Int = 100,
+      withScore: Boolean = false): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toksC = tokens(col("text"))
+    val bigrams = docs.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(toksC, lit(1), size(toksC) - 1),
+          slice(toksC, lit(2), size(toksC) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val dtf = bigrams.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("tf"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uni = docs.select(explode(toksC).as("t"))
+    val c1 = uni.groupBy("t").agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("t", "w1")
+    val vocab = uni.agg(countDistinct(col("t")).as("v"))
+    val perDoc = dtf
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(
+          struct(col("w1"), col("w2"), col("tf"), col("c2"), col("c1"))))
+          .as("lst"),
+        sum(col("tf")).as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"))
+      .crossJoin(broadcast(vocab))
+    val fold = aggregate(col("lst"), lit(0.0), (acc, x) =>
+      acc + x.getField("tf").cast("double")
+        * log((x.getField("c2").cast("double") + lit(1.0))
+          / (x.getField("c1").cast("double") + col("v").cast("double"))))
+    val score = fold / col("n_bigrams").cast("double")
+    val ranked = perDoc.orderBy(score.desc, col("doc_id")).limit(k)
+    // withScore: spec-only escape hatch — the double score is NOT part of
+    // the hashed contract (see the determinism note above); EngineSpec uses
+    // it to pin the adjacent-gap margin the ranking pin rests on
+    if (withScore)
+      ranked.select(col("doc_id"), col("n_bigrams"), col("distinct_bigrams"),
+        score.as("score"))
+    else ranked.select("doc_id", "n_bigrams", "distinct_bigrams")
+  }
+
   /** Q-L32 — vocabulary construction: frequency-ranked token → id table,
     * the tokenizer-training output every corpus pipeline persists. The
     * corpus-sized work is the map-side-combined token count; the

@@ -398,6 +398,73 @@ object TrainPrep {
           .as("contamination_rate"))
   }
 
+  /** Fuzzy benchmark decontamination: which corpus documents are NEAR-
+    * duplicates of a held-out evaluation set — the Dolma/DataComp-style
+    * complement to [[qL24]]'s exact-shingle contamination scan. qL24 flags
+    * a train doc for sharing ONE 3-gram with the test split (high recall,
+    * noisy); this operator flags whole-document near-duplication against
+    * an external benchmark (a quoted or lightly-edited eval sample inside
+    * a crawl), which single-shingle overlap badly over-triggers on and
+    * whole-doc exact hashes entirely miss.
+    *
+    * Shape: the same two-stage discipline as the LLMOps dedup family —
+    * MinHash band keys on BOTH sides, candidates from the band-key
+    * equi-join (never corpus × benchmark), then the exact
+    * shingle-intersection Jaccard confirms ≥ `threshold`. At 100 TB the
+    * benchmark side is eval-suite-sized (thousands of docs): its band
+    * keys broadcast, so candidate generation adds no corpus shuffle
+    * beyond the per-doc signature aggregate, and the verify join touches
+    * only candidate documents' postings.
+    *
+    * `docs` needs (doc_id, text); `bench` needs (bench_id, text). Returns
+    * (doc_id, bench_id, jaccard) for confirmed matches — the drop list a
+    * pipeline anti-joins against before training.
+    */
+  def fuzzyDecontam(docs: DataFrame, bench: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val cp = LLMOps.shinglePostingsOf(docs)
+    val bp = LLMOps.shinglePostingsOf(
+      bench.select(col("bench_id").as("doc_id"), col("text")))
+    val cand = LLMOps.minhashBands(cp)
+      .join(LLMOps.minhashBands(bp)
+        .select(col("band_key"), col("doc_id").as("bench_id")), Seq("band_key"))
+      .select("doc_id", "bench_id")
+      .distinct()
+    val szC = cp.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+    val szB = bp.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+      .withColumnRenamed("doc_id", "bench_id")
+    val inter = cand
+      .join(cp, Seq("doc_id"))
+      .join(bp.select(col("doc_id").as("bench_id"), col("h")),
+        Seq("bench_id", "h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("inter"))
+    // doc-cardinality size frames: no broadcast hint, AQE decides (qL05)
+    inter.join(szC, Seq("doc_id")).join(szB, Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"),
+        (col("inter").cast("double")
+          / (col("n_c") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** Q-L50 — fuzzy decontamination against a constructed benchmark: every
+    * 13th document, with a fixed four-token suffix appended, stands in
+    * for an eval set that quotes corpus text with light edits (the q_l44
+    * deterministic-mutation idiom, so DuckDB rebuilds the identical
+    * benchmark and the whole band/verify pipeline is hash-checkable).
+    * Every benchmark doc must recover its source (J ≈ 0.7–0.96 depending
+    * on length) and nothing below the 0.5 near-dup bar may appear.
+    */
+  def qL50(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id").as("bench_id"),
+        concat(col("text"), lit(" held out eval sample")).as("text"))
+    fuzzyDecontam(docs, bench)
+  }
+
   /** Q-L22 — C4-style quality-filter funnel: per-document word count,
     * mean token length, repetition ratio (max single-token frequency /
     * word count) and stopword ratio, aggregated into one funnel row of

@@ -2401,6 +2401,78 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       r.getLong(4), r.getLong(5)) == ("a", "b", 5L, 5L, 5L, 1600000L))
   }
 
+  test("fuzzy decontamination: near-dup benchmark matches found, unrelated " +
+      "docs and sub-threshold overlaps excluded") {
+    import graft.operators.TrainPrep
+    import spark.implicits._
+    // 30-token distinctive texts: A, a light edit of A, and unrelated B —
+    // deterministic hashes make the band recall a fixed property, not luck
+    val a = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val aEdit = ((1 to 28).map(i => s"alpha$i") ++ Seq("edited", "tail"))
+      .mkString(" ")
+    val b = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, aEdit), (3L, b)).toDF("doc_id", "text")
+    val bench = Seq((100L, a + " eval suffix")).toDF("bench_id", "text")
+    val got = TrainPrep.fuzzyDecontam(docs, bench, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 100L), (2L, 100L)),
+      s"got ${got.mkString(",")}")
+    // the source doc matches tighter than its edited cousin; both clear 0.5
+    val j = got.map(t => (t._1, t._3)).toMap
+    assert(j(1L) > j(2L) && j.values.forall(v => v > 0.5 && v <= 1.0))
+    // raising the bar drops the edited cousin but keeps the source
+    val strict = TrainPrep.fuzzyDecontam(docs, bench, threshold = j(2L) + 0.01)
+      .collect().map(_.getLong(0)).toSeq
+    assert(strict == Seq(1L))
+  }
+
+  test("rrf fusion: exact integer scores, union of lists, rank-monotone") {
+    import graft.operators.FullText
+    import spark.implicits._
+    val sparse = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "r_sparse")
+    val dense = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "r_dense")
+    val got = FullText.rrfFuse(sparse, dense).collect()
+    // floor(1e6/61)=16393, floor(1e6/62)=16129 — doc 20 sums both lists
+    assert(got.map(_.getLong(0)).toSeq == Seq(20L, 10L, 30L))
+    assert(got.map(_.getLong(3)).toSeq == Seq(16129L + 16393L, 16393L, 16129L))
+    // absent-list ranks surface as NULL, never as a fake rank
+    val r20 = got.find(_.getLong(0) == 10L).get
+    assert(!r20.isNullAt(1) && r20.isNullAt(2))
+    // corpus smoke: ≤ 20 fused rows, scores non-increasing, every row from
+    // at least one input list
+    val fused = FullText.qL51(spark, sfDir).collect()
+    assert(fused.nonEmpty && fused.length <= 20)
+    val scores = fused.map(_.getLong(3))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    assert(fused.forall(r => !r.isNullAt(1) || !r.isNullAt(2)))
+  }
+
+  test("bigram-LM scoring: re-run identical, and the ranking's adjacent-gap " +
+      "margin dwarfs fold ulp jitter") {
+    import graft.operators.LLMOps
+    val once = LLMOps.qL52(spark, sfDir).collect().toSeq
+    val again = LLMOps.qL52(spark, sfDir).collect().toSeq
+    assert(once == again && once.nonEmpty)
+    // the ranking pin rests on adjacent score gaps being astronomically
+    // wider than the ~1e-16-relative ln()/fold jitter; pin the measured
+    // floor (distinct-score neighbors) with ~6 orders of margin
+    val scored = LLMOps.qL52(spark, sfDir, k = 1 << 20, withScore = true)
+      .collect().map(_.getDouble(3))
+    val gaps = scored.zip(scored.tail).map { case (x, y) => x - y }
+    assert(gaps.forall(_ >= 0.0))
+    val distinctGaps = gaps.filter(_ > 0.0)
+    assert(distinctGaps.nonEmpty && distinctGaps.min > 1e-10,
+      s"min adjacent gap ${distinctGaps.min}")
+    // zero-gap neighbors must be byte-identical texts (exact ties only)
+    val rows = LLMOps.qL52(spark, sfDir, k = 1 << 20, withScore = true).collect()
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.zip(rows.tail).foreach { case (x, y) =>
+      if (x.getDouble(3) == y.getDouble(3))
+        assert(texts(x.getLong(0)) == texts(y.getLong(0)))
+    }
+  }
+
   test("length trim keeps ~90% of each language between its exact p5/p95") {
     import graft.operators.TrainPrep
     val kept = TrainPrep.qL30(spark, sfDir).collect()
