@@ -68,7 +68,13 @@ object StatsManifest {
       StructField("rows", LongType, nullable = false) +:
       (cols.flatMap(c => Seq(
         StructField(s"min_$c", LongType, nullable = true),
-        StructField(s"max_$c", LongType, nullable = true))) ++
+        StructField(s"max_$c", LongType, nullable = true),
+        // per-file NULL-value count (Iceberg's null_value_counts): what
+        // upgrades band pruning to metadata-ONLY answers — a file whose
+        // band sits inside the query band still needs its nulls counted
+        // before its `rows` can be credited without a scan. NULL =
+        // footer didn't say = the file stays scan-only for countPruned.
+        StructField(s"nulls_$c", LongType, nullable = true))) ++
        stringCols.flatMap(c => Seq(
         StructField(s"smin_$c", StringType, nullable = true),
         StructField(s"smax_$c", StringType, nullable = true)))))
@@ -185,6 +191,17 @@ object StatsManifest {
           val stats: Seq[Any] = colsLocal.flatMap { col =>
             val chunks = blocks.map(_.getColumns.asScala
               .find(_.getPath.toDotString == col).orNull)
+            // null-value count, independent of min/max usability: every
+            // chunk must SAY its null count (isNumNullsSet) or the file's
+            // count is unknown (NULL) and countPruned falls back to a scan
+            val nulls: Any = {
+              val counts = chunks.map(cc =>
+                if (cc == null || cc.getStatistics == null ||
+                  !cc.getStatistics.isNumNullsSet) -1L
+                else cc.getStatistics.getNumNulls)
+              if (chunks.isEmpty || counts.exists(_ < 0)) null
+              else Long.box(counts.sum)
+            }
             // a physically-binary column (string/wide-decimal/INT96 stats —
             // outside this manifest's declared scope) degrades to NULL =
             // keep-the-file, same as missing stats, rather than a
@@ -194,13 +211,13 @@ object StatsManifest {
                   !cc.getStatistics.hasNonNullValue ||
                   !cc.getStatistics.genericGetMin.isInstanceOf[Number] ||
                   statDomain(cc).isEmpty))
-              Seq(null, null)
+              Seq(null, null, nulls)
             else {
               val mins = chunks.map(cc => statDomain(cc).get(
                 cc.getStatistics.genericGetMin.asInstanceOf[Number].longValue))
               val maxs = chunks.map(cc => statDomain(cc).get(
                 cc.getStatistics.genericGetMax.asInstanceOf[Number].longValue))
-              Seq(mins.min, maxs.max)
+              Seq(mins.min, maxs.max, nulls)
             }
           }
           // string bands: footer binary min/max decoded as UTF-8, reduced
@@ -445,6 +462,65 @@ object StatsManifest {
         .reduceOption(_ && _).getOrElse(lit(true))
       s.read.option("basePath", dir).parquet(keep: _*).where(pred)
     }
+  }
+
+  /** The result of a [[countPruned]] metadata-first count: the exact
+    * `total`, how many rows were credited straight from manifest metadata
+    * (`metadataRows` over `fullFiles` files), and how many boundary files
+    * actually got scanned (`scannedFiles`).
+    */
+  final case class PrunedCount(total: Long, metadataRows: Long,
+      fullFiles: Int, scannedFiles: Int)
+
+  /** Metadata-first COUNT(*) under a conjunctive band predicate — the
+    * Iceberg/Delta "metadata-only query" answered from this manifest.
+    * On a clustered layout a band predicate splits the table's files into
+    * three classes: files the bands rule out (dropped by [[pruneFiles]]'s
+    * logic), files that sit WHOLLY inside the query band (for every bound:
+    * non-NULL stats, min ≥ lo, max ≤ hi, and ZERO nulls in the column —
+    * a NULL row satisfies no band, so the footer's null count is what
+    * licenses crediting the file's `rows` blind), and boundary files that
+    * genuinely straddle an edge. Only the third class is read; at 100 TB
+    * with range/Z-order clustering that is O(band surface), not O(band
+    * volume) — the difference between touching 2 files and 20 000 for a
+    * month-count on a year of data.
+    *
+    * Exactness is unconditional: fully-covered files contribute their
+    * footer row count (exact by parquet contract), scanned files are
+    * counted under the real predicate, and any file with missing/unknown
+    * stats or null counts lands in the scan class — metadata coverage is
+    * an optimization, never a correctness bet. Manifests persisted before
+    * the nulls channel existed (no `nulls_<c>` columns) simply scan
+    * every surviving file, same total.
+    */
+  def countPruned(s: SparkSession, dir: String, manifest: DataFrame,
+      bounds: Seq[(String, Long, Long)]): PrunedCount = {
+    require(bounds.nonEmpty, "countPruned needs at least one band bound")
+    val surviving = manifest.where(survives(bounds))
+    val fullCov = coalesce(bounds.map { case (c, lo, hi) =>
+      val nullsKnown =
+        if (manifest.columns.contains(s"nulls_$c")) col(s"nulls_$c") === 0L
+        else lit(false)
+      col(s"min_$c").isNotNull && col(s"max_$c").isNotNull &&
+        col(s"min_$c") >= lo && col(s"max_$c") <= hi && nullsKnown
+    }.reduce(_ && _), lit(false))
+    // manifest frames are file-count-sized local checkpoints; the split
+    // is one pass each over that small frame
+    val full = surviving.where(fullCov)
+      .agg(coalesce(sum("rows"), lit(0L)).as("r"), count(lit(1)).as("n"))
+      .head()
+    val (metaRows, nFull) = (full.getLong(0), full.getLong(1).toInt)
+    val scanFiles = surviving.where(!fullCov)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val scanned =
+      if (scanFiles.isEmpty) 0L
+      else {
+        val pred = bounds.map { case (c, lo, hi) => col(c).between(lo, hi) }
+          .reduce(_ && _)
+        s.read.option("basePath", dir).parquet(scanFiles: _*).where(pred)
+          .count()
+      }
+    PrunedCount(metaRows + scanned, metaRows, nFull, scanFiles.size)
   }
 
   /** Join-driven file pruning — Delta's "dynamic file pruning" shape as an

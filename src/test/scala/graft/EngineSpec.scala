@@ -654,6 +654,42 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(pruned.sameElements(full))
   }
 
+  test("metadata-first count: interior files credit footer rows without a " +
+      "scan, boundary files scan, null-bearing files never credit blind") {
+    import graft.io.StatsManifest
+    val dir = Files.createTempDirectory("graft-metacount").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Writers.rangeClustered(li, dir, Seq("l_orderkey"), numFiles = 16)
+    val m = StatsManifest.build(spark, dir, Seq("l_orderkey"))
+    val kLo = li.agg(min("l_orderkey")).head().getLong(0)
+    val kHi = li.agg(max("l_orderkey")).head().getLong(0)
+    // a band covering the middle ~half: interior files are fully covered,
+    // only the two edge-straddling files may need data pages
+    val bounds = Seq(("l_orderkey", kLo + (kHi - kLo) / 4,
+      kLo + 3 * (kHi - kLo) / 4))
+    val r = StatsManifest.countPruned(spark, dir, m, bounds)
+    val expected = spark.read.parquet(dir)
+      .where(col("l_orderkey").between(bounds.head._2, bounds.head._3)).count()
+    assert(r.total == expected)
+    assert(r.metadataRows > 0 && r.fullFiles >= 4,
+      s"interior files should credit from metadata: $r")
+    assert(r.scannedFiles <= 2, s"only boundary files may scan: $r")
+    // a column CONTAINING nulls: the null-bearing file must fall into the
+    // scan class (footer rows include null rows, which satisfy no band)
+    val ndir = Files.createTempDirectory("graft-metacount-null").toString
+    import spark.implicits._
+    Seq[(java.lang.Long, Long)]((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("k", "pay").coalesce(1).write.parquet(s"$ndir/clean")
+    Seq[(java.lang.Long, Long)]((4L, 4L), (null, 5L), (null, 6L))
+      .toDF("k", "pay").coalesce(1).write.parquet(s"$ndir/nully")
+    val nm = StatsManifest.build(spark, ndir, Seq("k"))
+    val nr = StatsManifest.countPruned(spark, ndir, nm, Seq(("k", 0L, 10L)))
+    assert(nr.total == 4L, s"null rows must not be counted: $nr")
+    assert(nr.metadataRows == 3L && nr.scannedFiles >= 1,
+      s"the null-bearing file must scan, the clean file credits blind: $nr")
+  }
+
   test("join-driven file pruning: a selective dim key set opens few fact " +
       "files on clustered AND hash-scattered layouts, with exact join parity") {
     import graft.io.StatsManifest
