@@ -256,6 +256,8 @@ object SparkEntry {
     "q_l51_hybrid_rrf"      -> (FullText.qL51 _),
     // bigram-LM quality scoring (CCNet perplexity-filter shape)
     "q_l52_bigram_lm"       -> ((s: SparkSession, dir: String) => LLMOps.qL52(s, dir)),
+    // JL random projection: projected ANN top-k with exact-top-k recall flags
+    "q_l53_random_projection" -> ((s: SparkSession, dir: String) => Similarity.qL53(s, dir)),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -545,6 +547,11 @@ object SparkEntry {
     // (qL25 discipline), ranking pinned by the total-order sort
     "q_l52_bigram_lm" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg FROM w WHERE len(toks) >= 2), dtf AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2, 3), c2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM p GROUP BY 1, 2), u AS (SELECT unnest(toks) AS t FROM w), c1 AS (SELECT t AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM u GROUP BY 1), v AS (SELECT COUNT(DISTINCT t) AS v FROM u), j AS (SELECT d.doc_id, d.w1, d.w2, d.tf, c2.c2, c1.c1 FROM dtf d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)), pd AS (SELECT doc_id, list_sort(list({'w1': w1, 'w2': w2, 'tf': tf, 'c2': c2, 'c1': c1})) AS lst, CAST(SUM(tf) AS BIGINT) AS n_bigrams, COUNT(*) AS distinct_bigrams FROM j GROUP BY doc_id), so AS (SELECT doc_id, n_bigrams, distinct_bigrams, list_reduce(list_prepend(0.0, list_transform(lst, x -> CAST(x.tf AS DOUBLE) * ln((CAST(x.c2 AS DOUBLE) + 1.0) / (CAST(x.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))))), (a, b) -> a + b) / CAST(n_bigrams AS DOUBLE) AS score FROM pd, v) SELECT doc_id, n_bigrams, distinct_bigrams FROM so ORDER BY score DESC, doc_id LIMIT 100""",
+    // q_l53 (r11): quantize (q_l46 spelling) → ±1-sign projection — each
+    // coordinate an exact BIGINT fold — → projected cosine top-10, joined
+    // against the exact q_l02 top-10 for the recall flag
+    "q_l53_random_projection" ->
+      """WITH mq AS (SELECT vec_id, embedding, CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 1.0 ELSE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) END AS maxabs FROM embeddings), qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / maxabs * 127.0 + 0.5) AS BIGINT)) AS qv FROM mq), pr AS (SELECT vec_id, list_transform(range(0, 16), j -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, len(qv)), i -> qv[i+1] * (CASE WHEN ((i + j*64) * 2654435761) % 1000003 % 2 = 0 THEN 1 ELSE -1 END))), (a, b) -> a + b)) AS proj FROM qz), q0 AS (SELECT proj AS proj0 FROM pr WHERE vec_id = 0), sc AS (SELECT vec_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(proj, proj0), x -> x[1] * x[2])), (a, b) -> a + b) AS DOUBLE) / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(proj, x -> x * x)), (a, b) -> a + b) AS DOUBLE)) * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(proj0, x -> x * x)), (a, b) -> a + b) AS DOUBLE))) AS proj_sim FROM pr, q0 WHERE vec_id <> 0), tp AS (SELECT vec_id, proj_sim FROM sc ORDER BY proj_sim DESC, vec_id LIMIT 10), ex AS (SELECT vec_id FROM (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings, (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10)) SELECT tp.vec_id, tp.proj_sim, ex.vec_id IS NOT NULL AS in_exact FROM tp LEFT JOIN ex ON ex.vec_id = tp.vec_id ORDER BY tp.proj_sim DESC, tp.vec_id""",
     "q_l20_hash_split" ->
       """WITH b AS (SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket, n_chars FROM documents) SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM b GROUP BY split ORDER BY split""",
     "q_l21_pack" ->
@@ -1063,6 +1070,9 @@ object SparkEntry {
     // bigram-LM scoring: same count joins + the (w1,w2)-sorted struct fold
     "q_l52_bigram_lm" ->
       """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS toks FROM documents), p AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (SELECT doc_id, explode(zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> named_struct('w1', a, 'w2', b))) AS bg FROM w)), dtf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM p GROUP BY doc_id, w1, w2), c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM p GROUP BY w1, w2), u AS (SELECT explode(toks) AS t FROM w), c1 AS (SELECT t AS w1, COUNT(*) AS c1 FROM u GROUP BY t), v AS (SELECT COUNT(DISTINCT t) AS v FROM u), j AS (SELECT d.doc_id, d.w1, d.w2, d.tf, c2.c2, c1.c1 FROM dtf d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)), pd AS (SELECT doc_id, sort_array(collect_list(named_struct('w1', w1, 'w2', w2, 'tf', tf, 'c2', c2, 'c1', c1))) AS lst, SUM(tf) AS n_bigrams, COUNT(*) AS distinct_bigrams FROM j GROUP BY doc_id), so AS (SELECT doc_id, n_bigrams, distinct_bigrams, aggregate(lst, 0D, (acc, x) -> acc + CAST(x.tf AS DOUBLE) * ln((CAST(x.c2 AS DOUBLE) + 1.0D) / (CAST(x.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))) / CAST(n_bigrams AS DOUBLE) AS score FROM pd CROSS JOIN v) SELECT doc_id, n_bigrams, distinct_bigrams FROM so ORDER BY score DESC, doc_id LIMIT 100""",
+    // JL projection: nested-lambda spelling of the per-j BIGINT folds
+    "q_l53_random_projection" ->
+      """WITH mq AS (SELECT vec_id, embedding, aggregate(embedding, CAST(0.0 AS DOUBLE), (mx, x) -> greatest(mx, abs(CAST(x AS DOUBLE)))) AS maxabs FROM embeddings), qz AS (SELECT vec_id, transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / (CASE WHEN maxabs = 0D THEN 1.0D ELSE maxabs END) * 127.0D + 0.5D) AS BIGINT)) AS qv FROM mq), pr AS (SELECT vec_id, transform(sequence(0L, 15L), j -> aggregate(zip_with(qv, sequence(0L, size(qv) - 1L), (v, i) -> v * (CASE WHEN ((i + j * 64L) * 2654435761L) % 1000003L % 2L = 0L THEN 1L ELSE -1L END)), 0L, (acc, x) -> acc + x)) AS proj FROM qz), q0 AS (SELECT proj AS proj0 FROM pr WHERE vec_id = 0), sc AS (SELECT vec_id, CAST(aggregate(zip_with(proj, proj0, (x, y) -> x * y), 0L, (acc, z) -> acc + z) AS DOUBLE) / (sqrt(CAST(aggregate(proj, 0L, (acc, x) -> acc + x * x) AS DOUBLE)) * sqrt(CAST(aggregate(proj0, 0L, (acc, x) -> acc + x * x) AS DOUBLE))) AS proj_sim FROM pr CROSS JOIN q0 WHERE vec_id <> 0), tp AS (SELECT vec_id, proj_sim FROM sc ORDER BY proj_sim DESC, vec_id LIMIT 10), ex AS (SELECT vec_id FROM (SELECT vec_id, cosine_sim(embedding, q_emb) AS sim FROM embeddings CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) WHERE vec_id <> 0) ORDER BY sim DESC, vec_id LIMIT 10) SELECT tp.vec_id, tp.proj_sim, ex.vec_id IS NOT NULL AS in_exact FROM tp LEFT JOIN ex ON ex.vec_id = tp.vec_id ORDER BY tp.proj_sim DESC, tp.vec_id""",
     // ---- relational / temporal breadth ----
     "q_f09_regexp" ->
       """SELECT c_custkey, CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id, CAST(regexp_count(c_name, '[0-9]+') AS BIGINT) AS digit_runs, regexp_replace(c_name, '[0-9]', '#') AS masked FROM customer ORDER BY c_custkey""",

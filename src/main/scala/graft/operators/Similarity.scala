@@ -266,4 +266,62 @@ object Similarity {
       .select("vec_id", "label", "dup_of", "max_sim", "n_earlier")
       .orderBy("vec_id")
   }
+
+  /** Johnson–Lindenstrauss random projection of int8-quantized embeddings
+    * to `m` dims with deterministic ±1 signs — the dimension-reduction
+    * lever between full vectors and [[qL36]]'s 1-bit sketches: a 64-dim
+    * float scan becomes an m-long-dim one (here 4×), preserving pairwise
+    * cosine to JL tolerance, and every downstream ANN structure (LSH,
+    * IVF) gets cheaper to build and probe. The sign matrix is the qL36
+    * hyperplane idiom — a multiplicative hash of (i, j), so no model is
+    * stored and any engine regenerates it; quantize-first makes each
+    * projected coordinate an exact BIGINT sum (the qL46 discipline),
+    * so projected dots/norms are integers and the only double op is the
+    * terminal cosine division. Projection is a pure per-row map — zero
+    * shuffle at any corpus size.
+    */
+  def projectInt8(quantized: DataFrame, m: Int = 16): DataFrame = {
+    def sign(i: Column, j: Int): Column =
+      when(pmod((i + lit(j * 64L)) * lit(2654435761L), lit(1000003L)) % 2 === 0,
+        lit(1L)).otherwise(lit(-1L))
+    val proj = array((0 until m).map { j =>
+      aggregate(zip_with(col("qv"),
+          sequence(lit(0L), size(col("qv")).cast("long") - 1L),
+          (v, i) => v.cast("long") * sign(i, j)),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    quantized.withColumn("proj", proj)
+  }
+
+  /** Q-L53 — projected ANN with recall annotation: cosine top-k in the
+    * [[projectInt8]] 16-dim space against the vec_id-0 query, each hit
+    * flagged with whether it also sits in the EXACT full-dimension top-k
+    * (the recall readout a pipeline monitors when deciding how hard the
+    * projected space may prune before the exact re-rank). Projected dots
+    * and norms fold over exact BIGINTs, so the similarity doubles are
+    * engine-identical and the whole row set hashes.
+    */
+  def qL53(s: SparkSession, d: String, m: Int = 16, k: Int = 10): DataFrame = {
+    val p = projectInt8(quantizeInt8(Tables.embeddings(s, d), "embedding"), m)
+      .select("vec_id", "proj")
+    val q0 = p.filter(col("vec_id") === 0).select(col("proj").as("proj0"))
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
+    def n2(a: Column): Column =
+      aggregate(a, lit(0L), (acc, x) => acc + x * x)
+    val topProj = p.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+        (dotL(col("proj"), col("proj0")).cast("double")
+          / (sqrt(n2(col("proj")).cast("double"))
+            * sqrt(n2(col("proj0")).cast("double")))).as("proj_sim"))
+      .orderBy(col("proj_sim").desc, col("vec_id"))
+      .limit(k)
+    val exact = qL02(s, d).limit(k)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    topProj.join(broadcast(exact), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("proj_sim"),
+        col("hit").isNotNull.as("in_exact"))
+      .orderBy(col("proj_sim").desc, col("vec_id"))
+  }
 }

@@ -2509,6 +2509,54 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("random projection: exact integer coordinates on a known vector, " +
+      "and genuine near-dups survive projection into the top ranks") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // a vector already at int8 scale (maxabs = 127 → codes = values):
+    // every projected coordinate must equal the hand-computed signed sum
+    val v = Array.tabulate(8)(i => (i + 1).toFloat * 127f / 8f)
+    val df = Seq((0L, v.toSeq)).toDF("vec_id", "embedding")
+    val proj = Similarity.projectInt8(
+      Similarity.quantizeInt8(df, "embedding"), m = 4)
+      .select("proj").head().getSeq[Long](0)
+    def sign(i: Int, j: Int): Long =
+      if (((i + j * 64L) * 2654435761L) % 1000003L % 2L == 0L) 1L else -1L
+    val codes = v.map(x => math.floor(x / 127.0 * 127.0 + 0.5).toLong)
+    val expect = (0 until 4).map(j =>
+      codes.indices.map(i => codes(i) * sign(i, j)).sum)
+    assert(proj == expect, s"got $proj want $expect")
+    // structure preservation: 3 slight perturbations of a base vector and
+    // 60 unrelated random vectors — the perturbed ids must fill the
+    // projected top-3 (near-dup cosines survive dimension reduction even
+    // where noise-level rankings do not)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    def perturbed(seed: Int) = {
+      val r2 = new scala.util.Random(seed)
+      base.map(x => x + r2.nextFloat() * 0.02f)
+    }
+    val rows = Seq((0L, base.toSeq)) ++
+      (1 to 3).map(i => (i.toLong, perturbed(i).toSeq)) ++
+      (4 to 63).map(i => (i.toLong,
+        Array.fill(64)(new scala.util.Random(100 + i).nextFloat() * 2f - 1f).toSeq))
+    val e = rows.toDF("vec_id", "embedding")
+    val p = Similarity.projectInt8(
+      Similarity.quantizeInt8(e, "embedding"), m = 16)
+      .select("vec_id", "proj")
+    val q0 = p.filter(col("vec_id") === 0).select(col("proj").as("proj0"))
+    val top = p.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+        (aggregate(zip_with(col("proj"), col("proj0"), (x, y) => x * y),
+          lit(0L), (a, z) => a + z).cast("double")
+          / (sqrt(aggregate(col("proj"), lit(0L), (a, x) => a + x * x)
+              .cast("double"))
+            * sqrt(aggregate(col("proj0"), lit(0L), (a, x) => a + x * x)
+              .cast("double")))).as("s"))
+      .orderBy(col("s").desc).limit(3).collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 2L, 3L), s"projected top-3 was $top")
+  }
+
   test("length trim keeps ~90% of each language between its exact p5/p95") {
     import graft.operators.TrainPrep
     val kept = TrainPrep.qL30(spark, sfDir).collect()
