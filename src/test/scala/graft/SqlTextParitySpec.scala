@@ -15,6 +15,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class SqlTextParitySpec extends AnyFunSuite with SparkFixture {
 
   test("every spark-dialect SQL text matches its DataFrame twin exactly") {
+    info(s"sparkSql covers ${SparkEntry.sparkSql.size} of " +
+      s"${SparkEntry.queries.size} queries; unspelled: " +
+      (SparkEntry.queries.keySet -- SparkEntry.sparkSql.keySet)
+        .toSeq.sorted.mkString(", "))
     assert(SparkEntry.sparkSql.size >= 120,
       "the sweep must cover >=120 queries (r11 surface extension)")
     assert(SparkEntry.sparkSql.keySet.subsetOf(SparkEntry.queries.keySet),
