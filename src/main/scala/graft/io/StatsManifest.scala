@@ -523,6 +523,44 @@ object StatsManifest {
     PrunedCount(metaRows + scanned, metaRows, nFull, scanFiles.size)
   }
 
+  /** The result of a [[minMaxPruned]] metadata-first extreme scan. */
+  final case class PrunedMinMax(min: Option[Long], max: Option[Long],
+      scannedFiles: Int)
+
+  /** Metadata-first global MIN/MAX of an integral manifest column: files
+    * with usable footer stats contribute their (min, max) without being
+    * opened — on a fully-statted table the answer costs zero data reads
+    * at any table size — and only files whose stats degraded to NULL
+    * (binary-backed, missing, or all-NULL chunks) are scanned and folded
+    * in. MIN/MAX ignore NULL rows by SQL semantics, which is exactly why
+    * no null-count check is needed here (unlike [[countPruned]]).
+    * Integral (INT32/INT64) column domains only — the manifest's long
+    * domain IS the column domain there; DATE/TIMESTAMP callers should
+    * prune with bounds and aggregate through [[readPruned]], where the
+    * engine keeps the typed domain.
+    */
+  def minMaxPruned(s: SparkSession, dir: String, manifest: DataFrame,
+      c: String): PrunedMinMax = {
+    require(manifest.columns.contains(s"min_$c"),
+      s"manifest has no stats channel for column '$c'")
+    val rows = manifest.select(col("file"), col(s"min_$c"), col(s"max_$c"))
+      .collect() // file-count-sized, same magnitude as any planner listing
+    val known = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val unknown = rows.filter(r => r.isNullAt(1) || r.isNullAt(2))
+      .map(_.getString(0)).toSeq
+    var mn = if (known.isEmpty) None else Some(known.map(_.getLong(1)).min)
+    var mx = if (known.isEmpty) None else Some(known.map(_.getLong(2)).max)
+    if (unknown.nonEmpty) {
+      val r = s.read.option("basePath", dir).parquet(unknown: _*)
+        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+      if (!r.isNullAt(0)) {
+        mn = Some(mn.fold(r.getLong(0))(math.min(_, r.getLong(0))))
+        mx = Some(mx.fold(r.getLong(1))(math.max(_, r.getLong(1))))
+      }
+    }
+    PrunedMinMax(mn, mx, unknown.size)
+  }
+
   /** Join-driven file pruning — Delta's "dynamic file pruning" shape as an
     * explicit pre-pass: before an equi-join `fact.factCol = dim.dimCol`
     * executes, prune the FACT side's file list with the BUILD side's

@@ -690,6 +690,32 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       s"the null-bearing file must scan, the clean file credits blind: $nr")
   }
 
+  test("metadata-first min/max: zero data reads on a fully-statted table; " +
+      "stat-less files scan and fold in; all-null columns don't poison") {
+    import graft.io.StatsManifest
+    val dir = Files.createTempDirectory("graft-metaminmax").toString
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    Writers.rangeClustered(li, dir, Seq("l_orderkey"), numFiles = 8)
+    val m = StatsManifest.build(spark, dir, Seq("l_orderkey"))
+    val r = StatsManifest.minMaxPruned(spark, dir, m, "l_orderkey")
+    val exact = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    assert(r.min.contains(exact.getLong(0)) && r.max.contains(exact.getLong(1)))
+    assert(r.scannedFiles == 0, s"fully-statted table must not scan: $r")
+    // an ALL-NULL column file degrades to NULL stats -> lands in the scan
+    // class; its scan yields no non-null values and must not poison the
+    // metadata answer from the clean file
+    val ndir = Files.createTempDirectory("graft-metaminmax-null").toString
+    import spark.implicits._
+    Seq[(java.lang.Long, Long)]((5L, 1L), (9L, 2L))
+      .toDF("k", "pay").coalesce(1).write.parquet(s"$ndir/clean")
+    Seq[(java.lang.Long, Long)]((null, 3L), (null, 4L))
+      .toDF("k", "pay").coalesce(1).write.parquet(s"$ndir/nullonly")
+    val nm = StatsManifest.build(spark, ndir, Seq("k"))
+    val nr = StatsManifest.minMaxPruned(spark, ndir, nm, "k")
+    assert(nr.min.contains(5L) && nr.max.contains(9L), s"got $nr")
+    assert(nr.scannedFiles == 1, s"the all-null file must be the one scan: $nr")
+  }
+
   test("join-driven file pruning: a selective dim key set opens few fact " +
       "files on clustered AND hash-scattered layouts, with exact join parity") {
     import graft.io.StatsManifest
