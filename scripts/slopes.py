@@ -50,7 +50,7 @@ def main():
         rows.append((q, t1.get(q, float("nan")), t2[q], t3[q], r12, r23, inc, flag))
     rows.sort(key=lambda r: -r[5])
     lines = [
-        "# SLOPES — per-query scale growth (round 10)",
+        "# SLOPES — per-query scale growth (round 11)",
         "",
         f"Inputs: `{p1}` / `{p2}` / `{p3}` (full Bench suite at each SF,",
         "min over passes). Data grows ~9.1x then ~10.0x per step; per-query",

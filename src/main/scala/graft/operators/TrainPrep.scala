@@ -421,10 +421,24 @@ object TrainPrep {
     * pipeline anti-joins against before training.
     */
   def fuzzyDecontam(docs: DataFrame, bench: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    fuzzyDecontamAgainst(docs,
+      LLMOps.shinglePostingsOf(
+        bench.select(col("bench_id").as("doc_id"), col("text")))
+        .select(col("doc_id").as("bench_id"), col("h")),
+      threshold)
+
+  /** [[fuzzyDecontam]] against PRECOMPUTED benchmark postings
+    * (bench_id, h) — the shape a streaming gate needs: the static
+    * benchmark side is shingled once (and checkpointed by the caller),
+    * each arriving batch pays only its own shingling plus the banded
+    * join. Bands are derived from the postings on both sides, so the
+    * candidate discipline is identical to the one-shot path.
+    */
+  def fuzzyDecontamAgainst(docs: DataFrame, benchPosts: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val cp = LLMOps.shinglePostingsOf(docs)
-    val bp = LLMOps.shinglePostingsOf(
-      bench.select(col("bench_id").as("doc_id"), col("text")))
+    val bp = benchPosts.select(col("bench_id").as("doc_id"), col("h"))
     val cand = LLMOps.minhashBands(cp)
       .join(LLMOps.minhashBands(bp)
         .select(col("band_key"), col("doc_id").as("bench_id")), Seq("band_key"))

@@ -291,6 +291,53 @@ object StreamOps extends Serializable {
     }
   }
 
+  /** Streaming decontamination gate: per micro-batch of arriving
+    * (doc_id, text[, ...]) documents, drop every doc that NEAR-matches
+    * the held-out benchmark (the [[graft.operators.TrainPrep
+    * .fuzzyDecontam]] semantics) BEFORE it lands — the admission control
+    * a crawl loop runs so eval contamination never enters the corpus,
+    * instead of being scrubbed after the fact. Clean docs append to
+    * `$baseDir/clean/`; dropped docs land in `$baseDir/dropped/` with
+    * their match evidence (bench_id, jaccard) for audit.
+    *
+    * The static benchmark side is shingled ONCE here (eval suites are
+    * small; its postings land in a localCheckpoint), so each batch pays
+    * its own shingling plus the banded candidate join + exact verify —
+    * never a benchmark re-scan. Same `_graft_last_batch` marker contract
+    * as [[ingestChunkStore]] (documented there): replayed batches no-op.
+    */
+  def decontamGate(docs: DataFrame, bench: DataFrame, baseDir: String,
+      checkpoint: String, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{LLMOps, TrainPrep}
+    val benchPosts = LLMOps.shinglePostingsOf(
+        bench.select(col("bench_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("bench_id"), col("h"))
+      .localCheckpoint()
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val conf = s.sparkContext.hadoopConfiguration
+        val marker =
+          new org.apache.hadoop.fs.Path(s"$checkpoint/_graft_last_batch")
+        val fs = marker.getFileSystem(conf)
+        if (batchId > readMarker(fs, marker)) {
+          // the batch frame is re-derived per consumer below (matches +
+          // anti-join); pin it once so the source isn't re-read twice
+          val b = batch.localCheckpoint()
+          val matches = TrainPrep
+            .fuzzyDecontamAgainst(b, benchPosts, threshold)
+            .localCheckpoint() // evidence consumed twice (dropped + anti)
+          matches.write.mode("append").parquet(s"$baseDir/dropped")
+          b.join(matches.select("doc_id").distinct(),
+              Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(s"$baseDir/clean")
+          writeMarker(fs, marker, batchId)
+        }
+      }
+  }
+
   /** The composed corpus-ingest pipeline — every streaming ingest piece
     * run as ONE foreachBatch, the shape a production crawl loop actually
     * deploys. Per micro-batch of (doc_id, text[, ...]) documents, under

@@ -342,4 +342,45 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
       spark.read.parquet(s"$base/manifest"), Seq(("doc_id", lo, lo)))
     assert(pruned.count() == 1)
   }
+
+  test("streaming decontamination gate drops exactly the batch fuzzy-" +
+      "decontam matches; clean output is the complement") {
+    import graft.operators.TrainPrep
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id").as("bench_id"),
+        concat(col("text"), lit(" held out eval sample")).as("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-sgate").toString
+    val landing = new java.io.File(s"$base/landing"); landing.mkdirs()
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    Seq((0L, n / 3, 0), (n / 3, 2 * n / 3, 1), (2 * n / 3, n + 1, 2))
+      .foreach { case (lo, hi, i) =>
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+        val part = new java.io.File(s"$base/stage$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(landing, f"arrive-$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(1000000000L + i * 60000L)
+      }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val q = StreamOps.decontamGate(stream, bench, s"$base/out", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    // dropped evidence over any batch split == the one-shot batch matches
+    val streamed = spark.read.parquet(s"$base/out/dropped")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = TrainPrep.fuzzyDecontam(docs, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // clean = corpus minus dropped doc ids, no duplicates introduced
+    val cleanIds = spark.read.parquet(s"$base/out/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val droppedIds = streamed.map(_._1)
+    assert(cleanIds.distinct.size == cleanIds.size)
+    assert(cleanIds.toSet ==
+      docs.collect().map(_.getLong(0)).toSet -- droppedIds)
+  }
 }
