@@ -80,6 +80,41 @@ object Ivf {
       .select(col("cell"), col("vec_id"), col("embedding"))
   }
 
+  /** Incremental index maintenance: assign ONLY the arriving batch
+    * against the FROZEN serving centroids and union it in — the index
+    * twin of the corpus-boundary contract every incremental operator
+    * here honors (delta-dedup, manifest append, chunk-store append):
+    * history is never re-assigned, the per-batch cost is one
+    * batch-sized pass against O(cells) broadcast metadata. Because
+    * assignment is a deterministic argmax over fixed centroids, the
+    * appended index equals a full rebuild with the same centroids —
+    * pinned in EngineSpec — so serving correctness never depends on
+    * WHEN a vector arrived.
+    */
+  def appendIndex(index: DataFrame, newVecs: DataFrame,
+      centroids: DataFrame): DataFrame =
+    index.unionByName(buildIndex(newVecs, centroids))
+
+  /** Per-cell centroid DRIFT after appends: cosine distance between each
+    * frozen serving centroid and the true mean of the cell's CURRENT
+    * members — the retrain trigger an IVF maintenance loop watches.
+    * Frozen centroids keep assignment stable and cheap; once the data
+    * distribution moves (new domains, new languages), cells stretch and
+    * recall decays silently. This readout makes that visible: re-run
+    * [[kmeans]] when max drift crosses the operating threshold. One
+    * aggregate over the index + an O(cells) join — no corpus re-scan
+    * beyond the per-cell mean.
+    */
+  def centroidDrift(s: SparkSession, index: DataFrame,
+      frozen: DataFrame): DataFrame =
+    centroidsOf(s, index)
+      .withColumnRenamed("centroid", "current")
+      .join(broadcast(frozen), Seq("cell"))
+      .select(col("cell"),
+        (lit(1.0) - Similarity.cosineSafe(col("current"), col("centroid")))
+          .as("drift"))
+      .orderBy("cell")
+
   /** ANN query: probe the `nprobe` cells nearest the query vector. The
     * query embedding comes from the raw table (one pushed-filter scan, not
     * the index lineage) and the centroid set — O(cells) — is cached so the

@@ -2583,6 +2583,44 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(top == Set(1L, 2L, 3L), s"projected top-3 was $top")
   }
 
+  test("ivf maintenance: appended index equals a same-centroid rebuild; " +
+      "drift stays at the Lloyd floor when stationary and jumps under shift") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+    val cut = e.agg(max("vec_id")).head().getLong(0) / 2
+    val old = e.filter(col("vec_id") <= cut)
+    val fresh = e.filter(col("vec_id") > cut)
+    val frozen = Ivf.trainCentroids(spark, old)
+    val frozenLocal = spark.createDataFrame(
+      java.util.Arrays.asList(frozen.collect(): _*), frozen.schema)
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    val appended = Ivf.appendIndex(Ivf.buildIndex(old, frozenLocal), fresh,
+      frozenLocal).select("cell", "vec_id").collect().map(key).toSet
+    val rebuilt = Ivf.buildIndex(e, frozenLocal)
+      .select("cell", "vec_id").collect().map(key).toSet
+    assert(appended == rebuilt && appended.size == e.count())
+    // stationary floor: on the training data itself, drift equals the
+    // pending Lloyd update (label-seeded centroids are not a fixpoint on
+    // this isotropic corpus) — bounded, and the baseline for the shift leg
+    val stat = Ivf.centroidDrift(spark, Ivf.buildIndex(old, frozenLocal),
+      frozenLocal).collect()
+    val statMax = stat.map(_.getDouble(1)).max
+    assert(stat.nonEmpty && statMax < 0.3, s"stationary drift $statMax")
+    // distribution shift: the arriving batch concentrates near one fixed
+    // direction (x*0.05 + 0.3 — a new domain, not isotropic noise); every
+    // shifted vector lands in the cell nearest that direction and drags
+    // its mean, and the readout must clearly separate from the floor
+    val shifted = fresh
+      .select(col("vec_id"), transform(col("embedding"),
+        x => (x * lit(0.05) + lit(0.3)).cast("float")).as("embedding"))
+    val grown = Ivf.appendIndex(Ivf.buildIndex(old, frozenLocal), shifted,
+      frozenLocal)
+    val drifted = Ivf.centroidDrift(spark, grown, frozenLocal).collect()
+    val driftMax = drifted.map(_.getDouble(1)).max
+    assert(driftMax > statMax + 0.15 && driftMax > 0.4,
+      s"max drift $driftMax vs stationary $statMax after adversarial shift")
+  }
+
   test("length trim keeps ~90% of each language between its exact p5/p95") {
     import graft.operators.TrainPrep
     val kept = TrainPrep.qL30(spark, sfDir).collect()
