@@ -258,6 +258,8 @@ object SparkEntry {
     "q_l52_bigram_lm"       -> ((s: SparkSession, dir: String) => LLMOps.qL52(s, dir)),
     // JL random projection: projected ANN top-k with exact-top-k recall flags
     "q_l53_random_projection" -> ((s: SparkSession, dir: String) => Similarity.qL53(s, dir)),
+    // per-doc quality-feature table (classifier featurization, one scan)
+    "q_l54_feature_table"   -> (LLMOps.qL54 _),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -552,6 +554,10 @@ object SparkEntry {
     // against the exact q_l02 top-10 for the recall flag
     "q_l53_random_projection" ->
       """WITH mq AS (SELECT vec_id, embedding, CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 1.0 ELSE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) END AS maxabs FROM embeddings), qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / maxabs * 127.0 + 0.5) AS BIGINT)) AS qv FROM mq), pr AS (SELECT vec_id, list_transform(range(0, 16), j -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, len(qv)), i -> qv[i+1] * (CASE WHEN ((i + j*64) * 2654435761) % 1000003 % 2 = 0 THEN 1 ELSE -1 END))), (a, b) -> a + b)) AS proj FROM qz), q0 AS (SELECT proj AS proj0 FROM pr WHERE vec_id = 0), sc AS (SELECT vec_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(proj, proj0), x -> x[1] * x[2])), (a, b) -> a + b) AS DOUBLE) / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(proj, x -> x * x)), (a, b) -> a + b) AS DOUBLE)) * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(proj0, x -> x * x)), (a, b) -> a + b) AS DOUBLE))) AS proj_sim FROM pr, q0 WHERE vec_id <> 0), tp AS (SELECT vec_id, proj_sim FROM sc ORDER BY proj_sim DESC, vec_id LIMIT 10), ex AS (SELECT vec_id FROM (SELECT vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings, (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10)) SELECT tp.vec_id, tp.proj_sim, ex.vec_id IS NOT NULL AS in_exact FROM tp LEFT JOIN ex ON ex.vec_id = tp.vec_id ORDER BY tp.proj_sim DESC, tp.vec_id""",
+    // q_l54 (r11): the q_l22 feature definitions + the q_l47 gram CTEs,
+    // one row per doc; every ratio is exact-int ÷ exact-int in double
+    "q_l54_feature_table" ->
+      """WITH w AS (SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS chars, string_split(lower(text), ' ') AS toks FROM documents), b AS (SELECT doc_id, lang, source, chars, CAST(len(toks) AS BIGINT) AS wc, CAST(len(list_distinct(toks)) AS BIGINT) AS dt, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS stops FROM w), mt AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_tok FROM (SELECT doc_id, t, COUNT(*) AS cnt FROM (SELECT doc_id, unnest(toks) AS t FROM w) GROUP BY doc_id, t) GROUP BY doc_id), g AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE [array_to_string(toks, ' ')] END AS g2, CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks) - 3), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) ELSE [array_to_string(toks, ' ')] END AS g5 FROM w), c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram), t2 AS (SELECT doc_id, gram, cnt FROM (SELECT doc_id, gram, cnt, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c2) WHERE rn = 1), c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM (SELECT doc_id, unnest(g5) AS gram FROM g) GROUP BY doc_id, gram), d5 AS (SELECT doc_id, CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS BIGINT) AS dup5 FROM c5 GROUP BY doc_id) SELECT b.doc_id, b.lang, b.source, b.wc AS n_tokens, b.chars AS n_chars, CAST(b.chars AS DOUBLE) / CAST(b.wc AS DOUBLE) AS mean_tok_len, CAST(b.stops AS DOUBLE) / CAST(b.wc AS DOUBLE) AS stop_ratio, CAST(b.dt AS DOUBLE) / CAST(b.wc AS DOUBLE) AS ttr, CAST(mt.max_tok AS DOUBLE) / CAST(b.wc AS DOUBLE) AS max_tok_frac, CAST(t2.cnt * length(t2.gram) AS DOUBLE) / CAST(b.chars AS DOUBLE) AS top2_frac, CAST(d5.dup5 AS DOUBLE) / CAST(b.chars AS DOUBLE) AS dup5_frac FROM b JOIN mt USING (doc_id) JOIN t2 USING (doc_id) JOIN d5 USING (doc_id) ORDER BY doc_id""",
     "q_l20_hash_split" ->
       """WITH b AS (SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket, n_chars FROM documents) SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM b GROUP BY split ORDER BY split""",
     "q_l21_pack" ->
@@ -1073,6 +1079,10 @@ object SparkEntry {
     // JL projection: nested-lambda spelling of the per-j BIGINT folds
     "q_l53_random_projection" ->
       """WITH mq AS (SELECT vec_id, embedding, aggregate(embedding, CAST(0.0 AS DOUBLE), (mx, x) -> greatest(mx, abs(CAST(x AS DOUBLE)))) AS maxabs FROM embeddings), qz AS (SELECT vec_id, transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / (CASE WHEN maxabs = 0D THEN 1.0D ELSE maxabs END) * 127.0D + 0.5D) AS BIGINT)) AS qv FROM mq), pr AS (SELECT vec_id, transform(sequence(0L, 15L), j -> aggregate(zip_with(qv, sequence(0L, size(qv) - 1L), (v, i) -> v * (CASE WHEN ((i + j * 64L) * 2654435761L) % 1000003L % 2L = 0L THEN 1L ELSE -1L END)), 0L, (acc, x) -> acc + x)) AS proj FROM qz), q0 AS (SELECT proj AS proj0 FROM pr WHERE vec_id = 0), sc AS (SELECT vec_id, CAST(aggregate(zip_with(proj, proj0, (x, y) -> x * y), 0L, (acc, z) -> acc + z) AS DOUBLE) / (sqrt(CAST(aggregate(proj, 0L, (acc, x) -> acc + x * x) AS DOUBLE)) * sqrt(CAST(aggregate(proj0, 0L, (acc, x) -> acc + x * x) AS DOUBLE))) AS proj_sim FROM pr CROSS JOIN q0 WHERE vec_id <> 0), tp AS (SELECT vec_id, proj_sim FROM sc ORDER BY proj_sim DESC, vec_id LIMIT 10), ex AS (SELECT vec_id FROM (SELECT vec_id, cosine_sim(embedding, q_emb) AS sim FROM embeddings CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) WHERE vec_id <> 0) ORDER BY sim DESC, vec_id LIMIT 10) SELECT tp.vec_id, tp.proj_sim, ex.vec_id IS NOT NULL AS in_exact FROM tp LEFT JOIN ex ON ex.vec_id = tp.vec_id ORDER BY tp.proj_sim DESC, tp.vec_id""",
+    // feature table: explode + window twin of the map-side folds (the
+    // q_l47 equivalence), q_l22 ratio spellings
+    "q_l54_feature_table" ->
+      """WITH w AS (SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS chars, split(lower(text), ' ') AS toks FROM documents), b AS (SELECT doc_id, lang, source, chars, CAST(size(toks) AS BIGINT) AS wc, CAST(size(array_distinct(toks)) AS BIGINT) AS dt, CAST(size(filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS stops FROM w), mt AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_tok FROM (SELECT doc_id, t, COUNT(*) AS cnt FROM (SELECT doc_id, explode(toks) AS t FROM w) GROUP BY doc_id, t) GROUP BY doc_id), g AS (SELECT doc_id, CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2))) ELSE array(array_join(toks, ' ')) END AS g2, CASE WHEN size(toks) >= 5 THEN transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4), element_at(toks, i + 5))) ELSE array(array_join(toks, ' ')) END AS g5 FROM w), c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM (SELECT doc_id, explode(g2) AS gram FROM g) GROUP BY doc_id, gram), t2 AS (SELECT doc_id, gram, cnt FROM (SELECT doc_id, gram, cnt, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c2) WHERE rn = 1), c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM (SELECT doc_id, explode(g5) AS gram FROM g) GROUP BY doc_id, gram), d5 AS (SELECT doc_id, COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * CAST(length(gram) AS BIGINT) END), 0L) AS dup5 FROM c5 GROUP BY doc_id) SELECT b.doc_id, b.lang, b.source, b.wc AS n_tokens, b.chars AS n_chars, CAST(b.chars AS DOUBLE) / CAST(b.wc AS DOUBLE) AS mean_tok_len, CAST(b.stops AS DOUBLE) / CAST(b.wc AS DOUBLE) AS stop_ratio, CAST(b.dt AS DOUBLE) / CAST(b.wc AS DOUBLE) AS ttr, CAST(mt.max_tok AS DOUBLE) / CAST(b.wc AS DOUBLE) AS max_tok_frac, CAST(t2.cnt * CAST(length(t2.gram) AS BIGINT) AS DOUBLE) / CAST(b.chars AS DOUBLE) AS top2_frac, CAST(d5.dup5 AS DOUBLE) / CAST(b.chars AS DOUBLE) AS dup5_frac FROM b JOIN mt USING (doc_id) JOIN t2 USING (doc_id) JOIN d5 USING (doc_id) ORDER BY doc_id""",
     // ---- relational / temporal breadth ----
     "q_f09_regexp" ->
       """SELECT c_custkey, CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id, CAST(regexp_count(c_name, '[0-9]+') AS BIGINT) AS digit_runs, regexp_replace(c_name, '[0-9]', '#') AS masked FROM customer ORDER BY c_custkey""",

@@ -949,6 +949,47 @@ object LLMOps {
     * where a real pipeline would instead filter on the fractions
     * map-side and shuffle nothing.
     */
+  /** Run-length ARGMAX over a sorted string array: struct(cnt, gram) of
+    * the most frequent element — (prev, run, bestCnt, bestGram) fold;
+    * strict > keeps the FIRST (= smallest) element on count ties, the
+    * engine-portable tiebreak. Shared by qL47 and qL54.
+    */
+  private def runArgmax(sorted: Column): Column = aggregate(
+    sorted,
+    struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("bestCnt"), lit("").as("bestGram")),
+    (acc, x) => {
+      val closed = x =!= acc("prev")
+      val promote = closed && acc("run") > acc("bestCnt")
+      struct(x.as("prev"),
+        when(closed, lit(1L)).otherwise(acc("run") + 1L).as("run"),
+        when(promote, acc("run")).otherwise(acc("bestCnt")).as("bestCnt"),
+        when(promote, acc("prev")).otherwise(acc("bestGram")).as("bestGram"))
+    },
+    acc => struct(
+      when(acc("run") > acc("bestCnt"), acc("run"))
+        .otherwise(acc("bestCnt")).as("cnt"),
+      when(acc("run") > acc("bestCnt"), acc("prev"))
+        .otherwise(acc("bestGram")).as("gram")))
+
+  /** Duplicated-element chars over a sorted string array: close each
+    * run, charge count × element chars for runs ≥ 2. Shared by qL47
+    * and qL54.
+    */
+  private def dupRunChars(sorted: Column): Column = aggregate(
+    sorted,
+    struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("chars")),
+    (acc, x) => {
+      val closed = x =!= acc("prev")
+      struct(x.as("prev"),
+        when(closed, lit(1L)).otherwise(acc("run") + 1L).as("run"),
+        (acc("chars") + when(closed && acc("run") >= 2L,
+          acc("run") * length(acc("prev")).cast("long")).otherwise(0L))
+          .as("chars"))
+    },
+    acc => acc("chars") + when(acc("run") >= 2L,
+      acc("run") * length(acc("prev")).cast("long")).otherwise(0L))
+
   def qL47(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val base = docs.select(col("doc_id"),
@@ -957,41 +998,8 @@ object LLMOps {
     val g = base.select(col("doc_id"), col("chars"),
       array_sort(shingles(col("w"), 2)).as("g2"),
       array_sort(shingles(col("w"), 5)).as("g5"))
-    // run-length argmax over the sorted 2-grams: (prev, run, bestCnt,
-    // bestGram); strict > keeps the FIRST (= smallest) gram on count ties
-    val top2 = aggregate(
-      col("g2"),
-      struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("bestCnt"), lit("").as("bestGram")),
-      (acc, x) => {
-        val closed = x =!= acc("prev")
-        val promote = closed && acc("run") > acc("bestCnt")
-        struct(x.as("prev"),
-          when(closed, lit(1L)).otherwise(acc("run") + 1L).as("run"),
-          when(promote, acc("run")).otherwise(acc("bestCnt")).as("bestCnt"),
-          when(promote, acc("prev")).otherwise(acc("bestGram")).as("bestGram"))
-      },
-      acc => struct(
-        when(acc("run") > acc("bestCnt"), acc("run"))
-          .otherwise(acc("bestCnt")).as("cnt"),
-        when(acc("run") > acc("bestCnt"), acc("prev"))
-          .otherwise(acc("bestGram")).as("gram")))
-    // duplicated-5-gram chars: close each run, charge count × gram chars
-    // for runs of length >= 2
-    val dup5 = aggregate(
-      col("g5"),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("chars")),
-      (acc, x) => {
-        val closed = x =!= acc("prev")
-        struct(x.as("prev"),
-          when(closed, lit(1L)).otherwise(acc("run") + 1L).as("run"),
-          (acc("chars") + when(closed && acc("run") >= 2L,
-            acc("run") * length(acc("prev")).cast("long")).otherwise(0L))
-            .as("chars"))
-      },
-      acc => acc("chars") + when(acc("run") >= 2L,
-        acc("run") * length(acc("prev")).cast("long")).otherwise(0L))
-    g.select(col("doc_id"), col("chars"), top2.as("t2"), dup5.as("d5"))
+    g.select(col("doc_id"), col("chars"),
+        runArgmax(col("g2")).as("t2"), dupRunChars(col("g5")).as("d5"))
       .select(col("doc_id"),
         col("t2.gram").as("top2_gram"),
         col("t2.cnt").as("top2_cnt"),
@@ -1001,6 +1009,53 @@ object LLMOps {
           .as("dup5_frac"))
       .orderBy(col("dup5_frac").desc, col("top2_frac").desc, col("doc_id"))
       .limit(100)
+  }
+
+  /** Q-L54 — per-document quality-FEATURE TABLE: the featurization step
+    * between raw text and a quality classifier (the fastText/logistic
+    * gate every production corpus pipeline trains) — one row per doc
+    * with the signal family the individual queries report in aggregate:
+    * token/char counts, mean token length, stopword ratio, per-doc TTR,
+    * max-token frequency (the qL22 repetition numerator), and the
+    * Gopher top-2-gram / duplicated-5-gram char fractions (qL47).
+    *
+    * Shape: ENTIRELY map-side — every feature is an array fold over the
+    * doc's own sorted token/gram arrays (the qL47 run-length idiom
+    * replaces qL22's (doc, token) shuffle for max-token frequency), so
+    * the whole table is ONE corpus scan with zero shuffles before the
+    * output sort. At 100 TB that is the difference between featurizing
+    * in one pass and running the signal queries separately. Every ratio
+    * is an exact-integer pair divided once in double — engine-portable,
+    * so the full row set hashes.
+    */
+  def qL54(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      length(col("text")).cast("long").as("chars"),
+      tokens(col("text")).as("w"))
+    val g = base.select(col("doc_id"), col("lang"), col("source"),
+      col("chars"),
+      size(col("w")).cast("long").as("wc"),
+      size(array_distinct(col("w"))).cast("long").as("dt"),
+      size(filter(col("w"), t => t.isin(stopwords: _*))).cast("long")
+        .as("stops"),
+      runArgmax(array_sort(col("w"))).getField("cnt").as("max_tok"),
+      runArgmax(array_sort(shingles(col("w"), 2))).as("t2"),
+      dupRunChars(array_sort(shingles(col("w"), 5))).as("d5"))
+    g.select(col("doc_id"), col("lang"), col("source"),
+        col("wc").as("n_tokens"), col("chars").as("n_chars"),
+        (col("chars").cast("double") / col("wc").cast("double"))
+          .as("mean_tok_len"),
+        (col("stops").cast("double") / col("wc").cast("double"))
+          .as("stop_ratio"),
+        (col("dt").cast("double") / col("wc").cast("double")).as("ttr"),
+        (col("max_tok").cast("double") / col("wc").cast("double"))
+          .as("max_tok_frac"),
+        ((col("t2.cnt") * length(col("t2.gram")).cast("long")).cast("double")
+          / col("chars").cast("double")).as("top2_frac"),
+        (col("d5").cast("double") / col("chars").cast("double"))
+          .as("dup5_frac"))
+      .orderBy("doc_id")
   }
 
   /** Q-L48 — cross-SOURCE shingle-overlap matrix: pairwise Jaccard of the
