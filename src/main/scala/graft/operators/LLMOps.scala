@@ -1058,6 +1058,106 @@ object LLMOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ BPE tokenizer training
+
+  /** One BPE merge application over a symbol array: leftmost-first,
+    * non-overlapping replacement of adjacent (a, b) by their
+    * concatenation — the Sennrich merge step as a single codegen fold
+    * (acc = (out, pend): pend holds the symbol that may still start a
+    * pair; a merged symbol is emitted closed, so "aaa" under (a,a)
+    * becomes [aa, a], the classic left-to-right semantics).
+    */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("pend")),
+      (acc, x) => {
+        val merged = acc("pend") === lit(a) && x === lit(b)
+        struct(
+          when(acc("pend").isNull, acc("out"))
+            .when(merged, concat(acc("out"), array(lit(a + b))))
+            .otherwise(concat(acc("out"), array(acc("pend")))).as("out"),
+          when(acc("pend").isNull, x)
+            .when(merged, lit(null).cast("string"))
+            .otherwise(x).as("pend")
+      )},
+      acc => when(acc("pend").isNull, acc("out"))
+        .otherwise(concat(acc("out"), array(acc("pend")))))
+
+  /** BPE tokenizer TRAINING (Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units"): learn `numMerges` merge rules
+    * from the corpus. Returns (rank, left, right, pair_count) in merge
+    * order — the artifact a tokenizer ships.
+    *
+    * Scale shape — the boundaries are what make this distributable:
+    * the ONLY corpus-sized work is the initial word count (one
+    * map-side-combined aggregate); every training round then runs on the
+    * word-FREQUENCY table (vocabulary-sized, the same reduction every
+    * production BPE trainer exploits), as one pair-explode + count +
+    * 1-row argmax and one fold-rewrite of the symbol arrays. State per
+    * round is localCheckpointed so the loop's lineage stays flat.
+    * Determinism: the argmax tiebreak is (count DESC, left, right) —
+    * lexicographic smallest pair — so every run learns the same rules.
+    */
+  def bpeMerges(docs: DataFrame, numMerges: Int = 20): DataFrame = {
+    val s = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    var words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(split(col("word"), "").as("syms"), col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairs = words
+        .select(col("n"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (pairs.isEmpty) done = true
+      else {
+        val best = pairs.head
+        val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((rank, l, r, cnt))
+        // superseded checkpoints are vocab-sized (a few KB per round);
+        // they age out with the session rather than needing the
+        // connectedComponents registry-diff release
+        words = words
+          .select(mergePair(col("syms"), l, r).as("syms"), col("n"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    import s.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Apply learned [[bpeMerges]] rules to a word-frequency table:
+    * (word, n) → (word, n, pieces array<string>) with every rule applied
+    * in rank order — the ENCODE side of the trained tokenizer, run once
+    * per DISTINCT word (vocabulary-sized, then joined back to the corpus
+    * by key at any scale). Rules chain as iterative column rewrites with
+    * periodic lineage truncation, not one numMerges-deep codegen
+    * expression.
+    */
+  def applyBpe(words: DataFrame, merges: DataFrame): DataFrame = {
+    val rules = merges.orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))) // rule-table-sized
+    var cur = words.withColumn("pieces", split(col("word"), ""))
+    rules.zipWithIndex.foreach { case ((l, r), i) =>
+      cur = cur.withColumn("pieces", mergePair(col("pieces"), l, r))
+      if ((i + 1) % 8 == 0) cur = cur.localCheckpoint() // flatten lineage
+    }
+    cur
+  }
+
   /** Q-L48 — cross-SOURCE shingle-overlap matrix: pairwise Jaccard of the
     * sources' distinct 3-shingle-hash sets — the corpus-level leakage /
     * provenance monitor (which crawls duplicate which, which "independent"

@@ -2621,6 +2621,43 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       s"max drift $driftMax vs stationary $statMax after adversarial shift")
   }
 
+  test("bpe training: hand-computed Sennrich merges on a constructed " +
+      "corpus, deterministic re-run, and encode round-trips every word") {
+    import graft.operators.LLMOps
+    import spark.implicits._
+    // aaab ×3 + aab ×1: pair counts (a,a)=2·3+1=7, (a,b)=4 → merge (a,a);
+    // then [aa,a,b]×3 / [aa,b]×1 gives (aa,a)=3, (a,b)=3, (aa,b)=1 — the
+    // 3-tie falls to the lexicographic smallest pair (a,b); then (aa,ab)
+    val docs = Seq((1L, "aaab aaab aab"), (2L, "aaab")).toDF("doc_id", "text")
+    val merges = LLMOps.bpeMerges(docs, numMerges = 3)
+    val got = merges.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0, "a", "a", 7L), (1, "a", "b", 3L),
+      (2, "aa", "ab", 3L)), s"got ${got.mkString(",")}")
+    // deterministic: same rules on re-run
+    val again = LLMOps.bpeMerges(docs, numMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq == got.toSeq)
+    // encode: leftmost-first application in rank order, byte round-trip
+    val words = Seq(("aaab", 3L), ("aab", 1L)).toDF("word", "n")
+    val enc = LLMOps.applyBpe(words, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(enc("aaab") == Seq("aaab") && enc("aab") == Seq("aa", "b"),
+      s"got $enc")
+    // corpus smoke: training runs on real docs, every piece list
+    // reassembles its word exactly
+    val corpusMerges = LLMOps.bpeMerges(
+      Tables.documents(spark, sfDir).limit(100), numMerges = 10)
+    assert(corpusMerges.count() == 10)
+    val corpusWords = Tables.documents(spark, sfDir).limit(100)
+      .select(explode(LLMOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val bad = LLMOps.applyBpe(corpusWords, corpusMerges)
+      .where(concat_ws("", col("pieces")) =!= col("word")).count()
+    assert(bad == 0, s"$bad words failed the encode round trip")
+  }
+
   test("length trim keeps ~90% of each language between its exact p5/p95") {
     import graft.operators.TrainPrep
     val kept = TrainPrep.qL30(spark, sfDir).collect()
