@@ -260,6 +260,8 @@ object SparkEntry {
     "q_l53_random_projection" -> ((s: SparkSession, dir: String) => Similarity.qL53(s, dir)),
     // per-doc quality-feature table (classifier featurization, one scan)
     "q_l54_feature_table"   -> (LLMOps.qL54 _),
+    // mixture weights made actionable: deterministic temperature rebalance
+    "q_l55_mixture_rebalance" -> ((s: SparkSession, dir: String) => TrainPrep.qL55(s, dir)),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -901,6 +903,12 @@ object SparkEntry {
       val u = s"CAST(${duckPoly("(text || '|ws')")} AS DOUBLE) / 1000000007"
       s"""SELECT doc_id, n_chars FROM documents WHERE $u < 0.5 * least(CAST(1 AS DOUBLE), CAST(n_chars AS DOUBLE) / 400.0) ORDER BY doc_id"""
     },
+    // q_l55 (r11): the q_l37 weight arithmetic + the q_l33 salted-hash
+    // draw — same fold, same op order, same double compares both engines
+    "q_l55_mixture_rebalance" -> {
+      val u = s"CAST(${duckPoly("(d.text || '|mix')")} AS DOUBLE) / 1000000007"
+      s"""WITH ps AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source), w AS (SELECT source, n_docs, chars, CAST(floor(sqrt(CAST(chars AS DOUBLE))) AS BIGINT) AS w_int FROM ps), t AS (SELECT CAST(SUM(w_int) AS BIGINT) AS z, CAST(SUM(chars) AS BIGINT) AS total_chars FROM w), r AS (SELECT source, n_docs, chars, w_int, least(1.0, (CAST(w_int AS DOUBLE) / CAST(z AS DOUBLE) * (0.5 * CAST(total_chars AS DOUBLE))) / CAST(chars AS DOUBLE)) AS rate FROM w, t), k AS (SELECT d.source, COUNT(*) AS kept_docs, CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars FROM documents d JOIN r ON r.source = d.source WHERE $u < r.rate GROUP BY d.source) SELECT r.source, r.n_docs, r.chars, r.w_int, r.rate, CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs, CAST(COALESCE(k.kept_chars, 0) AS BIGINT) AS kept_chars FROM r LEFT JOIN k ON k.source = r.source ORDER BY r.source"""
+    },
     // shared-bucket discipline (q_m06) + integer cumulative counts divided
     // once in double → bit-deterministic KS statistic
     "q_a20_ks_drift" ->
@@ -1083,6 +1091,9 @@ object SparkEntry {
     // q_l47 equivalence), q_l22 ratio spellings
     "q_l54_feature_table" ->
       """WITH w AS (SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS chars, split(lower(text), ' ') AS toks FROM documents), b AS (SELECT doc_id, lang, source, chars, CAST(size(toks) AS BIGINT) AS wc, CAST(size(array_distinct(toks)) AS BIGINT) AS dt, CAST(size(filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS stops FROM w), mt AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_tok FROM (SELECT doc_id, t, COUNT(*) AS cnt FROM (SELECT doc_id, explode(toks) AS t FROM w) GROUP BY doc_id, t) GROUP BY doc_id), g AS (SELECT doc_id, CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2))) ELSE array(array_join(toks, ' ')) END AS g2, CASE WHEN size(toks) >= 5 THEN transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4), element_at(toks, i + 5))) ELSE array(array_join(toks, ' ')) END AS g5 FROM w), c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM (SELECT doc_id, explode(g2) AS gram FROM g) GROUP BY doc_id, gram), t2 AS (SELECT doc_id, gram, cnt FROM (SELECT doc_id, gram, cnt, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c2) WHERE rn = 1), c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM (SELECT doc_id, explode(g5) AS gram FROM g) GROUP BY doc_id, gram), d5 AS (SELECT doc_id, COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * CAST(length(gram) AS BIGINT) END), 0L) AS dup5 FROM c5 GROUP BY doc_id) SELECT b.doc_id, b.lang, b.source, b.wc AS n_tokens, b.chars AS n_chars, CAST(b.chars AS DOUBLE) / CAST(b.wc AS DOUBLE) AS mean_tok_len, CAST(b.stops AS DOUBLE) / CAST(b.wc AS DOUBLE) AS stop_ratio, CAST(b.dt AS DOUBLE) / CAST(b.wc AS DOUBLE) AS ttr, CAST(mt.max_tok AS DOUBLE) / CAST(b.wc AS DOUBLE) AS max_tok_frac, CAST(t2.cnt * CAST(length(t2.gram) AS BIGINT) AS DOUBLE) / CAST(b.chars AS DOUBLE) AS top2_frac, CAST(d5.dup5 AS DOUBLE) / CAST(b.chars AS DOUBLE) AS dup5_frac FROM b JOIN mt USING (doc_id) JOIN t2 USING (doc_id) JOIN d5 USING (doc_id) ORDER BY doc_id""",
+    // mixture rebalance: poly_hash carries the salted draw from SQL
+    "q_l55_mixture_rebalance" ->
+      """WITH ps AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source), w AS (SELECT source, n_docs, chars, CAST(floor(sqrt(CAST(chars AS DOUBLE))) AS BIGINT) AS w_int FROM ps), t AS (SELECT CAST(SUM(w_int) AS BIGINT) AS z, CAST(SUM(chars) AS BIGINT) AS total_chars FROM w), r AS (SELECT source, n_docs, chars, w_int, least(CAST(1.0 AS DOUBLE), (CAST(w_int AS DOUBLE) / CAST(z AS DOUBLE) * (0.5D * CAST(total_chars AS DOUBLE))) / CAST(chars AS DOUBLE)) AS rate FROM w CROSS JOIN t), k AS (SELECT d.source, COUNT(*) AS kept_docs, CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars FROM documents d JOIN r ON r.source = d.source WHERE CAST(poly_hash(concat(d.text, '|mix')) AS DOUBLE) / 1000000007 < r.rate GROUP BY d.source) SELECT r.source, r.n_docs, r.chars, r.w_int, r.rate, COALESCE(k.kept_docs, 0L) AS kept_docs, COALESCE(k.kept_chars, 0L) AS kept_chars FROM r LEFT JOIN k ON k.source = r.source ORDER BY r.source""",
     // ---- relational / temporal breadth ----
     "q_f09_regexp" ->
       """SELECT c_custkey, CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id, CAST(regexp_count(c_name, '[0-9]+') AS BIGINT) AS digit_runs, regexp_replace(c_name, '[0-9]', '#') AS masked FROM customer ORDER BY c_custkey""",

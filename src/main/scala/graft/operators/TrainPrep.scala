@@ -351,6 +351,53 @@ object TrainPrep {
       .orderBy("source")
   }
 
+  /** Q-L55 — the qL37 mixture weights made ACTIONABLE: materialize a
+    * temperature-rebalanced sample of the corpus. Per source, the target
+    * character mass is its α=0.5 weight share of `totalFraction` of the
+    * corpus; the per-source acceptance rate is target/chars (clamped at
+    * 1 — up-sampling beyond 1× means REPEATING documents, which the
+    * reported rate makes visible rather than silently doing), and each
+    * document accepts iff its salted content-hash uniform < rate — the
+    * qL33 deterministic draw, so the SAME documents are chosen on every
+    * run, engine, and partitioning. Output is the per-source accounting
+    * row (targets, rates, achieved docs/chars); the kept documents
+    * themselves are the same predicate applied corpus-side.
+    *
+    * Scale shape: two bounded-cardinality aggregates + a broadcast of
+    * the source-rate table + one pure per-row predicate over the corpus
+    * — no corpus shuffle before the bounded output aggregate.
+    */
+  def qL55(s: SparkSession, d: String, totalFraction: Double = 0.5)
+      : DataFrame = {
+    val docs = Tables.documents(s, d)
+    val perSource = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .withColumn("w_int",
+        floor(sqrt(col("chars").cast("double"))).cast("long"))
+    val tot = perSource.agg(sum(col("w_int")).as("z"),
+      sum(col("chars")).as("total_chars"))
+    val rates = perSource.crossJoin(broadcast(tot))
+      .withColumn("target_chars",
+        col("w_int").cast("double") / col("z").cast("double")
+          * (lit(totalFraction) * col("total_chars").cast("double")))
+      .withColumn("rate",
+        least(lit(1.0), col("target_chars") / col("chars").cast("double")))
+    val u = LLMOps.charHash(concat(col("text"), lit("|mix"))).cast("double") /
+      lit(graft.functions.PolyHash.Mod).cast("double")
+    val kept = docs
+      .join(broadcast(rates.select("source", "rate")), Seq("source"))
+      .filter(u < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("n_chars")).as("kept_chars"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("chars"), col("w_int"),
+        col("rate"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
   /** Q-L24 — train/test contamination scan: how many train-split docs
     * share at least one 3-word shingle with any test-split doc — the
     * eval-integrity check a training pipeline runs after splitting.
