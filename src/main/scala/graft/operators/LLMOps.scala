@@ -954,7 +954,7 @@ object LLMOps {
     * strict > keeps the FIRST (= smallest) element on count ties, the
     * engine-portable tiebreak. Shared by qL47 and qL54.
     */
-  private def runArgmax(sorted: Column): Column = aggregate(
+  private[operators] def runArgmax(sorted: Column): Column = aggregate(
     sorted,
     struct(lit("").as("prev"), lit(0L).as("run"),
       lit(0L).as("bestCnt"), lit("").as("bestGram")),

@@ -351,6 +351,26 @@ object TrainPrep {
       .orderBy("source")
   }
 
+  /** The qL22 quality predicate over an arbitrary (doc_id, text, ...)
+    * frame, entirely MAP-SIDE: max-token frequency comes from the qL54
+    * run-length fold over the doc's own sorted tokens instead of qL22's
+    * (doc, token) shuffle — same value (a sorted run's length IS the
+    * token's count), zero exchanges, which is what a streaming admission
+    * gate needs. Returns the rows that pass all four C4-style filters;
+    * EngineSpec pins set-equality with the shuffle-based qL39 stage.
+    */
+  def qualitySurvivors(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val w = LLMOps.tokens(col("text"))
+    val wc = size(w).cast("double")
+    docs.filter(
+      wc.between(20.0, 80.0) &&
+        (length(col("text")).cast("double") / wc).between(3.0, 10.0) &&
+        (LLMOps.runArgmax(array_sort(w)).getField("cnt").cast("double") / wc)
+          <= 0.125 &&
+        (size(filter(w, t => t.isin(stop: _*))).cast("double") / wc) >= 0.01)
+  }
+
   /** Q-L55 — the qL37 mixture weights made ACTIONABLE: materialize a
     * temperature-rebalanced sample of the corpus. Per source, the target
     * character mass is its α=0.5 weight share of `totalFraction` of the

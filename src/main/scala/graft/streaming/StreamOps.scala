@@ -342,6 +342,11 @@ object StreamOps extends Serializable {
     * run as ONE foreachBatch, the shape a production crawl loop actually
     * deploys. Per micro-batch of (doc_id, text[, ...]) documents, under
     * `baseDir`:
+    *   0. `rejected/` — OPT-IN admission control: the map-side qL22
+    *                    quality gate (`qualityGate = true`) and/or fuzzy
+    *                    benchmark decontamination (`decontamBench`) run
+    *                    FIRST; rejects land here with a `reason` column
+    *                    and never reach any other sink;
     *   1. `store/`    — chunk-store build/append (only never-seen chunks
     *                    land; [[ingestChunkStoreBatch]]'s logic);
     *   2. `table/`    — raw batch appended as parquet, and
@@ -360,13 +365,23 @@ object StreamOps extends Serializable {
     * when their later endpoint does — pinned in StreamBatchParitySpec.
     */
   def ingestPipeline(docs: DataFrame, baseDir: String,
-      checkpoint: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpoint: String,
+      qualityGate: Boolean = false,
+      decontamBench: Option[DataFrame] = None,
+      decontamThreshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{LLMOps, TrainPrep}
+    // the static benchmark side is shingled ONCE, outside the stream
+    // (the decontamGate contract): batches pay only their own shingling
+    val benchPosts = decontamBench.map(bench =>
+      LLMOps.shinglePostingsOf(
+          bench.select(col("bench_id").as("doc_id"), col("text")))
+        .select(col("doc_id").as("bench_id"), col("h"))
+        .localCheckpoint())
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.io.{ChunkStore, StatsManifest}
-        import graft.operators.LLMOps
         val s = batch.sparkSession
         val conf = s.sparkContext.hadoopConfiguration
         val marker = new org.apache.hadoop.fs.Path(s"$checkpoint/_graft_last_batch")
@@ -375,7 +390,30 @@ object StreamOps extends Serializable {
           // the batch feeds three consumers (chunking, manifest write,
           // shingling) — materialize once instead of re-reading the
           // source three times
-          val b = batch.localCheckpoint()
+          val raw = batch.localCheckpoint()
+
+          // 0) ADMISSION (opt-in): quality gate, then benchmark
+          // decontamination — rejects land in rejected/ with a reason
+          // column for audit; only admitted docs reach any sink, so at
+          // crawl scale contamination and junk never enter the corpus
+          var b = raw
+          if (qualityGate) {
+            val ok = TrainPrep.qualitySurvivors(b).localCheckpoint()
+            b.join(ok.select("doc_id"), Seq("doc_id"), "left_anti")
+              .withColumn("reason", lit("quality"))
+              .write.mode("append").parquet(s"$baseDir/rejected")
+            b = ok
+          }
+          benchPosts.foreach { bp =>
+            val contaminated = TrainPrep
+              .fuzzyDecontamAgainst(b, bp, decontamThreshold)
+              .select("doc_id").distinct().localCheckpoint()
+            b.join(contaminated, Seq("doc_id"), "left_semi")
+              .withColumn("reason", lit("contaminated"))
+              .write.mode("append").parquet(s"$baseDir/rejected")
+            b = b.join(contaminated, Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+          }
 
           // 1) chunk store
           val storeDir = s"$baseDir/store"
@@ -422,6 +460,7 @@ object StreamOps extends Serializable {
           writeMarker(fs, marker, batchId)
         }
       }
+  }
 
   // ---- custom stateful path: flatMapGroupsWithState ----------------------
 

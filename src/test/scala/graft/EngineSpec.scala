@@ -2658,6 +2658,29 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(bad == 0, s"$bad words failed the encode round trip")
   }
 
+  test("map-side quality gate equals the shuffle-based qL39 stage") {
+    import graft.operators.{LLMOps, TrainPrep}
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val mapSide = TrainPrep.qualitySurvivors(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the qL39/qL22 formulation: (doc, token) aggregate for the max-token
+    // frequency, then the same four predicates
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val wc = size(LLMOps.tokens(col("text"))).cast("double")
+    val stats = docs.select(col("doc_id"), wc.as("wc"),
+      (length(col("text")).cast("double") / wc).as("mtl"),
+      (size(filter(LLMOps.tokens(col("text")), t => t.isin(stop: _*)))
+        .cast("double") / wc).as("sr"))
+    val rep = docs.select(col("doc_id"), explode(LLMOps.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").cast("double").as("max_tok"))
+    val shuffled = stats.join(rep, Seq("doc_id"))
+      .filter(col("wc").between(20.0, 80.0) && col("mtl").between(3.0, 10.0) &&
+        (col("max_tok") / col("wc")) <= 0.125 && col("sr") >= 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mapSide == shuffled && mapSide.nonEmpty)
+  }
+
   test("length trim keeps ~90% of each language between its exact p5/p95") {
     import graft.operators.TrainPrep
     val kept = TrainPrep.qL30(spark, sfDir).collect()

@@ -343,6 +343,59 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
     assert(pruned.count() == 1)
   }
 
+  test("admission-gated ingest pipeline: quality + decontam rejects match " +
+      "their batch twins, and only admitted docs reach table and store") {
+    import graft.io.ChunkStore
+    import graft.operators.TrainPrep
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id").as("bench_id"),
+        concat(col("text"), lit(" held out eval sample")).as("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-adm").toString
+    val landing = new java.io.File(s"$base/landing"); landing.mkdirs()
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    Seq((0L, n / 2, 0), (n / 2, n + 1, 1)).foreach { case (lo, hi, i) =>
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+      val part = new java.io.File(s"$base/stage$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(landing, f"arrive-$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val q = StreamOps.ingestPipeline(stream, base, s"$base/ckpt",
+      qualityGate = true, decontamBench = Some(bench)).start()
+    try q.processAllAvailable() finally q.stop()
+    // batch twins: quality survivors (map-side == qL39's shuffle stage is
+    // pinned in EngineSpec), then decontam over the survivors
+    val survivors = TrainPrep.qualitySurvivors(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val qualityRejects = docs.collect().map(_.getLong(0)).toSet -- survivors
+    val contaminated = TrainPrep
+      .fuzzyDecontam(docs.join(
+        TrainPrep.qualitySurvivors(docs).select("doc_id"), Seq("doc_id")),
+        bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rejected = spark.read.parquet(s"$base/rejected")
+      .select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rejected.filter(_._2 == "quality").keySet == qualityRejects)
+    assert(rejected.filter(_._2 == "contaminated").keySet == contaminated)
+    // admitted = survivors minus contaminated, exactly what landed
+    val admitted = survivors -- contaminated
+    val tableIds = spark.read.parquet(s"$base/table")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tableIds == admitted && admitted.nonEmpty)
+    // the chunk store round-trips exactly the admitted corpus
+    val stored = ChunkStore.materialize(spark, s"$base/store")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.filter(col("doc_id").isInCollection(admitted))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stored == want)
+  }
+
   test("streaming decontamination gate drops exactly the batch fuzzy-" +
       "decontam matches; clean output is the complement") {
     import graft.operators.TrainPrep
