@@ -495,23 +495,7 @@ object StatsManifest {
     */
   def countPruned(s: SparkSession, dir: String, manifest: DataFrame,
       bounds: Seq[(String, Long, Long)]): PrunedCount = {
-    require(bounds.nonEmpty, "countPruned needs at least one band bound")
-    val surviving = manifest.where(survives(bounds))
-    val fullCov = coalesce(bounds.map { case (c, lo, hi) =>
-      val nullsKnown =
-        if (manifest.columns.contains(s"nulls_$c")) col(s"nulls_$c") === 0L
-        else lit(false)
-      col(s"min_$c").isNotNull && col(s"max_$c").isNotNull &&
-        col(s"min_$c") >= lo && col(s"max_$c") <= hi && nullsKnown
-    }.reduce(_ && _), lit(false))
-    // manifest frames are file-count-sized local checkpoints; the split
-    // is one pass each over that small frame
-    val full = surviving.where(fullCov)
-      .agg(coalesce(sum("rows"), lit(0L)).as("r"), count(lit(1)).as("n"))
-      .head()
-    val (metaRows, nFull) = (full.getLong(0), full.getLong(1).toInt)
-    val scanFiles = surviving.where(!fullCov)
-      .select("file").collect().map(_.getString(0)).toSeq
+    val (metaRows, nFull, scanFiles) = countSplit(manifest, bounds)
     val scanned =
       if (scanFiles.isEmpty) 0L
       else {
@@ -521,6 +505,31 @@ object StatsManifest {
           .count()
       }
     PrunedCount(metaRows + scanned, metaRows, nFull, scanFiles.size)
+  }
+
+  /** The metadata side of [[countPruned]], without executing the boundary
+    * scan: (metadata-credited rows, fully-covered file count, boundary
+    * file list). What [[graft.plans.MetaCountRule]] consults at planning
+    * time — manifest frames are file-count-sized eager checkpoints, so
+    * this is driver work of the same magnitude as any file listing.
+    */
+  def countSplit(manifest: DataFrame, bounds: Seq[(String, Long, Long)])
+      : (Long, Int, Seq[String]) = {
+    require(bounds.nonEmpty, "countPruned needs at least one band bound")
+    val surviving = manifest.where(survives(bounds))
+    val fullCov = coalesce(bounds.map { case (c, lo, hi) =>
+      val nullsKnown =
+        if (manifest.columns.contains(s"nulls_$c")) col(s"nulls_$c") === 0L
+        else lit(false)
+      col(s"min_$c").isNotNull && col(s"max_$c").isNotNull &&
+        col(s"min_$c") >= lo && col(s"max_$c") <= hi && nullsKnown
+    }.reduce(_ && _), lit(false))
+    val full = surviving.where(fullCov)
+      .agg(coalesce(sum("rows"), lit(0L)).as("r"), count(lit(1)).as("n"))
+      .head()
+    val scanFiles = surviving.where(!fullCov)
+      .select("file").collect().map(_.getString(0)).toSeq
+    (full.getLong(0), full.getLong(1).toInt, scanFiles)
   }
 
   /** The result of a [[minMaxPruned]] metadata-first extreme scan. */

@@ -25,6 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
     ext.injectOptimizerRule(_ => SimilarityJoinRewrite)
+    // MetaCountRule must see the Aggregate-over-Filter shape BEFORE
+    // ManifestPruneRule swaps the scan's file index (a pruned index's
+    // roots no longer match the registry, so metacount could never fire
+    // after); rules run in injection order within the batch, and both
+    // are independently opt-in
+    ext.injectOptimizerRule(_ => MetaCountRule)
     ext.injectOptimizerRule(_ => ManifestPruneRule)
   }
 }
@@ -92,6 +98,10 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(SimilarityJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimilarityJoinRewrite
+    // metacount precedes prune — see GraftExtensions for why order matters
+    if (!spark.experimental.extraOptimizations.contains(MetaCountRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MetaCountRule
     if (!spark.experimental.extraOptimizations.contains(ManifestPruneRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ManifestPruneRule

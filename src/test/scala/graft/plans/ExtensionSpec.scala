@@ -178,7 +178,8 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
   }
 
   /** Files actually fed to the (possibly AQE-wrapped) parquet scan. */
-  private def scanFiles(df: org.apache.spark.sql.DataFrame): Int = {
+  private def scanFiles(df: org.apache.spark.sql.DataFrame,
+      allowEmpty: Boolean): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def walk(p: SparkPlan): Seq[SparkPlan] = {
@@ -193,8 +194,13 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.relation.location.inputFiles.length
     }
-    assert(n.nonEmpty); n.sum
+    // a metadata-answered count legitimately has NO file scan at all
+    if (!allowEmpty) assert(n.nonEmpty)
+    n.sum
   }
+
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Int =
+    scanFiles(df, allowEmpty = false)
 
   test("manifest-prune rule: a filter over a registered table scans only " +
       "manifest-surviving files, with full result parity") {
@@ -251,6 +257,67 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
           "partitioned table: data-column band did not prune files")
         assert(prunedP.collect().sameElements(pq(spark).collect()))
       } finally ManifestRegistry.deregister(spark, pdir)
+    } finally ManifestRegistry.deregister(spark, dir)
+  }
+
+  test("meta-count rule: a global COUNT(*) under an exact band answers " +
+      "from manifest metadata; boundary-only scan; lossy predicates decline") {
+    import graft.io.{StatsManifest, Writers}
+    val dir = java.nio.file.Files.createTempDirectory("graft-metacnt").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Writers.rangeClustered(li, dir, Seq("l_orderkey"), numFiles = 16)
+    ManifestRegistry.register(spark, dir,
+      StatsManifest.build(spark, dir, Seq("l_orderkey")))
+    try {
+      val iso = spark.newSession()
+      Graft.ensureRegistered(iso)
+      iso.conf.set("spark.graft.manifest.metacount", "true")
+      val (kLo, kHi) = (li.agg(min("l_orderkey")).head().getLong(0),
+        li.agg(max("l_orderkey")).head().getLong(0))
+      val (lo, hi) = (kLo + (kHi - kLo) / 4, kLo + 3 * (kHi - kLo) / 4)
+      def q(s: org.apache.spark.sql.SparkSession, lo: Long, hi: Long) =
+        s.read.parquet(dir).where(col("l_orderkey").between(lo, hi))
+          .groupBy().count()
+      // mid-band: rewrite fires (boundary aggregate visible in the plan),
+      // at most the two edge files are scanned, result exactly parity
+      val mid = q(iso, lo, hi)
+      assert(mid.queryExecution.optimizedPlan.toString
+        .contains("graft_boundary_count"), "rewrite did not fire")
+      assert(scanFiles(mid) <= 2, s"read ${scanFiles(mid)} of 16 files")
+      assert(mid.head().getLong(0) == q(spark, lo, hi).head().getLong(0))
+      // full-span band: every file credits from metadata — ZERO files read
+      val full = q(iso, kLo, kHi)
+      assert(scanFiles(full, allowEmpty = true) == 0,
+        "full-span count must not open any file")
+      assert(full.head().getLong(0) == li.count())
+      // strict bounds tighten exactly on the integral domain
+      val strict = iso.read.parquet(dir)
+        .where(col("l_orderkey") > lo && col("l_orderkey") < hi)
+        .groupBy().count()
+      assert(strict.queryExecution.optimizedPlan.toString
+        .contains("graft_boundary_count") ||
+        scanFiles(strict, allowEmpty = true) == 0)
+      assert(strict.head().getLong(0) ==
+        spark.read.parquet(dir)
+          .where(col("l_orderkey") > lo && col("l_orderkey") < hi).count())
+      // lossy shapes DECLINE: an IN-list (interior gaps) and a conjunct on
+      // an uncovered column both leave the aggregate untouched
+      val inq = iso.read.parquet(dir)
+        .where(col("l_orderkey").isin(lo, hi)).groupBy().count()
+      assert(!inq.queryExecution.optimizedPlan.toString
+        .contains("graft_boundary_count"))
+      assert(inq.head().getLong(0) ==
+        spark.read.parquet(dir).where(col("l_orderkey").isin(lo, hi)).count())
+      val mixed = iso.read.parquet(dir)
+        .where(col("l_orderkey").between(lo, hi) && col("l_quantity") > 0)
+        .groupBy().count()
+      assert(!mixed.queryExecution.optimizedPlan.toString
+        .contains("graft_boundary_count"))
+      assert(mixed.head().getLong(0) ==
+        spark.read.parquet(dir)
+          .where(col("l_orderkey").between(lo, hi) && col("l_quantity") > 0)
+          .count())
     } finally ManifestRegistry.deregister(spark, dir)
   }
 
