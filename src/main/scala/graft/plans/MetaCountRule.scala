@@ -142,48 +142,173 @@ object MetaCountRule extends Rule[LogicalPlan] {
       }
   }
 
+  /** A BARE registered relation (no filter), through the same optional
+    * pure-attribute Project.
+    */
+  private object BareScan {
+    def unapply(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case lr: LogicalRelation
+          if lr.relation.isInstanceOf[HadoopFsRelation] => Some(lr)
+      case Project(pl, lr: LogicalRelation)
+          if pl.forall(_.isInstanceOf[AttributeReference]) &&
+            lr.relation.isInstanceOf[HadoopFsRelation] => Some(lr)
+      case _ => None
+    }
+  }
+
+  /** A global aggregate whose every output is MIN or MAX of a bare
+    * attribute: Seq((alias, attr, isMin)).
+    */
+  private object MinMaxAgg {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+    def unapply(agg: Aggregate)
+        : Option[Seq[(Alias, AttributeReference, Boolean)]] = agg match {
+      case Aggregate(Nil, exprs, _, _) if exprs.nonEmpty =>
+        val converted = exprs.map {
+          case a @ Alias(AggregateExpression(Min(attr: AttributeReference),
+              Complete, false, None, _), _) => Some((a, attr, true))
+          case a @ Alias(AggregateExpression(Max(attr: AttributeReference),
+              Complete, false, None, _), _) => Some((a, attr, false))
+          case _ => None
+        }
+        if (converted.forall(_.isDefined)) Some(converted.flatten) else None
+      case _ => None
+    }
+  }
+
+  /** The stat long rendered back as a literal of the column's type — the
+    * inverse of the manifest's stat normalization, defined exactly for
+    * every domain the manifest covers.
+    */
+  private def statLiteral(v: Long, dt: DataType): Option[Literal] = dt match {
+    case LongType         => Some(Literal(v, LongType))
+    case IntegerType      => Some(Literal(v.toInt, IntegerType))
+    case ShortType        => Some(Literal(v.toShort, ShortType))
+    case ByteType         => Some(Literal(v.toByte, ByteType))
+    case DateType         => Some(Literal(v.toInt, DateType))
+    case TimestampType    => Some(Literal(v, TimestampType))
+    case TimestampNTZType => Some(Literal(v, TimestampNTZType))
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+      Some(Literal(Decimal(v, d.precision, d.scale), d))
+    case _ => None
+  }
+
+  private def lookup(lr: LogicalRelation) = ManifestRegistry.lookup(
+    lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths)
+
+  private def coveredOf(manifest: org.apache.spark.sql.DataFrame): Set[String] =
+    manifest.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_")).toSet
+
+  /** COUNT under an exact band: metadata-credited rows + a lazy
+    * boundary-file count fragment re-applying the original predicate.
+    */
+  private def rewriteFilteredCount(agg: Aggregate, alias: Alias,
+      cond: Expression, lr: LogicalRelation): LogicalPlan = {
+    val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
+    lookup(lr) match {
+      case None => agg
+      case Some((root, manifest)) =>
+        exactBounds(cond, coveredOf(manifest)) match {
+          case None => agg
+          case Some(bounds) =>
+            val (metaRows, _, boundary) =
+              StatsManifest.countSplit(manifest, bounds)
+            val session = fsRel.sparkSession
+            // the original output attribute survives verbatim so every
+            // parent resolves unchanged
+            def out(e: Expression): NamedExpression =
+              Alias(e, alias.name)(exprId = alias.exprId)
+            if (boundary.isEmpty)
+              Project(Seq(out(Literal(metaRows, LongType))), OneRowRelation())
+            else {
+              val prunedIndex = new InMemoryFileIndex(session,
+                boundary.map(new Path(_)), Map("basePath" -> root),
+                Some(fsRel.dataSchema))
+              val prunedRel = fsRel.copy(location = prunedIndex)(session)
+              val bcnt = Alias(AggregateExpression(
+                Count(Seq(Literal(1))), Complete, isDistinct = false),
+                "graft_boundary_count")()
+              val inner = Aggregate(Nil, Seq(bcnt),
+                Filter(cond, lr.copy(relation = prunedRel)))
+              Project(Seq(out(Add(bcnt.toAttribute,
+                Literal(metaRows, LongType)))), inner)
+            }
+        }
+    }
+  }
+
+  /** Unfiltered COUNT(*): Σ footer row counts — COUNT includes NULL rows,
+    * so the file totals ARE the answer, unconditionally.
+    */
+  private def rewriteBareCount(agg: Aggregate, alias: Alias,
+      lr: LogicalRelation): LogicalPlan =
+    lookup(lr) match {
+      case None => agg
+      case Some((_, manifest)) =>
+        import org.apache.spark.sql.{functions => fn}
+        val total = manifest
+          .agg(fn.coalesce(fn.sum("rows"), fn.lit(0L))).head().getLong(0)
+        Project(Seq(Alias(Literal(total, LongType),
+          alias.name)(exprId = alias.exprId)), OneRowRelation())
+    }
+
+  /** Unfiltered global MIN/MAX over covered integral-domain columns:
+    * footer stats exclude NULL values — exactly MIN/MAX semantics — so
+    * when EVERY file carries stats for every referenced column the
+    * extremes are metadata; any NULL stat (binary-backed, missing, or an
+    * all-NULL chunk) declines the whole rewrite. An empty table answers
+    * NULL, as the aggregate would.
+    */
+  private def rewriteMinMax(agg: Aggregate,
+      parts: Seq[(Alias, AttributeReference, Boolean)],
+      lr: LogicalRelation): LogicalPlan =
+    lookup(lr) match {
+      case None => agg
+      case Some((_, manifest)) =>
+        val covered = coveredOf(manifest)
+        val names = parts.map(_._2.name).distinct
+        val reconstructible = parts.forall { case (_, attr, _) =>
+          statLiteral(0L, attr.dataType).isDefined }
+        if (!names.forall(covered) || !reconstructible) agg
+        else {
+          import org.apache.spark.sql.{functions => fn}
+          val sel = names.flatMap(c =>
+            Seq(fn.col(s"min_$c"), fn.col(s"max_$c")))
+          val rows = manifest.select(sel: _*).collect()
+          def out(a: Alias, e: Expression): NamedExpression =
+            Alias(e, a.name)(exprId = a.exprId)
+          if (rows.isEmpty)
+            Project(parts.map { case (a, attr, _) =>
+              out(a, Literal(null, attr.dataType)) }, OneRowRelation())
+          else if (rows.exists(r => (0 until 2 * names.size).exists(r.isNullAt)))
+            agg // some file has no usable stats: metadata cannot answer
+          else {
+            val idx = names.zipWithIndex.toMap
+            Project(parts.map { case (a, attr, isMin) =>
+              val i = idx(attr.name) * 2
+              val v =
+                if (isMin) rows.map(_.getLong(i)).min
+                else rows.map(_.getLong(i + 1)).max
+              out(a, statLiteral(v, attr.dataType).get)
+            }, OneRowRelation())
+          }
+        }
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || ManifestRegistry.isEmpty) plan
     else plan.transformUp {
       case agg @ GlobalCount(alias) =>
-        val child = agg.asInstanceOf[Aggregate].child
-        child match {
-          case FilteredScan(cond, lr) =>
-            val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
-            ManifestRegistry.lookup(fsRel.location.rootPaths) match {
-              case None => agg
-              case Some((root, manifest)) =>
-                val covered = manifest.columns
-                  .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
-                exactBounds(cond, covered) match {
-                  case None => agg
-                  case Some(bounds) =>
-                    val (metaRows, _, boundary) =
-                      StatsManifest.countSplit(manifest, bounds)
-                    val session = fsRel.sparkSession
-                    // the original output attribute survives verbatim so
-                    // every parent resolves unchanged
-                    def out(e: Expression): NamedExpression =
-                      Alias(e, alias.name)(exprId = alias.exprId)
-                    if (boundary.isEmpty)
-                      Project(Seq(out(Literal(metaRows, LongType))),
-                        OneRowRelation())
-                    else {
-                      val prunedIndex = new InMemoryFileIndex(session,
-                        boundary.map(new Path(_)), Map("basePath" -> root),
-                        Some(fsRel.dataSchema))
-                      val prunedRel = fsRel.copy(location = prunedIndex)(session)
-                      val bcnt = Alias(AggregateExpression(
-                        Count(Seq(Literal(1))), Complete, isDistinct = false),
-                        "graft_boundary_count")()
-                      val inner = Aggregate(Nil, Seq(bcnt),
-                        Filter(cond, lr.copy(relation = prunedRel)))
-                      Project(Seq(out(Add(bcnt.toAttribute,
-                        Literal(metaRows, LongType)))), inner)
-                    }
-                }
-            }
-          case _ => agg
+        agg.child match {
+          case FilteredScan(cond, lr) => rewriteFilteredCount(agg, alias, cond, lr)
+          case BareScan(lr)           => rewriteBareCount(agg, alias, lr)
+          case _                      => agg
+        }
+      case agg @ MinMaxAgg(parts) =>
+        agg.child match {
+          case BareScan(lr) => rewriteMinMax(agg, parts, lr)
+          case _            => agg
         }
     }
 }

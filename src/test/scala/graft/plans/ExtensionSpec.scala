@@ -318,6 +318,24 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
         spark.read.parquet(dir)
           .where(col("l_orderkey").between(lo, hi) && col("l_quantity") > 0)
           .count())
+      // bare COUNT(*): footer row totals answer with ZERO files read
+      val bare = iso.read.parquet(dir).groupBy().count()
+      assert(scanFiles(bare, allowEmpty = true) == 0,
+        "table count must come from footer totals")
+      assert(bare.head().getLong(0) == li.count())
+      // global MIN/MAX on the fully-statted column: zero files read,
+      // exact parity; MIN on an uncovered column declines
+      val mm = iso.read.parquet(dir)
+        .agg(min("l_orderkey"), max("l_orderkey"))
+      assert(scanFiles(mm, allowEmpty = true) == 0,
+        "min/max must come from footer stats")
+      assert(mm.head() == spark.read.parquet(dir)
+        .agg(min("l_orderkey"), max("l_orderkey")).head())
+      val un = iso.read.parquet(dir).agg(min("l_partkey"))
+      assert(scanFiles(un, allowEmpty = true) > 0,
+        "uncovered column must decline the metadata answer")
+      assert(un.head() ==
+        spark.read.parquet(dir).agg(min("l_partkey")).head())
     } finally ManifestRegistry.deregister(spark, dir)
   }
 
