@@ -9,11 +9,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 import org.apache.spark.sql.types._
 
-/** Opt-in optimizer rule (`spark.graft.manifest.metacount = true`): a
-  * global `COUNT(*)` under a band predicate over a [[ManifestRegistry]]-
-  * registered table is rewritten to the metadata-first shape
-  * [[StatsManifest.countPruned]] computes imperatively — made transparent
-  * at the plan level, the way Iceberg/Delta answer metadata-only queries:
+/** Opt-in optimizer rule (`spark.graft.manifest.metacount = true`) for
+  * the METADATA-ONLY aggregate shapes over [[ManifestRegistry]]-registered
+  * tables — the way Iceberg/Delta answer them. Three rewrites:
+  * a bare `COUNT(*)` collapses to the footer row totals (COUNT includes
+  * NULL rows, so file totals are unconditionally the answer); an
+  * unfiltered global `MIN`/`MAX` over covered integral-domain columns
+  * answers from footer stats alone (stats exclude NULLs — exactly the
+  * aggregate's semantics — and any NULL stat declines); and a global
+  * `COUNT(*)` under a band predicate is rewritten to the metadata-first
+  * shape [[StatsManifest.countPruned]] computes imperatively:
   *
   * {{{ (boundary-file count under the ORIGINAL predicate) + metaRows }}}
   *
