@@ -70,7 +70,7 @@ object SparkEntry {
     "q_t09_twap"           -> (Temporal.qT09 _),
     // LLM-data-pipeline mandate
     "q_l01_dedup_counts"   -> (LLMOps.qL01 _),
-    "q_l02_cosine_topk"    -> (Similarity.qL02 _),
+    "q_l02_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.qL02(s, d)),
     "q_l03_token_top20"    -> (LLMOps.qL03 _),
     "q_l04_dedup_keepers"  -> (LLMOps.qL04 _),
     "q_l05_ngram_jaccard"  -> (LLMOps.qL05 _),
@@ -539,7 +539,7 @@ object SparkEntry {
     // shingle/sig/band chain as q_l05; candidates are corpus-side ×
     // bench-side band collisions, then the exact-intersection Jaccard
     "q_l50_fuzzy_decontam" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents), bench AS (SELECT doc_id + 1000000 AS doc_id, text || ' held out eval sample' AS text FROM documents WHERE doc_id % 13 = 0), u AS (SELECT * FROM corpus UNION ALL SELECT * FROM bench), w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM u), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), hs AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hh), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM hh), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), bb -> CAST(bb AS VARCHAR) || ':' || CAST(sig[bb*4+1] AS VARCHAR) || ':' || CAST(sig[bb*4+2] AS VARCHAR) || ':' || CAST(sig[bb*4+3] AS VARCHAR) || ':' || CAST(sig[bb*4+4] AS VARCHAR))) AS band_key FROM sig), cand AS (SELECT DISTINCT a.doc_id AS doc_id, c.doc_id - 1000000 AS bench_id FROM bands a JOIN bands c ON c.band_key = a.band_key WHERE a.doc_id < 1000000 AND c.doc_id >= 1000000), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY 1), inter AS (SELECT c.doc_id, c.bench_id, COUNT(*) AS i FROM cand c JOIN hs x ON x.doc_id = c.doc_id JOIN hs y ON y.doc_id = c.bench_id + 1000000 AND y.h = x.h GROUP BY 1, 2) SELECT i.doc_id, i.bench_id, CAST(i.i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE) AS jaccard FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id JOIN sizes sb ON sb.doc_id = i.bench_id + 1000000 WHERE CAST(i.i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE) >= 0.5 ORDER BY i.doc_id, i.bench_id""",
+      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents), corpus AS (SELECT doc_id, text FROM documents), bench AS (SELECT doc_id + o AS doc_id, text || ' held out eval sample' AS text FROM documents, off WHERE doc_id % 13 = 0), u AS (SELECT * FROM corpus UNION ALL SELECT * FROM bench), w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM u), sl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM w), hh AS (SELECT doc_id, list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)) AS hl FROM sl), hs AS (SELECT DISTINCT doc_id, unnest(hl) AS h FROM hh), sig AS (SELECT doc_id, list_transform(range(0, 16), k -> list_min(list_transform(hl, hv -> ((31 + 17 * k) * hv + 7 + 11 * k) % 1000000007))) AS sig FROM hh), bands AS (SELECT doc_id, unnest(list_transform(range(0, 4), bb -> CAST(bb AS VARCHAR) || ':' || CAST(sig[bb*4+1] AS VARCHAR) || ':' || CAST(sig[bb*4+2] AS VARCHAR) || ':' || CAST(sig[bb*4+3] AS VARCHAR) || ':' || CAST(sig[bb*4+4] AS VARCHAR))) AS band_key FROM sig), cand AS (SELECT DISTINCT a.doc_id AS doc_id, c.doc_id - o AS bench_id, c.doc_id AS bench_abs FROM off, bands a JOIN bands c ON c.band_key = a.band_key WHERE a.doc_id < o AND c.doc_id >= o), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY 1), inter AS (SELECT c.doc_id, c.bench_id, c.bench_abs, COUNT(*) AS i FROM cand c JOIN hs x ON x.doc_id = c.doc_id JOIN hs y ON y.doc_id = c.bench_abs AND y.h = x.h GROUP BY 1, 2, 3) SELECT i.doc_id, i.bench_id, CAST(i.i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE) AS jaccard FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id JOIN sizes sb ON sb.doc_id = i.bench_abs WHERE CAST(i.i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE) >= 0.5 ORDER BY i.doc_id, i.bench_id""",
     // q_l51 (r11): the q_l25 BM25 CTE chain ranked to r_sparse, the q_l02
     // cosine fold ranked to r_dense, fused with exact integral division —
     // every hashed column is a BIGINT, so RRF needs no margin argument
@@ -1066,16 +1066,17 @@ object SparkEntry {
     // fuzzy benchmark decontamination: the sig/band chain over corpus ∪
     // id-offset benchmark, banded cross-side candidates, exact verify
     "q_l50_fuzzy_decontam" ->
-      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 1000000 AS doc_id, concat(text, ' held out eval sample') AS text FROM documents WHERE doc_id % 13 = 0), " +
+      ("WITH off AS (SELECT MAX(doc_id) + 1L AS o FROM documents), " +
+        "u AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + o AS doc_id, concat(text, ' held out eval sample') AS text FROM documents CROSS JOIN off WHERE doc_id % 13 = 0), " +
         sparkSigBandCtes("u") +
-        ", cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id - 1000000 AS bench_id " +
-        "FROM bands a JOIN bands b ON a.band_key = b.band_key WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000), " +
+        ", cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id - o AS bench_id, b.doc_id AS bench_abs " +
+        "FROM bands a JOIN bands b ON a.band_key = b.band_key CROSS JOIN off WHERE a.doc_id < o AND b.doc_id >= o), " +
         "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id), " +
-        "inter AS (SELECT c.doc_id, c.bench_id, COUNT(*) AS inter FROM cand c " +
-        "JOIN hs x ON x.doc_id = c.doc_id JOIN hs y ON y.doc_id = c.bench_id + 1000000 AND y.h = x.h GROUP BY c.doc_id, c.bench_id) " +
+        "inter AS (SELECT c.doc_id, c.bench_id, c.bench_abs, COUNT(*) AS inter FROM cand c " +
+        "JOIN hs x ON x.doc_id = c.doc_id JOIN hs y ON y.doc_id = c.bench_abs AND y.h = x.h GROUP BY c.doc_id, c.bench_id, c.bench_abs) " +
         "SELECT i.doc_id, i.bench_id, CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard " +
-        "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id JOIN sizes sb ON sb.doc_id = i.bench_id + 1000000 " +
+        "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id JOIN sizes sb ON sb.doc_id = i.bench_abs " +
         "WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5D ORDER BY doc_id, bench_id"),
     // hybrid RRF: the q_l25 BM25 chain ranked, the q_l02 cosine ranked,
     // fused with integral DIV — every output column exact

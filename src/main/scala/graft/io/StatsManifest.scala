@@ -283,7 +283,12 @@ object StatsManifest {
       s.sparkContext.parallelize(current.map(Row(_)),
         math.max(1, math.min(current.size, s.sparkContext.defaultParallelism))),
       StructType(Seq(StructField("file", StringType, nullable = false))))
-    existing.join(currentDf, Seq("file"), "left_semi").unionByName(fresh)
+    // allowMissingColumns: a manifest persisted BEFORE the nulls_<c>
+    // channel existed must keep appending — its old rows get NULL null
+    // counts (= unknown, the scan-class semantics countSplit already
+    // assigns them), not an AnalysisException that kills the ingest stream
+    existing.join(currentDf, Seq("file"), "left_semi")
+      .unionByName(fresh, allowMissingColumns = true)
       .localCheckpoint(eager = true) // same snapshot semantics as build()
   }
 
@@ -334,7 +339,10 @@ object StatsManifest {
       s.sparkContext.parallelize(current.map(Row(_)),
         math.max(1, math.min(current.size, s.sparkContext.defaultParallelism))),
       StructType(Seq(StructField("file", StringType, nullable = false))))
-    existing.join(currentDf, Seq("file"), "left_semi").unionByName(fresh)
+    // allowMissingColumns: pre-nulls-channel manifests keep appending (see
+    // the append note above)
+    existing.join(currentDf, Seq("file"), "left_semi")
+      .unionByName(fresh, allowMissingColumns = true)
       .localCheckpoint(eager = true)
   }
 

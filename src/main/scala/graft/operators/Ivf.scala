@@ -107,11 +107,18 @@ object Ivf {
     */
   def centroidDrift(s: SparkSession, index: DataFrame,
       frozen: DataFrame): DataFrame =
-    centroidsOf(s, index)
-      .withColumnRenamed("centroid", "current")
-      .join(broadcast(frozen), Seq("cell"))
-      .select(col("cell"),
-        (lit(1.0) - Similarity.cosineSafe(col("current"), col("centroid")))
+    // LEFT join FROM the frozen set: a cell whose members all drained
+    // away must show up (n_members = 0, drift NULL), not silently vanish
+    // from the very readout that exists to catch dead cells
+    broadcast(frozen)
+      .join(centroidsOf(s, index).withColumnRenamed("centroid", "current"),
+        Seq("cell"), "left_outer")
+      .join(index.groupBy("cell").agg(count(lit(1)).as("n")),
+        Seq("cell"), "left_outer")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_members"),
+        when(col("current").isNull, lit(null).cast("double"))
+          .otherwise(lit(1.0)
+            - Similarity.cosineSafe(col("current"), col("centroid")))
           .as("drift"))
       .orderBy("cell")
 

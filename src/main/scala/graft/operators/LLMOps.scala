@@ -35,7 +35,8 @@ object LLMOps {
   /** Stopword list for lang-ID / quality scoring — mirrored verbatim in the
     * q_l08/q_l09 oracle SQL; edit all sites together or parity breaks.
     */
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+  private[operators] val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
   /** Whitespace tokens of lowercased text. */
   def tokens(c: Column): Column = split(lower(c), " ")

@@ -45,14 +45,14 @@ object Similarity {
     * single pass over the corpus at any scale — the canonical brute-force
     * ANN baseline.
     */
-  def qL02(s: SparkSession, d: String): DataFrame = {
+  def qL02(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
   }
 
   /** Random-hyperplane LSH bucket id (SimHash over the embedding): sign bits
@@ -317,7 +317,7 @@ object Similarity {
             * sqrt(n2(col("proj0")).cast("double")))).as("proj_sim"))
       .orderBy(col("proj_sim").desc, col("vec_id"))
       .limit(k)
-    val exact = qL02(s, d).limit(k)
+    val exact = qL02(s, d, k)
       .select(col("vec_id"), lit(1L).as("hit"))
     topProj.join(broadcast(exact), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("proj_sim"),

@@ -360,7 +360,7 @@ object TrainPrep {
     * EngineSpec pins set-equality with the shuffle-based qL39 stage.
     */
   def qualitySurvivors(docs: DataFrame): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val stop = LLMOps.stopwords
     val w = LLMOps.tokens(col("text"))
     val wc = size(w).cast("double")
     docs.filter(
@@ -558,7 +558,7 @@ object TrainPrep {
   def qL22(s: SparkSession, d: String): DataFrame = {
     // mirrored verbatim in the q_l22 oracle SQL (and LLMOps.stopwords) —
     // edit all sites together or parity breaks
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val stop = LLMOps.stopwords
     val docs = Tables.documents(s, d)
     val wc = size(LLMOps.tokens(col("text"))).cast("double")
     val stats = docs.select(
@@ -597,7 +597,7 @@ object TrainPrep {
     */
   def observedQualityFunnel(s: SparkSession, d: String)
       : (DataFrame, org.apache.spark.sql.Observation) = {
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val stop = LLMOps.stopwords
     val docs = Tables.documents(s, d)
     val wc = size(LLMOps.tokens(col("text"))).cast("double")
     val stats = docs.select(
@@ -639,7 +639,7 @@ object TrainPrep {
     * split-cardinality.
     */
   def qL39(s: SparkSession, d: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val stop = LLMOps.stopwords
     val docs = Tables.documents(s, d)
     val wc = size(LLMOps.tokens(col("text"))).cast("double")
     val stats = docs.select(

@@ -1072,6 +1072,17 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val m4 = StatsManifest.append(spark, dir, m3, Seq("l_orderkey"))
     assert(m4.count() == rebuilt.count() - 1 &&
       !m4.select("file").collect().map(_.getString(0)).contains(victim.toString))
+    // schema forward-compat: a manifest persisted BEFORE the nulls_<c>
+    // channel (simulated by dropping the column) must keep appending —
+    // its old rows carry NULL null counts (= unknown, scan-class), and
+    // the fresh rows carry real ones
+    val legacy = m4.drop("nulls_l_orderkey")
+    li.where(col("l_orderkey") % 7 === 3).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(dir)
+    val m5 = StatsManifest.append(spark, dir, legacy, Seq("l_orderkey"))
+    assert(m5.count() == m4.count() + 1)
+    assert(m5.where(col("nulls_l_orderkey").isNotNull).count() == 1,
+      "only the freshly appended file should carry a known null count")
   }
 
   test("plan contract, every registered query: no CartesianProduct " +
@@ -2604,8 +2615,19 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     // this isotropic corpus) — bounded, and the baseline for the shift leg
     val stat = Ivf.centroidDrift(spark, Ivf.buildIndex(old, frozenLocal),
       frozenLocal).collect()
-    val statMax = stat.map(_.getDouble(1)).max
+    // every frozen cell is reported, populated cells carry a drift value
+    assert(stat.length == frozenLocal.count())
+    val statMax = stat.filter(!_.isNullAt(2)).map(_.getDouble(2)).max
     assert(stat.nonEmpty && statMax < 0.3, s"stationary drift $statMax")
+    // a drained cell stays VISIBLE: drift against an index missing one
+    // cell's members reports that cell with n_members = 0 and NULL drift
+    val someCell = frozenLocal.select("cell").head().getString(0)
+    val drained = Ivf.centroidDrift(spark,
+      Ivf.buildIndex(old, frozenLocal).where(col("cell") =!= someCell),
+      frozenLocal).collect()
+    val deadRow = drained.find(_.getString(0) == someCell).get
+    assert(deadRow.getLong(1) == 0L && deadRow.isNullAt(2),
+      s"drained cell must surface: $deadRow")
     // distribution shift: the arriving batch concentrates near one fixed
     // direction (x*0.05 + 0.3 — a new domain, not isotropic noise); every
     // shifted vector lands in the cell nearest that direction and drags
@@ -2616,7 +2638,7 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val grown = Ivf.appendIndex(Ivf.buildIndex(old, frozenLocal), shifted,
       frozenLocal)
     val drifted = Ivf.centroidDrift(spark, grown, frozenLocal).collect()
-    val driftMax = drifted.map(_.getDouble(1)).max
+    val driftMax = drifted.filter(!_.isNullAt(2)).map(_.getDouble(2)).max
     assert(driftMax > statMax + 0.15 && driftMax > 0.4,
       s"max drift $driftMax vs stationary $statMax after adversarial shift")
   }
