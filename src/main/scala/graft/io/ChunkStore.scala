@@ -164,15 +164,19 @@ object ChunkStore {
     val chunks = s.read.parquet(s"$dir/chunks")
       .withColumn("f", StatsManifest.normalizedInputFile())
     val dead = chunks.join(liveKeys, Seq("h", "len", "x"), "left_anti")
-    val reclaimed = dead.count()
+    // ONE key-column pass yields both the dead total and the dirty file
+    // list (a separate count() + distinct-collect would scan the store's
+    // key columns twice before any rewrite)
+    val deadPerFile = dead.groupBy("f").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reclaimed = deadPerFile.values.sum
 
     val stats =
       if (reclaimed == 0 && droppedSlots == 0)
         VacuumStats(0L, 0L, 0, StatsManifest.listParquet(s, s"$dir/chunks").size)
       else {
         // only files holding >= 1 dead chunk get rewritten
-        val dirtyFiles = dead.select("f").distinct()
-          .collect().map(_.getString(0)).toSet
+        val dirtyFiles = deadPerFile.keySet
         val allFiles = StatsManifest.listParquet(s, s"$dir/chunks")
         val untouched = allFiles.filterNot(dirtyFiles)
         val trash = new Path(s"$dir/.vacuum-trash")

@@ -611,17 +611,23 @@ object StatsManifest {
       countDistinct(col("k")).as("n")).head()
     if (env.isNullAt(0)) return Nil // no non-null dim keys: empty join
     val (lo, hi, n) = (env.getLong(0), env.getLong(1), env.getLong(2))
-    val bounds = Seq((factCol, lo, hi))
+    // a bloom-only manifest (build with cols = Nil + withBlooms — the
+    // advertised unclustered-layout case) has no min_/max_ channel for
+    // the fact column; band logic degrades to keep-all, blooms still cut
+    val banded = manifest.columns.contains(s"min_$factCol")
+    val bounds = if (banded) Seq((factCol, lo, hi)) else Nil
     if (n > pointCap) pruneFiles(manifest, bounds)
     else {
       val points = ks.distinct().collect().map(_.getLong(0)).toSeq.sorted
       val pts = typedLit(points)
       // band check per point-SET: min/max NULL keeps the file, else some
       // key must land inside the file's band (subsumes the envelope test)
-      val inBand = col(s"min_$factCol").isNull ||
-        col(s"max_$factCol").isNull ||
-        exists(pts, p => p >= col(s"min_$factCol") &&
-          p <= col(s"max_$factCol"))
+      val inBand =
+        if (!banded) lit(true)
+        else col(s"min_$factCol").isNull ||
+          col(s"max_$factCol").isNull ||
+          exists(pts, p => p >= col(s"min_$factCol") &&
+            p <= col(s"max_$factCol"))
       manifest
         .where(inBand && survivesPoints(manifest,
           Seq((factCol, points.map(_.toString)))))

@@ -456,15 +456,21 @@ object LLMOps {
     docs
       .select(col("doc_id"), explode(split(col("text"), delim)).as("sent"))
       .where(length(col("sent")) >= minChars)
+      // (h, len, x) composite key — the ChunkStore discipline: the
+      // mod-1e9+7 poly hash alone birthday-collides at corpus scale
+      // (~5 expected per 1e5 distinct sentences), and a collision here
+      // would merge unrelated sentences into one false "repeated" row
       .select(col("doc_id"), charHash(col("sent")).as("h"),
-        length(col("sent")).as("len"))
-      .groupBy("h")
+        length(col("sent")).cast("long").as("len"),
+        xxhash64(col("sent")).as("x"))
+      .groupBy("h", "len", "x")
       .agg(count(lit(1)).as("copies"),
         countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("len")).cast("long").as("sent_chars"))
+        min(col("doc_id")).as("first_doc"))
       .where(col("copies") > 1)
-      .orderBy(col("copies").desc, col("h"))
+      .select(col("h"), col("copies"), col("n_docs"), col("first_doc"),
+        col("len").as("sent_chars"))
+      .orderBy(col("copies").desc, col("h"), col("sent_chars"))
       .limit(k)
 
   /** Q-L11 — document fingerprint (polynomial rolling hash over the whole

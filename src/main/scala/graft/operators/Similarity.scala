@@ -204,13 +204,19 @@ object Similarity {
       .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
     val sums = codes.groupBy("label", "pos")
       .agg(sum(col("v").cast("long")).as("sv"))
-    val norms = sums.groupBy("label").agg(sum(col("sv") * col("sv")).as("n2"))
+    // products widened to DECIMAL(38,0) before summing: sv ~ 127·n per
+    // dimension, so sv² overflows a silently-wrapping long sum once a
+    // label holds ~7e7 vectors — the same overflow discipline as
+    // connectedComponents' labelSum and qL35's exact lift (DuckDB's
+    // BIGINT sum promotes to HUGEINT, so the oracle was already exact)
+    val norms = sums.groupBy("label")
+      .agg(sum(col("sv").cast("decimal(19,0)") * col("sv")).as("n2"))
     sums.select(col("label").as("label_a"), col("pos"), col("sv").as("sa"))
       .join(sums.select(col("label").as("label_b"), col("pos"),
         col("sv").as("sb")), Seq("pos"))
       .filter(col("label_a") < col("label_b"))
       .groupBy("label_a", "label_b")
-      .agg(sum(col("sa") * col("sb")).as("dot"))
+      .agg(sum(col("sa").cast("decimal(19,0)") * col("sb")).as("dot"))
       .join(norms.select(col("label").as("label_a"), col("n2").as("n2a")),
         Seq("label_a"))
       .join(norms.select(col("label").as("label_b"), col("n2").as("n2b")),

@@ -278,17 +278,29 @@ object StreamOps extends Serializable {
     */
   private[graft] def ingestChunkStoreBatch(batch: DataFrame, batchId: Long,
       storeDir: String, markerDir: String): Unit = {
-    import graft.io.ChunkStore
     val s = batch.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(s"$markerDir/_graft_last_batch")
     val fs = marker.getFileSystem(conf)
     if (batchId > readMarker(fs, marker)) {
-      val cPath = new org.apache.hadoop.fs.Path(s"$storeDir/chunks")
-      if (fs.exists(cPath)) ChunkStore.append(s, batch, storeDir)
-      else ChunkStore.write(batch, storeDir)
+      writeOrAppendStore(batch, storeDir)
       writeMarker(fs, marker, batchId)
     }
+  }
+
+  /** The chunk store's bootstrap-or-append branch, shared by both ingest
+    * paths. The existence probe uses the STORE path's own FileSystem —
+    * checkpoint and data legitimately live on different filesystems
+    * (file:/ checkpoint, s3a:// store), and probing a data path against
+    * the checkpoint's FS throws Wrong FS.
+    */
+  private def writeOrAppendStore(batch: DataFrame, storeDir: String): Unit = {
+    import graft.io.ChunkStore
+    val s = batch.sparkSession
+    val cPath = new org.apache.hadoop.fs.Path(s"$storeDir/chunks")
+    val dataFs = cPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (dataFs.exists(cPath)) ChunkStore.append(s, batch, storeDir)
+    else ChunkStore.write(batch, storeDir)
   }
 
   /** Streaming decontamination gate: per micro-batch of arriving
@@ -381,7 +393,7 @@ object StreamOps extends Serializable {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.io.{ChunkStore, StatsManifest}
+        import graft.io.StatsManifest
         val s = batch.sparkSession
         val conf = s.sparkContext.hadoopConfiguration
         val marker = new org.apache.hadoop.fs.Path(s"$checkpoint/_graft_last_batch")
@@ -415,20 +427,23 @@ object StreamOps extends Serializable {
               .localCheckpoint()
           }
 
-          // 1) chunk store
-          val storeDir = s"$baseDir/store"
-          val cPath = new org.apache.hadoop.fs.Path(s"$storeDir/chunks")
-          if (fs.exists(cPath))
-            ChunkStore.append(s, b.select("doc_id", "text"), storeDir)
-          else ChunkStore.write(b.select("doc_id", "text"), storeDir)
+          // data-path probes use the DATA paths' own FileSystem — the
+          // checkpoint's fs (above) may be a different filesystem entirely
+          def dataExists(p: String): Boolean = {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(conf).exists(hp)
+          }
+
+          // 1) chunk store (shared bootstrap-or-append branch)
+          writeOrAppendStore(b.select("doc_id", "text"), s"$baseDir/store")
 
           // 2) raw table + incremental manifest
           val tableDir = s"$baseDir/table"
           val manifestDir = s"$baseDir/manifest"
           b.write.mode("append").parquet(tableDir)
-          val mPath = new org.apache.hadoop.fs.Path(manifestDir)
           val updated =
-            if (fs.exists(mPath) && StatsManifest.listParquet(s, manifestDir).nonEmpty)
+            if (dataExists(manifestDir) &&
+                StatsManifest.listParquet(s, manifestDir).nonEmpty)
               StatsManifest.append(s, tableDir, s.read.parquet(manifestDir),
                 Seq("doc_id"))
             else StatsManifest.build(s, tableDir, Seq("doc_id"))
@@ -439,7 +454,7 @@ object StreamOps extends Serializable {
           val fresh = LLMOps.minhashBands(LLMOps.shinglePostingsOf(
             b.select("doc_id", "text"))).localCheckpoint()
           val all =
-            if (fs.exists(new org.apache.hadoop.fs.Path(snapDir)) &&
+            if (dataExists(snapDir) &&
                 StatsManifest.listParquet(s, snapDir).nonEmpty)
               s.read.parquet(snapDir).select("doc_id", "band_key")
                 .unionByName(fresh)

@@ -773,6 +773,25 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .join(dim2, col("l_orderkey") === col("o_orderkey"))
       .collect().map(_.toString).sorted
     assert(pruned2.nonEmpty && pruned2.sameElements(full2))
+
+    // bloom-ONLY manifest (no stats bands at all — the pure unclustered
+    // case): band logic degrades to keep-all instead of crashing on the
+    // missing min_/max_ columns, blooms still skip, join parity holds
+    val m3 = StatsManifest.withBlooms(spark, dir2,
+      StatsManifest.build(spark, dir2, Nil), Seq("l_orderkey"))
+    val keep3 = StatsManifest.pruneFilesByJoin(m3, "l_orderkey", dim2,
+      "o_orderkey")
+    assert(keep3.nonEmpty && keep3.size <= 3,
+      s"bloom-only manifest should still skip, kept ${keep3.size}")
+    val pruned3 = StatsManifest
+      .readPrunedByJoin(spark, dir2, m3, "l_orderkey", dim2, "o_orderkey")
+      .join(dim2, col("l_orderkey") === col("o_orderkey"))
+      .collect().map(_.toString).sorted
+    assert(pruned3.sameElements(full2))
+    // past pointCap a bloom-only manifest has nothing to prune with:
+    // keep-all, never a crash
+    assert(StatsManifest.pruneFilesByJoin(m3, "l_orderkey", dim2,
+      "o_orderkey", pointCap = 1).size == 8)
   }
 
   test("writePackedShards lands bin-aligned hive-partitioned shards that " +
