@@ -1074,7 +1074,7 @@ object LLMOps {
     * pair; a merged symbol is emitted closed, so "aaa" under (a,a)
     * becomes [aa, a], the classic left-to-right semantics).
     */
-  private def mergePair(syms: Column, a: String, b: String): Column =
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
     aggregate(
       syms,
       struct(array().cast("array<string>").as("out"),

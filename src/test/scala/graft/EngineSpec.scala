@@ -2722,6 +2722,43 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(mapSide == shuffled && mapSide.nonEmpty)
   }
 
+  test("bpe merge fold: randomized equivalence with a reference leftmost-" +
+      "first merge, including self-pair runs and adjacent-rule overlaps") {
+    import graft.operators.LLMOps
+    import spark.implicits._
+    def ref(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var pend: String = null
+      syms.foreach { x =>
+        if (pend == null) pend = x
+        else if (pend == a && x == b) { out += (a + b); pend = null }
+        else { out += pend; pend = x }
+      }
+      if (pend != null) out += pend
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(11)
+    // a small overlapping alphabet forces self-pairs (a,a) over runs and
+    // merged-symbol lookalikes ("ab" vs a+b) — the tricky merge cases
+    val alphabet = Vector("a", "b", "ab", "c")
+    val rules = Seq(("a", "a"), ("a", "b"), ("ab", "c"), ("c", "a"), ("b", "b"))
+    rules.foreach { case (a, b) =>
+      val cases = (0 until 60).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(9))(alphabet(rnd.nextInt(4))))
+      }
+      val got = cases.toDF("id", "syms")
+        .select(col("id"), LLMOps.mergePair(col("syms"), a, b).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      cases.foreach { case (id, syms) =>
+        val expect = ref(syms, a, b)
+        assert(got(id) == expect,
+          s"rule ($a,$b) on $syms: got ${got(id)}, want $expect")
+        assert(got(id).mkString("") == syms.mkString(""),
+          s"rule ($a,$b) on $syms lost characters")
+      }
+    }
+  }
+
   test("length trim keeps ~90% of each language between its exact p5/p95") {
     import graft.operators.TrainPrep
     val kept = TrainPrep.qL30(spark, sfDir).collect()
