@@ -286,7 +286,18 @@ object StatsManifest {
     // allowMissingColumns: a manifest persisted BEFORE the nulls_<c>
     // channel existed must keep appending — its old rows get NULL null
     // counts (= unknown, the scan-class semantics countSplit already
-    // assigns them), not an AnalysisException that kills the ingest stream
+    // assigns them), not an AnalysisException that kills the ingest stream.
+    // That tolerance is for the nulls channel ONLY: any other divergence
+    // (a different `cols`/`stringCols` list than the manifest was built
+    // with) would silently degrade the mismatched stats columns to NULL —
+    // fail loudly instead, as a plain unionByName always did.
+    val nonNullsDiff =
+      (fresh.columns.toSet diff existing.columns.toSet) ++
+        (existing.columns.toSet diff fresh.columns.toSet)
+    require(nonNullsDiff.forall(_.startsWith("nulls_")),
+      s"manifest append schema mismatch beyond the nulls channel: " +
+        s"${nonNullsDiff.filterNot(_.startsWith("nulls_")).toSeq.sorted.mkString(", ")} " +
+        "— append must use the same cols/stringCols the manifest was built with")
     existing.join(currentDf, Seq("file"), "left_semi")
       .unionByName(fresh, allowMissingColumns = true)
       .localCheckpoint(eager = true) // same snapshot semantics as build()
@@ -568,7 +579,23 @@ object StatsManifest {
     var mn = if (known.isEmpty) None else Some(known.map(_.getLong(1)).min)
     var mx = if (known.isEmpty) None else Some(known.map(_.getLong(2)).max)
     if (unknown.nonEmpty) {
-      val r = s.read.option("basePath", dir).parquet(unknown: _*)
+      val scan = s.read.option("basePath", dir).parquet(unknown: _*)
+      // The integral-only contract, ENFORCED: the manifest stores the stat
+      // domain's raw longs (decimal unscaled, DATE days, timestamp µs),
+      // while this fallback's cast("long") folds the column's LOGICAL
+      // value — for any non-integral type the two domains differ (DECIMAL
+      // truncates its scale, DATE fails the cast), so mixing them when
+      // only SOME files degraded would return silently-wrong extremes.
+      val dt = scan.schema.find(_.name == c).map(_.dataType)
+        .getOrElse(sys.error(s"minMaxPruned: column '$c' absent from $dir"))
+      require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(dt),
+        s"minMaxPruned: column '$c' is ${dt.catalogString}; only integral " +
+          "columns have long domain == stat domain — aggregate " +
+          "DATE/TIMESTAMP/DECIMAL through readPruned instead")
+      val r = scan
         .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
       if (!r.isNullAt(0)) {
         mn = Some(mn.fold(r.getLong(0))(math.min(_, r.getLong(0))))

@@ -469,9 +469,14 @@ object LLMOps {
         min(col("doc_id")).as("first_doc"))
       .where(col("copies") > 1)
       .select(col("h"), col("copies"), col("n_docs"), col("first_doc"),
-        col("len").as("sent_chars"))
-      .orderBy(col("copies").desc, col("h"), col("sent_chars"))
+        col("len").as("sent_chars"), col("x"))
+      // `x` closes the ordering over the full composite key: two colliding
+      // sentences with equal poly-hash AND length would otherwise tie
+      // nondeterministically at the limit(k) boundary — exactly the
+      // collision regime the (h, len, x) group key exists for
+      .orderBy(col("copies").desc, col("h"), col("sent_chars"), col("x"))
       .limit(k)
+      .drop("x")
 
   /** Q-L11 — document fingerprint (polynomial rolling hash over the whole
     * text, portable math): the compact dedup key for the 100 TB path.
