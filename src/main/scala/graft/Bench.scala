@@ -204,7 +204,14 @@ object Bench {
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_passes.json"),
       (allPasses + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(line)
+    // STDOUT gets the MINIMAL line (timings + total only): the harness
+    // keeps a bounded stdout tail and three rounds running has clipped
+    // the full line mid-queries (r9–r11 shipped parsed:null that way).
+    // The breach/pass adjudication extras live in bench_out.json /
+    // bench_passes.json, which are committed as the BENCH_r*_local
+    // record — stdout only needs to parse.
+    println(
+      s"""{"metric":"total","unit":"sec","queries":$qs,"value":${r3(total)},"sf":"$sfDir"}""")
     spark.stop()
   }
 

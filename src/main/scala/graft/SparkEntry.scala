@@ -86,7 +86,7 @@ object SparkEntry {
     // Gopher-style per-doc repetition signals (map-side run-length folds)
     "q_l47_repetition"     -> (LLMOps.qL47 _),
     // cross-source shingle-overlap (leakage/provenance) matrix
-    "q_l48_source_overlap" -> (LLMOps.qL48 _),
+    "q_l48_source_overlap" -> ((s: SparkSession, d: String) => LLMOps.qL48(s, d)),
     "q_l07_simhash"        -> (LLMOps.qL07 _),
     "q_l08_lang_id"        -> (LLMOps.qL08 _),
     "q_l09_quality_hist"   -> (LLMOps.qL09 _),
@@ -133,6 +133,11 @@ object SparkEntry {
     "q_mm01_media_meta"    -> (Multimodal.qMM01 _),
     "q_mm02_features"      -> (Multimodal.qMM02 _),
     "q_mm03_frame_sample"  -> (Multimodal.qMM03 _),
+    // perceptual-hash (dHash) catalog over the real image decode path —
+    // the multimodal member of the dedup family; the banded Hamming
+    // near-dup JOIN over these hashes is imageNearDupPairs, spec-pinned
+    // on constructed near-identical images (random pixels have none)
+    "q_mm04_image_dhash"   -> (Multimodal.qMM04 _),
     // custom UDTF (Generator) leg of the extension surface
     "q_l16_ngram_top20"    -> (LLMOps.qL16 _),
     // bounded-state heavy hitters (sketch + exact recount; same oracle
@@ -693,6 +698,13 @@ object SparkEntry {
     // cross-frame pixel-index fold end to end.
     "q_mm02_features" ->
       """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 0) * 2654435761) % 4 AS f, ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 AS w, ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 AS h, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS nf FROM documents), idx AS (SELECT doc_id, unnest(range(0, w*h)) AS i, 'img' AS kind FROM m WHERE f < 2 UNION ALL SELECT doc_id, unnest(range(0, ns)) AS i, 'wav' AS kind FROM m WHERE f = 2 UNION ALL SELECT doc_id, unnest(range(0, nf * 12)) AS i, 'img' AS kind FROM m WHERE f = 3), s0 AS (SELECT doc_id, kind, i % 16 AS b, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT doc_id, kind, b, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, kind, b, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, kind, b, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, kind, b, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, kind, b, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), vals AS (SELECT doc_id, kind, b, CASE WHEN kind = 'img' THEN ((z % 16777216) // 65536) + ((z % 65536) // 256) + (z % 256) WHEN kind = 'wav' THEN ABS((z % 65536) - 32768) ELSE z % 256 END AS v FROM z3), buck AS (SELECT doc_id, b, CAST(CAST(SUM(v) AS DOUBLE) / CASE WHEN kind = 'img' THEN 765.0 WHEN kind = 'wav' THEN 32768.0 ELSE 255.0 END AS FLOAT) AS fv FROM vals GROUP BY doc_id, kind, b), fl AS (SELECT doc_id, list(fv ORDER BY b) AS feats FROM buck GROUP BY doc_id) SELECT doc_id, list_reduce(list_prepend(0.0, list_transform(feats, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, c) -> a + c) AS sq_norm FROM fl ORDER BY doc_id""",
+    // q_mm04 (r12): regenerate each image row's 72 SAMPLED grayscale
+    // pixels (nearest-neighbor 9×8 grid over the splitmix64 stream, the
+    // q_mm02 HUGEINT spelling) and rebuild the 64-bit difference hash in
+    // integer SQL — low/high 32-bit halves summed in HUGEINT, then
+    // wrapped to the signed BIGINT Spark's Long holds
+    "q_mm04_image_dhash" ->
+      """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 AS w, ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 AS h FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 < 2), grid AS (SELECT doc_id, w, h, unnest(range(0, 72)) AS g FROM m), gxy AS (SELECT doc_id, g % 9 AS gx, g // 9 AS gy, ((g // 9) * h // 8) * w + ((g % 9) * w // 9) AS i FROM grid), s0 AS (SELECT doc_id, gx, gy, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM gxy), x1 AS (SELECT doc_id, gx, gy, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, gx, gy, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, gx, gy, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, gx, gy, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, gx, gy, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), gv AS (SELECT doc_id, gx, gy, (299 * ((z % 16777216) // 65536) + 587 * ((z % 65536) // 256) + 114 * (z % 256)) // 1000 AS gray FROM z3), bits AS (SELECT a.doc_id, a.gy * 8 + a.gx AS pos, CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit FROM gv a JOIN gv b ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1 WHERE a.gx < 8), hh AS (SELECT doc_id, CAST(SUM(CASE WHEN bit = 1 AND pos < 32 THEN CAST(CAST(1 AS BIGINT) << CAST(pos AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) + CAST(SUM(CASE WHEN bit = 1 AND pos >= 32 THEN CAST(CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) * 4294967296 AS h64 FROM bits GROUP BY doc_id) SELECT doc_id, CAST(CASE WHEN h64 >= 9223372036854775808 THEN h64 - 18446744073709551616 ELSE h64 END AS BIGINT) AS dhash FROM hh ORDER BY doc_id""",
     "q_m03_distinct_profile" ->
       ("""SELECT * FROM (VALUES """ +
         Seq("l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",

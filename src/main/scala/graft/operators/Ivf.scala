@@ -164,4 +164,103 @@ object Ivf {
     * EngineSpec's distortion/kmeans properties.
     */
   def qL14(s: SparkSession, d: String): DataFrame = annIvf(s, d, nprobe = 10)
+
+  // ---- persisted index store with automated drift-triggered retrain ----
+
+  /** One maintenance round's report: the serving version AFTER the round,
+    * the max per-cell drift observed against the serving centroids, and
+    * whether that drift crossed the threshold and triggered a retrain.
+    */
+  final case class IvfMaintenance(version: Long, maxDrift: Double,
+      retrained: Boolean)
+
+  private def versionMarker(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_current")
+
+  private def readVersion(s: SparkSession, dir: String): Long = {
+    val marker = versionMarker(dir)
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker), s"no IVF store at $dir — bootstrapStore first")
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+    finally in.close()
+  }
+
+  /** Write-temp-then-rename version flip (the ChunkStore/StreamOps marker
+    * discipline): readers resolving `_current` see either the old or the
+    * new version number, never a torn write — and a version directory is
+    * fully written BEFORE the flip, so serving reads never see a
+    * half-swapped index.
+    */
+  private def writeVersion(s: SparkSession, dir: String, v: Long): Unit = {
+    val marker = versionMarker(dir)
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      marker.getParent, marker.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    require(fs.rename(tmp, marker), s"version flip $tmp -> $marker failed")
+  }
+
+  /** The serving centroid set / index of the CURRENT version. */
+  def servingCentroids(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/v${readVersion(s, dir)}/centroids")
+  def servingIndex(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/v${readVersion(s, dir)}/index")
+
+  /** Bootstrap a persisted IVF store at `dir`: train centroids (label-
+    * seeded, `kmeansIters` Lloyd refinements), build the index, publish
+    * as version 0.
+    */
+  def bootstrapStore(s: SparkSession, embeddings: DataFrame, dir: String,
+      kmeansIters: Int = 2): Unit = {
+    val trained = kmeans(s, embeddings, trainCentroids(s, embeddings),
+      iters = kmeansIters)
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    local.write.mode("overwrite").parquet(s"$dir/v0/centroids")
+    buildIndex(embeddings.select("vec_id", "embedding"), local)
+      .write.mode("overwrite").parquet(s"$dir/v0/index")
+    writeVersion(s, dir, 0L)
+  }
+
+  /** One maintenance round, closing the [[centroidDrift]] loop: append
+    * the arriving batch against the FROZEN serving centroids (the
+    * [[appendIndex]] contract — history is never re-assigned, per-batch
+    * cost is one batch-sized pass), read the drift, and when max drift
+    * crosses `driftThreshold`, RETRAIN: re-centroid from the current
+    * members, `kmeansIters` Lloyd refinements over the full index, a
+    * full re-assignment, and an atomic version flip (stage the new
+    * `v<N+1>/` completely, then rename the `_current` marker — the
+    * stage-then-rename idiom, so a concurrent reader serves either
+    * version N or N+1 in full, never a mix). The retrain pass is
+    * corpus-sized — which is exactly when a real deployment runs it:
+    * drift says recall is silently decaying, and the readout makes the
+    * cost explicit instead of perpetual.
+    */
+  def maintainIndex(s: SparkSession, dir: String, newVecs: DataFrame,
+      driftThreshold: Double = 0.3, kmeansIters: Int = 2): IvfMaintenance = {
+    val v = readVersion(s, dir)
+    val frozen = s.read.parquet(s"$dir/v$v/centroids")
+    buildIndex(newVecs.select("vec_id", "embedding"), frozen)
+      .write.mode("append").parquet(s"$dir/v$v/index")
+    val index = s.read.parquet(s"$dir/v$v/index")
+    val drifts = centroidDrift(s, index, frozen).collect()
+    val maxDrift = drifts.filter(!_.isNullAt(2)).map(_.getDouble(2))
+      .foldLeft(0.0)(math.max)
+    if (maxDrift <= driftThreshold) IvfMaintenance(v, maxDrift, retrained = false)
+    else {
+      val vecs = index.select("vec_id", "embedding")
+      val retrained = kmeans(s, vecs, centroidsOf(s, index), iters = kmeansIters)
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(retrained.collect(): _*), retrained.schema)
+      local.write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
+      buildIndex(vecs, local)
+        .write.mode("overwrite").parquet(s"$dir/v${v + 1}/index")
+      writeVersion(s, dir, v + 1) // the atomic flip — staged dirs complete
+      IvfMaintenance(v + 1, maxDrift, retrained = true)
+    }
+  }
 }

@@ -1106,15 +1106,38 @@ object LLMOps {
     * the ONLY corpus-sized work is the initial word count (one
     * map-side-combined aggregate); every training round then runs on the
     * word-FREQUENCY table (vocabulary-sized, the same reduction every
-    * production BPE trainer exploits), as one pair-explode + count +
-    * 1-row argmax and one fold-rewrite of the symbol arrays. State per
+    * production BPE trainer exploits). Rounds are BATCHED: one job ranks
+    * the candidate pairs, the driver greedily accepts the longest ranked
+    * PREFIX that provably merges like the one-at-a-time loop (conditions
+    * below), and ONE fold-rewrite applies the whole batch — so a 32k-
+    * vocabulary trains in O(merges / batch) Spark jobs, not O(merges)
+    * driver round-trips (the r11 scale caveat this closes). State per
     * round is localCheckpointed so the loop's lineage stays flat.
-    * Determinism: the argmax tiebreak is (count DESC, left, right) —
-    * lexicographic smallest pair — so every run learns the same rules.
+    *
+    * EXACT sequential equivalence (spec-pinned batched-vs-one-at-a-time
+    * on randomized corpora): candidate k in the ranked prefix is safe to
+    * batch with ranks 1..k−1 iff
+    *   (a) it shares no symbol with any earlier accepted pair — then
+    *       merging them cannot create or destroy any of its occurrences
+    *       (new adjacencies always involve the freshly minted symbol),
+    *       so its count at sequential step k is unchanged; and
+    *   (b) every earlier accepted pair's new-pair UPPER BOUND is
+    *       STRICTLY below the candidate's count — a merge of (a,b) can
+    *       only create pairs whose every occurrence maps to a pre-merge
+    *       triple (x,a,b) or (a,b,y) occurrence (a pair of merged
+    *       symbols (ab,ab) maps to the interior triple (b,a,b)), so
+    *       max-triple counts bound every newcomer; strict inequality
+    *       keeps ties conservative, because a tied newcomer could win
+    *       the lexicographic tiebreak.
+    * Acceptance stops at the first rejection, so the batch is exactly
+    * the rounds a sequential run would perform. Determinism: the argmax
+    * tiebreak is (count DESC, left, right) — lexicographic smallest
+    * pair — so every run learns the same rules.
     */
-  def bpeMerges(docs: DataFrame, numMerges: Int = 20): DataFrame = {
+  def bpeMerges(docs: DataFrame, numMerges: Int = 20,
+      batch: Int = 16): DataFrame = {
     val s = docs.sparkSession
-    import org.apache.spark.sql.expressions.Window
+    require(batch >= 1, s"bpeMerges: batch must be >= 1, got $batch")
     var words = docs
       .select(explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
@@ -1125,26 +1148,70 @@ object LLMOps {
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
-      val pairs = words
+      val m = math.min(batch, numMerges - rank)
+      val pairCnt = words
         .select(col("n"), explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
         .groupBy(col("p.0").as("l"), col("p.1").as("r"))
         .agg(sum(col("n")).as("cnt"))
+      // triple counts feed the per-pair new-pair upper bounds: ubl is the
+      // heaviest triple ENDING in the pair, ubr the heaviest STARTING
+      // with it (vocabulary-sized work, same explode discipline)
+      // greatest(…, 0): a 1- or 2-symbol word has no triple and slice
+      // rejects negative lengths outright
+      val tripleLen = greatest(size(col("syms")) - 2, lit(0))
+      val tripleCnt = words
+        .select(col("n"), explode(arrays_zip(
+          slice(col("syms"), lit(1), tripleLen),
+          slice(col("syms"), lit(2), tripleLen),
+          slice(col("syms"), lit(3), tripleLen))).as("t"))
+        .groupBy(col("t.0").as("t1"), col("t.1").as("t2"), col("t.2").as("t3"))
+        .agg(sum(col("n")).as("tc"))
+      val ranked = pairCnt
+        .join(tripleCnt.groupBy(col("t2").as("l"), col("t3").as("r"))
+          .agg(max("tc").as("ubl")), Seq("l", "r"), "left_outer")
+        .join(tripleCnt.groupBy(col("t1").as("l"), col("t2").as("r"))
+          .agg(max("tc").as("ubr")), Seq("l", "r"), "left_outer")
+        .select(col("l"), col("r"), col("cnt"),
+          greatest(coalesce(col("ubl"), lit(0L)),
+            coalesce(col("ubr"), lit(0L))).as("ub"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (pairs.isEmpty) done = true
+        .limit(m).collect() // batch-sized, the round's learned rules
+      if (ranked.isEmpty) done = true
       else {
-        val best = pairs.head
-        val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((rank, l, r, cnt))
-        // superseded checkpoints are vocab-sized (a few KB per round);
-        // they age out with the session rather than needing the
-        // connectedComponents registry-diff release
-        words = words
-          .select(mergePair(col("syms"), l, r).as("syms"), col("n"))
+        // greedy prefix under (a) symbol-disjointness and (b) strict
+        // ub-below-count — the first candidate is the true argmax and
+        // always accepted (a singleton batch IS the sequential round)
+        val accepted = Seq.newBuilder[(String, String, Long, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var maxUb = Long.MinValue
+        var n = 0
+        var stop = false
+        ranked.foreach { row =>
+          if (!stop) {
+            val (l, r, cnt, ub) = (row.getString(0), row.getString(1),
+              row.getLong(2), row.getLong(3))
+            if (n == 0 || (!used(l) && !used(r) && maxUb < cnt)) {
+              accepted += ((l, r, cnt, ub))
+              used += l; used += r
+              maxUb = math.max(maxUb, ub)
+              n += 1
+            } else stop = true
+          }
+        }
+        val batchRules = accepted.result()
+        batchRules.foreach { case (l, r, cnt, _) =>
+          merges += ((rank, l, r, cnt)); rank += 1
+        }
+        // ONE rewrite pass for the whole batch: projection collapse fuses
+        // the chained folds; superseded checkpoints are vocab-sized and
+        // age out with the session
+        words = batchRules
+          .foldLeft(words) { case (w, (l, r, _, _)) =>
+            w.select(mergePair(col("syms"), l, r).as("syms"), col("n"))
+          }
           .localCheckpoint()
-        rank += 1
       }
     }
     import s.implicits._
@@ -1179,15 +1246,40 @@ object LLMOps {
     * Scale shape: the self-join runs on (source, hash) postings — the
     * shuffle carries packed longs, never text — and per-hash fan-out is
     * bounded by sources-sharing-that-shingle squared (≤ sources², never
-    * docs²). At a real crawl with millions of sources, cap the per-shingle
-    * source list first (a shingle in >K sources is boilerplate — drop it
-    * from the matrix the way qL27 flags it per doc); the 20-source corpus
-    * needs no cap and keeps the oracle exact.
+    * docs²). At a real crawl with millions of sources that bound is the
+    * problem: ONE boilerplate shingle shared by 1e6 sources fans out to
+    * 1e12 pairs. `maxSourcesPerShingle` is that cap, made real: a
+    * shingle held by more than K sources is boilerplate (the qL27
+    * per-doc flag, applied corpus-wide) and is dropped from the matrix
+    * BEFORE the self-join — one count per shingle, keys-only — bounding
+    * per-hash fan-out at K² regardless of crawl size. The capped matrix
+    * is the boilerplate-blind overlap (both intersections AND the n_sh
+    * set sizes exclude capped shingles, keeping jaccard a true ratio
+    * over the surviving universe — spec-pinned). The 20-source corpus
+    * query runs uncapped, which keeps the oracle exact.
     */
-  def qL48(s: SparkSession, d: String): DataFrame = {
-    val posts = Tables.documents(s, d)
+  def qL48(s: SparkSession, d: String,
+      maxSourcesPerShingle: Int = Int.MaxValue): DataFrame =
+    sourceOverlap(Tables.documents(s, d), maxSourcesPerShingle)
+
+  /** The [[qL48]] operator over an explicit (source, text) frame — split
+    * out so the boilerplate cap is spec-testable on constructed corpora.
+    */
+  def sourceOverlap(docs: DataFrame,
+      maxSourcesPerShingle: Int = Int.MaxValue): DataFrame = {
+    val raw = docs
       .select(col("source"), explode(ShingleHash(col("text"), 3)).as("h"))
       .distinct()
+    val posts =
+      if (maxSourcesPerShingle == Int.MaxValue) raw
+      else {
+        // keys-only pre-count; the join back is a shuffle on h the
+        // self-join below pays anyway
+        val keep = raw.groupBy("h").agg(count(lit(1)).as("n_src"))
+          .where(col("n_src") <= maxSourcesPerShingle)
+          .select("h")
+        raw.join(keep, Seq("h"), "left_semi")
+      }
     val sizes = posts.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val inter = posts.as("a")
       .join(posts.as("b"),

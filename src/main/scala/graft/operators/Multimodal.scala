@@ -646,4 +646,119 @@ object Multimodal {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("doc_id")
+
+  /** 9×8 difference hash (dHash) of a decoded image: nearest-neighbor
+    * sample the image onto a 9-wide × 8-tall grayscale grid, then bit
+    * (y·8+x) is set when grid(y, x+1) > grid(y, x) — 64 horizontal
+    * gradient signs, the classic perceptual fingerprint (near-identical
+    * images differ in a few bits; unrelated images differ in ~32).
+    * INTEGER arithmetic end-to-end — luminance is (299R+587G+114B)/1000
+    * truncated, the sample coordinate is x·w/9 (floor) — so another
+    * engine rebuilds the exact hash from regenerated pixels (the q_mm04
+    * oracle does, in SQL). None when the bytes don't decode (caller
+    * quarantines — the extractFeatures policy).
+    */
+  def dHashOf(blob: Array[Byte]): Option[Long] = {
+    imageIoInMemory
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g = Array.ofDim[Int](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+          g(gy)(gx) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(y)(x + 1) > g(y)(x)) hash |= (1L << (y * 8 + x))
+          x += 1
+        }
+        y += 1
+      }
+      Some(hash)
+    }
+  }
+
+  private final case class DHashRow(doc_id: Long, dhash: Long)
+
+  /** Perceptual-hash catalog of the IMAGE rows: doc_id → 64-bit dHash.
+    * Partition-parallel typed mapPartitions (the extractFeatures shape);
+    * undecodable blobs are dropped here — a production pipeline routes
+    * them to the byteFoldFallback quarantine instead of hashing garbage.
+    * The hash is a pure per-row map: zero shuffle at any corpus size,
+    * and the 8-byte fingerprint — not the image — is what every
+    * downstream dedup join shuffles.
+    */
+  def imageDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("meta.format").isin("png", "bmp"))
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, blob) =>
+        dHashOf(blob).map(DHashRow(id, _))
+      })
+      .toDF()
+  }
+
+  /** Image near-dup pairs by banded Hamming join — the multimodal member
+    * of the dedup family (LLMOps MinHash/SimHash for text, Similarity LSH
+    * for embeddings, THIS for decoded pixels). The 64-bit dHash splits
+    * into 8 bands of 8 bits; two hashes within Hamming distance
+    * `maxHamming` ≤ 7 must agree on ≥ 1 band (pigeonhole: 8 bands, ≤ 7
+    * differing bits), so the band equi-join has FULL recall and the
+    * all-pairs comparison never exists. Shuffles carry (band, key,
+    * doc_id, dhash) — 3 longs and a byte — and candidate fan-out is
+    * bounded per band-key bucket, the qL05/qL06 scale posture. Exact
+    * Hamming verify (bit_count of xor) filters candidates; output is
+    * (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"imageNearDupPairs: 8 bands of 8 bits give full recall only for " +
+        s"maxHamming <= 7, got $maxHamming")
+    val hashes = imageDHash(spark, media)
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("dhash"), b * 8).bitwiseAND(lit(255L))
+            .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Q-MM04 — perceptual-hash (dHash) catalog over the real decode path,
+    * oracle-checked: per image doc, the 64-bit difference hash. Pins
+    * decode → integer luminance → nearest-neighbor 9×8 grid → gradient
+    * bits end-to-end, because the DuckDB oracle regenerates the expected
+    * pixels from the splitmix64 stream (seed = doc_id, the q_mm02
+    * discipline) and rebuilds the hash in integer SQL — a lossy codec, a
+    * channel-order mixup, or an off-by-one in the grid sampling all flip
+    * the hash. The near-dup JOIN over these hashes is
+    * [[imageNearDupPairs]], spec-pinned on constructed near-identical
+    * images (the synthetic corpus's random pixels produce no true
+    * near-dups — any pair here would be vacuous).
+    */
+  def qMM04(s: SparkSession, d: String): DataFrame =
+    imageDHash(s, withMedia(Tables.documents(s, d)))
+      .orderBy("doc_id")
 }

@@ -286,18 +286,13 @@ object Similarity {
     * terminal cosine division. Projection is a pure per-row map — zero
     * shuffle at any corpus size.
     */
-  def projectInt8(quantized: DataFrame, m: Int = 16): DataFrame = {
-    def sign(i: Column, j: Int): Column =
-      when(pmod((i + lit(j * 64L)) * lit(2654435761L), lit(1000003L)) % 2 === 0,
-        lit(1L)).otherwise(lit(-1L))
-    val proj = array((0 until m).map { j =>
-      aggregate(zip_with(col("qv"),
-          sequence(lit(0L), size(col("qv")).cast("long") - 1L),
-          (v, i) => v.cast("long") * sign(i, j)),
-        lit(0L), (acc, x) => acc + x)
-    }: _*)
-    quantized.withColumn("proj", proj)
-  }
+  def projectInt8(quantized: DataFrame, m: Int = 16): DataFrame =
+    // ONE codegen expression (m × dim tight loop), not m interpreted
+    // aggregate(zip_with(...)) passes — the same HOF-vs-codegen lesson as
+    // SignSketch below; JlProjectSpec pins bit-parity against the HOF
+    // formulation this replaced
+    quantized.withColumn("proj",
+      graft.functions.JlProject(col("qv"), m))
 
   /** Q-L53 — projected ANN with recall annotation: cosine top-k in the
     * [[projectInt8]] 16-dim space against the vec_id-0 query, each hit

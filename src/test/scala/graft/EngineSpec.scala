@@ -117,6 +117,60 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.isNullAt(1)).toSeq == Seq(true, false, true))
   }
 
+  test("JlProject stays in codegen and matches the interpreted HOF folds " +
+      "bit-for-bit, including the corpus quantize path and null elements") {
+    import spark.implicits._
+    import graft.functions.JlProject
+    import org.apache.spark.sql.Column
+    val m = 16
+    // the reference: the m independent aggregate(zip_with(...)) folds the
+    // expression replaced — the q_l53 oracle spells the same ±1 sums
+    def hofProj(qv: Column): Column = {
+      def sign(i: Column, j: Int): Column =
+        when(pmod((i + lit(j * 64L)) * lit(2654435761L), lit(1000003L)) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L))
+      array((0 until m).map { j =>
+        aggregate(zip_with(qv,
+            sequence(lit(0L), size(qv).cast("long") - 1L),
+            (v, i) => v.cast("long") * sign(i, j)),
+          lit(0L), (acc, x) => acc + x)
+      }: _*)
+    }
+    // real corpus path: quantized embeddings through both formulations
+    val q = graft.operators.Similarity
+      .quantizeInt8(Tables.embeddings(spark, sfDir).limit(50), "embedding")
+    val cmp = q.select(col("vec_id"),
+        JlProject(col("qv"), m).as("a"), hofProj(col("qv")).as("b"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2)))
+    // codegen span (the reason the expression exists)
+    val plan = spark.range(8)
+      .select(JlProject(array(col("id").cast("int"),
+        (col("id") * 2).cast("int")), m).as("p"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+    // null array / null element both degrade to an array of m NULL
+    // coordinates (never a NULL array) — the HOF folds' exact semantics
+    val withNulls = Seq(
+      (1L, Array[java.lang.Integer](1, null, 3)),
+      (2L, Array[java.lang.Integer](1, 2, 3)),
+      (3L, null))
+      .toDF("vec_id", "qv")
+    val got = withNulls
+      .select(col("vec_id"), JlProject(col("qv"), m).as("a"),
+        hofProj(col("qv")).as("b"))
+      .orderBy("vec_id").collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2))
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2))
+    }
+    assert(got(0).getSeq[Any](1).forall(_ == null))
+    assert(got(2).getSeq[Any](1).forall(_ == null))
+  }
+
   test("ShingleHash matches the unfused shingle-string → PolyHash path") {
     import graft.operators.LLMOps
     val docs = Tables.documents(spark, sfDir).limit(100)
@@ -1919,6 +1973,47 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(two.toSeq == Seq((510 / 765.0).toFloat, (1020 / 765.0).toFloat))
   }
 
+  test("multimodal: imageNearDupPairs pairs constructed near-identical " +
+      "images via the banded Hamming join and compares nothing else") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def grey(v: Int): Int = (v << 16) | (v << 8) | v
+    // A: a left-to-right brightness ramp — every dHash gradient bit is 1
+    val a = png(36, 32)((x, _) => grey(x * 7))
+    // B: the same ramp with ONE sampled cell (gx=3 → sx=12, gy=0 → sy=0)
+    // darkened enough to flip exactly the (y=0, x=2→3) comparison —
+    // a near-identical image, Hamming distance 1
+    val b = png(36, 32)((x, y) =>
+      if (x == 12 && y == 0) grey(0) else grey(x * 7))
+    // C: the reversed ramp — every gradient bit 0, Hamming 64 from A;
+    // shares NO 8-bit band with A/B, so the join never even compares it
+    val c = png(36, 32)((x, _) => grey((35 - x) * 7))
+    assert(java.lang.Long.bitCount(
+      Multimodal.dHashOf(a).get ^ Multimodal.dHashOf(b).get) == 1)
+    assert(java.lang.Long.bitCount(
+      Multimodal.dHashOf(a).get ^ Multimodal.dHashOf(c).get) == 64)
+    val media = Seq((1L, a), (2L, b), (3L, c))
+      .toDF("doc_id", "blob")
+      .withColumn("meta", struct(lit("png").as("format"),
+        lit(36).as("width"), lit(32).as("height"), lit(1).as("n_frames")))
+    val pairs = Multimodal.imageNearDupPairs(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)))
+    // an undecodable blob is dropped (quarantine policy), never hashed
+    val corrupt = media.unionByName(Seq((4L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "blob")
+      .withColumn("meta", struct(lit("png").as("format"),
+        lit(1).as("width"), lit(1).as("height"), lit(1).as("n_frames"))))
+    assert(Multimodal.imageDHash(spark, corrupt).count() == 3)
+  }
+
   test("multimodal: WAV round-trips through the RIFF encoder/decoder exactly") {
     // synthetic stream round-trip: every sample recovered bit-exactly
     val enc = Multimodal.encodeWav(seed = 7L, nSamples = 257)
@@ -2662,6 +2757,51 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       s"max drift $driftMax vs stationary $statMax after adversarial shift")
   }
 
+  test("ivf store maintenance: stationary arrivals append without retrain; " +
+      "drifted arrivals trigger a complete-version retrain swap that " +
+      "restores assignment quality") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+    val cut = e.agg(max("vec_id")).head().getLong(0) / 2
+    val old = e.filter(col("vec_id") <= cut)
+    val mid = (cut + e.agg(max("vec_id")).head().getLong(0)) / 2
+    val calm = e.filter(col("vec_id") > cut && col("vec_id") <= mid)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ivf.bootstrapStore(spark, old, dir)
+    // stationary arrivals: drift stays at the Lloyd floor, no retrain,
+    // serving version unchanged, batch appended exactly once
+    val r1 = Ivf.maintainIndex(spark, dir, calm, driftThreshold = 0.35)
+    assert(!r1.retrained && r1.version == 0, s"$r1")
+    assert(r1.maxDrift < 0.35)
+    val served1 = Ivf.servingIndex(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(served1.distinct.size == served1.size)
+    assert(served1.size == old.count() + calm.count())
+    // drifted arrivals (the adversarial-shift recipe: a new tight domain
+    // far from the training distribution): retrain must trigger, publish
+    // version 1 with BOTH artifacts complete, and post-retrain drift must
+    // fall back toward the Lloyd floor
+    val shifted = e.filter(col("vec_id") > mid)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => (x * lit(0.05) + lit(0.3)).cast("float")).as("embedding"))
+    val r2 = Ivf.maintainIndex(spark, dir, shifted, driftThreshold = 0.35)
+    assert(r2.retrained && r2.version == 1, s"$r2")
+    assert(r2.maxDrift > 0.35)
+    val postDrift = Ivf.centroidDrift(spark, Ivf.servingIndex(spark, dir),
+        Ivf.servingCentroids(spark, dir)).collect()
+      .filter(!_.isNullAt(2)).map(_.getDouble(2)).foldLeft(0.0)(math.max)
+    assert(postDrift < r2.maxDrift - 0.05 && postDrift < 0.35,
+      s"post-retrain drift $postDrift vs trigger ${r2.maxDrift}")
+    // the new version serves the COMPLETE corpus exactly once, and the
+    // superseded v0 is still intact on disk (readers mid-flight on the
+    // old version finish against a whole index, never a mix)
+    val served2 = Ivf.servingIndex(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(served2.distinct.size == served2.size && served2.size == e.count())
+    assert(new java.io.File(s"$dir/v0/index").isDirectory &&
+      new java.io.File(s"$dir/v0/centroids").isDirectory)
+  }
+
   test("bpe training: hand-computed Sennrich merges on a constructed " +
       "corpus, deterministic re-run, and encode round-trips every word") {
     import graft.operators.LLMOps
@@ -2697,6 +2837,64 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val bad = LLMOps.applyBpe(corpusWords, corpusMerges)
       .where(concat_ws("", col("pieces")) =!= col("word")).count()
     assert(bad == 0, s"$bad words failed the encode round trip")
+  }
+
+  test("source-overlap boilerplate cap drops exactly the >K-source " +
+      "shingles and nothing else") {
+    import graft.operators.LLMOps
+    import spark.implicits._
+    // five sources; every doc ends in the same boilerplate phrase — ONE
+    // shingle held by all 5 sources — and s1/s2 share their full text
+    // (4 shingles); every other cross-source overlap is boiler-only
+    val docs = Seq(
+      ("s1", "alpha beta gamma common boiler plate"),
+      ("s2", "alpha beta gamma common boiler plate"),
+      ("s3", "delta eps zeta common boiler plate"),
+      ("s4", "eta theta iota common boiler plate"),
+      ("s5", "kappa lam mu common boiler plate"))
+      .toDF("source", "text")
+    val uncapped = LLMOps.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // all 10 pairs share at least the boilerplate shingle
+    assert(uncapped.size == 10)
+    assert(uncapped(("s1", "s2")) == 4)
+    assert(uncapped(("s3", "s4")) == 1)
+    // cap 4: the 5-source boilerplate shingle drops; the 2-source
+    // shingles all survive — boiler-only pairs leave the matrix, the
+    // real s1/s2 overlap keeps its 3 non-boiler shingles
+    val capped = LLMOps.sourceOverlap(docs, maxSourcesPerShingle = 4)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(capped.keySet == Set(("s1", "s2")))
+    val (inter, union, jac) = capped(("s1", "s2"))
+    assert(inter == 3 && union == 3 && jac == 1.0)
+  }
+
+  test("bpe batched rounds learn exactly the one-at-a-time merge sequence " +
+      "on randomized corpora") {
+    import graft.operators.LLMOps
+    import spark.implicits._
+    // small alphabets force the adversarial regimes: count ties resolved
+    // lexicographically, self-pairs over runs, and batch candidates whose
+    // new-pair upper bounds must demote them to the next round
+    val rnd = new scala.util.Random(23)
+    (0 until 4).foreach { trial =>
+      val alpha = "abcd".take(2 + trial % 3)
+      val docs = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(6) + 1)(
+          Seq.fill(rnd.nextInt(7) + 1)(alpha(rnd.nextInt(alpha.length)))
+            .mkString).mkString(" "))
+      }.toDF("doc_id", "text")
+      def rules(b: Int) = LLMOps.bpeMerges(docs, numMerges = 12, batch = b)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      val sequential = rules(1)
+      val batched = rules(8)
+      assert(batched == sequential,
+        s"trial $trial: batched $batched != sequential $sequential")
+    }
   }
 
   test("map-side quality gate equals the shuffle-based qL39 stage") {
