@@ -138,6 +138,16 @@ object SparkEntry {
     // near-dup JOIN over these hashes is imageNearDupPairs, spec-pinned
     // on constructed near-identical images (random pixels have none)
     "q_mm04_image_dhash"   -> (Multimodal.qMM04 _),
+    // 32-bit audio energy fingerprint over the real RIFF/PCM decode —
+    // completes the perceptual-dedup family's third modality; the banded
+    // Hamming near-dup join is audioNearDupPairs (shared
+    // hammingNearDupPairs helper), spec-pinned on constructed clips
+    "q_mm05_audio_fp"      -> (Multimodal.qMM05 _),
+    // per-frame video dHash postings over the real demux + PNG decode —
+    // a video's identity is its frame-hash SET (frames are its
+    // shingles); videoNearDupPairs is the frame-set Jaccard join,
+    // spec-pinned on a spliced-frame near-duplicate
+    "q_mm06_video_dhash"   -> (Multimodal.qMM06 _),
     // custom UDTF (Generator) leg of the extension surface
     "q_l16_ngram_top20"    -> (LLMOps.qL16 _),
     // bounded-state heavy hitters (sketch + exact recount; same oracle
@@ -705,6 +715,18 @@ object SparkEntry {
     // wrapped to the signed BIGINT Spark's Long holds
     "q_mm04_image_dhash" ->
       """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 AS w, ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 AS h FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 < 2), grid AS (SELECT doc_id, w, h, unnest(range(0, 72)) AS g FROM m), gxy AS (SELECT doc_id, g % 9 AS gx, g // 9 AS gy, ((g // 9) * h // 8) * w + ((g % 9) * w // 9) AS i FROM grid), s0 AS (SELECT doc_id, gx, gy, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM gxy), x1 AS (SELECT doc_id, gx, gy, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, gx, gy, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, gx, gy, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, gx, gy, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, gx, gy, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), gv AS (SELECT doc_id, gx, gy, (299 * ((z % 16777216) // 65536) + 587 * ((z % 65536) // 256) + 114 * (z % 256)) // 1000 AS gray FROM z3), bits AS (SELECT a.doc_id, a.gy * 8 + a.gx AS pos, CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit FROM gv a JOIN gv b ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1 WHERE a.gx < 8), hh AS (SELECT doc_id, CAST(SUM(CASE WHEN bit = 1 AND pos < 32 THEN CAST(CAST(1 AS BIGINT) << CAST(pos AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) + CAST(SUM(CASE WHEN bit = 1 AND pos >= 32 THEN CAST(CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) * 4294967296 AS h64 FROM bits GROUP BY doc_id) SELECT doc_id, CAST(CASE WHEN h64 >= 9223372036854775808 THEN h64 - 18446744073709551616 ELSE h64 END AS BIGINT) AS dhash FROM hh ORDER BY doc_id""",
+    // q_mm05 (r12): regenerate each wav row's PCM stream (the q_mm02
+    // HUGEINT splitmix spelling), fold |amplitude| into the 33 integer
+    // frame energies (sample i → frame i·33//ns) and rebuild the 32-bit
+    // gradient fingerprint — fits signed BIGINT directly, no sign wrap
+    "q_mm05_audio_fp" ->
+      """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 = 2), idx AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM m), s0 AS (SELECT doc_id, ns, i, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT doc_id, ns, i, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, ns, i, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, ns, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, ns, i, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, ns, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), en AS (SELECT doc_id, CAST(i * 33 // ns AS INT) AS frame, SUM(ABS((z % 65536) - 32768)) AS e FROM z3 GROUP BY doc_id, frame), bits AS (SELECT a.doc_id, a.frame AS pos, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.frame = a.frame + 1 WHERE a.frame < 32) SELECT doc_id, SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS afp FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    // q_mm06 (r12): regenerate each mp4 row's per-frame 4×3 pixels (ONE
+    // splitmix64 chain chopped into frames — the q_mm02 video
+    // discipline), sample the 9×8 grid with nearest-neighbor UPSCALING
+    // (grid cell gx → pixel gx·4//9), rebuild each frame's 64-bit dHash
+    "q_mm06_video_dhash" ->
+      """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS nf FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 = 3), fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM m), grid AS (SELECT doc_id, f, unnest(range(0, 72)) AS g FROM fr), gxy AS (SELECT doc_id, f, g % 9 AS gx, g // 9 AS gy, f * 12 + ((g // 9) * 3 // 8) * 4 + ((g % 9) * 4 // 9) AS i FROM grid), s0 AS (SELECT doc_id, f, gx, gy, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM gxy), x1 AS (SELECT doc_id, f, gx, gy, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, f, gx, gy, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, f, gx, gy, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, f, gx, gy, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, f, gx, gy, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), gv AS (SELECT doc_id, f, gx, gy, (299 * ((z % 16777216) // 65536) + 587 * ((z % 65536) // 256) + 114 * (z % 256)) // 1000 AS gray FROM z3), bits AS (SELECT a.doc_id, a.f, a.gy * 8 + a.gx AS pos, CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit FROM gv a JOIN gv b ON a.doc_id = b.doc_id AND a.f = b.f AND a.gy = b.gy AND b.gx = a.gx + 1 WHERE a.gx < 8), hh AS (SELECT doc_id, f, CAST(SUM(CASE WHEN bit = 1 AND pos < 32 THEN CAST(CAST(1 AS BIGINT) << CAST(pos AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) + CAST(SUM(CASE WHEN bit = 1 AND pos >= 32 THEN CAST(CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) * 4294967296 AS h64 FROM bits GROUP BY doc_id, f) SELECT doc_id, CAST(f AS INT) AS frame, CAST(CASE WHEN h64 >= 9223372036854775808 THEN h64 - 18446744073709551616 ELSE h64 END AS BIGINT) AS dhash FROM hh ORDER BY doc_id, frame""",
     "q_m03_distinct_profile" ->
       ("""SELECT * FROM (VALUES """ +
         Seq("l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",

@@ -661,33 +661,39 @@ object Multimodal {
   def dHashOf(blob: Array[Byte]): Option[Long] = {
     imageIoInMemory
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-    if (img == null) None
-    else {
-      val (w, h) = (img.getWidth, img.getHeight)
-      val g = Array.ofDim[Int](8, 9)
-      var gy = 0
-      while (gy < 8) {
-        var gx = 0
-        while (gx < 9) {
-          val rgb = img.getRGB(gx * w / 9, gy * h / 8)
-          g(gy)(gx) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-            + 114 * (rgb & 0xff)) / 1000
-          gx += 1
-        }
-        gy += 1
+    if (img == null) None else Some(dHashImage(img))
+  }
+
+  /** The dHash kernel over a decoded frame — shared by the image path
+    * ([[dHashOf]]) and the per-frame video path ([[videoFrameDHashes]]).
+    * Nearest-neighbor grid sampling upscales tiny frames too (a 4×3
+    * video frame maps grid column gx to pixel gx·4/9).
+    */
+  private def dHashImage(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+        g(gy)(gx) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+          + 114 * (rgb & 0xff)) / 1000
+        gx += 1
       }
-      var hash = 0L
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          if (g(y)(x + 1) > g(y)(x)) hash |= (1L << (y * 8 + x))
-          x += 1
-        }
-        y += 1
-      }
-      Some(hash)
+      gy += 1
     }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x + 1) > g(y)(x)) hash |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    hash
   }
 
   private final case class DHashRow(doc_id: Long, dhash: Long)
@@ -711,40 +717,205 @@ object Multimodal {
       .toDF()
   }
 
-  /** Image near-dup pairs by banded Hamming join — the multimodal member
-    * of the dedup family (LLMOps MinHash/SimHash for text, Similarity LSH
-    * for embeddings, THIS for decoded pixels). The 64-bit dHash splits
-    * into 8 bands of 8 bits; two hashes within Hamming distance
-    * `maxHamming` ≤ 7 must agree on ≥ 1 band (pigeonhole: 8 bands, ≤ 7
-    * differing bits), so the band equi-join has FULL recall and the
-    * all-pairs comparison never exists. Shuffles carry (band, key,
-    * doc_id, dhash) — 3 longs and a byte — and candidate fan-out is
-    * bounded per band-key bucket, the qL05/qL06 scale posture. Exact
-    * Hamming verify (bit_count of xor) filters candidates; output is
-    * (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
+  /** Banded Hamming near-dup join over any (doc_id, hash) fingerprint
+    * catalog — the multimodal member of the dedup family (LLMOps
+    * MinHash/SimHash for text, Similarity LSH for embeddings, THIS for
+    * perceptual hashes of decoded media). The `hashBits`-bit hash splits
+    * into bands of 8 bits; two hashes within Hamming distance
+    * `maxHamming` < bands must agree on ≥ 1 band (pigeonhole), so the
+    * band equi-join has FULL recall and the all-pairs comparison never
+    * exists. Shuffles carry (band, key, doc_id, hash) — 3 longs and a
+    * byte — and candidate fan-out is bounded per band-key bucket, the
+    * qL05/qL06 scale posture. Exact Hamming verify (bit_count of xor)
+    * filters candidates; output is (doc_a, doc_b, hamming), doc_a <
+    * doc_b, distinct.
     */
-  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
-      maxHamming: Int = 6): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"imageNearDupPairs: 8 bands of 8 bits give full recall only for " +
-        s"maxHamming <= 7, got $maxHamming")
-    val hashes = imageDHash(spark, media)
-    val banded = hashes.select(col("doc_id"), col("dhash"),
-        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
-          shiftrightunsigned(col("dhash"), b * 8).bitwiseAND(lit(255L))
+  def hammingNearDupPairs(hashes: DataFrame, hashCol: String,
+      hashBits: Int, maxHamming: Int): DataFrame = {
+    require(hashBits % 8 == 0 && hashBits >= 16 && hashBits <= 64,
+      s"hammingNearDupPairs: hashBits must be a multiple of 8 in [16,64], got $hashBits")
+    val bands = hashBits / 8
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"hammingNearDupPairs: $bands bands of 8 bits give full recall only " +
+        s"for maxHamming < $bands, got $maxHamming")
+    val banded = hashes.select(col("doc_id"), col(hashCol).as("h64"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col(hashCol), b * 8).bitwiseAND(lit(255L))
             .as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("dhash"),
+      .select(col("doc_id"), col("h64"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+        bit_count(col("a.h64").bitwiseXOR(col("b.h64"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Image near-dup pairs: [[hammingNearDupPairs]] over the [[imageDHash]]
+    * catalog (8 bands — full recall to Hamming 7).
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 6): DataFrame =
+    hammingNearDupPairs(imageDHash(spark, media), "dhash", 64, maxHamming)
+
+  /** 32-bit audio energy fingerprint (the dHash analog for sound, the
+    * shape acoustic fingerprints like Chromaprint reduce to): decode the
+    * RIFF/PCM payload, fold |amplitude| into 33 time frames (sample i →
+    * frame i·33/n, exact BIGINT sums), bit b is set when frame b+1 is
+    * louder than frame b — 32 energy-gradient signs, invariant to
+    * uniform gain and robust to small edits. INTEGER end-to-end, so the
+    * q_mm05 oracle rebuilds the exact fingerprint from regenerated PCM.
+    * None when the bytes don't parse (quarantine policy).
+    */
+  def audioFingerprintOf(blob: Array[Byte]): Option[Long] =
+    decodeWav(blob).map { samples =>
+      val n = samples.length
+      if (n == 0) 0L
+      else {
+        val e = new Array[Long](33)
+        var i = 0
+        while (i < n) { e(i * 33 / n) += math.abs(samples(i)); i += 1 }
+        var h = 0L
+        var b = 0
+        while (b < 32) {
+          if (e(b + 1) > e(b)) h |= (1L << b)
+          b += 1
+        }
+        h
+      }
+    }
+
+  /** Fingerprint catalog of the AUDIO rows: doc_id → 32-bit energy
+    * fingerprint. Same partition-parallel shape and quarantine policy as
+    * [[imageDHash]]; the 4-byte fingerprint — not the waveform — is what
+    * every downstream dedup join shuffles.
+    */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("meta.format") === "wav")
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, blob) =>
+        audioFingerprintOf(blob).map(DHashRow(id, _))
+      })
+      .toDF("doc_id", "afp")
+  }
+
+  /** Audio near-dup pairs: [[hammingNearDupPairs]] over the 32-bit
+    * fingerprints (4 bands — full recall to Hamming 3).
+    */
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(audioFingerprint(spark, media), "afp", 32, maxHamming)
+
+  /** Per-frame dHash list of an mp4 payload: ISO-BMFF demux, each frame's
+    * PNG decoded through ImageIO (the [[decodeAndEmbedVideo]] loop), each
+    * frame hashed with the shared [[dHashImage]] kernel. None when the
+    * container or any frame fails to decode (quarantine policy).
+    */
+  def videoFrameDHashes(blob: Array[Byte]): Option[Array[Long]] = {
+    imageIoInMemory
+    demuxMp4(blob).flatMap { case (slot, nFrames, mdat) =>
+      val out = new Array[Long](nFrames)
+      var ok = true
+      var f = 0
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      try while (f < nFrames && ok) {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(mdat, f * slot, slot))
+        val img =
+          if (iis == null) null
+          else try {
+            reader.setInput(iis)
+            try reader.read(0)
+            catch { case scala.util.control.NonFatal(_) => null }
+          } finally iis.close()
+        if (img == null) ok = false
+        else out(f) = dHashImage(img)
+        f += 1
+      } finally reader.dispose()
+      if (!ok) None else Some(out)
+    }
+  }
+
+  /** Frame-fingerprint POSTINGS of the VIDEO rows: (doc_id, frame, dhash)
+    * — a video's perceptual identity is its frame-hash SET, the exact
+    * shingle idiom the text dedup family uses (a video is a document,
+    * frames are its shingles). Pure per-row decode fan-out; the postings
+    * — 3 longs per frame, never pixels — are what downstream joins
+    * shuffle.
+    */
+  def videoFrameDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("meta.format") === "mp4")
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, blob) =>
+        videoFrameDHashes(blob).toSeq.flatMap(hs =>
+          hs.iterator.zipWithIndex.map { case (h, f) => (id, f, h) })
+      })
+      .toDF("doc_id", "frame", "dhash")
+  }
+
+  /** Video near-dup pairs by frame-hash Jaccard — the video member of
+    * the perceptual dedup family, composed exactly like text n-gram
+    * dedup: distinct (doc, frame-dhash) postings self-join on the hash
+    * (fan-out bounded per shared frame, never videos²), intersection
+    * counts against per-video distinct-frame counts, keep pairs with
+    * J ≥ `minJaccard`. A re-encode, a trim, or a frame edit keeps most
+    * frame hashes identical; unrelated videos share none.
+    */
+  def videoNearDupPairs(spark: SparkSession, media: DataFrame,
+      minJaccard: Double = 0.8): DataFrame = {
+    val posts = videoFrameDHash(spark, media)
+      .select("doc_id", "dhash").distinct()
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
+    posts.as("a")
+      .join(posts.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fr").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fr").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Q-MM06 — per-frame video dHash catalog over the real demux + decode
+    * path, oracle-checked: the DuckDB oracle regenerates every frame's
+    * 4×3 pixels from the splitmix64 stream (one chain chopped into
+    * frames, the q_mm02 video discipline), samples the same 9×8 grid
+    * (nearest-neighbor UPSCALING for the tiny frames), and rebuilds each
+    * frame's 64-bit hash in HUGEINT SQL. [[videoNearDupPairs]] — the
+    * frame-set Jaccard join over this catalog — is spec-pinned on a
+    * constructed spliced-frame near-duplicate.
+    */
+  def qMM06(s: SparkSession, d: String): DataFrame =
+    videoFrameDHash(s, withMedia(Tables.documents(s, d)))
+      .orderBy("doc_id", "frame")
+
+  /** Q-MM05 — audio fingerprint catalog over the real RIFF/PCM decode
+    * path, oracle-checked: the DuckDB oracle regenerates every wav row's
+    * sample stream from splitmix64 (the q_mm02 discipline), folds the
+    * same 33 integer frame energies, and rebuilds the 32-bit gradient
+    * fingerprint — completing the perceptual-dedup family across all
+    * three media kinds (image dHash q_mm04, THIS for audio; video frames
+    * are PNG images and reuse the image path per frame).
+    */
+  def qMM05(s: SparkSession, d: String): DataFrame =
+    audioFingerprint(s, withMedia(Tables.documents(s, d)))
+      .orderBy("doc_id")
 
   /** Q-MM04 — perceptual-hash (dHash) catalog over the real decode path,
     * oracle-checked: per image doc, the 64-bit difference hash. Pins

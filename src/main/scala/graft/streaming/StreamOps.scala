@@ -219,20 +219,23 @@ object StreamOps extends Serializable {
     * directly. The overwrite is safe
     * against its own read because `append` returns an EAGER localCheckpoint:
     * the updated manifest is materialized before the old one is replaced.
-    * foreachBatch is at-least-once: a replayed batch re-appends data
-    * files (the usual file-sink caveat), and the manifest simply tracks
-    * whatever files exist — append == rebuild at every point
-    * (parity-checked in StreamBatchParitySpec).
+    * foreachBatch is at-least-once: each batch writes its own
+    * `ingest_batch=<id>` partition subdirectory with OVERWRITE (the
+    * decontamGate/ingestPipeline discipline), so a replayed batch
+    * rewrites the same subdirectory instead of appending duplicate rows,
+    * and the manifest tracks whatever files exist — append == rebuild at
+    * every point (parity-checked in StreamBatchParitySpec).
     */
   def ingestWithManifest(docs: DataFrame, tableDir: String,
       manifestDir: String, statCols: Seq[String], checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.io.StatsManifest
         val s = batch.sparkSession
-        batch.write.mode("append").parquet(tableDir)
+        batch.write.mode("overwrite")
+          .parquet(s"$tableDir/ingest_batch=$batchId")
         val mPath = new org.apache.hadoop.fs.Path(manifestDir)
         val fs = mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val updated =

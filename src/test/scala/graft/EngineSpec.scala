@@ -2014,6 +2014,74 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Multimodal.imageDHash(spark, corrupt).count() == 3)
   }
 
+  test("multimodal: audioNearDupPairs pairs a lightly edited clip with its " +
+      "original via the 32-bit banded Hamming join; unrelated audio stays out") {
+    import spark.implicits._
+    // A: a clip with a deterministic loudness ramp (frame energies
+    // strictly increasing -> all 32 gradient bits set); B: the same clip
+    // with ONE frame's samples attenuated — a light edit flipping two
+    // adjacent gradient signs... keep it to one boundary: amplify frame 0
+    // slightly so only bit 0 flips; C: the reversed ramp (all bits 0)
+    val n = 330 // 10 samples per frame
+    def wav(amp: Int => Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n * 2)
+      (0 until n).foreach(i => bb.putShort(amp(i).toShort))
+      bb.array()
+    }
+    val a = wav(i => 100 * (i * 33 / n) + 100) // frame f energy ~ f
+    // B: frame 0 boosted past frame 1's energy — exactly bit 0 flips
+    val b = wav(i => if (i * 33 / n == 0) 350 else 100 * (i * 33 / n) + 100)
+    val c = wav(i => 100 * (32 - i * 33 / n) + 100)
+    assert(java.lang.Long.bitCount(
+      Multimodal.audioFingerprintOf(a).get ^
+        Multimodal.audioFingerprintOf(b).get) == 1)
+    assert(java.lang.Long.bitCount(
+      Multimodal.audioFingerprintOf(a).get ^
+        Multimodal.audioFingerprintOf(c).get) == 32)
+    val media = Seq((1L, a), (2L, b), (3L, c))
+      .toDF("doc_id", "blob")
+      .withColumn("meta", struct(lit("wav").as("format"),
+        lit(0).as("width"), lit(0).as("height"), lit(1).as("n_frames")))
+    val pairs = Multimodal.audioNearDupPairs(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)))
+  }
+
+  test("multimodal: videoNearDupPairs pairs a spliced-frame edit with its " +
+      "original by frame-hash Jaccard; unrelated videos share no frame") {
+    import spark.implicits._
+    val a = Multimodal.encodeMp4(7L, 20)
+    // B: byte-identical container with ONE frame slot replaced by a frame
+    // from a different stream — a single-frame edit: 19 of 20 frame
+    // hashes survive, J = 19/21
+    val donor = Multimodal.encodeMp4(8L, 1)
+    val b = a.clone()
+    val slotOff = Multimodal.Mp4HeaderLen + 5 * Multimodal.Mp4FrameSize
+    System.arraycopy(donor, Multimodal.Mp4HeaderLen, b, slotOff,
+      Multimodal.Mp4FrameSize)
+    val c = Multimodal.encodeMp4(99L, 20) // unrelated
+    val hsA = Multimodal.videoFrameDHashes(a).get
+    val hsB = Multimodal.videoFrameDHashes(b).get
+    assert(hsA.length == 20 && hsB.length == 20)
+    assert(hsA.zip(hsB).count { case (x, y) => x != y } == 1)
+    val media = Seq((1L, a), (2L, b), (3L, c))
+      .toDF("doc_id", "blob")
+      .withColumn("meta", struct(lit("mp4").as("format"),
+        lit(4).as("width"), lit(3).as("height"), lit(20).as("n_frames")))
+    val pairs = Multimodal.videoNearDupPairs(spark, media, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1)
+    val (da, db, j) = pairs.head
+    assert(da == 1L && db == 2L && math.abs(j - 19.0 / 21.0) < 1e-9, s"$pairs")
+  }
+
   test("multimodal: WAV round-trips through the RIFF encoder/decoder exactly") {
     // synthetic stream round-trip: every sample recovered bit-exactly
     val enc = Multimodal.encodeWav(seed = 7L, nSamples = 257)
