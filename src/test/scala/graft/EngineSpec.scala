@@ -2054,6 +2054,34 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.toSeq == Seq((1L, 2L, 1)))
   }
 
+  test("hammingNearDupPairs has FULL recall vs brute force on randomized " +
+      "hash sets, at both 64-bit/8-band and 32-bit/4-band configs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    Seq((64, 7), (32, 3)).foreach { case (bits, maxH) =>
+      val mask = if (bits == 64) -1L else (1L << bits) - 1
+      // random hashes plus planted near-pairs: flip <= maxH random bits
+      val base = (0 until 40).map(i => (i.toLong, rnd.nextLong() & mask))
+      val planted = (0 until 15).map { k =>
+        val (srcId, h) = base(rnd.nextInt(base.size))
+        var p = h
+        (0 until rnd.nextInt(maxH + 1)).foreach(_ =>
+          p ^= (1L << rnd.nextInt(bits)))
+        (100L + k, p, srcId)
+      }
+      val rows = base ++ planted.map(t => (t._1, t._2))
+      val brute = (for {
+        (ia, ha) <- rows; (ib, hb) <- rows
+        if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= maxH
+      } yield (ia, ib)).toSet
+      val got = graft.operators.Multimodal.hammingNearDupPairs(
+          rows.toDF("doc_id", "h"), "h", bits, maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute && brute.nonEmpty,
+        s"bits=$bits maxH=$maxH: got ${got.size}, brute ${brute.size}")
+    }
+  }
+
   test("multimodal: videoNearDupPairs pairs a spliced-frame edit with its " +
       "original by frame-hash Jaccard; unrelated videos share no frame") {
     import spark.implicits._
@@ -2954,14 +2982,22 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
           Seq.fill(rnd.nextInt(7) + 1)(alpha(rnd.nextInt(alpha.length)))
             .mkString).mkString(" "))
       }.toDF("doc_id", "text")
-      def rules(b: Int) = LLMOps.bpeMerges(docs, numMerges = 12, batch = b)
-        .collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-        .toSeq
+      // maxLocalVocab = 0 forces the DISTRIBUTED loop (the tiny spec
+      // vocabulary would otherwise route every call driver-local)
+      def rules(b: Int, localVocab: Long = 0L) =
+        LLMOps.bpeMerges(docs, numMerges = 12, batch = b,
+          maxLocalVocab = localVocab)
+          .collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
       val sequential = rules(1)
       val batched = rules(8)
       assert(batched == sequential,
         s"trial $trial: batched $batched != sequential $sequential")
+      // and the driver-local delta-maintenance loop learns the SAME rules
+      val local = rules(8, localVocab = 1000000L)
+      assert(local == sequential,
+        s"trial $trial: local $local != sequential $sequential")
     }
   }
 
