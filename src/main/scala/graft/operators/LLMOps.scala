@@ -1260,13 +1260,30 @@ object LLMOps {
     val freq = wordFreq.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // Lazy-invalidation max-heap for the per-round argmax: every count
+    // UPDATE pushes a fresh (count, pair) entry; pops that disagree with
+    // the live pairCount are stale and discarded. The heap order is the
+    // sequential tiebreak — count DESC, then lexicographic (l, r) — so
+    // the surviving top IS the scan argmax, at O(log P) per update
+    // instead of O(P) per round (the difference between minutes and
+    // hours at a 32k-merge production vocabulary).
+    val heap = new java.util.PriorityQueue[(Long, String, String)](64,
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c
+        else {
+          val l = a._2.compareTo(b._2)
+          if (l != 0) l else a._3.compareTo(b._3)
+        }
+      })
     def contribute(idx: Int, sign: Long): Unit = {
       val w = words(idx)
       var i = 0
       while (i < w.length - 1) {
         val p = (w(i), w(i + 1))
         val c = pairCount.getOrElse(p, 0L) + sign * freq(idx)
-        if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        if (c == 0L) pairCount.remove(p)
+        else { pairCount(p) = c; heap.add((c, p._1, p._2)) }
         if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += idx
         else pairWords.get(p).foreach(_ -= idx)
         i += 1
@@ -1275,22 +1292,26 @@ object LLMOps {
     words.indices.foreach(contribute(_, 1L))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
-    while (rank < numMerges && pairCount.nonEmpty) {
-      var best: (String, String) = null
-      var bc = Long.MinValue
-      pairCount.foreach { case (p, c) =>
-        if (c > bc || (c == bc && (p._1 < best._1 ||
-            (p._1 == best._1 && p._2 < best._2)))) { best = p; bc = c }
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      var top = heap.poll()
+      while (top != null &&
+          !pairCount.get((top._2, top._3)).contains(top._1))
+        top = heap.poll() // stale: superseded count or removed pair
+      if (top == null) exhausted = true
+      else {
+        val best = (top._2, top._3)
+        val bc = top._1
+        merges += ((rank, best._1, best._2, bc))
+        // snapshot: contribute() mutates the membership set being iterated
+        val touched = pairWords.getOrElse(best, mutable.BitSet.empty).toArray
+        touched.foreach { idx =>
+          contribute(idx, -1L)
+          words(idx) = mergeLocal(words(idx), best._1, best._2)
+          contribute(idx, 1L)
+        }
+        rank += 1
       }
-      merges += ((rank, best._1, best._2, bc))
-      // snapshot: contribute() mutates the membership set being iterated
-      val touched = pairWords.getOrElse(best, mutable.BitSet.empty).toArray
-      touched.foreach { idx =>
-        contribute(idx, -1L)
-        words(idx) = mergeLocal(words(idx), best._1, best._2)
-        contribute(idx, 1L)
-      }
-      rank += 1
     }
     merges.result()
   }
