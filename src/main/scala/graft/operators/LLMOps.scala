@@ -1352,6 +1352,49 @@ object LLMOps {
     cur
   }
 
+  /** The ENCODE side at production rule depth: [[applyBpe]] chains one
+    * column rewrite per rule — transparent and plan-visible at the
+    * 10–20-rule demo scale, impossible at a 32k-rule vocabulary. This is
+    * the standard greedy encoder every production tokenizer ships
+    * instead: the rank map rides to executors once (broadcast via UDF
+    * closure, rule-table-sized), and each word repeatedly merges the
+    * LOWEST-RANK adjacent pair present (leftmost on rank ties) until
+    * none of its pairs is a rule.
+    *
+    * Greedy-lowest-rank is EXACTLY rank-ordered exhaustive application
+    * (spec-pinned on randomized corpora): merging rule k can only mint
+    * pairs that contain rule k's new symbol, and every rule involving
+    * that symbol was learned AFTER k (higher rank) — so no lower-rank
+    * occurrence is ever created, and the rank-order sweep and the greedy
+    * loop perform the same merges. Within one rule, repeatedly merging
+    * the leftmost occurrence reproduces [[mergePair]]'s leftmost-first
+    * non-overlapping fold.
+    */
+  def applyBpeFast(words: DataFrame, merges: DataFrame): DataFrame = {
+    val ranks: Map[(String, String), Int] = merges
+      .select("left", "right", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val encode = udf((word: String) => {
+      var pieces = word.split("").filter(_.nonEmpty)
+      var done = false
+      while (!done && pieces.length > 1) {
+        var bestRank = Int.MaxValue
+        var bestAt = -1
+        var i = 0
+        while (i < pieces.length - 1) {
+          val rk = ranks.getOrElse((pieces(i), pieces(i + 1)), Int.MaxValue)
+          if (rk < bestRank) { bestRank = rk; bestAt = i }
+          i += 1
+        }
+        if (bestAt < 0) done = true
+        else pieces = (pieces.take(bestAt) :+
+          (pieces(bestAt) + pieces(bestAt + 1))) ++ pieces.drop(bestAt + 2)
+      }
+      pieces
+    })
+    words.withColumn("pieces", encode(col("word")))
+  }
+
   /** Q-L48 — cross-SOURCE shingle-overlap matrix: pairwise Jaccard of the
     * sources' distinct 3-shingle-hash sets — the corpus-level leakage /
     * provenance monitor (which crawls duplicate which, which "independent"

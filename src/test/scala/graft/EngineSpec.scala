@@ -3001,6 +3001,33 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bpe greedy encoder equals rank-ordered exhaustive application on " +
+      "randomized corpora") {
+    import graft.operators.LLMOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    (0 until 3).foreach { trial =>
+      val alpha = "abcd".take(2 + trial)
+      val docs = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(5) + 1)(
+          Seq.fill(rnd.nextInt(8) + 1)(alpha(rnd.nextInt(alpha.length)))
+            .mkString).mkString(" "))
+      }.toDF("doc_id", "text")
+      val merges = LLMOps.bpeMerges(docs, numMerges = 15)
+      val words = docs
+        .select(explode(LLMOps.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      def enc(df: org.apache.spark.sql.DataFrame) = df
+        .select("word", "pieces").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val exhaustive = enc(LLMOps.applyBpe(words, merges))
+      val greedy = enc(LLMOps.applyBpeFast(words, merges))
+      assert(greedy == exhaustive, s"trial $trial")
+      greedy.foreach { case (w, ps) => assert(ps.mkString("") == w) }
+    }
+  }
+
   test("map-side quality gate equals the shuffle-based qL39 stage") {
     import graft.operators.{LLMOps, TrainPrep}
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
