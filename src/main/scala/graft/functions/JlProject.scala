@@ -91,7 +91,11 @@ object JlProject {
     * HOF-fold semantics this expression replaces).
     */
   def project(arr: ArrayData, m: Int): ArrayData = {
-    if (arr == null || SignSketch.hasNullElement(arr))
+    // EMPTY arrays are null coordinates too: the HOF folds this replaced
+    // zipped the empty array against sequence(0, -1) = [0, -1], padding
+    // with nulls → every fold went NULL (not 0) — bit-compat demands it
+    if (arr == null || arr.numElements() == 0 ||
+        SignSketch.hasNullElement(arr))
       return new GenericArrayData(Array.fill[Any](m)(null))
     val n = arr.numElements()
     val out = new Array[Long](m)

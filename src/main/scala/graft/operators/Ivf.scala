@@ -174,35 +174,29 @@ object Ivf {
   final case class IvfMaintenance(version: Long, maxDrift: Double,
       retrained: Boolean)
 
-  private def versionMarker(dir: String) =
-    new org.apache.hadoop.fs.Path(s"$dir/_current")
+  /** Version publication via APPEND-ONLY ready flags: version N serves
+    * once `_ready-N` exists, and the current version is the max flagged
+    * N. No flag is ever deleted or renamed, so there is no window where
+    * a reader finds NO marker (the delete-then-rename flip this replaced
+    * had one) and no torn content to read — the flag's existence IS the
+    * signal, and a version directory is fully written BEFORE its flag.
+    */
+  private def fsOf(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
 
   private def readVersion(s: SparkSession, dir: String): Long = {
-    val marker = versionMarker(dir)
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(fs.exists(marker), s"no IVF store at $dir — bootstrapStore first")
-    val in = fs.open(marker)
-    try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-    finally in.close()
+    val fs = fsOf(s, dir)
+    val versions = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/_ready-*"))
+    require(versions != null && versions.nonEmpty,
+      s"no IVF store at $dir — bootstrapStore first")
+    versions.map(_.getPath.getName.stripPrefix("_ready-").toLong).max
   }
 
-  /** Write-temp-then-rename version flip (the ChunkStore/StreamOps marker
-    * discipline): readers resolving `_current` see either the old or the
-    * new version number, never a torn write — and a version directory is
-    * fully written BEFORE the flip, so serving reads never see a
-    * half-swapped index.
-    */
-  private def writeVersion(s: SparkSession, dir: String, v: Long): Unit = {
-    val marker = versionMarker(dir)
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      marker.getParent, marker.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    require(fs.rename(tmp, marker), s"version flip $tmp -> $marker failed")
-  }
+  private def publishVersion(s: SparkSession, dir: String, v: Long): Unit =
+    fsOf(s, dir).create(
+      new org.apache.hadoop.fs.Path(s"$dir/_ready-$v"), true).close()
 
   /** The serving centroid set / index of the CURRENT version. */
   def servingCentroids(s: SparkSession, dir: String): DataFrame =
@@ -223,7 +217,7 @@ object Ivf {
     local.write.mode("overwrite").parquet(s"$dir/v0/centroids")
     buildIndex(embeddings.select("vec_id", "embedding"), local)
       .write.mode("overwrite").parquet(s"$dir/v0/index")
-    writeVersion(s, dir, 0L)
+    publishVersion(s, dir, 0L)
   }
 
   /** One maintenance round, closing the [[centroidDrift]] loop: append
@@ -232,35 +226,53 @@ object Ivf {
     * cost is one batch-sized pass), read the drift, and when max drift
     * crosses `driftThreshold`, RETRAIN: re-centroid from the current
     * members, `kmeansIters` Lloyd refinements over the full index, a
-    * full re-assignment, and an atomic version flip (stage the new
-    * `v<N+1>/` completely, then rename the `_current` marker — the
-    * stage-then-rename idiom, so a concurrent reader serves either
-    * version N or N+1 in full, never a mix). The retrain pass is
-    * corpus-sized — which is exactly when a real deployment runs it:
-    * drift says recall is silently decaying, and the readout makes the
-    * cost explicit instead of perpetual.
+    * full re-assignment, and a staged publication (the new `v<N+1>/` is
+    * written COMPLETELY before its append-only `_ready` flag appears, so
+    * a reader resolves either version N or N+1 whole — the VERSION swap
+    * is never torn). Consistency granularity is the version for
+    * retrains and the batch for appends: a batch lands as its own
+    * `ingest_batch=<batchId>` partition inside the serving version, so a
+    * RETRY of the same batchId overwrites rather than duplicates (the
+    * streaming-sink discipline), and a `_batch-<id>` flag makes a
+    * completed round a no-op on replay; a reader listing the serving
+    * index concurrently with an in-flight append may see that one
+    * batch's files partially (the standard file-sink caveat — the
+    * ingestWithManifest contract documents the same), never a torn
+    * RETRAIN. The retrain pass is corpus-sized — which is exactly when a
+    * real deployment runs it: drift says recall is silently decaying,
+    * and the readout makes the cost explicit instead of perpetual.
     */
   def maintainIndex(s: SparkSession, dir: String, newVecs: DataFrame,
-      driftThreshold: Double = 0.3, kmeansIters: Int = 2): IvfMaintenance = {
+      batchId: Long, driftThreshold: Double = 0.3,
+      kmeansIters: Int = 2): IvfMaintenance = {
     val v = readVersion(s, dir)
+    val batchFlag = new org.apache.hadoop.fs.Path(s"$dir/_batch-$batchId")
+    val fs = fsOf(s, dir)
+    if (fs.exists(batchFlag)) // completed round replayed: no-op
+      return IvfMaintenance(v, 0.0, retrained = false)
     val frozen = s.read.parquet(s"$dir/v$v/centroids")
     buildIndex(newVecs.select("vec_id", "embedding"), frozen)
-      .write.mode("append").parquet(s"$dir/v$v/index")
+      .write.mode("overwrite")
+      .parquet(s"$dir/v$v/index/ingest_batch=$batchId")
     val index = s.read.parquet(s"$dir/v$v/index")
+      .select("cell", "vec_id", "embedding")
     val drifts = centroidDrift(s, index, frozen).collect()
     val maxDrift = drifts.filter(!_.isNullAt(2)).map(_.getDouble(2))
       .foldLeft(0.0)(math.max)
-    if (maxDrift <= driftThreshold) IvfMaintenance(v, maxDrift, retrained = false)
-    else {
-      val vecs = index.select("vec_id", "embedding")
-      val retrained = kmeans(s, vecs, centroidsOf(s, index), iters = kmeansIters)
-      val local = s.createDataFrame(
-        java.util.Arrays.asList(retrained.collect(): _*), retrained.schema)
-      local.write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
-      buildIndex(vecs, local)
-        .write.mode("overwrite").parquet(s"$dir/v${v + 1}/index")
-      writeVersion(s, dir, v + 1) // the atomic flip — staged dirs complete
-      IvfMaintenance(v + 1, maxDrift, retrained = true)
-    }
+    val result =
+      if (maxDrift <= driftThreshold) IvfMaintenance(v, maxDrift, retrained = false)
+      else {
+        val vecs = index.select("vec_id", "embedding")
+        val retrained = kmeans(s, vecs, centroidsOf(s, index), iters = kmeansIters)
+        val local = s.createDataFrame(
+          java.util.Arrays.asList(retrained.collect(): _*), retrained.schema)
+        local.write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
+        buildIndex(vecs, local)
+          .write.mode("overwrite").parquet(s"$dir/v${v + 1}/index")
+        publishVersion(s, dir, v + 1) // staged dirs complete before the flag
+        IvfMaintenance(v + 1, maxDrift, retrained = true)
+      }
+    fs.create(batchFlag, true).close()
+    result
   }
 }

@@ -1132,7 +1132,14 @@ object LLMOps {
     *       symbols (ab,ab) maps to the interior triple (b,a,b)), so
     *       max-triple counts bound every newcomer; strict inequality
     *       keeps ties conservative, because a tied newcomer could win
-    *       the lexicographic tiebreak.
+    *       the lexicographic tiebreak;
+    *   (c) no earlier accepted merge MINTS a string that already exists
+    *       as a symbol with adjacencies — such a merge boosts
+    *       PRE-EXISTING pair keys whose prior counts the ub does not
+    *       cover; and
+    *   (d) the candidate's own minted string differs from every earlier
+    *       accepted merge's — two merges minting the same string stack
+    *       their new-pair counts past both individual bounds.
     * Acceptance stops at the first rejection, so the batch is exactly
     * the rounds a sequential run would perform. Determinism: the argmax
     * tiebreak is (count DESC, left, right) — lexicographic smallest
@@ -1156,12 +1163,13 @@ object LLMOps {
     // distributed loop below pays ~2 jobs per round, and on
     // shared-alphabet corpora its provable batches stay small). The two
     // paths learn IDENTICAL rules — pinned on randomized corpora.
-    val sample = wordFreq.limit(
-      (math.min(maxLocalVocab, Int.MaxValue - 1L) + 1).toInt).collect()
-    if (sample.length <= maxLocalVocab) {
+    // probe with count() — a row count, never a 2M-row driver transfer
+    // on the over-threshold path (where the collected sample would be
+    // discarded); the under-threshold path then collects the real table
+    if (wordFreq.count() <= maxLocalVocab) {
       import s.implicits._
       return bpeMergesLocal(
-        sample.map(r => (r.getString(0), r.getLong(1))), numMerges)
+        wordFreq.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
         .toDF("rank", "left", "right", "pair_count")
     }
     var words = wordFreq
@@ -1191,14 +1199,25 @@ object LLMOps {
           slice(col("syms"), lit(3), tripleLen))).as("t"))
         .groupBy(col("t.0").as("t1"), col("t.1").as("t2"), col("t.2").as("t3"))
         .agg(sum(col("n")).as("tc"))
+      // minted-symbol collision guard: if the string a merge MINTS (l+r)
+      // already exists as a symbol with adjacencies, the merge ADDS
+      // occurrences to PRE-EXISTING pair keys — their post-merge count is
+      // c0 + delta where only delta is triple-bounded, so the ub proof
+      // no longer covers them and batching past that merge is unsound
+      val symbols = pairCnt.select(col("l").as("minted"))
+        .union(pairCnt.select(col("r").as("minted"))).distinct()
+        .withColumn("minted_exists", lit(true))
       val ranked = pairCnt
         .join(tripleCnt.groupBy(col("t2").as("l"), col("t3").as("r"))
           .agg(max("tc").as("ubl")), Seq("l", "r"), "left_outer")
         .join(tripleCnt.groupBy(col("t1").as("l"), col("t2").as("r"))
           .agg(max("tc").as("ubr")), Seq("l", "r"), "left_outer")
+        .join(symbols, concat(col("l"), col("r")) === col("minted"),
+          "left_outer")
         .select(col("l"), col("r"), col("cnt"),
           greatest(coalesce(col("ubl"), lit(0L)),
-            coalesce(col("ubr"), lit(0L))).as("ub"))
+            coalesce(col("ubr"), lit(0L))).as("ub"),
+          coalesce(col("minted_exists"), lit(false)).as("minted_exists"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(m).collect() // batch-sized, the round's learned rules
       if (ranked.isEmpty) done = true
@@ -1208,16 +1227,26 @@ object LLMOps {
         // always accepted (a singleton batch IS the sequential round)
         val accepted = Seq.newBuilder[(String, String, Long, Long)]
         val used = scala.collection.mutable.Set.empty[String]
+        val minted = scala.collection.mutable.Set.empty[String]
         var maxUb = Long.MinValue
+        var mintedCollision = false
         var n = 0
         var stop = false
         ranked.foreach { row =>
           if (!stop) {
-            val (l, r, cnt, ub) = (row.getString(0), row.getString(1),
-              row.getLong(2), row.getLong(3))
-            if (n == 0 || (!used(l) && !used(r) && maxUb < cnt)) {
+            val (l, r, cnt, ub, exists) = (row.getString(0), row.getString(1),
+              row.getLong(2), row.getLong(3), row.getBoolean(4))
+            // (d) a candidate minting a string an EARLIER accepted merge
+            // already minted would stack new-pair counts past both ubs
+            if (n == 0 || (!used(l) && !used(r) && maxUb < cnt &&
+                !mintedCollision && !minted(l + r))) {
               accepted += ((l, r, cnt, ub))
               used += l; used += r
+              minted += (l + r)
+              // (c) once an accepted merge mints a PRE-EXISTING symbol,
+              // its boosts land on pair keys with unknown prior counts —
+              // nothing after it can be proven safe this round
+              mintedCollision ||= exists
               maxUb = math.max(maxUb, ub)
               n += 1
             } else stop = true
@@ -1267,13 +1296,29 @@ object LLMOps {
     // the surviving top IS the scan argmax, at O(log P) per update
     // instead of O(P) per round (the difference between minutes and
     // hours at a 32k-merge production vocabulary).
+    // lexicographic tiebreak in UTF-8 BYTE order — what the distributed
+    // loop's orderBy on StringType compares (UTF8String binary order).
+    // Java String.compareTo is UTF-16 code-unit order, which DISAGREES
+    // for supplementary-plane characters (U+FFFF vs emoji) and would let
+    // the two paths learn different rules on tied counts.
+    def utf8Compare(a: String, b: String): Int = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    }
     val heap = new java.util.PriorityQueue[(Long, String, String)](64,
       (a: (Long, String, String), b: (Long, String, String)) => {
         val c = java.lang.Long.compare(b._1, a._1)
         if (c != 0) c
         else {
-          val l = a._2.compareTo(b._2)
-          if (l != 0) l else a._3.compareTo(b._3)
+          val l = utf8Compare(a._2, b._2)
+          if (l != 0) l else utf8Compare(a._3, b._3)
         }
       })
     def contribute(idx: Int, sign: Long): Unit = {

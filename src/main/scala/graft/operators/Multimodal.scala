@@ -778,7 +778,10 @@ object Multimodal {
       else {
         val e = new Array[Long](33)
         var i = 0
-        while (i < n) { e(i * 33 / n) += math.abs(samples(i)); i += 1 }
+        // long arithmetic: i * 33 wraps Int past ~65M samples (a valid
+        // ~2 h PCM payload) and a negative index would kill the task
+        // instead of fingerprinting the row
+        while (i < n) { e((i.toLong * 33 / n).toInt) += math.abs(samples(i)); i += 1 }
         var h = 0L
         var b = 0
         while (b < 32) {

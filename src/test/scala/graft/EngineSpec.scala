@@ -157,7 +157,10 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val withNulls = Seq(
       (1L, Array[java.lang.Integer](1, null, 3)),
       (2L, Array[java.lang.Integer](1, 2, 3)),
-      (3L, null))
+      (3L, null),
+      // empty array: the HOF zipped [] against sequence(0,-1) = [0,-1],
+      // padding with nulls — all-NULL coordinates, NOT zeros
+      (4L, Array.empty[java.lang.Integer]))
       .toDF("vec_id", "qv")
     val got = withNulls
       .select(col("vec_id"), JlProject(col("qv"), m).as("a"),
@@ -169,6 +172,7 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
     assert(got(0).getSeq[Any](1).forall(_ == null))
     assert(got(2).getSeq[Any](1).forall(_ == null))
+    assert(got(3).getSeq[Any](1).forall(_ == null))
   }
 
   test("ShingleHash matches the unfused shingle-string → PolyHash path") {
@@ -2975,17 +2979,20 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     // lexicographically, self-pairs over runs, and batch candidates whose
     // new-pair upper bounds must demote them to the next round
     val rnd = new scala.util.Random(23)
-    (0 until 4).foreach { trial =>
+    (0 until 6).foreach { trial =>
+      // dense 2-letter trials drive DEEP nested symbols ("ab" → "aba" →
+      // ...) where two rules can MINT the same string — the collision
+      // regime acceptance conditions (c)/(d) exist for
       val alpha = "abcd".take(2 + trial % 3)
       val docs = (0 until 30).map { i =>
         (i.toLong, Seq.fill(rnd.nextInt(6) + 1)(
-          Seq.fill(rnd.nextInt(7) + 1)(alpha(rnd.nextInt(alpha.length)))
+          Seq.fill(rnd.nextInt(10) + 1)(alpha(rnd.nextInt(alpha.length)))
             .mkString).mkString(" "))
       }.toDF("doc_id", "text")
       // maxLocalVocab = 0 forces the DISTRIBUTED loop (the tiny spec
       // vocabulary would otherwise route every call driver-local)
       def rules(b: Int, localVocab: Long = 0L) =
-        LLMOps.bpeMerges(docs, numMerges = 12, batch = b,
+        LLMOps.bpeMerges(docs, numMerges = 22, batch = b,
           maxLocalVocab = localVocab)
           .collect()
           .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
