@@ -27,24 +27,44 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_warn = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        got = con.execute(f"SELECT * FROM '{files[0]}'")
-        got_cols = [d[0] for d in got.description]
+        # relation API, not DBAPI: cursor.description collapses every
+        # numeric to one NUMBER code, hiding exactly the HUGEINT-vs-BIGINT
+        # drift this guard exists to catch; rel.types carries the real
+        # DuckDB logical types
+        got = con.sql(f"SELECT * FROM '{files[0]}'")
+        got_cols = list(got.columns)
+        got_types = {c: str(t) for c, t in zip(got.columns, got.types)}
         got_rows = got.fetchall()
         try:
-            exp = con.execute(oracle[name])
-            exp_cols = [d[0] for d in exp.description]
+            exp = con.sql(oracle[name])
+            exp_cols = list(exp.columns)
+            exp_types = {c: str(t) for c, t in zip(exp.columns, exp.types)}
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        # Type-drift guard (the r8 2^53 and r12 q_mm05 lessons): the
+        # driver's hasher distinguishes physical dtypes even when every
+        # value is equal, so an oracle that types a column HUGEINT where
+        # Spark's parquet holds BIGINT hash-mismatches with values exact.
+        # Surface it HERE, before the driver does.
+        for c in sorted(set(got_cols) & set(exp_cols)):
+            if got_types[c] != exp_types[c]:
+                n_warn += 1
+                hint = (" — CAST the oracle aggregate (e.g. AS BIGINT)"
+                        if "HUGEINT" in exp_types[c] else "")
+                print(f"WARN {name}: type drift on '{c}': spark "
+                      f"{got_types[c]} vs oracle {exp_types[c]}; the "
+                      f"driver hashes dtypes, this will read as a hash "
+                      f"mismatch even if values match{hint}")
         g_rows, g_cols = canon(got_rows, got_cols)
         e_rows, e_cols = canon(exp_rows, exp_cols)
         if g_cols != e_cols:
@@ -66,7 +86,7 @@ def main():
         else:
             print(f"PASS {name} ({len(g_rows)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    print(f"\n{n_pass} passed, {n_fail} failed, {n_warn} type-drift warnings")
     sys.exit(1 if n_fail else 0)
 
 

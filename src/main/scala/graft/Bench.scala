@@ -204,15 +204,44 @@ object Bench {
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_passes.json"),
       (allPasses + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // STDOUT gets the MINIMAL line (timings + total only): the harness
-    // keeps a bounded stdout tail and three rounds running has clipped
-    // the full line mid-queries (r9–r11 shipped parsed:null that way).
-    // The breach/pass adjudication extras live in bench_out.json /
-    // bench_passes.json, which are committed as the BENCH_r*_local
-    // record — stdout only needs to parse.
-    println(
-      s"""{"metric":"total","unit":"sec","queries":$qs,"value":${r3(total)},"sf":"$sfDir"}""")
-    spark.stop()
+    // STDOUT gets a COMPACT line sized to the harness capture window: the
+    // driver keeps the LAST 2000 chars of stdout and sbt appends its own
+    // `[success] Total time: ...` (~70 chars) after us, so the line must
+    // fit ~1930 chars or the head — including the opening brace — is
+    // clipped and the artifact ships parsed:null (r9–r12 all did). At
+    // 165+ queries the full-precision q_-prefixed map is ~2.4 KB and can
+    // NEVER fit, so stdout compresses losslessly-enough: query keys drop
+    // the shared `q_` prefix (declared in `key_prefix` so the line stays
+    // self-describing), times carry 2 decimals with trailing zeros
+    // trimmed, and sf is the directory basename. The authoritative
+    // full-precision record stays in bench_out.json / bench_passes.json
+    // (committed as BENCH_r*_local). Data still sits LAST on the line, so
+    // if growth ever overflows the window again it clips the metadata
+    // head, not the timings.
+    def r2t(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val s = f"$v%.2f"
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+          .stripSuffix(".")
+        else s
+      }
+    val sfBase = new java.io.File(sfDir).getName
+    def compactLine(fmt: Double => String): String = {
+      val m = results.map { case (k, v) =>
+        "\"" + shortId(k).stripPrefix("q_") + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","unit":"sec","key_prefix":"q_","queries":$m,"value":${r2t(total)},"sf":"$sfBase"}"""
+    }
+    def r1t(v: Double): String =
+      if (v < 0) "-1"
+      else f"$v%.1f".reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    // degrade precision rather than overflow: a 1-decimal map that parses
+    // beats a 2-decimal map whose head is clipped
+    val line2 = compactLine(r2t)
+    val stdoutLine = if (line2.length <= 1900) line2 else compactLine(r1t)
+    spark.stop() // nothing may print after the line below
+    println(stdoutLine)
   }
 
   /** `| q_xxx | 1.234 |` rows from BASELINE.md (env-overridable path);

@@ -718,9 +718,12 @@ object SparkEntry {
     // q_mm05 (r12): regenerate each wav row's PCM stream (the q_mm02
     // HUGEINT splitmix spelling), fold |amplitude| into the 33 integer
     // frame energies (sample i → frame i·33//ns) and rebuild the 32-bit
-    // gradient fingerprint — fits signed BIGINT directly, no sign wrap
+    // gradient fingerprint — fits signed BIGINT directly, no sign wrap;
+    // the explicit CAST matters anyway: DuckDB types SUM(BIGINT) as
+    // HUGEINT, and the driver's hasher distinguishes INT128 from INT64
+    // even when every value is equal (the r12 q_mm05 red)
     "q_mm05_audio_fp" ->
-      """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 = 2), idx AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM m), s0 AS (SELECT doc_id, ns, i, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT doc_id, ns, i, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, ns, i, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, ns, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, ns, i, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, ns, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), en AS (SELECT doc_id, CAST(i * 33 // ns AS INT) AS frame, SUM(ABS((z % 65536) - 32768)) AS e FROM z3 GROUP BY doc_id, frame), bits AS (SELECT a.doc_id, a.frame AS pos, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.frame = a.frame + 1 WHERE a.frame < 32) SELECT doc_id, SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS afp FROM bits GROUP BY doc_id ORDER BY doc_id""",
+      """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 = 2), idx AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM m), s0 AS (SELECT doc_id, ns, i, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT doc_id, ns, i, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, ns, i, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, ns, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, ns, i, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, ns, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), en AS (SELECT doc_id, CAST(i * 33 // ns AS INT) AS frame, SUM(ABS((z % 65536) - 32768)) AS e FROM z3 GROUP BY doc_id, frame), bits AS (SELECT a.doc_id, a.frame AS pos, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.frame = a.frame + 1 WHERE a.frame < 32) SELECT doc_id, CAST(SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS BIGINT) AS afp FROM bits GROUP BY doc_id ORDER BY doc_id""",
     // q_mm06 (r12): regenerate each mp4 row's per-frame 4×3 pixels (ONE
     // splitmix64 chain chopped into frames — the q_mm02 video
     // discipline), sample the 9×8 grid with nearest-neighbor UPSCALING

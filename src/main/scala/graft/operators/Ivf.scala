@@ -198,11 +198,26 @@ object Ivf {
     fsOf(s, dir).create(
       new org.apache.hadoop.fs.Path(s"$dir/_ready-$v"), true).close()
 
-  /** The serving centroid set / index of the CURRENT version. */
+  /** Every write into `v<N>/index` — bootstrap, retrain, append — lands in
+    * its own `ingest_batch=<id>` partition (bootstrap/retrain use the
+    * reserved id -1). A UNIFORM layout is load-bearing, not cosmetic:
+    * Spark's partition discovery over a directory that mixes root-level
+    * parquet files with `key=value` subdirectories silently returns ONLY
+    * the subdirectory rows, so a flat bootstrap index would vanish from
+    * every read the moment the first append created a partition dir.
+    */
+  private val BootstrapBatch = -1L
+
+  /** The serving centroid set / index of the CURRENT version. The index
+    * read drops the `ingest_batch` bookkeeping partition column so the
+    * serving schema is exactly the [[buildIndex]] schema regardless of
+    * how many maintenance rounds have run.
+    */
   def servingCentroids(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/v${readVersion(s, dir)}/centroids")
   def servingIndex(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/v${readVersion(s, dir)}/index")
+      .select("cell", "vec_id", "embedding")
 
   /** Bootstrap a persisted IVF store at `dir`: train centroids (label-
     * seeded, `kmeansIters` Lloyd refinements), build the index, publish
@@ -216,7 +231,8 @@ object Ivf {
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
     local.write.mode("overwrite").parquet(s"$dir/v0/centroids")
     buildIndex(embeddings.select("vec_id", "embedding"), local)
-      .write.mode("overwrite").parquet(s"$dir/v0/index")
+      .write.mode("overwrite")
+      .parquet(s"$dir/v0/index/ingest_batch=$BootstrapBatch")
     publishVersion(s, dir, 0L)
   }
 
@@ -245,6 +261,8 @@ object Ivf {
   def maintainIndex(s: SparkSession, dir: String, newVecs: DataFrame,
       batchId: Long, driftThreshold: Double = 0.3,
       kmeansIters: Int = 2): IvfMaintenance = {
+    require(batchId >= 0,
+      s"batchId $batchId: negative ids are reserved for bootstrap/retrain")
     val v = readVersion(s, dir)
     val batchFlag = new org.apache.hadoop.fs.Path(s"$dir/_batch-$batchId")
     val fs = fsOf(s, dir)
@@ -268,7 +286,8 @@ object Ivf {
           java.util.Arrays.asList(retrained.collect(): _*), retrained.schema)
         local.write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
         buildIndex(vecs, local)
-          .write.mode("overwrite").parquet(s"$dir/v${v + 1}/index")
+          .write.mode("overwrite")
+          .parquet(s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
         publishVersion(s, dir, v + 1) // staged dirs complete before the flag
         IvfMaintenance(v + 1, maxDrift, retrained = true)
       }

@@ -86,8 +86,15 @@ object Multimodal {
     * codec library, which is why the audio path can be REAL in this
     * container while mp4 cannot.
     */
-  private[graft] def encodeWav(seed: Long, nSamples: Int): Array[Byte] = {
-    val dataLen = nSamples * 2
+  private[graft] def encodeWav(seed: Long, nSamples: Int): Array[Byte] =
+    encodeWavSamples(Array.tabulate(nSamples)(syntheticSample(seed, _)))
+
+  /** The RIFF container around EXPLICIT samples — lets [[graft.tools
+    * .ScaleGen]] plant perturbed-copy (near-duplicate) audio rows that a
+    * pure (seed, n) encoder cannot express.
+    */
+  private[graft] def encodeWavSamples(samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -98,7 +105,7 @@ object Multimodal {
       .putShort(2).putShort(16) // block align, bits/sample
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < nSamples) { bb.putShort(syntheticSample(seed, i).toShort); i += 1 }
+    while (i < samples.length) { bb.putShort(samples(i).toShort); i += 1 }
     bb.array()
   }
 

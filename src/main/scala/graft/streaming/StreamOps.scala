@@ -234,6 +234,27 @@ object StreamOps extends Serializable {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.io.StatsManifest
         val s = batch.sparkSession
+        // MIGRATION GUARD: a table written by the pre-partitioned version
+        // of this sink has parquet files flat at the tableDir root. Mixing
+        // those with `ingest_batch=<id>` subdirectories is silent data
+        // loss — Spark's partition discovery over a mixed-depth layout
+        // returns ONLY the subdirectory rows, so every pre-upgrade row
+        // would vanish from reads with no error. Fail loudly BEFORE the
+        // first partitioned write creates that state; the fix is a
+        // one-time relocation of the root files into a bootstrap
+        // partition (e.g. `ingest_batch=-1`).
+        val tPath = new org.apache.hadoop.fs.Path(tableDir)
+        val tFs = tPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (tFs.exists(tPath)) {
+          val rootParquet = tFs.listStatus(tPath)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          require(rootParquet.isEmpty,
+            s"$tableDir holds ${rootParquet.length} root-level parquet " +
+              "file(s) from a flat-layout ingest; writing ingest_batch=* " +
+              "partitions beside them would silently hide every " +
+              "root-level row from partition-discovery reads. Relocate " +
+              s"them into $tableDir/ingest_batch=-1/ first.")
+        }
         batch.write.mode("overwrite")
           .parquet(s"$tableDir/ingest_batch=$batchId")
         val mPath = new org.apache.hadoop.fs.Path(manifestDir)
@@ -339,14 +360,33 @@ object StreamOps extends Serializable {
     */
   private[graft] def persistedBenchPostings(bench: DataFrame, dir: String): DataFrame = {
     import graft.operators.LLMOps
+    import org.apache.hadoop.fs.Path
     val s = bench.sparkSession
-    val p = new org.apache.hadoop.fs.Path(dir)
+    val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) || graft.io.StatsManifest.listParquet(s, dir).isEmpty)
+    // STAGE-AND-RENAME publication: the old exists-then-overwrite was not
+    // concurrency-safe — parquet overwrite is delete-then-write, so two
+    // streams bootstrapping the same baseDir could interleave and a reader
+    // could list a half-written directory even though the content is
+    // deterministic. Now the postings are written COMPLETELY into a
+    // private staging directory (flag file last) and published with one
+    // atomic rename; a loser of the publish race discards its stage and
+    // reads the winner's copy. A directory WITHOUT the flag is a
+    // crashed/legacy write and is rebuilt.
+    val readyFlag = new Path(p, "_graft_ready")
+    if (!fs.exists(readyFlag)) {
+      val stage = new Path(
+        dir + "__stage-" + java.util.UUID.randomUUID().toString)
       LLMOps.shinglePostingsOf(
           bench.select(col("bench_id").as("doc_id"), col("text")))
         .select(col("doc_id").as("bench_id"), col("h"))
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").parquet(stage.toString)
+      fs.create(new Path(stage, "_graft_ready"), true).close()
+      if (fs.exists(p) && !fs.exists(readyFlag))
+        fs.delete(p, true) // crashed or pre-flag layout: replace wholesale
+      if (!fs.rename(stage, p))
+        fs.delete(stage, true) // lost the race — winner's copy is identical
+    }
     s.read.parquet(dir)
   }
 

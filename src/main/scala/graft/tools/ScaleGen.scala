@@ -88,6 +88,101 @@ object ScaleGen {
       ((draw(seed, 1L << 40 | id, 600L + i) % 2000001L).toInt - 1000000) * 1e-6f)
   }
 
+  /** Fixture-shaped `events` table at any size, for the sessionization /
+    * window family's fourth decade: same schema (event_id, ts, user_id,
+    * event_type, value, props), the fixture's ~67 events per user over a
+    * 30-day window (user count scales with rows so per-user session
+    * structure is decade-invariant), roughly-ordered Poisson-ish arrival
+    * times from the same integer-hash draws as the doc tables.
+    */
+  def generateEvents(s: SparkSession, outDir: String, nEvents: Long,
+      seed: Long = 42L): Unit = {
+    val par = s.sparkContext.defaultParallelism
+    val nUsers = math.max(2L, nEvents / 67)
+    val startUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val windowUs = 30L * 24 * 3600 * 1000000L
+    val slotUs = math.max(1L, windowUs / nEvents)
+    s.range(0, nEvents, 1, par)
+      .select(col("id").as("event_id"),
+        timestamp_micros(lit(startUs) + col("id") * slotUs +
+          pmod(col("id") * 2654435761L + lit(seed), lit(slotUs))).as("ts"),
+        pmod(col("id") * 48271L + lit(seed), lit(nUsers)).as("user_id"),
+        element_at(array(Seq("view", "click", "purchase", "error", "scroll")
+          .map(lit): _*),
+          (pmod(col("id") * 40503L, lit(5)) + 1).cast("int")).as("event_type"),
+        (pmod(col("id") * 69621L, lit(10000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id") * 16807L, lit(100)),
+          lit("}")).as("props"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  /** Per-row media content seed: a near/exact duplicate of doc `base`
+    * reuses base's seed so the payload bytes re-derive from the BASE row.
+    */
+  private def mediaSeed(seed: Long, id: Long): Long =
+    mix64(seed ^ (id * 0x9e3779b97f4a7c15L))
+
+  /** One synthetic media row: (blob, format, n_frames). ~0.3% exact
+    * duplicates and ~1.5% near-duplicates of an earlier row, mirroring
+    * the planted duplicate mass of the text/embedding tables — the
+    * audio/video near-dup joins are candidate-driven exactly like LSH,
+    * so a corpus without duplicate mass would measure the no-collision
+    * best case. Near-dup recipes follow how real near-dups arise:
+    * audio = the base waveform with a ~5% contiguous edit window
+    * replaced (fingerprint Hamming stays small — the 33-frame energy
+    * fold localizes the edit to ~2 frames); video = the base frame
+    * chain TRIMMED by ~10% (a cut: frame content is a pure function of
+    * (seed, frame), so every kept frame's hash is identical and the
+    * frame-set Jaccard lands near 0.9).
+    */
+  private[tools] def mediaRow(seed: Long, id: Long): (Array[Byte], String, Int) = {
+    import graft.operators.Multimodal
+    val isWav = draw(seed, (1L << 42) | id, 10) % 2L == 0L
+    val kind = draw(seed, (1L << 42) | id, 11) % 1000L
+    val isExact = id >= 10 && kind < 3
+    val isNear = id >= 10 && kind >= 3 && kind < 18
+    val base =
+      if (isExact || isNear) draw(seed, (1L << 42) | id, 12) % (id / 2)
+      else id
+    if (isWav) {
+      val n = (draw(seed, (1L << 43) | base, 13) % 1500L).toInt + 100
+      val samples = Array.tabulate(n)(
+        Multimodal.syntheticSample(mediaSeed(seed, base), _))
+      if (isNear) {
+        val len = math.max(1, n / 20)
+        val at = (draw(seed, (1L << 44) | id, 14) % (n - len).toLong).toInt
+        var i = 0
+        while (i < len) {
+          samples(at + i) =
+            Multimodal.syntheticSample(mediaSeed(seed, id) ^ 0x5a5aL, i)
+          i += 1
+        }
+      }
+      (Multimodal.encodeWavSamples(samples), "wav", 0)
+    } else {
+      val nBase = (draw(seed, (1L << 43) | base, 15) % 300L).toInt + 1
+      val nf =
+        if (isNear) math.max(1, nBase - math.max(1, nBase / 10)) else nBase
+      (Multimodal.encodeMp4(mediaSeed(seed, base), nf), "mp4", nf)
+    }
+  }
+
+  /** Media corpus (wav + mp4, ~50/50) with planted duplicate mass, shaped
+    * like [[graft.operators.Multimodal.withMedia]]'s output so the
+    * fingerprint catalogs and near-dup joins run unchanged.
+    */
+  def generateMedia(s: SparkSession, outDir: String, nRows: Long,
+      seed: Long = 42L): Unit = {
+    val par = s.sparkContext.defaultParallelism
+    val row = udf((id: Long) => mediaRow(seed, id))
+    s.range(0, nRows, 1, par)
+      .select(col("id").as("doc_id"), row(col("id")).as("r"))
+      .select(col("doc_id"), col("r._1").as("blob"),
+        struct(col("r._2").as("format"), lit(0).as("width"),
+          lit(0).as("height"), col("r._3").as("n_frames")).as("meta"))
+      .write.mode("overwrite").parquet(s"$outDir/media.parquet")
+  }
+
   def generate(s: SparkSession, outDir: String, nDocs: Long,
       seed: Long = 42L): Unit = {
     import s.implicits._
@@ -114,7 +209,12 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <outDir> <nDocs> [seed]")
+    val (mode, rest) =
+      if (args.nonEmpty && Set("docs", "events", "media")(args(0)))
+        (args(0), args.drop(1))
+      else ("docs", args)
+    require(rest.length >= 2,
+      "usage: ScaleGen [docs|events|media] <outDir> <n> [seed]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -123,8 +223,12 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, args(0), args(1).toLong,
-      if (args.length > 2) args(2).toLong else 42L)
+    val seed = if (rest.length > 2) rest(2).toLong else 42L
+    mode match {
+      case "events" => generateEvents(spark, rest(0), rest(1).toLong, seed)
+      case "media"  => generateMedia(spark, rest(0), rest(1).toLong, seed)
+      case _        => generate(spark, rest(0), rest(1).toLong, seed)
+    }
     spark.stop()
   }
 }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SlopeBench {
 
-  private def ops: Seq[(String, (SparkSession, String) => DataFrame)] = {
+  private def docOps: Seq[(String, (SparkSession, String) => DataFrame)] = {
     import graft.operators.{LLMOps, Similarity, TrainPrep}
     import graft.SparkEntry
     Seq(
@@ -33,10 +33,49 @@ object SlopeBench {
       "q_l26" -> ((s: SparkSession, d: String) => LLMOps.qL26(s, d)),
       "q_l48" -> ((s: SparkSession, d: String) => LLMOps.qL48(s, d)),
       "q_l50" -> ((s: SparkSession, d: String) => TrainPrep.qL50(s, d)),
+      "q_l54" -> ((s: SparkSession, d: String) => LLMOps.qL54(s, d)),
       "q_l13s" -> ((s: SparkSession, d: String) =>
         Similarity.nearDupPairs(s, d, threshold = 0.45, bits = 16, tables = 14)),
       "q_l49s" -> ((s: SparkSession, d: String) =>
         Similarity.qL49(s, d, threshold = 0.45, bits = 16, tables = 14)))
+  }
+
+  /** Corpus-scan families added for the FOURTH decade (r12 verdict item
+    * 5): sessionization's one-exchange window claim and the feature
+    * table's map-side-fold claim, measured at 100x the bench corpus.
+    */
+  private def eventOps: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    import graft.operators.Temporal
+    Seq(
+      "q_t05" -> ((s: SparkSession, d: String) => Temporal.qT05(s, d)),
+      "q_t08" -> ((s: SparkSession, d: String) => Temporal.qT08(s, d)))
+  }
+
+  /** The perceptual near-dup JOINS over a planted-duplicate media corpus
+    * ([[ScaleGen]] `media` mode) — the banded-join claim for the two
+    * newest modalities, measured instead of asserted (r12 verdict item
+    * 4). The catalogs (decode + fingerprint) are embarrassingly parallel
+    * per-row scans; the measured object is catalog + banded join
+    * end-to-end, matching the registered q_mm04–06 shapes.
+    */
+  private def mediaOps: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    import graft.operators.Multimodal
+    def media(s: SparkSession, d: String) = s.read.parquet(s"$d/media.parquet")
+    Seq(
+      "q_mmA" -> ((s: SparkSession, d: String) =>
+        Multimodal.audioNearDupPairs(s, media(s, d))),
+      "q_mmV" -> ((s: SparkSession, d: String) =>
+        Multimodal.videoNearDupPairs(s, media(s, d))))
+  }
+
+  /** Run whatever the dir holds: ScaleGen doc corpora, events decades,
+    * media decades — one harness, table-conditional op families.
+    */
+  private def opsFor(dir: String): Seq[(String, (SparkSession, String) => DataFrame)] = {
+    def has(t: String) = new java.io.File(s"$dir/$t.parquet").exists()
+    (if (has("documents")) docOps else Nil) ++
+      (if (has("events")) eventOps else Nil) ++
+      (if (has("media")) mediaOps else Nil)
   }
 
   def main(args: Array[String]): Unit = {
@@ -60,6 +99,8 @@ object SlopeBench {
     }
     val out = new StringBuilder
     args.foreach { dir =>
+      val ops = opsFor(dir)
+      require(ops.nonEmpty, s"$dir holds no ScaleGen table")
       val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       ops.foreach { case (n, fn) => run(fn, dir) // uncharged warm-up
         best(n) = Double.MaxValue }

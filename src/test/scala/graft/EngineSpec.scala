@@ -2865,18 +2865,37 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val cut = e.agg(max("vec_id")).head().getLong(0) / 2
     val old = e.filter(col("vec_id") <= cut)
     val mid = (cut + e.agg(max("vec_id")).head().getLong(0)) / 2
-    val calm = e.filter(col("vec_id") > cut && col("vec_id") <= mid)
+    val calmAll = e.filter(col("vec_id") > cut && col("vec_id") <= mid)
+    val calmCut = (cut + mid) / 2
+    val calmA = calmAll.filter(col("vec_id") <= calmCut)
+    val calmB = calmAll.filter(col("vec_id") > calmCut)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     Ivf.bootstrapStore(spark, old, dir)
-    // stationary arrivals: drift stays at the Lloyd floor, no retrain,
-    // serving version unchanged, batch appended exactly once
-    val r1 = Ivf.maintainIndex(spark, dir, calm, driftThreshold = 0.35)
+    // stationary arrivals across TWO batches: drift stays at the Lloyd
+    // floor, no retrain, serving version unchanged, and the serving index
+    // is exactly bootstrap ∪ all appended batches (the r12 mixed-layout
+    // regression silently dropped the bootstrap corpus after the first
+    // append — this leg pins the union contract)
+    val r1 = Ivf.maintainIndex(spark, dir, calmA, batchId = 1L,
+      driftThreshold = 0.35)
     assert(!r1.retrained && r1.version == 0, s"$r1")
     assert(r1.maxDrift < 0.35)
+    val r1b = Ivf.maintainIndex(spark, dir, calmB, batchId = 2L,
+      driftThreshold = 0.35)
+    assert(!r1b.retrained && r1b.version == 0, s"$r1b")
     val served1 = Ivf.servingIndex(spark, dir)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(served1.distinct.size == served1.size)
-    assert(served1.size == old.count() + calm.count())
+    assert(served1.size == old.count() + calmAll.count(),
+      s"serving index must be bootstrap ∪ batches: ${served1.size}")
+    assert(old.select("vec_id").collect().map(_.getLong(0))
+      .forall(served1.contains), "bootstrap rows vanished from serving index")
+    // a completed round REPLAYED (same batchId) is a no-op: no duplicate
+    // rows, no second drift evaluation
+    val replay = Ivf.maintainIndex(spark, dir, calmA, batchId = 1L,
+      driftThreshold = 0.35)
+    assert(!replay.retrained && replay.version == 0 && replay.maxDrift == 0.0)
+    assert(Ivf.servingIndex(spark, dir).count() == served1.size.toLong)
     // drifted arrivals (the adversarial-shift recipe: a new tight domain
     // far from the training distribution): retrain must trigger, publish
     // version 1 with BOTH artifacts complete, and post-retrain drift must
@@ -2884,7 +2903,8 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val shifted = e.filter(col("vec_id") > mid)
       .select(col("vec_id"), transform(col("embedding"),
         x => (x * lit(0.05) + lit(0.3)).cast("float")).as("embedding"))
-    val r2 = Ivf.maintainIndex(spark, dir, shifted, driftThreshold = 0.35)
+    val r2 = Ivf.maintainIndex(spark, dir, shifted, batchId = 3L,
+      driftThreshold = 0.35)
     assert(r2.retrained && r2.version == 1, s"$r2")
     assert(r2.maxDrift > 0.35)
     val postDrift = Ivf.centroidDrift(spark, Ivf.servingIndex(spark, dir),
@@ -2900,6 +2920,45 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(served2.distinct.size == served2.size && served2.size == e.count())
     assert(new java.io.File(s"$dir/v0/index").isDirectory &&
       new java.io.File(s"$dir/v0/centroids").isDirectory)
+  }
+
+  test("ivf store serving-read contract: a reader resolving versions at " +
+      "ANY stage of an in-flight retrain sees a complete version") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rc").toString
+    Ivf.bootstrapStore(spark, e, dir)
+    val n = e.count()
+    def servedComplete(): Unit = {
+      val served = Ivf.servingIndex(spark, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(served.distinct.size == served.size && served.size == n,
+        s"reader saw an incomplete serving index: ${served.size} of $n")
+    }
+    // replicate maintainIndex's retrain publication stages ON DISK and
+    // interleave a reader between every pair: the append-only `_ready-N`
+    // flag is written LAST, so a reader listing flags mid-retrain must
+    // resolve version 0 — whole — until the instant v1 is fully staged
+    servedComplete() // stage 0: bootstrap only
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stage 1: v1/centroids written, no flag
+    val c0 = spark.read.parquet(s"$dir/v0/centroids")
+    c0.write.parquet(s"$dir/v1/centroids")
+    servedComplete()
+    // stage 2: v1/index partially written (one partition dir exists with
+    // files, as a mid-write lister would observe), still no flag
+    spark.read.parquet(s"$dir/v0/index")
+      .limit(3).write.parquet(s"$dir/v1/index/ingest_batch=-1")
+    servedComplete()
+    // stage 3: v1 fully staged, flag not yet published — reader still on v0
+    spark.read.parquet(s"$dir/v0/index")
+      .write.mode("overwrite").parquet(s"$dir/v1/index/ingest_batch=-1")
+    servedComplete()
+    // stage 4: flag lands — the swap is atomic from the reader's view
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_ready-1"), true).close()
+    servedComplete()
+    assert(Ivf.servingCentroids(spark, dir).count() == c0.count())
   }
 
   test("bpe training: hand-computed Sennrich merges on a constructed " +

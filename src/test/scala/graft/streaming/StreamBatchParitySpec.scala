@@ -343,6 +343,65 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
     assert(pruned.count() == 1)
   }
 
+  test("ingest migration guard: a flat-layout table from the pre-" +
+      "partitioned sink fails loudly instead of silently losing its rows") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val base = java.nio.file.Files.createTempDirectory("graft-mig").toString
+    docs.coalesce(1).write.parquet(s"$base/landing")
+    // simulate the pre-upgrade sink: parquet files FLAT at the table root
+    docs.coalesce(1).write.parquet(s"$base/table")
+    assert(new java.io.File(s"$base/table").listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/landing")
+    val q = StreamOps.ingestWithManifest(stream, s"$base/table",
+      s"$base/manifest", Seq("doc_id"), s"$base/ckpt").start()
+    val ex = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else String.valueOf(t.getMessage) + " | " + rootMsg(t.getCause)
+    assert(rootMsg(ex).contains("root-level parquet"),
+      s"expected the migration-guard message, got: ${rootMsg(ex).take(400)}")
+    // the guard fired BEFORE the first partitioned write — the legacy
+    // rows are still whole and visible
+    assert(spark.read.parquet(s"$base/table").count() == docs.count())
+  }
+
+  test("bench postings publication is staged: a published dir carries the " +
+      "ready flag, and a flagless (crashed/legacy) dir is rebuilt whole") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-bp").toString
+    val dir = s"$base/_bench_postings"
+    val first = StreamOps.persistedBenchPostings(bench, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first.nonEmpty)
+    assert(new java.io.File(s"$dir/_graft_ready").isFile,
+      "published postings must carry the staged-publication flag")
+    // a dir WITHOUT the flag is treated as torn: rebuilt wholesale, same
+    // deterministic content (here we also corrupt it to prove the rebuild)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_ready"), false)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    files.tail.foreach(_.delete()) // half-written state a reader could list
+    val rebuilt = StreamOps.persistedBenchPostings(bench, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rebuilt == first, "flagless dir must be rebuilt to full content")
+    assert(new java.io.File(s"$dir/_graft_ready").isFile)
+    // and a published dir RELOADS instead of rewriting: same files remain
+    val inode = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    StreamOps.persistedBenchPostings(bench, dir).count()
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(after == inode, "a ready dir must be reloaded, not rewritten")
+  }
+
   test("admission-gated ingest pipeline: quality + decontam rejects match " +
       "their batch twins, and only admitted docs reach table and store") {
     import graft.io.ChunkStore
