@@ -21,6 +21,15 @@ import org.apache.spark.sql.types._
   * iterator per partition, so per-partition codec/model setup amortizes),
   * and codegen expressions for the cheap byte-level operations.
   */
+/** (doc_id, 64-bit perceptual hash) — the row type of the fingerprint
+  * catalogs. TOP-LEVEL on purpose: as a `private` class nested in the
+  * object, Spark's generated deserializer could not reference its
+  * constructor, so every task of every fingerprint query paid a failed
+  * Janino compile (~100 ms) plus the interpreted-encoder fallback —
+  * 104 failed compiles across one verify run, all from this one class.
+  */
+final case class DHashRow(doc_id: Long, dhash: Long)
+
 object Multimodal {
 
   /** Typed media metadata — what StructField alone can't say about a blob. */
@@ -200,7 +209,16 @@ object Multimodal {
     * frames — so the q_mm02 oracle regenerates all of it from doc_id
     * alone, exactly as it does for still images.
     */
-  private[graft] def encodeMp4(seed: Long, nFrames: Int): Array[Byte] = {
+  private[graft] def encodeMp4(seed: Long, nFrames: Int,
+      frameW: Int = Mp4FrameW, frameH: Int = Mp4FrameH): Array[Byte] = {
+    // frame dims are a parameter (default: the fixture 4x3 the oracles
+    // regenerate) because the dHash of a 4x3 frame carries only ~9
+    // informative bits — the 9x8 sampling grid hits just 12 distinct
+    // pixels and most gradient comparisons are pixel-vs-itself. Fine for
+    // oracle-exact catalogs; fatal for a SCALE corpus, where a 2^9 hash
+    // space makes every frame-hash a collision bucket and the near-dup
+    // self-join degenerates toward all-pairs. ScaleGen's media decades
+    // use 8x6 (~40 informative bits, still inside the 256 B slot).
     val dataLen = nFrames * Mp4FrameSize
     val bb = java.nio.ByteBuffer.allocate(Mp4HeaderLen + dataLen) // big-endian
     def box(size: Int, tag: String): Unit = {
@@ -212,12 +230,12 @@ object Multimodal {
     box(20, "stsz"); bb.putInt(0) // version/flags
     bb.putInt(Mp4FrameSize); bb.putInt(nFrames)
     box(8 + dataLen, "mdat")
-    val fpix = Mp4FrameW * Mp4FrameH
+    val fpix = frameW * frameH
     var f = 0
     while (f < nFrames) {
       // chain offset: pixel j of frame f is chain element f·fpix + j
       val png = encodeTinyPng(seed + f.toLong * fpix * 0x9e3779b97f4a7c15L,
-        Mp4FrameW, Mp4FrameH)
+        frameW, frameH)
       require(png.length <= Mp4FrameSize,
         s"PNG frame (${png.length} B) exceeds the $Mp4FrameSize B slot")
       val at = bb.position()
@@ -703,8 +721,6 @@ object Multimodal {
     hash
   }
 
-  private final case class DHashRow(doc_id: Long, dhash: Long)
-
   /** Perceptual-hash catalog of the IMAGE rows: doc_id → 64-bit dHash.
     * Partition-parallel typed mapPartitions (the extractFeatures shape);
     * undecodable blobs are dropped here — a production pipeline routes
@@ -745,7 +761,13 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < bands,
       s"hammingNearDupPairs: $bands bands of 8 bits give full recall only " +
         s"for maxHamming < $bands, got $maxHamming")
-    val banded = hashes.select(col("doc_id"), col(hashCol).as("h64"),
+    // localCheckpoint (the qL19 pattern): the catalog is referenced by
+    // BOTH self-join sides, and its lineage is the media DECODE — without
+    // pinning, each exchange re-decodes the corpus (measured ~2x the
+    // whole join's cost on the mp4 family); the pinned rows are 2 longs
+    // per item, never pixels
+    val cat = hashes.localCheckpoint()
+    val banded = cat.select(col("doc_id"), col(hashCol).as("h64"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           shiftrightunsigned(col(hashCol), b * 8).bitwiseAND(lit(255L))
             .as("key"))): _*)).as("bk"))
@@ -880,9 +902,30 @@ object Multimodal {
     * frame hashes identical; unrelated videos share none.
     */
   def videoNearDupPairs(spark: SparkSession, media: DataFrame,
-      minJaccard: Double = 0.8): DataFrame = {
-    val posts = videoFrameDHash(spark, media)
+      minJaccard: Double = 0.8, maxVideosPerFrame: Int = 0): DataFrame = {
+    // localCheckpoint (the qL19 pattern): posts feeds both self-join
+    // sides AND the per-video size aggregate — pinning the (doc_id,
+    // dhash) longs runs the demux + per-frame PNG decode ONCE instead of
+    // once per consumer exchange
+    val raw = videoFrameDHash(spark, media)
       .select("doc_id", "dhash").distinct()
+      .localCheckpoint()
+    // BOILERPLATE-FRAME cap (the sourceOverlap(maxSourcesPerShingle)
+    // discipline, applied to the video family): a frame hash shared by
+    // thousands of videos — black frames, channel intros, logo cards at
+    // a real crawl — turns the hash self-join's per-key fan-out
+    // quadratic. With a cap K, such hashes are excluded from BOTH the
+    // intersection and the per-video sizes (Jaccard stays a true ratio
+    // over the surviving frame universe) via one keys-only pre-count,
+    // bounding fan-out at K² per hash at any corpus size. 0 = uncapped
+    // (the spec-pinned exact semantics).
+    val posts =
+      if (maxVideosPerFrame <= 0) raw
+      else raw.join(
+        raw.groupBy("dhash").agg(count(lit(1)).as("n_vids"))
+          .where(col("n_vids") <= maxVideosPerFrame)
+          .select("dhash"),
+        Seq("dhash"))
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
     posts.as("a")
       .join(posts.as("b"),

@@ -122,48 +122,87 @@ object ScaleGen {
   private def mediaSeed(seed: Long, id: Long): Long =
     mix64(seed ^ (id * 0x9e3779b97f4a7c15L))
 
-  /** One synthetic media row: (blob, format, n_frames). ~0.3% exact
-    * duplicates and ~1.5% near-duplicates of an earlier row, mirroring
-    * the planted duplicate mass of the text/embedding tables — the
-    * audio/video near-dup joins are candidate-driven exactly like LSH,
-    * so a corpus without duplicate mass would measure the no-collision
-    * best case. Near-dup recipes follow how real near-dups arise:
-    * audio = the base waveform with a ~5% contiguous edit window
-    * replaced (fingerprint Hamming stays small — the 33-frame energy
-    * fold localizes the edit to ~2 frames); video = the base frame
-    * chain TRIMMED by ~10% (a cut: frame content is a pure function of
-    * (seed, frame), so every kept frame's hash is identical and the
-    * frame-set Jaccard lands near 0.9).
+  /** The dup plant of media row `id`: Some((base, isExact)) for the
+    * ~0.3% exact and ~1.5% near duplicates, None for fresh rows —
+    * mirroring the planted duplicate mass of the text/embedding tables,
+    * because the audio/video near-dup joins are candidate-driven exactly
+    * like LSH and a corpus without duplicate mass would measure the
+    * no-collision best case. Exposed so the planted-recall spec can
+    * recompute the expected pair set.
     */
-  private[tools] def mediaRow(seed: Long, id: Long): (Array[Byte], String, Int) = {
-    import graft.operators.Multimodal
-    val isWav = draw(seed, (1L << 42) | id, 10) % 2L == 0L
+  private[graft] def mediaDupOf(seed: Long, id: Long): Option[(Long, Boolean)] = {
     val kind = draw(seed, (1L << 42) | id, 11) % 1000L
-    val isExact = id >= 10 && kind < 3
-    val isNear = id >= 10 && kind >= 3 && kind < 18
-    val base =
-      if (isExact || isNear) draw(seed, (1L << 42) | id, 12) % (id / 2)
-      else id
-    if (isWav) {
-      val n = (draw(seed, (1L << 43) | base, 13) % 1500L).toInt + 100
-      val samples = Array.tabulate(n)(
-        Multimodal.syntheticSample(mediaSeed(seed, base), _))
-      if (isNear) {
-        val len = math.max(1, n / 20)
+    if (id < 10 || kind >= 18) None
+    else Some((draw(seed, (1L << 42) | id, 12) % (id / 2), kind < 3))
+  }
+
+  /** A duplicate INHERITS its base's format (a near-dup of a video is a
+    * video); fresh rows split ~50/50 wav / mp4.
+    */
+  private[graft] def mediaFormat(seed: Long, id: Long): String =
+    mediaDupOf(seed, id) match {
+      case Some((b, _)) => mediaFormat(seed, b)
+      case None =>
+        if (draw(seed, (1L << 42) | id, 10) % 2L == 0L) "wav" else "mp4"
+    }
+
+  /** Fully-resolved PCM of a wav row: duplicates derive from the base's
+    * ACTUAL samples (the docText chain-resolution discipline — a
+    * near-dup of a near-dup edits the edited waveform, so the planted
+    * (base, id) pair is genuinely near under the fingerprint). The
+    * near-dup edit replaces a ~n/40 contiguous window (1–2 of the
+    * fingerprint's 33 energy frames) with an alternate stream —
+    * fingerprint Hamming stays within the join's default radius.
+    */
+  private[graft] def wavSamplesOf(seed: Long, id: Long): Array[Int] =
+    mediaDupOf(seed, id) match {
+      case Some((b, true)) => wavSamplesOf(seed, b)
+      case Some((b, false)) =>
+        val s = wavSamplesOf(seed, b).clone()
+        val n = s.length
+        val len = math.max(1, n / 40)
         val at = (draw(seed, (1L << 44) | id, 14) % (n - len).toLong).toInt
         var i = 0
         while (i < len) {
-          samples(at + i) =
-            Multimodal.syntheticSample(mediaSeed(seed, id) ^ 0x5a5aL, i)
+          s(at + i) = graft.operators.Multimodal
+            .syntheticSample(mediaSeed(seed, id) ^ 0x5a5aL, i)
           i += 1
         }
-      }
-      (Multimodal.encodeWavSamples(samples), "wav", 0)
-    } else {
-      val nBase = (draw(seed, (1L << 43) | base, 15) % 300L).toInt + 1
-      val nf =
-        if (isNear) math.max(1, nBase - math.max(1, nBase / 10)) else nBase
-      (Multimodal.encodeMp4(mediaSeed(seed, base), nf), "mp4", nf)
+        s
+      case None =>
+        val n = (draw(seed, (1L << 43) | id, 13) % 1500L).toInt + 100
+        Array.tabulate(n)(
+          graft.operators.Multimodal.syntheticSample(mediaSeed(seed, id), _))
+    }
+
+  /** (content seed, frame count) of an mp4 row: a near-dup TRIMS the
+    * base's frame chain by ~10% (a cut — frame f's pixels are a pure
+    * function of (contentSeed, f), so every kept frame's hash is
+    * identical and the frame-set Jaccard lands near 0.9); an exact dup
+    * keeps both. The content seed rides the whole dup chain.
+    */
+  private[graft] def mp4SpecOf(seed: Long, id: Long): (Long, Int) =
+    mediaDupOf(seed, id) match {
+      case Some((b, true)) => mp4SpecOf(seed, b)
+      case Some((b, false)) =>
+        val (cs, nb) = mp4SpecOf(seed, b)
+        (cs, math.max(1, nb - math.max(1, nb / 10)))
+      case None =>
+        (mediaSeed(seed, id),
+          (draw(seed, (1L << 43) | id, 15) % 300L).toInt + 1)
+    }
+
+  private[graft] def mediaRow(seed: Long, id: Long): (Array[Byte], String, Int) = {
+    import graft.operators.Multimodal
+    if (mediaFormat(seed, id) == "wav")
+      (Multimodal.encodeWavSamples(wavSamplesOf(seed, id)), "wav", 0)
+    else {
+      val (cs, nf) = mp4SpecOf(seed, id)
+      // 8x6 frames, NOT the fixture 4x3: a scale corpus needs real frame-
+      // hash entropy (~40 informative dHash bits vs ~9 at 4x3), or every
+      // hash becomes a collision bucket and the near-dup join measures
+      // hash-space saturation instead of the engine
+      (Multimodal.encodeMp4(cs, nf, frameW = 8, frameH = 6), "mp4", nf)
     }
   }
 

@@ -60,7 +60,12 @@ object SlopeBench {
     */
   private def mediaOps: Seq[(String, (SparkSession, String) => DataFrame)] = {
     import graft.operators.Multimodal
+    // round-robin spread before the CPU-bound decode (the withMedia
+    // rationale): the compressed blobs pack into a couple of 128MB scan
+    // partitions, which would serialize 150k+ frame decodes onto 1-2
+    // cores; a real 100 TB media corpus arrives in many files
     def media(s: SparkSession, d: String) = s.read.parquet(s"$d/media.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
     Seq(
       "q_mmA" -> ((s: SparkSession, d: String) =>
         Multimodal.audioNearDupPairs(s, media(s, d))),

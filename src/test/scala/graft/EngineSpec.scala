@@ -2114,6 +2114,49 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(da == 1L && db == 2L && math.abs(j - 19.0 / 21.0) < 1e-9, s"$pairs")
   }
 
+  test("multimodal: the boilerplate-frame cap drops exactly the >K-video " +
+      "frame hashes — boiler-only pairs leave, genuine near-dups stay") {
+    import spark.implicits._
+    // three UNRELATED videos that all share one "intro card" frame slot
+    // (the donor frame spliced into slot 0 of each), plus a genuine
+    // near-dup pair; 8x6 frames so unrelated content never collides
+    val intro = Multimodal.encodeMp4(1000L, 1, frameW = 8, frameH = 6)
+    def withIntro(v: Array[Byte]): Array[Byte] = {
+      val out = v.clone()
+      System.arraycopy(intro, Multimodal.Mp4HeaderLen, out,
+        Multimodal.Mp4HeaderLen, Multimodal.Mp4FrameSize)
+      out
+    }
+    val u1 = withIntro(Multimodal.encodeMp4(7L, 12, frameW = 8, frameH = 6))
+    val u2 = withIntro(Multimodal.encodeMp4(8L, 12, frameW = 8, frameH = 6))
+    val u3 = withIntro(Multimodal.encodeMp4(9L, 12, frameW = 8, frameH = 6))
+    val near = Multimodal.encodeMp4(7L, 11, frameW = 8, frameH = 6) // trim of u1's tail
+    val media = Seq((1L, u1), (2L, u2), (3L, u3), (4L, near))
+      .toDF("doc_id", "blob")
+      .withColumn("meta", struct(lit("mp4").as("format"),
+        lit(8).as("width"), lit(6).as("height"), lit(12).as("n_frames")))
+    // uncapped at a LOW threshold: the shared intro frame alone creates
+    // cross-video candidate pairs (the fan-out a crawl-scale corpus
+    // multiplies into K² per boilerplate hash)
+    val uncapped = Multimodal.videoNearDupPairs(spark, media,
+        minJaccard = 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((2L, 3L)),
+      s"shared intro must pair everything uncapped: $uncapped")
+    // capped at K=2: the intro hash (3 videos > K) leaves the universe —
+    // boiler-only pairs disappear; the genuine near-dup survives on its
+    // own frames with Jaccard over the SURVIVING universe
+    val capped = Multimodal.videoNearDupPairs(spark, media,
+        minJaccard = 0.8, maxVideosPerFrame = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((1L, 4L)),
+      s"only the genuine pair may survive the cap: ${capped.toSeq}")
+    // u1 minus intro: 11 content frames; near: 10 of them (trim) + its
+    // own slot-0 frame (u1's slot-0 was overwritten by the intro, so
+    // near's frame 0 is unique to near): J = 10 / (11 + 11 - 10)
+    assert(math.abs(capped.head._3 - 10.0 / 12.0) < 1e-9, s"${capped.toSeq}")
+  }
+
   test("multimodal: WAV round-trips through the RIFF encoder/decoder exactly") {
     // synthetic stream round-trip: every sample recovered bit-exactly
     val enc = Multimodal.encodeWav(seed = 7L, nSamples = 257)
@@ -2959,6 +3002,60 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/_ready-1"), true).close()
     servedComplete()
     assert(Ivf.servingCentroids(spark, dir).count() == c0.count())
+  }
+
+  test("scalegen media corpus: the banded audio/video near-dup joins " +
+      "recover every recoverable planted duplicate and nothing unrelated") {
+    import graft.tools.ScaleGen
+    import graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    val n = 600L
+    ScaleGen.generateMedia(spark, dir, n)
+    val media = spark.read.parquet(s"$dir/media.parquet")
+    assert(media.count() == n)
+    def root(id: Long): Long = ScaleGen.mediaDupOf(42L, id) match {
+      case Some((b, _)) => root(b)
+      case None         => id
+    }
+    val planted = (0L until n).flatMap(id =>
+      ScaleGen.mediaDupOf(42L, id).map { case (b, e) =>
+        (b, id, e, ScaleGen.mediaFormat(42L, id)) })
+    val wavPlanted = planted.filter(_._4 == "wav")
+    val mp4Planted = planted.filter(_._4 == "mp4")
+    assert(wavPlanted.nonEmpty && mp4Planted.nonEmpty,
+      s"seed 42 must plant both modalities at n=$n: $planted")
+    // ---- audio: the ~n/40 edit window touches <= 2 of the 33 energy
+    // frames, so <= 3 gradient bits flip — structurally INSIDE the
+    // join's default Hamming radius: recall of planted pairs must be
+    // total, and every recovered pair must lie within one content chain
+    val audio = Multimodal.audioNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(audio.forall { case (a, b) => root(a) == root(b) },
+      s"unrelated audio pair leaked: ${audio.filterNot { case (a, b) => root(a) == root(b) }}")
+    wavPlanted.foreach { case (b, id, exact, _) =>
+      val pair = (math.min(b, id), math.max(b, id))
+      assert(audio.contains(pair),
+        s"planted ${if (exact) "exact" else "near"} audio dup $pair missed")
+    }
+    // ---- video: a ~10% trim keeps Jaccard >= 0.8 except for tiny base
+    // chains (2..4 frames, where one dropped frame alone breaks 0.8) —
+    // those are structurally unrecoverable at the default threshold and
+    // excluded; everything else must be recovered, nothing unrelated
+    val video = Multimodal.videoNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(video.forall { case (a, b) => root(a) == root(b) },
+      s"unrelated video pair leaked: ${video.filterNot { case (a, b) => root(a) == root(b) }}")
+    val recoverable = mp4Planted.filter { case (b, id, exact, _) =>
+      val nfB = ScaleGen.mp4SpecOf(42L, b)._2
+      val nfId = ScaleGen.mp4SpecOf(42L, id)._2
+      exact || nfId.toDouble / nfB.toDouble >= 0.8
+    }
+    assert(recoverable.nonEmpty)
+    recoverable.foreach { case (b, id, exact, _) =>
+      val pair = (math.min(b, id), math.max(b, id))
+      assert(video.contains(pair),
+        s"planted ${if (exact) "exact" else "near"} video dup $pair missed")
+    }
   }
 
   test("bpe training: hand-computed Sennrich merges on a constructed " +
