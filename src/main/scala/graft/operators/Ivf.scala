@@ -200,24 +200,37 @@ object Ivf {
 
   /** Every write into `v<N>/index` — bootstrap, retrain, append — lands in
     * its own `ingest_batch=<id>` partition (bootstrap/retrain use the
-    * reserved id -1). A UNIFORM layout is load-bearing, not cosmetic:
-    * Spark's partition discovery over a directory that mixes root-level
-    * parquet files with `key=value` subdirectories silently returns ONLY
-    * the subdirectory rows, so a flat bootstrap index would vanish from
-    * every read the moment the first append created a partition dir.
+    * reserved id -1), sub-partitioned BY CELL. A UNIFORM layout is
+    * load-bearing, not cosmetic: Spark's partition discovery over a
+    * layout that mixes root-level files with `key=value` subdirectories
+    * silently returns ONLY the subdirectory rows, so a flat bootstrap
+    * index would vanish from every read the moment the first append
+    * created a partition dir. The cell level is the SERVING layout: an
+    * ANN probe filters `cell IN (<nprobe cells>)` and partition pruning
+    * drops every other cell's files at planning time — the "a probe
+    * touches nprobe partitions instead of the corpus" contract, real
+    * instead of asserted (pinned on the executed plan in EngineSpec).
     */
   private val BootstrapBatch = -1L
 
-  /** The serving centroid set / index of the CURRENT version. The index
-    * read drops the `ingest_batch` bookkeeping partition column so the
-    * serving schema is exactly the [[buildIndex]] schema regardless of
-    * how many maintenance rounds have run.
+  private def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Normalize an index read back to the [[buildIndex]] schema: `cell`
+    * returns as an inferred-int PARTITION column and must come back as
+    * the string the centroid tables carry, and the `ingest_batch`
+    * bookkeeping column drops out.
     */
+  private def readIndex(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .select(col("cell").cast("string").as("cell"),
+        col("vec_id"), col("embedding"))
+
+  /** The serving centroid set / index of the CURRENT version. */
   def servingCentroids(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/v${readVersion(s, dir)}/centroids")
   def servingIndex(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/v${readVersion(s, dir)}/index")
-      .select("cell", "vec_id", "embedding")
+    readIndex(s, s"$dir/v${readVersion(s, dir)}/index")
 
   /** Bootstrap a persisted IVF store at `dir`: train centroids (label-
     * seeded, `kmeansIters` Lloyd refinements), build the index, publish
@@ -230,10 +243,45 @@ object Ivf {
     val local = s.createDataFrame(
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
     local.write.mode("overwrite").parquet(s"$dir/v0/centroids")
-    buildIndex(embeddings.select("vec_id", "embedding"), local)
-      .write.mode("overwrite")
-      .parquet(s"$dir/v0/index/ingest_batch=$BootstrapBatch")
+    writeIndex(buildIndex(embeddings.select("vec_id", "embedding"), local),
+      s"$dir/v0/index/ingest_batch=$BootstrapBatch")
     publishVersion(s, dir, 0L)
+  }
+
+  /** ANN against the PERSISTED store — the query-time path a serving
+    * deployment runs, where the cell-partitioned layout earns its keep:
+    * centroid ranking happens on O(cells) driver-side metadata, and the
+    * index scan carries `cell IN (<nprobe>)` so partition pruning reads
+    * ONLY the probed cells' files. Exact cosine re-rank inside the
+    * probed cells, exactly like [[annIvf]].
+    */
+  def annFromStore(s: SparkSession, dir: String, qEmb: Array[Float],
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val cents = servingCentroids(s, dir).collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = cents
+      .map(r => (r.getString(0), cos(qEmb, r.getSeq[Float](1).toArray)))
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nprobe).map(_._1).toSeq
+    val q = typedLit(qEmb)
+    // filter the RAW partition column, not the string-normalized view: a
+    // predicate under cast(cell as string) does not reach
+    // PartitionFilters, and the whole point of the layout is that the
+    // non-probed cells' files never enter the scan. The literals are
+    // cast to the column's discovered type so constant folding leaves a
+    // plain partition-column IN-list.
+    val raw = s.read.parquet(s"$dir/v${readVersion(s, dir)}/index")
+    val cellType = raw.schema("cell").dataType
+    raw.filter(probeCells
+        .map(c => col("cell") === lit(c).cast(cellType)).reduce(_ || _))
+      .select(col("vec_id"),
+        Similarity.cosineSafe(col("embedding"), q).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** One maintenance round, closing the [[centroidDrift]] loop: append
@@ -269,11 +317,9 @@ object Ivf {
     if (fs.exists(batchFlag)) // completed round replayed: no-op
       return IvfMaintenance(v, 0.0, retrained = false)
     val frozen = s.read.parquet(s"$dir/v$v/centroids")
-    buildIndex(newVecs.select("vec_id", "embedding"), frozen)
-      .write.mode("overwrite")
-      .parquet(s"$dir/v$v/index/ingest_batch=$batchId")
-    val index = s.read.parquet(s"$dir/v$v/index")
-      .select("cell", "vec_id", "embedding")
+    writeIndex(buildIndex(newVecs.select("vec_id", "embedding"), frozen),
+      s"$dir/v$v/index/ingest_batch=$batchId")
+    val index = readIndex(s, s"$dir/v$v/index")
     val drifts = centroidDrift(s, index, frozen).collect()
     val maxDrift = drifts.filter(!_.isNullAt(2)).map(_.getDouble(2))
       .foldLeft(0.0)(math.max)
@@ -285,9 +331,8 @@ object Ivf {
         val local = s.createDataFrame(
           java.util.Arrays.asList(retrained.collect(): _*), retrained.schema)
         local.write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
-        buildIndex(vecs, local)
-          .write.mode("overwrite")
-          .parquet(s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
+        writeIndex(buildIndex(vecs, local),
+          s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
         publishVersion(s, dir, v + 1) // staged dirs complete before the flag
         IvfMaintenance(v + 1, maxDrift, retrained = true)
       }

@@ -34,6 +34,9 @@ object SlopeBench {
       "q_l48" -> ((s: SparkSession, d: String) => LLMOps.qL48(s, d)),
       "q_l50" -> ((s: SparkSession, d: String) => TrainPrep.qL50(s, d)),
       "q_l54" -> ((s: SparkSession, d: String) => LLMOps.qL54(s, d)),
+      "q_l42" -> ((s: SparkSession, d: String) => LLMOps.qL42(s, d)),
+      "q_l43" -> ((s: SparkSession, d: String) => LLMOps.qL43(s, d)),
+      "q_l44" -> ((s: SparkSession, d: String) => LLMOps.qL44(s, d)),
       "q_l13s" -> ((s: SparkSession, d: String) =>
         Similarity.nearDupPairs(s, d, threshold = 0.45, bits = 16, tables = 14)),
       "q_l49s" -> ((s: SparkSession, d: String) =>

@@ -2991,17 +2991,56 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     servedComplete()
     // stage 2: v1/index partially written (one partition dir exists with
     // files, as a mid-write lister would observe), still no flag
-    spark.read.parquet(s"$dir/v0/index")
-      .limit(3).write.parquet(s"$dir/v1/index/ingest_batch=-1")
+    spark.read.parquet(s"$dir/v0/index").drop("ingest_batch")
+      .limit(3).write.partitionBy("cell")
+      .parquet(s"$dir/v1/index/ingest_batch=-1")
     servedComplete()
     // stage 3: v1 fully staged, flag not yet published — reader still on v0
-    spark.read.parquet(s"$dir/v0/index")
-      .write.mode("overwrite").parquet(s"$dir/v1/index/ingest_batch=-1")
+    spark.read.parquet(s"$dir/v0/index").drop("ingest_batch")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/v1/index/ingest_batch=-1")
     servedComplete()
     // stage 4: flag lands — the swap is atomic from the reader's view
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/_ready-1"), true).close()
     servedComplete()
     assert(Ivf.servingCentroids(spark, dir).count() == c0.count())
+  }
+
+  test("ivf store ANN probe: cell partition pruning reaches the scan, " +
+      "exhaustive probe equals brute force, narrow probe stays in-cell") {
+    import graft.operators.{Ivf, Similarity}
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ann").toString
+    Ivf.bootstrapStore(spark, e, dir)
+    val nCells = Ivf.servingCentroids(spark, dir).count().toInt
+    val qEmb = e.filter(col("vec_id") === 0L).head()
+      .getSeq[Float](2).toArray
+    // exhaustive probe (nprobe = cells) == exact brute-force top-10
+    val exact = e.crossJoin(broadcast(
+        e.filter(col("vec_id") === 0L).select(col("embedding").as("q"))))
+      .select(col("vec_id"),
+        Similarity.cosineSafe(col("embedding"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Ivf.annFromStore(spark, dir, qEmb, k = 10, nprobe = nCells)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, s"exhaustive store probe must be exact:\n$full\n$exact")
+    // narrow probe: the non-probed cells' files must be PRUNED AT
+    // PLANNING — the layout contract, pinned on the executed plan
+    val narrow = Ivf.annFromStore(spark, dir, qEmb, k = 5, nprobe = 2)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty,
+      "cell predicate must be a partition filter, not a post-scan one: " +
+        plan.take(2000))
+    val got = narrow.collect()
+    assert(got.length == 5)
+    // every returned vec lives in one of the 2 probed cells (the probe
+    // never silently widened), and the scanned row count is cell-bounded
+    val served = Ivf.servingIndex(spark, dir)
+    val cellOf = served.collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    val probed = got.map(r => cellOf(r.getLong(0))).toSet
+    assert(probed.size <= 2, s"results from ${probed.size} cells: $probed")
   }
 
   test("scalegen media corpus: the banded audio/video near-dup joins " +
