@@ -226,11 +226,38 @@ object Ivf {
       .select(col("cell").cast("string").as("cell"),
         col("vec_id"), col("embedding"))
 
+  /** Tombstoned vec_ids of version `v`, if any delete has landed. Delete
+    * batches write `del_batch=<id>` partitions (the uniform-layout rule
+    * applies to EVERY store directory, not just the index), so the set
+    * is the union of all delete batches against this version.
+    */
+  private def tombstoneIds(s: SparkSession, dir: String,
+      v: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/tombstones")
+    if (fsOf(s, dir).exists(p))
+      Some(s.read.parquet(p.toString).select("vec_id").distinct())
+    else None
+  }
+
+  /** The serving view of version `v`: the index minus its tombstones.
+    * The anti-join's strategy is left to Catalyst — the tombstone side
+    * is bounded between compactions (each compaction/retrain drains it
+    * to zero), so file-size stats broadcast it; no forced hint that
+    * would pin a 100 TB plan to a driver-sized assumption.
+    */
+  private def servingView(s: SparkSession, dir: String, v: Long): DataFrame = {
+    val idx = readIndex(s, s"$dir/v$v/index")
+    tombstoneIds(s, dir, v) match {
+      case Some(t) => idx.join(t, Seq("vec_id"), "left_anti")
+      case None    => idx
+    }
+  }
+
   /** The serving centroid set / index of the CURRENT version. */
   def servingCentroids(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/v${readVersion(s, dir)}/centroids")
   def servingIndex(s: SparkSession, dir: String): DataFrame =
-    readIndex(s, s"$dir/v${readVersion(s, dir)}/index")
+    servingView(s, dir, readVersion(s, dir))
 
   /** Bootstrap a persisted IVF store at `dir`: train centroids (label-
     * seeded, `kmeansIters` Lloyd refinements), build the index, publish
@@ -274,14 +301,83 @@ object Ivf {
     // non-probed cells' files never enter the scan. The literals are
     // cast to the column's discovered type so constant folding leaves a
     // plain partition-column IN-list.
-    val raw = s.read.parquet(s"$dir/v${readVersion(s, dir)}/index")
+    val v = readVersion(s, dir)
+    val raw = s.read.parquet(s"$dir/v$v/index")
     val cellType = raw.schema("cell").dataType
-    raw.filter(probeCells
-        .map(c => col("cell") === lit(c).cast(cellType)).reduce(_ || _))
+    val pruned = raw.filter(probeCells
+      .map(c => col("cell") === lit(c).cast(cellType)).reduce(_ || _))
+    // tombstones apply AFTER the cell prune: the anti-join sits on top of
+    // the partition-pruned scan, so a delete never widens what gets read
+    val live = tombstoneIds(s, dir, v) match {
+      case Some(t) => pruned.join(t, Seq("vec_id"), "left_anti")
+      case None    => pruned
+    }
+    live
       .select(col("vec_id"),
         Similarity.cosineSafe(col("embedding"), q).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** DELETE vectors from the serving store (the right-to-be-forgotten
+    * path a real corpus store cannot skip): the ids land as a tombstone
+    * partition `v<N>/tombstones/del_batch=<id>`, and every serving read
+    * — [[servingIndex]], [[annFromStore]], the drift readout inside
+    * [[maintainIndex]] — anti-joins them out, so a deleted vector is
+    * unservable the moment the write completes. PHYSICAL removal happens
+    * at the next corpus rewrite: a [[compactStore]] or a drift-triggered
+    * retrain builds the new version from the tombstone-filtered view, so
+    * `v<N+1>` simply does not contain the rows (and carries no
+    * tombstones). Same idempotence discipline as index appends: the
+    * batch partition is OVERWRITE and a `_del-<id>` flag makes a replay
+    * of a completed delete a no-op.
+    */
+  def deleteVectors(s: SparkSession, dir: String, ids: DataFrame,
+      delBatchId: Long): Unit = {
+    require(delBatchId >= 0,
+      s"delBatchId $delBatchId: negative ids are reserved")
+    val v = readVersion(s, dir)
+    val flag = new org.apache.hadoop.fs.Path(s"$dir/_del-$delBatchId")
+    val fs = fsOf(s, dir)
+    if (fs.exists(flag)) return // completed delete replayed: no-op
+    ids.select("vec_id").distinct().write.mode("overwrite")
+      .parquet(s"$dir/v$v/tombstones/del_batch=$delBatchId")
+    fs.create(flag, true).close()
+  }
+
+  /** COMPACT the serving version: rewrite bootstrap ∪ every appended
+    * batch, minus tombstones, into a single `ingest_batch=-1` partition
+    * of `v<N+1>` under the SAME centroids (compaction changes layout,
+    * never assignment — pinned by set-equality in EngineSpec). This is
+    * the maintenance move the append discipline requires at scale:
+    * without it the index accumulates O(batches × cells) partition
+    * directories of batch-sized files forever, and every tombstone stays
+    * an anti-join at read time. After compaction the file count is
+    * `cells × filesPerCell` and deleted rows are physically gone.
+    *
+    * `filesPerCell` is the write-parallelism knob: rows are hash-routed
+    * to `(cell, vec_id % filesPerCell)` so at most `filesPerCell` tasks
+    * write each cell's directory — 1 gives the tightest layout (one file
+    * per cell, fine for a bench-sized store), a 100 TB store sets it so
+    * `cells × filesPerCell` matches the cluster's write parallelism and
+    * each file stays row-group-sized. Publication is the same staged
+    * contract as a retrain: `v<N+1>` is complete before its append-only
+    * `_ready` flag, so concurrent readers resolve a whole version.
+    * Replays of pre-compaction ingest/delete batches stay no-ops — their
+    * `_batch-*`/`_del-*` flags persist — so a restarted upstream can
+    * never double-apply into the compacted version.
+    */
+  def compactStore(s: SparkSession, dir: String, filesPerCell: Int = 1): Long = {
+    require(filesPerCell >= 1, s"filesPerCell $filesPerCell")
+    val v = readVersion(s, dir)
+    s.read.parquet(s"$dir/v$v/centroids")
+      .write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
+    writeIndex(
+      servingView(s, dir, v)
+        .repartition(col("cell"), pmod(hash(col("vec_id")), lit(filesPerCell))),
+      s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
+    publishVersion(s, dir, v + 1) // staged dirs complete before the flag
+    v + 1
   }
 
   /** One maintenance round, closing the [[centroidDrift]] loop: append
@@ -319,7 +415,9 @@ object Ivf {
     val frozen = s.read.parquet(s"$dir/v$v/centroids")
     writeIndex(buildIndex(newVecs.select("vec_id", "embedding"), frozen),
       s"$dir/v$v/index/ingest_batch=$batchId")
-    val index = readIndex(s, s"$dir/v$v/index")
+    // drift and any retrain run on the SERVING view: tombstoned vectors
+    // neither pull centroids nor survive into a retrained version
+    val index = servingView(s, dir, v)
     val drifts = centroidDrift(s, index, frozen).collect()
     val maxDrift = drifts.filter(!_.isNullAt(2)).map(_.getDouble(2))
       .foldLeft(0.0)(math.max)

@@ -3043,6 +3043,87 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(probed.size <= 2, s"results from ${probed.size} cells: $probed")
   }
 
+  test("ivf store deletes + compaction: tombstones leave serving " +
+      "immediately and replay as no-ops; compaction folds O(batches) " +
+      "partitions into O(cells) files, physically drops deletes, and the " +
+      "compacted store still probes pruned and maintains") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val cut = maxId / 2
+    val mid = (cut + maxId) / 2
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    Ivf.bootstrapStore(spark, e.filter(col("vec_id") <= cut), dir)
+    Ivf.maintainIndex(spark, dir,
+      e.filter(col("vec_id") > cut && col("vec_id") <= mid), batchId = 1L,
+      driftThreshold = 0.9)
+    Ivf.maintainIndex(spark, dir, e.filter(col("vec_id") > mid),
+      batchId = 2L, driftThreshold = 0.9)
+    val n = e.count()
+    assert(Ivf.servingIndex(spark, dir).count() == n)
+    def partFiles(path: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.startsWith("part-")) 1 else 0
+      walk(new java.io.File(path))
+    }
+    val filesBefore = partFiles(s"$dir/v0/index")
+    // delete one bootstrap-era and one appended vector; the first
+    // victim's own embedding is the strongest possible query against it
+    // (self-similarity 1.0 — if anything still serves it, ANN will)
+    val victims = Seq(0L, cut + 1)
+    val vEmb = e.filter(col("vec_id") === victims.head).head()
+      .getSeq[Float](2).toArray
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id").isin(victims: _*)).select("vec_id"),
+      delBatchId = 1L)
+    val served = Ivf.servingIndex(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(served.size == n - 2 && victims.forall(!served.contains(_)))
+    val nCells = Ivf.servingCentroids(spark, dir).count().toInt
+    val ann = Ivf.annFromStore(spark, dir, vEmb, k = 10, nprobe = nCells)
+      .collect().map(_.getLong(0))
+    assert(!ann.contains(victims.head),
+      "a deleted vector must be unservable the moment the delete lands")
+    // replay of a COMPLETED delete batch (same id, different payload) is
+    // a no-op: the would-be second victim stays served
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === 5L).select("vec_id"), delBatchId = 1L)
+    assert(Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id") === 5L).count() == 1)
+    // compact: layout changes, the serving view does not
+    val before = Ivf.servingIndex(spark, dir).select("cell", "vec_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(Ivf.compactStore(spark, dir) == 1L)
+    val after = Ivf.servingIndex(spark, dir).select("cell", "vec_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before, "compaction must preserve the serving view")
+    // physical: deleted rows are GONE from the raw files (not merely
+    // filtered), no tombstones carry over, and the file count collapsed
+    // from O(batches x tasks x cells) to exactly cells (filesPerCell=1)
+    val raw1 = spark.read.parquet(s"$dir/v1/index")
+    assert(raw1.filter(col("vec_id").isin(victims: _*)).count() == 0)
+    assert(raw1.select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(-1L))
+    assert(!new java.io.File(s"$dir/v1/tombstones").exists())
+    val filesAfter = partFiles(s"$dir/v1/index")
+    assert(filesAfter == nCells && filesAfter < filesBefore,
+      s"$filesBefore files -> $filesAfter, cells = $nCells")
+    assert(new java.io.File(s"$dir/v0/index").isDirectory) // readers mid-flight
+    // the compacted store is a first-class store: the probe still prunes
+    // at planning, and maintenance appends still union in (re-ingesting
+    // a previously deleted id makes it servable again)
+    val plan = Ivf.annFromStore(spark, dir, vEmb, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty,
+      plan.take(2000))
+    val r = Ivf.maintainIndex(spark, dir,
+      e.filter(col("vec_id") === victims.head), batchId = 3L,
+      driftThreshold = 0.9)
+    assert(!r.retrained && r.version == 1L)
+    assert(Ivf.servingIndex(spark, dir).count() == n - 1)
+  }
+
   test("scalegen media corpus: the banded audio/video near-dup joins " +
       "recover every recoverable planted duplicate and nothing unrelated") {
     import graft.tools.ScaleGen
