@@ -216,6 +216,58 @@ object Ivf {
   private def writeIndex(index: DataFrame, path: String): Unit =
     index.write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Per-cell (n, mean) statistics of an index slice — the O(cells)
+    * summary that makes drift maintenance incremental (see
+    * [[maintainIndex]]): the mean is the [[VectorCentroid]] aggregate,
+    * the count a second batch-sized pass (two passes over a BATCH are
+    * nothing; the corpus scan they replace is everything).
+    */
+  private def cellStatsOf(s: SparkSession, index: DataFrame): DataFrame =
+    centroidsOf(s, index).withColumnRenamed("centroid", "mean")
+      .join(index.groupBy(col("cell").cast("string").as("cell"))
+        .agg(count(lit(1)).as("n")), Seq("cell"))
+
+  private def writeCellStats(stats: DataFrame, path: String): Unit =
+    stats.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Drift without a corpus scan: merge the per-batch cell stats —
+    * O(cells × batches) metadata rows, reset to O(cells) by every
+    * retrain/compaction — into each cell's CURRENT mean
+    * (Σ nᵢ·meanᵢ / Σ nᵢ per coordinate) and compare against the frozen
+    * serving centroids. Exactly [[centroidDrift]]'s answer on an
+    * append-only history (pinned within fp tolerance in EngineSpec);
+    * after a [[deleteVectors]] the stats still count the tombstoned
+    * vectors, so drift is STALE by at most the deleted mass until the
+    * next corpus rewrite recomputes them — the documented trade for
+    * appends that never rescan history.
+    */
+  private[graft] def incrementalMaxDrift(s: SparkSession, dir: String,
+      v: Long): Double = {
+    val stats = s.read.parquet(s"$dir/v$v/cellstats")
+      .select(col("cell").cast("string").as("cell"), col("n"), col("mean"))
+    val current = stats
+      .select(col("cell"), col("n"), posexplode(col("mean")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      // explicit double: float × bigint coerces to FLOAT and the sums
+      // would accumulate at float precision
+      .agg(sum(col("x").cast("double") * col("n")).as("wx"),
+        sum(col("n")).as("wn"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("wx") / col("wn")).cast("float").as("x")))),
+        e => e("x")).as("current"))
+    val frozen = s.read.parquet(s"$dir/v$v/centroids")
+    broadcast(frozen).join(current, Seq("cell"), "left_outer")
+      .select(when(col("current").isNull, lit(null).cast("double"))
+        .otherwise(lit(1.0)
+          - Similarity.cosineSafe(col("current"), col("centroid"))).as("drift"))
+      .agg(max("drift")).head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r                  => r.getDouble(0)
+      }
+  }
+
   /** Normalize an index read back to the [[buildIndex]] schema: `cell`
     * returns as an inferred-int PARTITION column and must come back as
     * the string the centroid tables carry, and the `ingest_batch`
@@ -272,6 +324,10 @@ object Ivf {
     local.write.mode("overwrite").parquet(s"$dir/v0/centroids")
     writeIndex(buildIndex(embeddings.select("vec_id", "embedding"), local),
       s"$dir/v0/index/ingest_batch=$BootstrapBatch")
+    // stats come from the WRITTEN files (a plain rescan beats re-running
+    // the assignment window), seeding the incremental drift path
+    writeCellStats(cellStatsOf(s, readIndex(s, s"$dir/v0/index")),
+      s"$dir/v0/cellstats/ingest_batch=$BootstrapBatch")
     publishVersion(s, dir, 0L)
   }
 
@@ -376,6 +432,11 @@ object Ivf {
       servingView(s, dir, v)
         .repartition(col("cell"), pmod(hash(col("vec_id")), lit(filesPerCell))),
       s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
+    // the rewrite also resets the stats sidecar to O(cells) rows — and
+    // back to EXACT after any deletes (tombstone-era stats are stale by
+    // the deleted mass; see incrementalMaxDrift)
+    writeCellStats(cellStatsOf(s, readIndex(s, s"$dir/v${v + 1}/index")),
+      s"$dir/v${v + 1}/cellstats/ingest_batch=$BootstrapBatch")
     publishVersion(s, dir, v + 1) // staged dirs complete before the flag
     v + 1
   }
@@ -383,8 +444,9 @@ object Ivf {
   /** One maintenance round, closing the [[centroidDrift]] loop: append
     * the arriving batch against the FROZEN serving centroids (the
     * [[appendIndex]] contract — history is never re-assigned, per-batch
-    * cost is one batch-sized pass), read the drift, and when max drift
-    * crosses `driftThreshold`, RETRAIN: re-centroid from the current
+    * cost is one batch-sized pass PLUS an O(cells × batches) metadata
+    * merge via the cellstats sidecar, never a history rescan), read the
+    * drift, and when max drift crosses `driftThreshold`, RETRAIN: re-centroid from the current
     * members, `kmeansIters` Lloyd refinements over the full index, a
     * full re-assignment, and a staged publication (the new `v<N+1>/` is
     * written COMPLETELY before its append-only `_ready` flag appears, so
@@ -413,17 +475,32 @@ object Ivf {
     if (fs.exists(batchFlag)) // completed round replayed: no-op
       return IvfMaintenance(v, 0.0, retrained = false)
     val frozen = s.read.parquet(s"$dir/v$v/centroids")
+    // SELF-HEAL before the append: a store from before the cellstats
+    // sidecar existed gets its stats seeded from the current index —
+    // one corpus scan, once, never again
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v$v/cellstats")))
+      writeCellStats(cellStatsOf(s, readIndex(s, s"$dir/v$v/index")),
+        s"$dir/v$v/cellstats/ingest_batch=$BootstrapBatch")
     writeIndex(buildIndex(newVecs.select("vec_id", "embedding"), frozen),
       s"$dir/v$v/index/ingest_batch=$batchId")
-    // drift and any retrain run on the SERVING view: tombstoned vectors
-    // neither pull centroids nor survive into a retrained version
-    val index = servingView(s, dir, v)
-    val drifts = centroidDrift(s, index, frozen).collect()
-    val maxDrift = drifts.filter(!_.isNullAt(2)).map(_.getDouble(2))
-      .foldLeft(0.0)(math.max)
+    // the batch's own stats come from its freshly written partition (a
+    // batch-sized rescan), and drift merges the stats sidecar instead of
+    // re-aggregating the corpus: the per-append cost is O(batch) data +
+    // O(cells × batches) metadata, not a history rescan — the difference
+    // between an append pipeline that scales and one that quietly
+    // re-reads 100 TB per batch. OVERWRITE keeps a same-batch replay
+    // after a crash between the two writes consistent.
+    writeCellStats(
+      cellStatsOf(s, readIndex(s, s"$dir/v$v/index/ingest_batch=$batchId")),
+      s"$dir/v$v/cellstats/ingest_batch=$batchId")
+    val maxDrift = incrementalMaxDrift(s, dir, v)
     val result =
       if (maxDrift <= driftThreshold) IvfMaintenance(v, maxDrift, retrained = false)
       else {
+        // the retrain is corpus-sized by nature and runs on the SERVING
+        // view: tombstoned vectors neither pull centroids nor survive
+        // into the retrained version
+        val index = servingView(s, dir, v)
         val vecs = index.select("vec_id", "embedding")
         val retrained = kmeans(s, vecs, centroidsOf(s, index), iters = kmeansIters)
         val local = s.createDataFrame(
@@ -431,6 +508,8 @@ object Ivf {
         local.write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
         writeIndex(buildIndex(vecs, local),
           s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
+        writeCellStats(cellStatsOf(s, readIndex(s, s"$dir/v${v + 1}/index")),
+          s"$dir/v${v + 1}/cellstats/ingest_batch=$BootstrapBatch")
         publishVersion(s, dir, v + 1) // staged dirs complete before the flag
         IvfMaintenance(v + 1, maxDrift, retrained = true)
       }

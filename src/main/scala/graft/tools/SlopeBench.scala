@@ -105,6 +105,44 @@ object SlopeBench {
       fn(spark, d).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // IVF store lifecycle per decade — stateful (writes a store), so it
+    // is measured phase-by-phase into a fresh temp store per pass rather
+    // than through the noop sink: bootstrap (corpus-sized by nature),
+    // ONE append of the last ~10% of ids (the phase that must NOT scale
+    // with the corpus: a batch pass plus the O(cells × batches) cellstats
+    // merge — before r13 this hid a full history rescan per batch), and
+    // compaction (corpus rewrite, the file-count reset).
+    def storeLifecycle(s: SparkSession, dir: String): Seq[(String, Double)] = {
+      import graft.operators.Ivf
+      import org.apache.spark.sql.functions.{col, max}
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+      val maxId = e.agg(max("vec_id")).head().getLong(0)
+      val cut = maxId - maxId / 10
+      val base = e.filter(col("vec_id") <= cut)
+      val batch = e.filter(col("vec_id") > cut)
+      def t(f: => Unit): Double = {
+        s.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def pass(): Seq[Double] = {
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft-slope-ivf").toString
+        val times = Seq(
+          t(Ivf.bootstrapStore(s, base, sdir)),
+          t(Ivf.maintainIndex(s, sdir, batch, batchId = 1L,
+            driftThreshold = 2.0)),
+          t(Ivf.compactStore(s, sdir)))
+        new org.apache.hadoop.fs.Path(sdir) // decades would stack GBs in /tmp
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(sdir), true)
+        times
+      }
+      pass() // uncharged warm-up
+      val best = (1 to passes).map(_ => pass())
+        .transpose.map(_.min)
+      Seq("q_ivfB", "q_ivfA", "q_ivfC").zip(best)
+    }
     val out = new StringBuilder
     args.foreach { dir =>
       val ops = opsFor(dir)
@@ -116,6 +154,8 @@ object SlopeBench {
         ops.foreach { case (n, fn) =>
           best(n) = math.min(best(n), run(fn, dir)) }
       }
+      if (new java.io.File(s"$dir/embeddings.parquet").exists())
+        storeLifecycle(spark, dir).foreach { case (n, v) => best(n) = v }
       val qs = best.map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",")
       val line = s"""{"dir":"$dir","queries":{$qs}}"""
       println(line)

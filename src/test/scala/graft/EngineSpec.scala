@@ -3124,6 +3124,54 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Ivf.servingIndex(spark, dir).count() == n - 1)
   }
 
+  test("ivf store incremental drift: the cellstats merge equals the " +
+      "corpus-scan readout on an append-only history, self-heals a " +
+      "legacy store, ignores tombstones until compaction restores " +
+      "exactness") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val cut = maxId / 2
+    val m1 = cut + (maxId - cut) / 3
+    val m2 = cut + 2 * (maxId - cut) / 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    Ivf.bootstrapStore(spark, e.filter(col("vec_id") <= cut), dir)
+    Ivf.maintainIndex(spark, dir,
+      e.filter(col("vec_id") > cut && col("vec_id") <= m1), batchId = 1L,
+      driftThreshold = 0.9)
+    Ivf.maintainIndex(spark, dir,
+      e.filter(col("vec_id") > m1 && col("vec_id") <= m2), batchId = 2L,
+      driftThreshold = 0.9)
+    def exactMax(): Double = Ivf.centroidDrift(spark,
+        Ivf.servingIndex(spark, dir), Ivf.servingCentroids(spark, dir))
+      .collect().filter(!_.isNullAt(2)).map(_.getDouble(2))
+      .foldLeft(0.0)(math.max)
+    val inc = Ivf.incrementalMaxDrift(spark, dir, 0L)
+    assert(math.abs(inc - exactMax()) < 1e-6,
+      s"incremental $inc vs corpus-scan ${exactMax()}")
+    assert(inc > 0.0, "a drift of exactly 0 would mean the stats merged nothing")
+    // self-heal: a store with no stats sidecar (pre-sidecar layout) gets
+    // reseeded by the next append, and drift still matches the rescan
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v0/cellstats"), true)
+    val r = Ivf.maintainIndex(spark, dir,
+      e.filter(col("vec_id") > m2), batchId = 3L, driftThreshold = 0.9)
+    assert(!r.retrained)
+    assert(math.abs(r.maxDrift - exactMax()) < 1e-6,
+      s"post-heal drift ${r.maxDrift} vs corpus-scan ${exactMax()}")
+    // deletes leave the sidecar untouched (drift stale by the deleted
+    // mass, by contract) ...
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") % 7 === 0).select("vec_id"), delBatchId = 1L)
+    assert(Ivf.incrementalMaxDrift(spark, dir, 0L) == r.maxDrift,
+      "a delete must not touch the stats sidecar")
+    // ... and the compaction rewrite restores exact stats over the
+    // tombstone-filtered corpus
+    val v1 = Ivf.compactStore(spark, dir)
+    assert(math.abs(Ivf.incrementalMaxDrift(spark, dir, v1) - exactMax()) < 1e-6)
+  }
+
   test("scalegen media corpus: the banded audio/video near-dup joins " +
       "recover every recoverable planted duplicate and nothing unrelated") {
     import graft.tools.ScaleGen
