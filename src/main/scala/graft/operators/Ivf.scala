@@ -216,16 +216,36 @@ object Ivf {
   private def writeIndex(index: DataFrame, path: String): Unit =
     index.write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Row count as a typed aggregate, so [[cellStatsOf]] computes (mean, n)
+    * in ONE pass beside [[VectorCentroid]] instead of a second scan.
+    */
+  private object CountRows extends org.apache.spark.sql.expressions
+      .Aggregator[Array[Float], Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, v: Array[Float]): Long = b + 1
+    override def merge(a: Long, b: Long): Long = a + b
+    override def finish(r: Long): Long = r
+    override def bufferEncoder = org.apache.spark.sql.Encoders.scalaLong
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
   /** Per-cell (n, mean) statistics of an index slice — the O(cells)
     * summary that makes drift maintenance incremental (see
-    * [[maintainIndex]]): the mean is the [[VectorCentroid]] aggregate,
-    * the count a second batch-sized pass (two passes over a BATCH are
-    * nothing; the corpus scan they replace is everything).
+    * [[maintainIndex]]). Mean and count ride the SAME typed aggregation,
+    * so the slice is scanned exactly once — on a compaction/retrain the
+    * slice is the whole corpus, where the old two-pass shape cost an
+    * extra corpus scan per rewrite.
     */
-  private def cellStatsOf(s: SparkSession, index: DataFrame): DataFrame =
-    centroidsOf(s, index).withColumnRenamed("centroid", "mean")
-      .join(index.groupBy(col("cell").cast("string").as("cell"))
-        .agg(count(lit(1)).as("n")), Seq("cell"))
+  private def cellStatsOf(s: SparkSession, index: DataFrame): DataFrame = {
+    import s.implicits._
+    index.select(col("cell").cast("string"), col("embedding"))
+      .as[(String, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(VectorCentroid.toColumn.name("mean"),
+        CountRows.toColumn.name("n"))
+      .toDF("cell", "mean", "n")
+  }
 
   private def writeCellStats(stats: DataFrame, path: String): Unit =
     stats.coalesce(1).write.mode("overwrite").parquet(path)
@@ -268,41 +288,95 @@ object Ivf {
       }
   }
 
+  /** Raw read of an index directory, keeping the `cell`/`ingest_batch`
+    * partition columns. A version whose live rows were ALL tombstoned
+    * compacts to an index directory with zero data files (the partitionBy
+    * write of an empty frame emits only `_SUCCESS`), which plain
+    * `read.parquet` rejects with UNABLE_TO_INFER_SCHEMA — the maximal-
+    * delete case a compacting store must survive, so that one condition
+    * falls back to an empty frame with the canonical schema.
+    */
+  private val indexRawSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ingest_batch",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readIndexRaw(s: SparkSession, path: String): DataFrame =
+    try s.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexRawSchema)
+    }
+
   /** Normalize an index read back to the [[buildIndex]] schema: `cell`
     * returns as an inferred-int PARTITION column and must come back as
     * the string the centroid tables carry, and the `ingest_batch`
     * bookkeeping column drops out.
     */
   private def readIndex(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
+    readIndexRaw(s, path)
       .select(col("cell").cast("string").as("cell"),
         col("vec_id"), col("embedding"))
 
-  /** Tombstoned vec_ids of version `v`, if any delete has landed. Delete
-    * batches write `del_batch=<id>` partitions (the uniform-layout rule
-    * applies to EVERY store directory, not just the index), so the set
-    * is the union of all delete batches against this version.
+  /** Tombstones of version `v`, if any delete has landed, as one row per
+    * deleted vec_id with the delete's AS-OF ingest batch. Delete batches
+    * write `del_batch=<id>` partitions (the uniform-layout rule applies
+    * to EVERY store directory, not just the index); a vec deleted twice
+    * keeps the LATEST as-of, so the newest delete wins.
+    *
+    * The as-of is what makes a delete an event in the ingest order
+    * rather than a permanent ban on the id: a tombstone masks only rows
+    * whose `ingest_batch <= as_of` — batches that existed when the
+    * delete landed. A vector RE-INGESTED after its delete arrives with a
+    * higher batch id and serves normally (and survives the next
+    * retrain/compaction, which build from the serving view). A bare
+    * vec_id anti-join would silently unserve the re-upload and then
+    * physically drop it at the next rewrite. Legacy tombstones without
+    * the column get `as_of = Long.MaxValue` — the old mask-everything
+    * semantics they were written under.
     */
-  private def tombstoneIds(s: SparkSession, dir: String,
+  private def tombstones(s: SparkSession, dir: String,
       v: Long): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/tombstones")
-    if (fsOf(s, dir).exists(p))
-      Some(s.read.parquet(p.toString).select("vec_id").distinct())
-    else None
+    if (fsOf(s, dir).exists(p)) {
+      val raw = s.read.parquet(p.toString)
+      val withAsOf =
+        if (raw.columns.contains("as_of")) raw
+        else raw.withColumn("as_of", lit(Long.MaxValue))
+      Some(withAsOf
+        .select(col("vec_id"), col("as_of").cast("long").as("as_of"))
+        .groupBy("vec_id").agg(max("as_of").as("as_of")))
+    } else None
   }
 
-  /** The serving view of version `v`: the index minus its tombstones.
-    * The anti-join's strategy is left to Catalyst — the tombstone side
-    * is bounded between compactions (each compaction/retrain drains it
-    * to zero), so file-size stats broadcast it; no forced hint that
-    * would pin a 100 TB plan to a driver-sized assumption.
+  /** Anti-join an index (raw schema, `ingest_batch` present) against a
+    * version's tombstones under the as-of rule (see [[tombstones]]).
+    * The join's strategy is left to Catalyst — the tombstone side is
+    * bounded between compactions (each compaction/retrain drains it to
+    * zero), so file-size stats broadcast it; no forced hint that would
+    * pin a 100 TB plan to a driver-sized assumption.
     */
+  private def antiTombstones(idx: DataFrame, t: DataFrame): DataFrame =
+    idx.join(t, idx("vec_id") === t("vec_id") &&
+      idx("ingest_batch").cast("long") <= t("as_of"), "left_anti")
+
+  /** The serving view of version `v`: the index minus its tombstones. */
   private def servingView(s: SparkSession, dir: String, v: Long): DataFrame = {
-    val idx = readIndex(s, s"$dir/v$v/index")
-    tombstoneIds(s, dir, v) match {
-      case Some(t) => idx.join(t, Seq("vec_id"), "left_anti")
+    val idx = readIndexRaw(s, s"$dir/v$v/index")
+    val live = tombstones(s, dir, v) match {
+      case Some(t) => antiTombstones(idx, t)
       case None    => idx
     }
+    live.select(col("cell").cast("string").as("cell"),
+      col("vec_id"), col("embedding"))
   }
 
   /** The serving centroid set / index of the CURRENT version. */
@@ -340,7 +414,14 @@ object Ivf {
     */
   def annFromStore(s: SparkSession, dir: String, qEmb: Array[Float],
       k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val cents = servingCentroids(s, dir).collect()
+    require(nprobe >= 1, s"nprobe $nprobe: must probe at least one cell")
+    // resolve the version ONCE and read every artifact from it: a second
+    // readVersion after a concurrent retrain publish would pair v's
+    // centroids with v+1's index/tombstones — a torn cross-version read
+    // that ranks probe cells with stale centroids against the re-assigned
+    // index, silently degrading top-k
+    val v = readVersion(s, dir)
+    val cents = s.read.parquet(s"$dir/v$v/centroids").collect()
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -357,15 +438,15 @@ object Ivf {
     // non-probed cells' files never enter the scan. The literals are
     // cast to the column's discovered type so constant folding leaves a
     // plain partition-column IN-list.
-    val v = readVersion(s, dir)
-    val raw = s.read.parquet(s"$dir/v$v/index")
+    val raw = readIndexRaw(s, s"$dir/v$v/index")
     val cellType = raw.schema("cell").dataType
     val pruned = raw.filter(probeCells
-      .map(c => col("cell") === lit(c).cast(cellType)).reduce(_ || _))
+      .map(c => col("cell") === lit(c).cast(cellType))
+      .reduceOption(_ || _).getOrElse(lit(false)))
     // tombstones apply AFTER the cell prune: the anti-join sits on top of
     // the partition-pruned scan, so a delete never widens what gets read
-    val live = tombstoneIds(s, dir, v) match {
-      case Some(t) => pruned.join(t, Seq("vec_id"), "left_anti")
+    val live = tombstones(s, dir, v) match {
+      case Some(t) => antiTombstones(pruned, t)
       case None    => pruned
     }
     live
@@ -375,30 +456,123 @@ object Ivf {
       .limit(k)
   }
 
+  /** The largest ingest batch id currently present in version `v`'s
+    * index — the AS-OF position a delete records (driver-side listing of
+    * O(batches) partition directories, reset to one by every rewrite).
+    */
+  private def maxIngestBatch(s: SparkSession, dir: String, v: Long): Long = {
+    val parts = fsOf(s, dir).globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/v$v/index/ingest_batch=*"))
+    if (parts == null || parts.isEmpty) BootstrapBatch
+    else parts.map(_.getPath.getName.stripPrefix("ingest_batch=").toLong).max
+  }
+
+  /** Delete-batch ids recorded against version `v`. */
+  private def delBatchesOf(s: SparkSession, dir: String, v: Long): Set[Long] = {
+    val parts = fsOf(s, dir).globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/v$v/tombstones/del_batch=*"))
+    if (parts == null) Set.empty
+    else parts.map(_.getPath.getName.stripPrefix("del_batch=").toLong).toSet
+  }
+
+  /** Versions above `v` that a rewrite has STAGED (announced via the
+    * append-only `_staging-N` flag) or already published — the set a
+    * deleter must also tombstone (see [[deleteVectors]]).
+    */
+  private def stagedOrReadyAbove(s: SparkSession, dir: String,
+      v: Long): Seq[Long] = {
+    val fs = fsOf(s, dir)
+    Seq("_staging-*", "_ready-*").flatMap { g =>
+      val hits = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/$g"))
+      if (hits == null) Seq.empty[Long]
+      else hits.map(_.getPath.getName.dropWhile(_ != '-').drop(1).toLong).toSeq
+    }.filter(_ > v).distinct.sorted
+  }
+
   /** DELETE vectors from the serving store (the right-to-be-forgotten
     * path a real corpus store cannot skip): the ids land as a tombstone
-    * partition `v<N>/tombstones/del_batch=<id>`, and every serving read
-    * — [[servingIndex]], [[annFromStore]], the drift readout inside
-    * [[maintainIndex]] — anti-joins them out, so a deleted vector is
-    * unservable the moment the write completes. PHYSICAL removal happens
+    * partition `v<N>/tombstones/del_batch=<id>` carrying the delete's
+    * AS-OF ingest position, and every serving read — [[servingIndex]],
+    * [[annFromStore]], the drift readout inside [[maintainIndex]] —
+    * anti-joins out rows with `ingest_batch <= as_of`, so a deleted
+    * vector is unservable the moment the write completes while a LATER
+    * re-ingest of the same id serves normally. PHYSICAL removal happens
     * at the next corpus rewrite: a [[compactStore]] or a drift-triggered
     * retrain builds the new version from the tombstone-filtered view, so
-    * `v<N+1>` simply does not contain the rows (and carries no
-    * tombstones). Same idempotence discipline as index appends: the
-    * batch partition is OVERWRITE and a `_del-<id>` flag makes a replay
-    * of a completed delete a no-op.
+    * `v<N+1>` simply does not contain the rows. Same idempotence
+    * discipline as index appends: the batch partition is OVERWRITE and a
+    * `_del-<id>` flag makes a replay of a completed delete a no-op.
+    *
+    * DELETE-vs-REWRITE race: a rewrite snapshots the serving view, so a
+    * tombstone landing mid-rewrite could miss both the snapshot and the
+    * new version. The closing protocol has two halves. Rewrites create
+    * `_staging-<N+1>` BEFORE snapshotting and carry forward any delete
+    * batches that landed after their snapshot ([[finishRewrite]]);
+    * deleters, AFTER writing the current version's tombstone, re-apply
+    * it to every staged-or-published version above (as_of = -1: mask
+    * only the rewrite partition — anything with a non-negative batch id
+    * in the new version arrived after this delete and must survive).
+    * Ordering proof: if the rewrite's publish misses the delete, its
+    * pre-publish carry listing predates the deleter's v-write, which
+    * predates the deleter's staging check, which therefore sees the
+    * staging flag (created before the snapshot) — so the deleter covers
+    * the new version itself. Both sides may overwrite the same
+    * `del_batch` partition with identical content; last-writer-wins on
+    * identical bytes, and a torn concurrent read is the standard
+    * file-sink caveat, bounded until the overwrite commits.
     */
   def deleteVectors(s: SparkSession, dir: String, ids: DataFrame,
       delBatchId: Long): Unit = {
     require(delBatchId >= 0,
       s"delBatchId $delBatchId: negative ids are reserved")
-    val v = readVersion(s, dir)
     val flag = new org.apache.hadoop.fs.Path(s"$dir/_del-$delBatchId")
     val fs = fsOf(s, dir)
     if (fs.exists(flag)) return // completed delete replayed: no-op
-    ids.select("vec_id").distinct().write.mode("overwrite")
+    val v = readVersion(s, dir)
+    val tomb = ids.select("vec_id").distinct()
+    tomb.withColumn("as_of", lit(maxIngestBatch(s, dir, v)))
+      .write.mode("overwrite")
       .parquet(s"$dir/v$v/tombstones/del_batch=$delBatchId")
+    stagedOrReadyAbove(s, dir, v).foreach { n =>
+      tomb.withColumn("as_of", lit(BootstrapBatch))
+        .write.mode("overwrite")
+        .parquet(s"$dir/v$n/tombstones/del_batch=$delBatchId")
+    }
     fs.create(flag, true).close()
+  }
+
+  /** Open a rewrite of version `v` into `v+1`: announce the staging flag
+    * (deleters consult it — see [[deleteVectors]]), drop tombstones a
+    * previous ABORTED attempt carried into `v+1` (their deletes live in
+    * `v`'s tombstones and are already reflected in the serving view;
+    * left in place they would mask this attempt's rewrite of any row
+    * re-ingested since), and return the delete batches visible BEFORE
+    * the snapshot. Call before constructing the serving view.
+    */
+  private[graft] def beginRewrite(s: SparkSession, dir: String,
+      v: Long): Set[Long] = {
+    val fs = fsOf(s, dir)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_staging-${v + 1}"),
+      true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v${v + 1}/tombstones"),
+      true)
+    delBatchesOf(s, dir, v)
+  }
+
+  /** Close a rewrite: carry forward delete batches that landed on `v`
+    * after the snapshot (`consumed` is [[beginRewrite]]'s listing) as
+    * `v+1` tombstones masking only the rewrite partition, then publish.
+    */
+  private[graft] def finishRewrite(s: SparkSession, dir: String, v: Long,
+      consumed: Set[Long]): Unit = {
+    (delBatchesOf(s, dir, v) -- consumed).toSeq.sorted.foreach { d =>
+      s.read.parquet(s"$dir/v$v/tombstones/del_batch=$d")
+        .select("vec_id").distinct()
+        .withColumn("as_of", lit(BootstrapBatch))
+        .write.mode("overwrite")
+        .parquet(s"$dir/v${v + 1}/tombstones/del_batch=$d")
+    }
+    publishVersion(s, dir, v + 1) // staged dirs complete before the flag
   }
 
   /** COMPACT the serving version: rewrite bootstrap ∪ every appended
@@ -426,18 +600,23 @@ object Ivf {
   def compactStore(s: SparkSession, dir: String, filesPerCell: Int = 1): Long = {
     require(filesPerCell >= 1, s"filesPerCell $filesPerCell")
     val v = readVersion(s, dir)
+    val consumed = beginRewrite(s, dir, v) // staging flag BEFORE the snapshot
+    val view = servingView(s, dir, v)
     s.read.parquet(s"$dir/v$v/centroids")
       .write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
     writeIndex(
-      servingView(s, dir, v)
-        .repartition(col("cell"), pmod(hash(col("vec_id")), lit(filesPerCell))),
+      view.repartition(col("cell"), pmod(hash(col("vec_id")), lit(filesPerCell))),
       s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
     // the rewrite also resets the stats sidecar to O(cells) rows — and
     // back to EXACT after any deletes (tombstone-era stats are stale by
-    // the deleted mass; see incrementalMaxDrift)
-    writeCellStats(cellStatsOf(s, readIndex(s, s"$dir/v${v + 1}/index")),
+    // the deleted mass; see incrementalMaxDrift). Stats come from the
+    // SAME pre-write view the index write ran (one cheap-lineage re-run),
+    // not a re-read of the just-written files — a compaction already
+    // reads the corpus once to rewrite it; it should not read it again
+    // to describe it.
+    writeCellStats(cellStatsOf(s, view),
       s"$dir/v${v + 1}/cellstats/ingest_batch=$BootstrapBatch")
-    publishVersion(s, dir, v + 1) // staged dirs complete before the flag
+    finishRewrite(s, dir, v, consumed)
     v + 1
   }
 
@@ -476,11 +655,21 @@ object Ivf {
       return IvfMaintenance(v, 0.0, retrained = false)
     val frozen = s.read.parquet(s"$dir/v$v/centroids")
     // SELF-HEAL before the append: a store from before the cellstats
-    // sidecar existed gets its stats seeded from the current index —
-    // one corpus scan, once, never again
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v$v/cellstats")))
+    // sidecar existed gets its stats seeded from the current index — one
+    // corpus scan, once, never again. The health probe is the BOOTSTRAP
+    // partition's commit marker, not bare directory existence: a heal
+    // that crashed mid-job leaves the directory behind with no committed
+    // files, and keying on existence would skip the re-heal forever —
+    // every later drift readout would merge stats missing the entire
+    // pre-sidecar corpus mass. A torn sidecar is dropped wholesale and
+    // rebuilt (only the heal/bootstrap write can be the torn one: batch
+    // stats land after their batch's heal check passed).
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/v$v/cellstats/ingest_batch=$BootstrapBatch/_SUCCESS"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v/cellstats"), true)
       writeCellStats(cellStatsOf(s, readIndex(s, s"$dir/v$v/index")),
         s"$dir/v$v/cellstats/ingest_batch=$BootstrapBatch")
+    }
     writeIndex(buildIndex(newVecs.select("vec_id", "embedding"), frozen),
       s"$dir/v$v/index/ingest_batch=$batchId")
     // the batch's own stats come from its freshly written partition (a
@@ -500,6 +689,7 @@ object Ivf {
         // the retrain is corpus-sized by nature and runs on the SERVING
         // view: tombstoned vectors neither pull centroids nor survive
         // into the retrained version
+        val consumed = beginRewrite(s, dir, v) // staging flag first
         val index = servingView(s, dir, v)
         val vecs = index.select("vec_id", "embedding")
         val retrained = kmeans(s, vecs, centroidsOf(s, index), iters = kmeansIters)
@@ -508,9 +698,13 @@ object Ivf {
         local.write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
         writeIndex(buildIndex(vecs, local),
           s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
+        // unlike compactStore, stats DO come from the written files here:
+        // the pre-write lineage is a buildIndex (window over a broadcast
+        // cross join), and re-running it to describe the result would
+        // cost far more than one rescan of what was just written
         writeCellStats(cellStatsOf(s, readIndex(s, s"$dir/v${v + 1}/index")),
           s"$dir/v${v + 1}/cellstats/ingest_batch=$BootstrapBatch")
-        publishVersion(s, dir, v + 1) // staged dirs complete before the flag
+        finishRewrite(s, dir, v, consumed)
         IvfMaintenance(v + 1, maxDrift, retrained = true)
       }
     fs.create(batchFlag, true).close()

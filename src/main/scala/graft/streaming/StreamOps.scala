@@ -17,6 +17,13 @@ import java.sql.Timestamp
   */
 object StreamOps extends Serializable {
 
+  /** Table dirs whose flat-layout migration guard has passed once this
+    * JVM (driver-side; foreachBatch bodies run on the driver). See
+    * [[ingestWithManifest]].
+    */
+  @transient private lazy val migrationChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** True microseconds since epoch. `Timestamp.getTime` is whole millis
     * (it already includes the integral-ms part of `getNanos`), so the
     * conversion floors getTime to seconds and adds the full
@@ -242,18 +249,24 @@ object StreamOps extends Serializable {
         // would vanish from reads with no error. Fail loudly BEFORE the
         // first partitioned write creates that state; the fix is a
         // one-time relocation of the root files into a bootstrap
-        // partition (e.g. `ingest_batch=-1`).
-        val tPath = new org.apache.hadoop.fs.Path(tableDir)
-        val tFs = tPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (tFs.exists(tPath)) {
-          val rootParquet = tFs.listStatus(tPath)
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          require(rootParquet.isEmpty,
-            s"$tableDir holds ${rootParquet.length} root-level parquet " +
-              "file(s) from a flat-layout ingest; writing ingest_batch=* " +
-              "partitions beside them would silently hide every " +
-              "root-level row from partition-discovery reads. Relocate " +
-              s"them into $tableDir/ingest_batch=-1/ first.")
+        // partition (e.g. `ingest_batch=-1`). The guard can only ever
+        // fire before this sink's first partitioned write, so one clean
+        // pass memoizes it — not a root listing (a LIST call on object
+        // stores) per micro-batch for the stream's whole lifetime.
+        if (!migrationChecked.contains(tableDir)) {
+          val tPath = new org.apache.hadoop.fs.Path(tableDir)
+          val tFs = tPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (tFs.exists(tPath)) {
+            val rootParquet = tFs.listStatus(tPath)
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            require(rootParquet.isEmpty,
+              s"$tableDir holds ${rootParquet.length} root-level parquet " +
+                "file(s) from a flat-layout ingest; writing ingest_batch=* " +
+                "partitions beside them would silently hide every " +
+                "root-level row from partition-discovery reads. Relocate " +
+                s"them into $tableDir/ingest_batch=-1/ first.")
+          }
+          migrationChecked.add(tableDir)
         }
         batch.write.mode("overwrite")
           .parquet(s"$tableDir/ingest_batch=$batchId")
@@ -384,10 +397,33 @@ object StreamOps extends Serializable {
       fs.create(new Path(stage, "_graft_ready"), true).close()
       if (fs.exists(p) && !fs.exists(readyFlag))
         fs.delete(p, true) // crashed or pre-flag layout: replace wholesale
-      if (!fs.rename(stage, p))
-        fs.delete(stage, true) // lost the race — winner's copy is identical
+      publishStagedDir(fs, stage, p)
     }
     s.read.parquet(dir)
+  }
+
+  /** Publish a fully-staged directory to `dest` with rename semantics
+    * that survive losing a concurrent race for the same destination.
+    * Hadoop's `rename(src, dst)` into an EXISTING directory does not
+    * fail — it moves (HDFS) or copies (RawLocalFileSystem's fallback)
+    * the source INSIDE dst and returns true — so the old
+    * `if (!rename) delete(stage)` loser branch was dead code and the
+    * loser's full copy nested itself into the published table forever.
+    * The loser is detected by the destination existing (before the
+    * rename, or nested inside it after a lost photo-finish) and its
+    * stage discarded; contents are deterministic, so the winner's copy
+    * is identical.
+    */
+  private[graft] def publishStagedDir(fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(dest) && fs.rename(stage, dest)) {
+      // a racing winner may have created dest between the exists check
+      // and the rename, nesting our whole stage inside the winner's copy
+      val nested = new org.apache.hadoop.fs.Path(dest, stage.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+    }
+    if (fs.exists(stage)) fs.delete(stage, true) // lost the race outright
   }
 
   def decontamGate(docs: DataFrame, bench: DataFrame, baseDir: String,

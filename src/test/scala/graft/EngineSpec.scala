@@ -3124,6 +3124,142 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Ivf.servingIndex(spark, dir).count() == n - 1)
   }
 
+  test("ivf store delete then re-ingest in the SAME version: the as-of " +
+      "tombstone masks only pre-delete batches, so the re-upload serves " +
+      "immediately and survives the next rewrite") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val cut = maxId / 2
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rein").toString
+    Ivf.bootstrapStore(spark, e.filter(col("vec_id") <= cut), dir)
+    Ivf.maintainIndex(spark, dir, e.filter(col("vec_id") > cut),
+      batchId = 1L, driftThreshold = 0.9)
+    val victims = Seq(0L, 3L)
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id").isin(victims: _*)).select("vec_id"),
+      delBatchId = 7L)
+    assert(Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id").isin(victims: _*)).count() == 0)
+    // the right-to-be-forgotten re-upload: one victim arrives again in a
+    // NEW batch of the same version — it must serve (a bare vec_id
+    // anti-join would silently unserve it forever), the other must not
+    Ivf.maintainIndex(spark, dir, e.filter(col("vec_id") === victims.head),
+      batchId = 2L, driftThreshold = 0.9)
+    val served = Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id").isin(victims: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(served == Seq(victims.head),
+      s"re-ingested victim must serve, the other must not: $served")
+    val vEmb = e.filter(col("vec_id") === victims.head).head()
+      .getSeq[Float](2).toArray
+    val nCells = Ivf.servingCentroids(spark, dir).count().toInt
+    assert(Ivf.annFromStore(spark, dir, vEmb, k = 3, nprobe = nCells)
+      .collect().map(_.getLong(0)).contains(victims.head),
+      "ANN must see the re-ingested vector")
+    // ... and the next PHYSICAL rewrite keeps the re-upload while
+    // dropping the still-deleted victim (the rewrite builds from the
+    // as-of-filtered serving view, not a mask-everything id ban)
+    val v1 = Ivf.compactStore(spark, dir)
+    val raw = spark.read.parquet(s"$dir/v$v1/index")
+    assert(raw.filter(col("vec_id") === victims.head).count() == 1)
+    assert(raw.filter(col("vec_id") === victims(1)).count() == 0)
+    // a delete AFTER the re-ingest removes the re-uploaded copy too
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === victims.head).select("vec_id"),
+      delBatchId = 8L)
+    assert(Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id") === victims.head).count() == 0)
+  }
+
+  test("ivf store delete racing a rewrite: the staging protocol tombstones " +
+      "the staged version, carry-forward covers a deleter that crashed " +
+      "early, and a stale staged tombstone never masks a re-ingest") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").filter(col("vec_id") < 60)
+    val n = e.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-race").toString
+    Ivf.bootstrapStore(spark, e, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a rewrite opens: the staging flag is announced BEFORE its snapshot
+    val consumed = Ivf.beginRewrite(spark, dir, 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_staging-1")))
+    // ... and stages v1 from that (pre-delete) snapshot: a full copy
+    spark.read.parquet(s"$dir/v0/centroids").write.parquet(s"$dir/v1/centroids")
+    spark.read.parquet(s"$dir/v0/index").drop("ingest_batch")
+      .write.partitionBy("cell").parquet(s"$dir/v1/index/ingest_batch=-1")
+    // a delete lands MID-REWRITE: the deleter sees the staging flag and
+    // tombstones the staged version too, masking only its rewrite
+    // partition (as_of = -1)
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === 1L).select("vec_id"), delBatchId = 1L)
+    val staged = spark.read.parquet(s"$dir/v1/tombstones")
+    assert(staged.select("vec_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(staged.select(col("as_of").cast("long")).head().getLong(0) == -1L)
+    // a SECOND deleter crashes after its current-version write but before
+    // its staged-version write — the rewrite's pre-publish carry-forward
+    // must cover it
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === 2L).select("vec_id"), delBatchId = 2L)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/v1/tombstones/del_batch=2"), true) // simulate the crash
+    Ivf.finishRewrite(spark, dir, 0L, consumed)
+    val servedSet = Ivf.servingIndex(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!servedSet.contains(1L) && !servedSet.contains(2L),
+      "both mid-rewrite deletes must hold in the published version")
+    assert(servedSet.size == n - 2)
+    // the staged tombstones mask only the rewrite: a later re-ingest serves
+    Ivf.maintainIndex(spark, dir, e.filter(col("vec_id") === 1L),
+      batchId = 9L, driftThreshold = 2.1)
+    assert(Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id") === 1L).count() == 1)
+    // an ABORTED earlier rewrite attempt left stale tombstones staged at
+    // v2; the next real rewrite must clear them, or they would mask its
+    // rewrite of the re-ingested row
+    e.filter(col("vec_id") === 1L).select("vec_id")
+      .withColumn("as_of", lit(-1L))
+      .write.parquet(s"$dir/v2/tombstones/del_batch=1")
+    assert(Ivf.compactStore(spark, dir) == 2L)
+    assert(Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id") === 1L).count() == 1,
+      "a stale staged tombstone from an aborted rewrite masked a re-ingest")
+  }
+
+  test("ivf store maximal delete: compacting a fully-tombstoned version " +
+      "publishes an EMPTY serving version that still reads, probes, and " +
+      "accepts appends") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").filter(col("vec_id") < 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
+    Ivf.bootstrapStore(spark, e, dir)
+    val qEmb = e.filter(col("vec_id") === 0L).head().getSeq[Float](2).toArray
+    Ivf.deleteVectors(spark, dir, e.select("vec_id"), delBatchId = 1L)
+    assert(Ivf.servingIndex(spark, dir).count() == 0)
+    // the compaction of an all-deleted version writes an index directory
+    // with ZERO data files — it must publish and read back as empty, not
+    // wedge on schema inference
+    assert(Ivf.compactStore(spark, dir) == 1L)
+    assert(Ivf.servingIndex(spark, dir).count() == 0)
+    assert(Ivf.annFromStore(spark, dir, qEmb, k = 5, nprobe = 2).count() == 0)
+    // a degenerate probe fails loudly, not with an opaque empty-reduce
+    intercept[IllegalArgumentException] {
+      Ivf.annFromStore(spark, dir, qEmb, k = 5, nprobe = 0)
+    }
+    // the empty version is a first-class store: appends repopulate it
+    val small = e.filter(col("vec_id") < 10)
+    val r = Ivf.maintainIndex(spark, dir, small, batchId = 2L,
+      driftThreshold = 2.1)
+    assert(!r.retrained && r.version == 1L)
+    assert(Ivf.servingIndex(spark, dir).count() == small.count())
+    val nCells = Ivf.servingCentroids(spark, dir).count().toInt
+    assert(Ivf.annFromStore(spark, dir, qEmb, k = 3, nprobe = nCells)
+      .count() == 3)
+  }
+
   test("ivf store incremental drift: the cellstats merge equals the " +
       "corpus-scan readout on an append-only history, self-heals a " +
       "legacy store, ignores tombstones until compaction restores " +
@@ -3151,10 +3287,15 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       s"incremental $inc vs corpus-scan ${exactMax()}")
     assert(inc > 0.0, "a drift of exactly 0 would mean the stats merged nothing")
     // self-heal: a store with no stats sidecar (pre-sidecar layout) gets
-    // reseeded by the next append, and drift still matches the rescan
+    // reseeded by the next append — and a TORN heal (the directory exists
+    // from a crashed mid-write attempt but holds no committed stats) must
+    // be re-healed, not trusted: the health probe is the bootstrap
+    // partition's _SUCCESS marker, not bare directory existence
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v0/cellstats"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$dir/v0/cellstats/ingest_batch=-1")) // torn: dir, no _SUCCESS
     val r = Ivf.maintainIndex(spark, dir,
       e.filter(col("vec_id") > m2), batchId = 3L, driftThreshold = 0.9)
     assert(!r.retrained)

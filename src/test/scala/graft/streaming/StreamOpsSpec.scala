@@ -489,4 +489,36 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == (0L until 150L), s"expected exactly-once 0..149, got " +
       s"${got.size} rows (dups or losses)")
   }
+
+  test("publishStagedDir: the loser of a concurrent publish race discards " +
+      "its stage instead of nesting it inside the published directory") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("graft-pub").toString
+    val fs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkStage(name: String): Path = {
+      val stage = new Path(base, name)
+      fs.mkdirs(stage)
+      fs.create(new Path(stage, "part-00000.parquet"), true).close()
+      fs.create(new Path(stage, "_graft_ready"), true).close()
+      stage
+    }
+    val dest = new Path(base, "postings")
+    // winner path: destination absent, stage renamed wholesale
+    StreamOps.publishStagedDir(fs, mkStage("postings__stage-w"), dest)
+    assert(fs.exists(new Path(dest, "_graft_ready")))
+    assert(fs.exists(new Path(dest, "part-00000.parquet")))
+    assert(!fs.exists(new Path(base, "postings__stage-w")))
+    // loser path: destination already published. Hadoop rename into an
+    // existing directory NESTS the source inside it (LocalFileSystem
+    // included) and returns true, so the old !rename cleanup never ran —
+    // the loser must detect the winner and delete its own stage, leaving
+    // the published directory exactly as the winner wrote it
+    val loser = mkStage("postings__stage-l")
+    StreamOps.publishStagedDir(fs, loser, dest)
+    assert(!fs.exists(loser), "loser stage must be discarded")
+    val entries = fs.listStatus(dest).map(_.getPath.getName).toSet
+    assert(entries == Set("_graft_ready", "part-00000.parquet"),
+      s"published dir polluted: $entries")
+  }
 }
