@@ -67,16 +67,27 @@ object Ivf {
       .select(avg(lit(1.0) - Similarity.cosineSafe(col("embedding"), col("centroid"))))
       .first().getDouble(0)
 
-  /** Assign every vector to its nearest centroid (broadcast the centroids,
-    * one pass over the corpus).
+  /** Assign every vector to its nearest centroid. Assignment is a
+    * row-local argmax over O(cells) metadata, so this is ONE map-only
+    * pass over the corpus with ZERO shuffle: the centroid set (already
+    * driver-sized by the [[kmeans]] contract) rides into the row scan
+    * as the [[graft.functions.NearestCell]] codegen expression — score
+    * each cell with the exact [[Similarity.cosineSafe]] arithmetic,
+    * keep the best, ties to the smallest cell id. The previous shape
+    * cross-joined the corpus against the centroids and ranked with a
+    * window partitioned by vec_id — a corpus × cells exchange,
+    * embeddings included, on EVERY bootstrap / append / retrain /
+    * Lloyd iteration; at 100 TB that shuffle is the whole cost, and it
+    * bought nothing a per-row loop doesn't.
     */
   def buildIndex(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("sim", Similarity.cosineSafe(col("embedding"), col("centroid")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val rows = centroids.select(col("cell").cast("string"), col("centroid"))
+      .collect().sortBy(_.getString(0)) // stable plan; argmax is order-free
+    embeddings
+      .withColumn("cell", graft.functions.NearestCell(col("embedding"),
+        rows.map(_.getString(0)).toSeq,
+        rows.map(_.getSeq[Float](1).toArray).toSeq))
+      .filter(col("cell").isNotNull) // no centroids / no matching dim
       .select(col("cell"), col("vec_id"), col("embedding"))
   }
 

@@ -114,7 +114,7 @@ object SlopeBench {
     // compaction (corpus rewrite, the file-count reset).
     def storeLifecycle(s: SparkSession, dir: String): Seq[(String, Double)] = {
       import graft.operators.Ivf
-      import org.apache.spark.sql.functions.{col, max}
+      import org.apache.spark.sql.functions.{col, lit, max, pmod}
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "label", "embedding")
       val maxId = e.agg(max("vec_id")).head().getLong(0)
@@ -125,6 +125,12 @@ object SlopeBench {
         s.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      val qEmb = e.filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      def rm(sdir: String): Unit =
+        new org.apache.hadoop.fs.Path(sdir) // decades would stack GBs in /tmp
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(sdir), true)
       def pass(): Seq[Double] = {
         val sdir = java.nio.file.Files
           .createTempDirectory("graft-slope-ivf").toString
@@ -132,21 +138,45 @@ object SlopeBench {
           t(Ivf.bootstrapStore(s, base, sdir)),
           t(Ivf.maintainIndex(s, sdir, batch, batchId = 1L,
             driftThreshold = 2.0)),
+          // serving ANN at the generator's FIXED 10 cells: nprobe=2
+          // reads 1/5 of the corpus by construction, so this row is
+          // EXPECTED to ride corpus/5 — it is the baseline the scaled-
+          // cells row below beats, measuring the cells lever the way the
+          // LSH sweep measured bits=16 vs 20
+          t(Ivf.annFromStore(s, sdir, qEmb, k = 10, nprobe = 2).collect()),
           t(Ivf.compactStore(s, sdir)))
-        new org.apache.hadoop.fs.Path(sdir) // decades would stack GBs in /tmp
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(sdir), true)
+        rm(sdir)
         times
       }
-      pass() // uncharged warm-up
-      val best = (1 to passes).map(_ => pass())
+      // the OPERATED store: a deployment scales cells with the corpus
+      // (cells ≈ √n keeps both the per-cell file size and the probe
+      // fraction shrinking); the label column is just the quantizer
+      // seed, so re-seed it with √n buckets and measure the same probe
+      def scaledPass(): Seq[Double] = {
+        val n = e.count()
+        val k = math.max(10L, math.sqrt(n.toDouble).toLong)
+        val scaled = base.withColumn("label", pmod(col("vec_id"), lit(k)))
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft-slope-ivfs").toString
+        val times = Seq(
+          t(Ivf.bootstrapStore(s, scaled, sdir)),
+          t(Ivf.annFromStore(s, sdir, qEmb, k = 10, nprobe = 2).collect()))
+        rm(sdir)
+        times
+      }
+      pass(); scaledPass() // uncharged warm-ups
+      val best = (1 to passes).map(_ => pass() ++ scaledPass())
         .transpose.map(_.min)
-      Seq("q_ivfB", "q_ivfA", "q_ivfC").zip(best)
+      Seq("q_ivfB", "q_ivfA", "q_ivfQ", "q_ivfC", "q_ivfBs", "q_ivfQs")
+        .zip(best)
     }
+    // SPARK_GRAFT_FAMILY=ivf re-measures ONLY the store lifecycle (the
+    // other families' numbers stay valid when just the IVF path changed)
+    val onlyIvf = sys.env.get("SPARK_GRAFT_FAMILY").contains("ivf")
     val out = new StringBuilder
     args.foreach { dir =>
-      val ops = opsFor(dir)
-      require(ops.nonEmpty, s"$dir holds no ScaleGen table")
+      val ops = if (onlyIvf) Nil else opsFor(dir)
+      require(onlyIvf || ops.nonEmpty, s"$dir holds no ScaleGen table")
       val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       ops.foreach { case (n, fn) => run(fn, dir) // uncharged warm-up
         best(n) = Double.MaxValue }

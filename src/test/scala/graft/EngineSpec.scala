@@ -2900,6 +2900,43 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       s"max drift $driftMax vs stationary $statMax after adversarial shift")
   }
 
+  test("ivf buildIndex: the NearestCell codegen assignment equals the " +
+      "window-rank reference it replaced, breaks ties to the smallest " +
+      "cell, and plans with ZERO exchange") {
+    import graft.operators.{Ivf, Similarity}
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+    val cents = Ivf.trainCentroids(spark, e)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    val got = Ivf.buildIndex(e, local)
+    // reference: the corpus × cells cross-join + window rank this replaced
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    val ref = e.crossJoin(broadcast(local))
+      .withColumn("sim", Similarity.cosineSafe(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("cell", "vec_id")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    assert(got.select("cell", "vec_id").collect().map(key).toSet ==
+      ref.collect().map(key).toSet,
+      "map-only assignment must equal the window-rank reference")
+    // assignment is map-only: no Exchange anywhere in the plan — the old
+    // shape shuffled corpus × cells rows (embeddings included) per call
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"buildIndex must not shuffle:\n${plan.take(1500)}")
+    // ties go to the smallest cell id (the window's ORDER BY sim DESC, cell)
+    import spark.implicits._
+    val dup = Seq(("b", Array(1f, 0f)), ("a", Array(1f, 0f)))
+      .toDF("cell", "centroid")
+    val vecs = Seq((1L, Array(0.5f, 0.5f)), (2L, Array(1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    assert(Ivf.buildIndex(vecs, dup).select("cell").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "a"))
+    // no centroids → empty index, not a crash
+    assert(Ivf.buildIndex(vecs, dup.limit(0)).count() == 0)
+  }
+
   test("ivf store maintenance: stationary arrivals append without retrain; " +
       "drifted arrivals trigger a complete-version retrain swap that " +
       "restores assignment quality") {
