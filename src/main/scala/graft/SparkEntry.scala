@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, ExtensionShowcase, FullText, Ivf, LLMOps, Multimodal, Profiler, Relational, Scale, Similarity, Temporal, TrainPrep}
+import graft.operators.{AsOf, ExtensionShowcase, FullText, Ivf, LLMOps, Multimodal, Pq, Profiler, Relational, Scale, Similarity, Temporal, TrainPrep}
 import graft.pipeline.ClonePipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + §7.
@@ -277,6 +277,9 @@ object SparkEntry {
     "q_l54_feature_table"   -> (LLMOps.qL54 _),
     // mixture weights made actionable: deterministic temperature rebalance
     "q_l55_mixture_rebalance" -> ((s: SparkSession, dir: String) => TrainPrep.qL55(s, dir)),
+    // product-quantized ANN: codegen encode + ADC table scan (IVFADC's
+    // compression half; arithmetic codebook so the oracle is exact)
+    "q_l56_pq_adc"          -> ((s: SparkSession, dir: String) => Pq.qL56(s, dir)),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -945,6 +948,16 @@ object SparkEntry {
     "q_l55_mixture_rebalance" -> {
       val u = s"CAST(${duckPoly("(d.text || '|mix')")} AS DOUBLE) / 1000000007"
       s"""WITH ps AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source), w AS (SELECT source, n_docs, chars, CAST(floor(sqrt(CAST(chars AS DOUBLE))) AS BIGINT) AS w_int FROM ps), t AS (SELECT CAST(SUM(w_int) AS BIGINT) AS z, CAST(SUM(chars) AS BIGINT) AS total_chars FROM w), r AS (SELECT source, n_docs, chars, w_int, least(1.0, (CAST(w_int AS DOUBLE) / CAST(z AS DOUBLE) * (0.5 * CAST(total_chars AS DOUBLE))) / CAST(chars AS DOUBLE)) AS rate FROM w, t), k AS (SELECT d.source, COUNT(*) AS kept_docs, CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars FROM documents d JOIN r ON r.source = d.source WHERE $u < r.rate GROUP BY d.source) SELECT r.source, r.n_docs, r.chars, r.w_int, r.rate, CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs, CAST(COALESCE(k.kept_chars, 0) AS BIGINT) AS kept_chars FROM r LEFT JOIN k ON k.source = r.source ORDER BY r.source"""
+    },
+    // q_l56: the oracle REGENERATES the arithmetic PQ codebook from
+    // integer hashing (the SignSketch/JlProject discipline), re-encodes
+    // every vector (argmin of the same left-fold squared-L2 over unit-
+    // normalized doubles, row_number tie→smallest code), and re-ranks
+    // with the same left-fold ADC sum — value-exact on both engines
+    "q_l56_pq_adc" -> {
+      val cent = "(CAST(((s.s * 16 + k.k) * 8 + i + 1) * 2654435761 % 1000003 % 2001 - 1000 AS DOUBLE) / 1000.0)"
+      val term = s"(v[CAST(s.s * 8 + i + 1 AS INT)] - $cent)"
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, b) -> a + b))) AS v FROM embeddings), d AS (SELECT n.vec_id, s.s AS sub, k.k AS code, list_reduce(list_prepend(0.0, list_transform(range(8), i -> $term * $term)), (a, b) -> a + b) AS dist FROM n, range(8) s(s), range(16) k(k)), codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d) WHERE rn = 1), qt AS (SELECT sub, code, dist FROM d WHERE vec_id = 0), adc AS (SELECT c.vec_id, list_reduce(list_prepend(0.0, list(q.dist ORDER BY c.sub)), (a, b) -> a + b) AS adist FROM codes c JOIN qt q ON q.sub = c.sub AND q.code = c.code WHERE c.vec_id <> 0 GROUP BY c.vec_id) SELECT vec_id, adist FROM adc ORDER BY adist, vec_id LIMIT 10"""
     },
     // shared-bucket discipline (q_m06) + integer cumulative counts divided
     // once in double → bit-deterministic KS statistic

@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** A product-quantization codebook in executor-ready form: `m` subspaces
+  * of `dsub` coordinates, `ksub` centroids per subspace, centroid
+  * `(sub, code)` at `cents(sub * ksub + code)`. Centroid coordinates are
+  * DOUBLE so an arithmetic (hash-generated) codebook is exactly the
+  * rational values its SQL twin regenerates — no float round-trip
+  * between the engine and the oracle.
+  */
+final class PqCodebook(val m: Int, val dsub: Int, val ksub: Int,
+    val cents: Array[Array[Double]]) extends Serializable {
+  require(m >= 1 && dsub >= 1 && ksub >= 2, s"pq: m=$m dsub=$dsub ksub=$ksub")
+  require(cents.length == m * ksub,
+    s"pq: ${cents.length} centroids != m*ksub = ${m * ksub}")
+  require(cents.forall(_.length == dsub), s"pq: centroid dim != dsub=$dsub")
+  val dim: Int = m * dsub
+}
+
+/** PQ ENCODE as one codegen expression: unit-normalize the float vector
+  * (the cosine-serving convention — on the unit sphere L2 is monotone
+  * with cosine), then per subspace pick the argmin-L2 centroid, ties to
+  * the smallest code. One `m × ksub × dsub` tight loop per row inside
+  * whole-stage codegen, ZERO shuffle at any corpus size — the same
+  * [[NearestCell]]/[[JlProject]] lesson. Every accumulation is the
+  * sequential left fold the DuckDB oracle respells with
+  * `list_reduce(list_prepend(0.0, …))`, so codes are bit-reproducible
+  * across engines. NULL input or a vector of the wrong dimension yields
+  * NULL (callers drop the row).
+  */
+case class PqEncode(child: Expression, codebook: PqCodebook)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires array<float>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqCodec.encode(v.asInstanceOf[ArrayData], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook,
+      "graft.functions.PqCodebook")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = graft.functions.PqCodec.encode($a, $cbRef);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** PQ ASYMMETRIC DISTANCE (the ADC of IVFADC): the approximate squared
+  * L2 distance from a fixed query to a PQ-coded vector is the sum of
+  * `m` per-subspace table entries, where `table(sub * ksub + code)` is
+  * the exact distance from the query's sub-slice to that centroid —
+  * built ONCE per query on the driver ([[graft.operators.Pq]]), so the
+  * corpus scan does `m` array lookups and adds per row instead of any
+  * vector arithmetic. Left-fold addition in subspace order keeps the
+  * result bit-reproducible by the SQL twin. NULL codes, wrong length,
+  * or an out-of-range code yield NULL.
+  */
+case class PqAdc(child: Expression, table: Array[Double], m: Int, ksub: Int)
+    extends UnaryExpression {
+
+  require(table.length == m * ksub,
+    s"pq_adc: table ${table.length} != m*ksub = ${m * ksub}")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc requires array<int> codes, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqCodec.adc(v.asInstanceOf[ArrayData], table, m, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pqAdcTable", table, "double[]")
+    val res = ctx.freshName("pqAdcRes")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |Double $res = graft.functions.PqCodec.adc($a, $tRef, $m, $ksub);
+       |${ev.isNull} = $res == null;
+       |${ev.value} = ${ev.isNull} ? -1.0 : $res.doubleValue();
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdc =
+    copy(child = newChild)
+}
+
+object PqCodec {
+
+  /** Shared by interpreted eval and generated code. Fold order is the
+    * parity contract: norm and every per-subspace distance are
+    * sequential left folds of doubles, exactly what the oracle's
+    * `list_reduce(list_prepend(0.0, …), (a, b) -> a + b)` computes.
+    */
+  def encode(arr: ArrayData, cb: PqCodebook): ArrayData = {
+    if (arr.numElements() != cb.dim) return null
+    var norm = 0.0
+    var i = 0
+    while (i < cb.dim) {
+      val x = arr.getFloat(i).toDouble
+      norm += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(norm) // v_i = x_i / nrm; a 0-norm → NaN like the SQL
+    val out = new Array[Int](cb.m)
+    var sub = 0
+    while (sub < cb.m) {
+      val base = sub * cb.dsub
+      var bestCode = 0
+      var bestDist = Double.PositiveInfinity
+      var code = 0
+      while (code < cb.ksub) {
+        val c = cb.cents(sub * cb.ksub + code)
+        var d = 0.0
+        var j = 0
+        while (j < cb.dsub) {
+          val diff = arr.getFloat(base + j).toDouble / nrm - c(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestDist) { bestDist = d; bestCode = code } // tie → smallest
+        code += 1
+      }
+      out(sub) = bestCode
+      sub += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  def adc(codes: ArrayData, table: Array[Double], m: Int,
+      ksub: Int): java.lang.Double = {
+    if (codes.numElements() != m) return null
+    var acc = 0.0
+    var sub = 0
+    while (sub < m) {
+      val code = codes.getInt(sub)
+      if (code < 0 || code >= ksub) return null
+      acc += table(sub * ksub + code)
+      sub += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def pqEncode(c: Column, cb: PqCodebook): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(c), cb))
+
+  def pqAdc(c: Column, table: Array[Double], m: Int, ksub: Int): Column =
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(c), table, m, ksub))
+}

@@ -76,6 +76,16 @@ object SlopeBench {
         Multimodal.videoNearDupPairs(s, media(s, d))))
   }
 
+  /** The PQ ADC serving scan at corpus scale — the q_l56 shape (codegen
+    * encode + m table lookups per row, ONE map-only pass into a TopK)
+    * against the embeddings decades: the compressed-serving claim must
+    * ride the scan, nothing else.
+    */
+  private def embOps: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    import graft.operators.Pq
+    Seq("q_pqS" -> ((s: SparkSession, d: String) => Pq.qL56(s, d)))
+  }
+
   /** Run whatever the dir holds: ScaleGen doc corpora, events decades,
     * media decades — one harness, table-conditional op families.
     */
@@ -83,7 +93,8 @@ object SlopeBench {
     def has(t: String) = new java.io.File(s"$dir/$t.parquet").exists()
     (if (has("documents")) docOps else Nil) ++
       (if (has("events")) eventOps else Nil) ++
-      (if (has("media")) mediaOps else Nil)
+      (if (has("media")) mediaOps else Nil) ++
+      (if (has("embeddings")) embOps else Nil)
   }
 
   def main(args: Array[String]): Unit = {
@@ -170,12 +181,17 @@ object SlopeBench {
       Seq("q_ivfB", "q_ivfA", "q_ivfQ", "q_ivfC", "q_ivfBs", "q_ivfQs")
         .zip(best)
     }
-    // SPARK_GRAFT_FAMILY=ivf re-measures ONLY the store lifecycle (the
-    // other families' numbers stay valid when just the IVF path changed)
-    val onlyIvf = sys.env.get("SPARK_GRAFT_FAMILY").contains("ivf")
+    // SPARK_GRAFT_FAMILY re-measures ONE family when only its code path
+    // changed (the other families' recorded numbers stay valid):
+    // "ivf" = the store lifecycle alone, "pq" = the ADC scan alone
+    val family = sys.env.get("SPARK_GRAFT_FAMILY")
+    val onlyIvf = family.contains("ivf")
     val out = new StringBuilder
     args.foreach { dir =>
-      val ops = if (onlyIvf) Nil else opsFor(dir)
+      val ops =
+        if (onlyIvf) Nil
+        else if (family.contains("pq")) embOps
+        else opsFor(dir)
       require(onlyIvf || ops.nonEmpty, s"$dir holds no ScaleGen table")
       val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       ops.foreach { case (n, fn) => run(fn, dir) // uncharged warm-up
@@ -184,7 +200,8 @@ object SlopeBench {
         ops.foreach { case (n, fn) =>
           best(n) = math.min(best(n), run(fn, dir)) }
       }
-      if (new java.io.File(s"$dir/embeddings.parquet").exists())
+      if (new java.io.File(s"$dir/embeddings.parquet").exists() &&
+          !family.contains("pq"))
         storeLifecycle(spark, dir).foreach { case (n, v) => best(n) = v }
       val qs = best.map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",")
       val line = s"""{"dir":"$dir","queries":{$qs}}"""
