@@ -258,8 +258,16 @@ object Ivf {
       .toDF("cell", "mean", "n")
   }
 
-  private def writeCellStats(stats: DataFrame, path: String): Unit =
+  private def writeCellStats(stats: DataFrame, path: String): Unit = {
     stats.coalesce(1).write.mode("overwrite").parquet(path)
+    // the store's OWN commit marker: `_SUCCESS` is committer-config
+    // dependent (object-store deployments disable it), and the heal
+    // probe keying on it would re-run a corpus-sized heal on EVERY
+    // append there. Written after the parquet commit; overwrite replays
+    // recreate it.
+    fsOf(stats.sparkSession, path).create(
+      new org.apache.hadoop.fs.Path(s"$path/_graft_ok"), true).close()
+  }
 
   /** Drift without a corpus scan: merge the per-batch cell stats —
     * O(cells × batches) metadata rows, reset to O(cells) by every
@@ -358,9 +366,17 @@ object Ivf {
       v: Long): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/tombstones")
     if (fsOf(s, dir).exists(p)) {
-      val raw = s.read.parquet(p.toString)
+      // mergeSchema: a version can legitimately mix legacy del batches
+      // (no as_of column) with new ones — a single-file schema pick
+      // would either read legacy as_of as NULL (deleted vectors
+      // RESURFACE through the null-condition anti-join) or drop the new
+      // column entirely (a fresh delete becomes mask-everything and
+      // kills post-delete re-ingests). Merge, then default per ROW.
+      val raw = s.read.option("mergeSchema", "true").parquet(p.toString)
       val withAsOf =
-        if (raw.columns.contains("as_of")) raw
+        if (raw.columns.contains("as_of"))
+          raw.withColumn("as_of",
+            coalesce(col("as_of").cast("long"), lit(Long.MaxValue)))
         else raw.withColumn("as_of", lit(Long.MaxValue))
       Some(withAsOf
         .select(col("vec_id"), col("as_of").cast("long").as("as_of"))
@@ -368,22 +384,76 @@ object Ivf {
     } else None
   }
 
-  /** Anti-join an index (raw schema, `ingest_batch` present) against a
-    * version's tombstones under the as-of rule (see [[tombstones]]).
-    * The join's strategy is left to Catalyst — the tombstone side is
-    * bounded between compactions (each compaction/retrain drains it to
-    * zero), so file-size stats broadcast it; no forced hint that would
-    * pin a 100 TB plan to a driver-sized assumption.
+  /** The REWRITE WATERMARK of a version: its `ingest_batch=-1` partition
+    * was produced by a rewrite whose snapshot covered every batch id up
+    * to the watermark, so a collapsed row's EFFECTIVE batch id is the
+    * watermark, not -1. A version with no watermark file (the bootstrap
+    * v0, or any pre-watermark store) has watermark -1 — its -1 partition
+    * predates every non-negative batch, which is exactly what effective
+    * id -1 says. Written once per rewrite attempt by [[beginRewrite]]
+    * (the whole `v<N+1>/` staging dir is cleared first, so at most one
+    * exists); `max` tolerates leftovers defensively.
     */
-  private def antiTombstones(idx: DataFrame, t: DataFrame): DataFrame =
+  private def watermarkOf(s: SparkSession, dir: String, v: Long): Long = {
+    val hits = fsOf(s, dir).globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/v$v/_watermark-*"))
+    if (hits == null || hits.isEmpty) BootstrapBatch
+    else hits.map(_.getPath.getName.stripPrefix("_watermark-").toLong).max
+  }
+
+  /** A row's effective batch id under the watermark rule. */
+  private def effectiveBatch(wm: Long) =
+    when(col("ingest_batch").cast("long") === lit(BootstrapBatch), lit(wm))
+      .otherwise(col("ingest_batch").cast("long"))
+
+  /** Anti-join an index (raw schema, `ingest_batch` present) against a
+    * version's tombstones under the as-of rule (see [[tombstones]]): a
+    * tombstone masks rows whose EFFECTIVE batch id (`wm` for the
+    * collapsed -1 partition, the partition id otherwise) is <= its
+    * as_of. The join's strategy is left to Catalyst — the tombstone side
+    * is bounded between compactions (each compaction/retrain drains it
+    * to zero), so file-size stats broadcast it; no forced hint that
+    * would pin a 100 TB plan to a driver-sized assumption.
+    */
+  private def antiTombstones(idx: DataFrame, t: DataFrame,
+      wm: Long): DataFrame =
     idx.join(t, idx("vec_id") === t("vec_id") &&
-      idx("ingest_batch").cast("long") <= t("as_of"), "left_anti")
+      effectiveBatch(wm) <= t("as_of"), "left_anti")
 
   /** The serving view of version `v`: the index minus its tombstones. */
   private def servingView(s: SparkSession, dir: String, v: Long): DataFrame = {
     val idx = readIndexRaw(s, s"$dir/v$v/index")
     val live = tombstones(s, dir, v) match {
-      case Some(t) => antiTombstones(idx, t)
+      case Some(t) => antiTombstones(idx, t, watermarkOf(s, dir, v))
+      case None    => idx
+    }
+    live.select(col("cell").cast("string").as("cell"),
+      col("vec_id"), col("embedding"))
+  }
+
+  /** The serving view restricted to an EXPLICIT batch set — what a
+    * rewrite snapshots, so its contents are exactly the batches its
+    * ticket (and watermark) claim, however many appends land between
+    * the ticket listing and the first job that executes this plan.
+    */
+  private def servingViewAt(s: SparkSession, dir: String, v: Long,
+      batches: Set[Long]): DataFrame = {
+    val base = s"$dir/v$v/index"
+    val paths = batches.toSeq.sorted.map(b => s"$base/ingest_batch=$b")
+    val idx =
+      if (paths.isEmpty)
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexRawSchema)
+      else
+        try s.read.option("basePath", base).parquet(paths: _*)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexRawSchema)
+        }
+    val live = tombstones(s, dir, v) match {
+      case Some(t) => antiTombstones(idx, t, watermarkOf(s, dir, v))
       case None    => idx
     }
     live.select(col("cell").cast("string").as("cell"),
@@ -457,7 +527,7 @@ object Ivf {
     // tombstones apply AFTER the cell prune: the anti-join sits on top of
     // the partition-pruned scan, so a delete never widens what gets read
     val live = tombstones(s, dir, v) match {
-      case Some(t) => antiTombstones(pruned, t)
+      case Some(t) => antiTombstones(pruned, t, watermarkOf(s, dir, v))
       case None    => pruned
     }
     live
@@ -467,16 +537,27 @@ object Ivf {
       .limit(k)
   }
 
-  /** The largest ingest batch id currently present in version `v`'s
-    * index — the AS-OF position a delete records (driver-side listing of
-    * O(batches) partition directories, reset to one by every rewrite).
+  /** Ingest-batch ids currently present in version `v`'s index
+    * (driver-side listing of O(batches) partition directories, reset to
+    * one by every rewrite).
     */
-  private def maxIngestBatch(s: SparkSession, dir: String, v: Long): Long = {
+  private def ingestBatchesOf(s: SparkSession, dir: String,
+      v: Long): Set[Long] = {
     val parts = fsOf(s, dir).globStatus(
       new org.apache.hadoop.fs.Path(s"$dir/v$v/index/ingest_batch=*"))
-    if (parts == null || parts.isEmpty) BootstrapBatch
-    else parts.map(_.getPath.getName.stripPrefix("ingest_batch=").toLong).max
+    if (parts == null) Set.empty
+    else parts.map(_.getPath.getName.stripPrefix("ingest_batch=").toLong).toSet
   }
+
+  /** The largest EFFECTIVE batch id in version `v` — the AS-OF position
+    * a delete records: the max over partition ids and the version's
+    * watermark (the collapsed -1 partition of a compacted version
+    * represents batches up to the watermark, so a delete landing right
+    * after a compaction must mask it).
+    */
+  private def maxIngestBatch(s: SparkSession, dir: String, v: Long): Long =
+    (ingestBatchesOf(s, dir, v) + watermarkOf(s, dir, v))
+      .filter(_ >= 0).foldLeft(BootstrapBatch)(math.max)
 
   /** Delete-batch ids recorded against version `v`. */
   private def delBatchesOf(s: SparkSession, dir: String, v: Long): Set[Long] = {
@@ -517,20 +598,36 @@ object Ivf {
     * DELETE-vs-REWRITE race: a rewrite snapshots the serving view, so a
     * tombstone landing mid-rewrite could miss both the snapshot and the
     * new version. The closing protocol has two halves. Rewrites create
-    * `_staging-<N+1>` BEFORE snapshotting and carry forward any delete
-    * batches that landed after their snapshot ([[finishRewrite]]);
-    * deleters, AFTER writing the current version's tombstone, re-apply
-    * it to every staged-or-published version above (as_of = -1: mask
-    * only the rewrite partition — anything with a non-negative batch id
-    * in the new version arrived after this delete and must survive).
-    * Ordering proof: if the rewrite's publish misses the delete, its
-    * pre-publish carry listing predates the deleter's v-write, which
-    * predates the deleter's staging check, which therefore sees the
-    * staging flag (created before the snapshot) — so the deleter covers
-    * the new version itself. Both sides may overwrite the same
-    * `del_batch` partition with identical content; last-writer-wins on
-    * identical bytes, and a torn concurrent read is the standard
-    * file-sink caveat, bounded until the overwrite commits.
+    * `_staging-<N+1>` BEFORE listing their snapshot's batches and carry
+    * forward any delete batches that landed after that listing
+    * ([[finishRewrite]]); deleters, AFTER writing the current version's
+    * tombstone, re-apply it to every staged-or-published version above
+    * whose watermark is known, with `as_of = max(asOf, watermark)` —
+    * under the effective-batch rule that masks the collapsed rewrite
+    * partition while sparing batches appended to the new version after
+    * the delete. A staged version whose watermark file is not yet
+    * visible is SKIPPED: its ticket listing has not happened, so the
+    * already-written `v` tombstone lands in the snapshot's own
+    * tombstone read. Ordering proof for the covered half: if the
+    * rewrite's publish misses the delete, its pre-publish carry listing
+    * predates the deleter's v-write, which predates the deleter's
+    * staging check, which therefore sees the staging flag — so the
+    * deleter covers the new version itself. Both sides may overwrite
+    * the same `del_batch` partition with identical content;
+    * last-writer-wins on identical bytes, and a torn concurrent read is
+    * the standard file-sink caveat, bounded until the overwrite
+    * commits. Residual window (documented, not closed): a re-ingest
+    * landing between this delete and a concurrent rewrite's snapshot
+    * can be masked in the NEW version by the `max(asOf, watermark)`
+    * staged tombstone — it serves again on its next re-ingest; closing
+    * it outright needs an atomic commit log (Delta/Iceberg-style OCC),
+    * the production escalation path for a file-based store.
+    *
+    * REPLAY idempotence includes the as-of: a delete that crashed after
+    * its tombstone write but before its `_del` flag reuses the as-of
+    * already on disk — recomputing it at replay time would RAISE it
+    * past any re-ingest that landed in between, silently unserving the
+    * re-upload the first attempt deliberately spared.
     */
   def deleteVectors(s: SparkSession, dir: String, ids: DataFrame,
       delBatchId: Long): Unit = {
@@ -540,46 +637,100 @@ object Ivf {
     val fs = fsOf(s, dir)
     if (fs.exists(flag)) return // completed delete replayed: no-op
     val v = readVersion(s, dir)
+    val tombPath = s"$dir/v$v/tombstones/del_batch=$delBatchId"
+    val priorAsOf = scala.util.Try {
+      val r = s.read.parquet(tombPath).agg(max(col("as_of").cast("long"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }.toOption.flatten
+    val asOf = priorAsOf.getOrElse(maxIngestBatch(s, dir, v))
     val tomb = ids.select("vec_id").distinct()
-    tomb.withColumn("as_of", lit(maxIngestBatch(s, dir, v)))
-      .write.mode("overwrite")
-      .parquet(s"$dir/v$v/tombstones/del_batch=$delBatchId")
+    tomb.withColumn("as_of", lit(asOf))
+      .write.mode("overwrite").parquet(tombPath)
     stagedOrReadyAbove(s, dir, v).foreach { n =>
-      tomb.withColumn("as_of", lit(BootstrapBatch))
-        .write.mode("overwrite")
-        .parquet(s"$dir/v$n/tombstones/del_batch=$delBatchId")
+      val wmPath = fsOf(s, dir).globStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/v$n/_watermark-*"))
+      if (wmPath != null && wmPath.nonEmpty) // ticket listed: cover n ourselves
+        tomb.withColumn("as_of", lit(math.max(asOf, watermarkOf(s, dir, n))))
+          .write.mode("overwrite")
+          .parquet(s"$dir/v$n/tombstones/del_batch=$delBatchId")
+      // else: n's snapshot listing is still ahead — it will see v's tombstone
     }
     fs.create(flag, true).close()
   }
 
-  /** Open a rewrite of version `v` into `v+1`: announce the staging flag
-    * (deleters consult it — see [[deleteVectors]]), drop tombstones a
-    * previous ABORTED attempt carried into `v+1` (their deletes live in
-    * `v`'s tombstones and are already reflected in the serving view;
-    * left in place they would mask this attempt's rewrite of any row
-    * re-ingested since), and return the delete batches visible BEFORE
-    * the snapshot. Call before constructing the serving view.
+  /** What a rewrite's [[beginRewrite]] snapshot covered: the watermark
+    * (max effective batch id of the covered set) plus the exact ingest
+    * and delete batch listings its serving-view read is restricted to.
+    */
+  final case class RewriteTicket(wm: Long, ingestBatches: Set[Long],
+      delBatches: Set[Long])
+
+  /** Open a rewrite of version `v` into `v+1`. Order is load-bearing:
+    * (1) announce `_staging-<v+1>` (deleters and appenders consult it);
+    * (2) CLEAR the whole `v<v+1>/` staging dir — an aborted attempt's
+    * leftovers (tombstones, carried batches, its watermark) would
+    * otherwise mask or duplicate rows this attempt's snapshot already
+    * covers; (3) list `v`'s ingest batches and write the WATERMARK file
+    * (concurrent appenders key on it: batch <= wm means "the snapshot
+    * covers me", batch > wm means "apply yourself to the staged
+    * version too"); (4) list delete batches LAST, so a delete that
+    * observed the staging flag but found no watermark yet is
+    * guaranteed to be in this listing. The rewrite's view MUST then be
+    * built with [[servingViewAt]] over the ticket's exact batch set.
     */
   private[graft] def beginRewrite(s: SparkSession, dir: String,
-      v: Long): Set[Long] = {
+      v: Long): RewriteTicket = {
     val fs = fsOf(s, dir)
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/_staging-${v + 1}"),
       true).close()
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v${v + 1}/tombstones"),
-      true)
-    delBatchesOf(s, dir, v)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v${v + 1}"), true)
+    val ingest = ingestBatchesOf(s, dir, v)
+    val wm = (ingest + watermarkOf(s, dir, v))
+      .filter(_ >= 0).foldLeft(BootstrapBatch)(math.max)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/v${v + 1}/_watermark-$wm"), true).close()
+    RewriteTicket(wm, ingest, delBatchesOf(s, dir, v))
   }
 
-  /** Close a rewrite: carry forward delete batches that landed on `v`
-    * after the snapshot (`consumed` is [[beginRewrite]]'s listing) as
-    * `v+1` tombstones masking only the rewrite partition, then publish.
+  /** Close a rewrite: carry forward the batches that landed on `v`
+    * after the ticket's listings, then publish.
+    *
+    * INGEST batches beyond the watermark are re-assigned against the
+    * new version's centroids and written as their own partitions — the
+    * append-vs-rewrite race's safety net: either the appender itself
+    * saw the staged watermark and covered the new version (batch > wm,
+    * watermark visible), or its batch is in this listing (the ordering
+    * argument mirrors the delete proof). Without the carry, a batch
+    * landing mid-rewrite would exist only in the superseded version
+    * while its `_batch` flag turns the replay into a permanent no-op —
+    * silent data loss. DELETE batches beyond the ticket carry their
+    * recorded as_of verbatim: a post-listing delete observed a position
+    * >= the watermark, so the effective-batch rule masks the collapsed
+    * partition and spares later appends without any -1 special-casing.
     */
   private[graft] def finishRewrite(s: SparkSession, dir: String, v: Long,
-      consumed: Set[Long]): Unit = {
-    (delBatchesOf(s, dir, v) -- consumed).toSeq.sorted.foreach { d =>
-      s.read.parquet(s"$dir/v$v/tombstones/del_batch=$d")
-        .select("vec_id").distinct()
-        .withColumn("as_of", lit(BootstrapBatch))
+      ticket: RewriteTicket): Unit = {
+    val centroids = s.read.parquet(s"$dir/v${v + 1}/centroids")
+    (ingestBatchesOf(s, dir, v) -- ticket.ingestBatches)
+      .filter(_ > ticket.wm).toSeq.sorted.foreach { b =>
+        writeIndex(
+          buildIndex(readIndex(s, s"$dir/v$v/index/ingest_batch=$b")
+            .select("vec_id", "embedding"), centroids),
+          s"$dir/v${v + 1}/index/ingest_batch=$b")
+        writeCellStats(
+          cellStatsOf(s, readIndex(s,
+            s"$dir/v${v + 1}/index/ingest_batch=$b")),
+          s"$dir/v${v + 1}/cellstats/ingest_batch=$b")
+      }
+    (delBatchesOf(s, dir, v) -- ticket.delBatches).toSeq.sorted.foreach { d =>
+      val src = s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/v$v/tombstones/del_batch=$d")
+      val withAsOf =
+        if (src.columns.contains("as_of"))
+          src.withColumn("as_of",
+            coalesce(col("as_of").cast("long"), lit(Long.MaxValue)))
+        else src.withColumn("as_of", lit(Long.MaxValue))
+      withAsOf.select(col("vec_id"), col("as_of")).distinct()
         .write.mode("overwrite")
         .parquet(s"$dir/v${v + 1}/tombstones/del_batch=$d")
     }
@@ -611,8 +762,8 @@ object Ivf {
   def compactStore(s: SparkSession, dir: String, filesPerCell: Int = 1): Long = {
     require(filesPerCell >= 1, s"filesPerCell $filesPerCell")
     val v = readVersion(s, dir)
-    val consumed = beginRewrite(s, dir, v) // staging flag BEFORE the snapshot
-    val view = servingView(s, dir, v)
+    val ticket = beginRewrite(s, dir, v) // staging flag BEFORE the snapshot
+    val view = servingViewAt(s, dir, v, ticket.ingestBatches)
     s.read.parquet(s"$dir/v$v/centroids")
       .write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
     writeIndex(
@@ -620,14 +771,18 @@ object Ivf {
       s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
     // the rewrite also resets the stats sidecar to O(cells) rows — and
     // back to EXACT after any deletes (tombstone-era stats are stale by
-    // the deleted mass; see incrementalMaxDrift). Stats come from the
-    // SAME pre-write view the index write ran (one cheap-lineage re-run),
-    // not a re-read of the just-written files — a compaction already
-    // reads the corpus once to rewrite it; it should not read it again
-    // to describe it.
-    writeCellStats(cellStatsOf(s, view),
+    // the deleted mass; see incrementalMaxDrift). Stats come from a
+    // single-pass rescan of the JUST-WRITTEN -1 partition: fewer, larger,
+    // tombstone-free files than re-running the view's small-file read +
+    // anti-join lineage a second time — and scoped to -1 because a
+    // racing appender may already have staged its own batch partition
+    // here, which writes its own stats (double-counting it would skew
+    // every later drift readout).
+    writeCellStats(
+      cellStatsOf(s, readIndex(s,
+        s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")),
       s"$dir/v${v + 1}/cellstats/ingest_batch=$BootstrapBatch")
-    finishRewrite(s, dir, v, consumed)
+    finishRewrite(s, dir, v, ticket)
     v + 1
   }
 
@@ -668,15 +823,18 @@ object Ivf {
     // SELF-HEAL before the append: a store from before the cellstats
     // sidecar existed gets its stats seeded from the current index — one
     // corpus scan, once, never again. The health probe is the BOOTSTRAP
-    // partition's commit marker, not bare directory existence: a heal
-    // that crashed mid-job leaves the directory behind with no committed
+    // partition's `_graft_ok` marker (written by the store itself — NOT
+    // the committer's `_SUCCESS`, which object-store deployments
+    // disable; keying on that would re-run this corpus-sized heal on
+    // every append there), not bare directory existence: a heal that
+    // crashed mid-job leaves the directory behind with no committed
     // files, and keying on existence would skip the re-heal forever —
     // every later drift readout would merge stats missing the entire
     // pre-sidecar corpus mass. A torn sidecar is dropped wholesale and
     // rebuilt (only the heal/bootstrap write can be the torn one: batch
     // stats land after their batch's heal check passed).
     if (!fs.exists(new org.apache.hadoop.fs.Path(
-        s"$dir/v$v/cellstats/ingest_batch=$BootstrapBatch/_SUCCESS"))) {
+        s"$dir/v$v/cellstats/ingest_batch=$BootstrapBatch/_graft_ok"))) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v/cellstats"), true)
       writeCellStats(cellStatsOf(s, readIndex(s, s"$dir/v$v/index")),
         s"$dir/v$v/cellstats/ingest_batch=$BootstrapBatch")
@@ -693,6 +851,33 @@ object Ivf {
     writeCellStats(
       cellStatsOf(s, readIndex(s, s"$dir/v$v/index/ingest_batch=$batchId")),
       s"$dir/v$v/cellstats/ingest_batch=$batchId")
+    // APPEND-vs-REWRITE race (the delete protocol's mirror): a rewrite
+    // of v snapshots only its ticket's batches, so a batch landing
+    // mid-rewrite must also reach the staged/published version above —
+    // without this, the batch would exist only in the superseded
+    // version while its `_batch` flag turns the replay into a
+    // permanent no-op. If the staged watermark is visible and below
+    // this batch, the batch is NOT in the rewrite's snapshot: apply it
+    // there too, assigned against THAT version's centroids. A version
+    // whose watermark or centroids are not yet readable is covered by
+    // the rewrite's own carry-forward (the either-or is proven in
+    // finishRewrite's scaladoc: watermark-not-listed implies the
+    // rewrite's batch listing happens after this batch's v-write).
+    stagedOrReadyAbove(s, dir, v).foreach { n =>
+      val wmHits = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/v$n/_watermark-*"))
+      if (wmHits != null && wmHits.nonEmpty &&
+          batchId > watermarkOf(s, dir, n))
+        scala.util.Try {
+          val cents = s.read.parquet(s"$dir/v$n/centroids")
+          writeIndex(buildIndex(newVecs.select("vec_id", "embedding"), cents),
+            s"$dir/v$n/index/ingest_batch=$batchId")
+          writeCellStats(
+            cellStatsOf(s, readIndex(s,
+              s"$dir/v$n/index/ingest_batch=$batchId")),
+            s"$dir/v$n/cellstats/ingest_batch=$batchId")
+        }.getOrElse(()) // centroids not yet staged: carry-forward covers
+    }
     val maxDrift = incrementalMaxDrift(s, dir, v)
     val result =
       if (maxDrift <= driftThreshold) IvfMaintenance(v, maxDrift, retrained = false)
@@ -700,8 +885,8 @@ object Ivf {
         // the retrain is corpus-sized by nature and runs on the SERVING
         // view: tombstoned vectors neither pull centroids nor survive
         // into the retrained version
-        val consumed = beginRewrite(s, dir, v) // staging flag first
-        val index = servingView(s, dir, v)
+        val ticket = beginRewrite(s, dir, v) // staging flag first
+        val index = servingViewAt(s, dir, v, ticket.ingestBatches)
         val vecs = index.select("vec_id", "embedding")
         val retrained = kmeans(s, vecs, centroidsOf(s, index), iters = kmeansIters)
         val local = s.createDataFrame(
@@ -709,13 +894,14 @@ object Ivf {
         local.write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
         writeIndex(buildIndex(vecs, local),
           s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
-        // unlike compactStore, stats DO come from the written files here:
-        // the pre-write lineage is a buildIndex (window over a broadcast
-        // cross join), and re-running it to describe the result would
-        // cost far more than one rescan of what was just written
-        writeCellStats(cellStatsOf(s, readIndex(s, s"$dir/v${v + 1}/index")),
+        // stats come from a single-pass rescan of the just-written -1
+        // partition (scoped like compactStore's: a racing appender's
+        // staged batch partition writes its own stats)
+        writeCellStats(
+          cellStatsOf(s, readIndex(s,
+            s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")),
           s"$dir/v${v + 1}/cellstats/ingest_batch=$BootstrapBatch")
-        finishRewrite(s, dir, v, consumed)
+        finishRewrite(s, dir, v, ticket)
         IvfMaintenance(v + 1, maxDrift, retrained = true)
       }
     fs.create(batchFlag, true).close()

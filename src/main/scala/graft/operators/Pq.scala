@@ -101,6 +101,10 @@ object Pq {
     val table = adcTable(q, cb)
     e.filter(col("vec_id") =!= queryVecId)
       .withColumn("codes", PqCodec.pqEncode(col("embedding"), cb))
+      // drop malformed rows (NULL codes) BEFORE ranking: ascending
+      // order puts NULLs first in Spark, so an unfiltered wrong-
+      // dimension row would sit at the top of the ANN result
+      .filter(col("codes").isNotNull)
       .select(col("vec_id"),
         PqCodec.pqAdc(col("codes"), table, cb.m, cb.ksub).as("adist"))
       .orderBy(col("adist").asc, col("vec_id"))
@@ -148,6 +152,7 @@ object Pq {
     index.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(probeCells), Seq("cell"))
       .withColumn("codes", PqCodec.pqEncode(col("embedding"), cb))
+      .filter(col("codes").isNotNull) // malformed rows must not rank first
       .select(col("vec_id"),
         PqCodec.pqAdc(col("codes"), table, cb.m, cb.ksub).as("adist"))
       .orderBy(col("adist").asc, col("vec_id"))

@@ -190,9 +190,11 @@ object SlopeBench {
     args.foreach { dir =>
       val ops =
         if (onlyIvf) Nil
-        else if (family.contains("pq")) embOps
+        else if (family.contains("pq"))
+          (if (new java.io.File(s"$dir/embeddings.parquet").exists()) embOps
+           else Nil) // a doc/event/media dir in the arg list is not an error
         else opsFor(dir)
-      require(onlyIvf || ops.nonEmpty, s"$dir holds no ScaleGen table")
+      require(family.isDefined || ops.nonEmpty, s"$dir holds no ScaleGen table")
       val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       ops.foreach { case (n, fn) => run(fn, dir) // uncharged warm-up
         best(n) = Double.MaxValue }

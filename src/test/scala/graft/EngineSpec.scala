@@ -2832,8 +2832,15 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
     val rows = Seq((0L, base.toSeq)) ++
       (1 to 3).map(i => (i.toLong, perturbed(i).toSeq)) ++
-      (4 to 63).map(i => (i.toLong,
-        Array.fill(64)(new scala.util.Random(100 + i).nextFloat() * 2f - 1f).toSeq))
+      (4 to 63).map { i =>
+        // ONE Random per decoy, hoisted out of the fill: Array.fill
+        // re-evaluates its by-name argument per element, so the old
+        // inline `new Random(seed).nextFloat()` made every decoy a
+        // CONSTANT vector — 60 copies of one direction, not 60 random
+        // distractors
+        val r = new scala.util.Random(100 + i)
+        (i.toLong, Array.fill(64)(r.nextFloat() * 2f - 1f).toSeq)
+      }
     val e = rows.toDF("vec_id", "embedding")
     val p = Similarity.projectInt8(
       Similarity.quantizeInt8(e, "embedding"), m = 16)
@@ -2953,8 +2960,10 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val planted = (Seq((0L, base.toSeq)) ++
       (1 to 3).map(i => (i.toLong, perturbed(i).toSeq)) ++
-      (4 to 63).map(i => (i.toLong, Array.fill(64)(
-        new scala.util.Random(100 + i).nextFloat() * 2f - 1f).toSeq)))
+      (4 to 63).map { i =>
+        val r = new scala.util.Random(100 + i) // hoisted: one RNG per decoy
+        (i.toLong, Array.fill(64)(r.nextFloat() * 2f - 1f).toSeq)
+      })
       .toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
     val cbP = Pq.trainCodebook(spark, planted, m = 8, ksub = 16, iters = 3)
@@ -3370,6 +3379,134 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Ivf.servingIndex(spark, dir)
       .filter(col("vec_id") === 1L).count() == 1,
       "a stale staged tombstone from an aborted rewrite masked a re-ingest")
+  }
+
+  test("ivf store append racing a rewrite: a batch landing mid-rewrite " +
+      "reaches the new version via the appender's staged write OR the " +
+      "rewrite's carry-forward, and the batch-flag replay no-op is safe") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").filter(col("vec_id") < 80)
+    val cut = 59L
+    val base = e.filter(col("vec_id") <= cut)
+    val batch = e.filter(col("vec_id") > cut)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-apprace").toString
+    Ivf.bootstrapStore(spark, base, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a compaction opens (ticket + watermark) and stages its centroids
+    val ticket = Ivf.beginRewrite(spark, dir, 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v1/_watermark--1")))
+    spark.read.parquet(s"$dir/v0/centroids").write.parquet(s"$dir/v1/centroids")
+    // an append lands MID-REWRITE: batch 5 > watermark -1 and the staged
+    // centroids are readable, so the appender covers the staged version
+    val r = Ivf.maintainIndex(spark, dir, batch, batchId = 5L,
+      driftThreshold = 2.1)
+    assert(!r.retrained && r.version == 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/v1/index/ingest_batch=5")),
+      "appender must stage its batch into the in-flight version")
+    // ... the rewrite completes from its TICKET snapshot (which excludes
+    // batch 5 by construction) and publishes
+    spark.read.parquet(s"$dir/v0/index/ingest_batch=-1").drop("ingest_batch")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/v1/index/ingest_batch=-1")
+    Ivf.finishRewrite(spark, dir, 0L, ticket)
+    val served = Ivf.servingIndex(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served.size == e.count(),
+      s"published version must hold bootstrap + the racing batch: ${served.size}")
+    assert(batch.select("vec_id").collect().map(_.getLong(0)).forall(served),
+      "the racing batch's vectors vanished from the new version")
+    // the batch flag makes the replay a no-op — SAFE only because the
+    // batch already lives in the published version
+    val replay = Ivf.maintainIndex(spark, dir, batch, batchId = 5L,
+      driftThreshold = 2.1)
+    assert(!replay.retrained && replay.maxDrift == 0.0)
+    assert(Ivf.servingIndex(spark, dir).count() == e.count())
+    // CARRY-FORWARD half: a second rewrite opens, another batch lands but
+    // its staged write "crashed" (simulated by deleting it) — the
+    // rewrite's finish must carry the batch into the new version
+    val more = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding")
+      .filter(col("vec_id") >= 80 && col("vec_id") < 100)
+    val t2 = Ivf.beginRewrite(spark, dir, 1L)
+    spark.read.parquet(s"$dir/v1/centroids").write.parquet(s"$dir/v2/centroids")
+    // the rewrite stages its collapsed index from the TICKET's batches
+    // (batch 6 has not landed yet, so a plain read is that snapshot)
+    spark.read.parquet(s"$dir/v1/index").drop("ingest_batch")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/v2/index/ingest_batch=-1")
+    Ivf.maintainIndex(spark, dir, more, batchId = 6L, driftThreshold = 2.1)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/v2/index/ingest_batch=6"), true) // simulate the crash
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/v2/cellstats/ingest_batch=6"), true)
+    Ivf.finishRewrite(spark, dir, 1L, t2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/v2/index/ingest_batch=6")),
+      "finishRewrite must carry a post-snapshot batch forward")
+    assert(Ivf.servingIndex(spark, dir).count() == e.count() + more.count())
+  }
+
+  test("ivf store delete replay reuses its original as-of: a crash before " +
+      "the _del flag cannot raise the mask past a re-ingest that landed " +
+      "in between") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").filter(col("vec_id") < 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-replay").toString
+    Ivf.bootstrapStore(spark, e.filter(col("vec_id") < 40), dir)
+    Ivf.maintainIndex(spark, dir,
+      e.filter(col("vec_id") >= 40), batchId = 1L, driftThreshold = 2.1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === 7L).select("vec_id"), delBatchId = 3L)
+    // crash AFTER the tombstone write, BEFORE the flag
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_del-3"), false)
+    // a re-ingest of the victim lands before the delete is replayed
+    Ivf.maintainIndex(spark, dir, e.filter(col("vec_id") === 7L),
+      batchId = 2L, driftThreshold = 2.1)
+    assert(Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id") === 7L).count() == 1)
+    // the replay must reuse as_of = 1 (the original attempt's position),
+    // not recompute 2 — recomputing would silently unserve the re-upload
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === 7L).select("vec_id"), delBatchId = 3L)
+    assert(Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id") === 7L).count() == 1,
+      "a replayed delete recomputed its as-of and masked a later re-ingest")
+  }
+
+  test("ivf store mixed tombstone schemas: legacy del batches (no as_of) " +
+      "keep mask-everything semantics beside new as-of batches, and " +
+      "neither corrupts the other") {
+    import graft.operators.Ivf
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").filter(col("vec_id") < 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-legacy").toString
+    Ivf.bootstrapStore(spark, e, dir)
+    // a LEGACY delete: vec_id-only parquet, written by the pre-as_of code
+    Seq(11L).toDF("vec_id").write
+      .parquet(s"$dir/v0/tombstones/del_batch=0")
+    // a NEW delete through the API
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === 12L).select("vec_id"), delBatchId = 1L)
+    val served = Ivf.servingIndex(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!served.contains(11L) && !served.contains(12L),
+      s"both delete generations must mask: $served")
+    // re-ingests: the NEW delete spares its re-upload (as_of rule); the
+    // LEGACY one keeps the mask-everything semantics it was written under
+    Ivf.maintainIndex(spark, dir,
+      e.filter(col("vec_id").isin(11L, 12L)), batchId = 1L,
+      driftThreshold = 2.1)
+    val after = Ivf.servingIndex(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(after.contains(12L), "as-of delete must spare the re-ingest")
+    assert(!after.contains(11L), "legacy delete must keep masking")
   }
 
   test("ivf store maximal delete: compacting a fully-tombstoned version " +
