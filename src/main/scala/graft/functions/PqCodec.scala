@@ -112,7 +112,77 @@ case class PqAdc(child: Expression, table: Array[Double], m: Int, ksub: Int)
     copy(child = newChild)
 }
 
+/** Unit-normalized subspace SLICES of a float vector as one codegen
+  * expression: the per-subspace training view [[graft.operators.Pq
+  * .trainCodebook]] explodes. The higher-order formulation it replaces
+  * (`slice(transform(embedding, x -> x / sqrt(aggregate(...))), ...)`
+  * per subspace) re-evaluated the interpreted norm fold and the full
+  * normalize m times PER ROW — ~1k interpreted lambda dispatches per
+  * 64-dim vector, the exact [[JlProject]] anti-pattern, and the
+  * dominant cost of the enablePq rewrite at scale. One tight loop,
+  * float-rounded exactly like the HOF output (same double division,
+  * same cast), so trained codebooks are unchanged. NULL input, an
+  * empty vector, or a dimension not divisible by `m` yields NULL.
+  */
+case class PqSlices(child: Expression, m: Int) extends UnaryExpression {
+
+  require(m >= 1, s"pq_slices: m must be >= 1, got $m")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_slices requires array<float>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(FloatType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_slices"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqCodec.slices(v.asInstanceOf[ArrayData], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = graft.functions.PqCodec.slices($a, $m);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PqSlices =
+    copy(child = newChild)
+}
+
 object PqCodec {
+
+  def slices(arr: ArrayData, m: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0 || n % m != 0) return null
+    val dsub = n / m
+    var norm = 0.0
+    var i = 0
+    while (i < n) { val x = arr.getFloat(i).toDouble; norm += x * x; i += 1 }
+    val nrm = math.sqrt(norm)
+    val out = new Array[Any](m)
+    var sub = 0
+    while (sub < m) {
+      val sl = new Array[Float](dsub)
+      var j = 0
+      while (j < dsub) {
+        sl(j) = (arr.getFloat(sub * dsub + j).toDouble / nrm).toFloat
+        j += 1
+      }
+      out(sub) = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(sl)
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def pqSlices(c: Column, m: Int): Column =
+    ColumnBridge.column(PqSlices(ColumnBridge.expression(c), m))
 
   /** Shared by interpreted eval and generated code. Fold order is the
     * parity contract: norm and every per-subspace distance are

@@ -224,8 +224,23 @@ object Ivf {
     */
   private val BootstrapBatch = -1L
 
-  private def writeIndex(index: DataFrame, path: String): Unit =
-    index.write.partitionBy("cell").mode("overwrite").parquet(path)
+  /** Write an index slice, PQ-encoding a `codes` column beside the
+    * embedding when the store carries a codebook (see [[enablePq]]).
+    * Codes ride the SAME parquet files as the embeddings: columnar
+    * storage means the compressed serving path reads (vec_id, codes)
+    * and never touches the embedding column, while the exact path
+    * prunes codes away — one table, two access patterns, zero extra
+    * shuffles or sidecar consistency to manage.
+    */
+  private def writeIndex(index: DataFrame, path: String,
+      cb: Option[graft.functions.PqCodebook] = None): Unit = {
+    val withCodes = cb match {
+      case Some(book) => index.withColumn("codes",
+        graft.functions.PqCodec.pqEncode(col("embedding"), book))
+      case None => index
+    }
+    withCodes.write.partitionBy("cell").mode("overwrite").parquet(path)
+  }
 
   /** Row count as a typed aggregate, so [[cellStatsOf]] computes (mean, n)
     * in ONE pass beside [[VectorCentroid]] instead of a second scan.
@@ -537,6 +552,137 @@ object Ivf {
       .limit(k)
   }
 
+  /** The persisted PQ codebook of version `v`, if [[enablePq]] has run:
+    * O(m × ksub) parquet rows (sub, code, centroid<double>), collected
+    * driver-side like the centroid set.
+    */
+  private[graft] def codebookOf(s: SparkSession, dir: String,
+      v: Long): Option[graft.functions.PqCodebook] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/v$v/pqcodebook")
+    if (!fsOf(s, dir).exists(p)) None
+    else {
+      val rows = s.read.parquet(p.toString)
+        .select(col("sub").cast("int"), col("code").cast("int"),
+          col("centroid"))
+        .collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val ksub = rows.map(_.getInt(1)).max + 1
+      val cents = new Array[Array[Double]](m * ksub)
+      rows.foreach(r => cents(r.getInt(0) * ksub + r.getInt(1)) =
+        r.getSeq[Double](2).toArray)
+      Some(new graft.functions.PqCodebook(m, cents(0).length, ksub, cents))
+    }
+  }
+
+  private def writeCodebook(s: SparkSession,
+      cb: graft.functions.PqCodebook, path: String): Unit = {
+    import s.implicits._
+    (0 until cb.m * cb.ksub)
+      .map(mc => (mc / cb.ksub, mc % cb.ksub, cb.cents(mc).toSeq))
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Turn on COMPRESSED SERVING for the store: train a PQ codebook from
+    * the serving view ([[Pq.trainCodebook]] — per-subspace Lloyd, only
+    * O(m × ksub) rows reach the driver) and rewrite the corpus with a
+    * `codes` column beside each embedding (one ticketed rewrite, same
+    * staged publication as [[compactStore]]). After this every index
+    * write — appends, carries, future rewrites — encodes with the
+    * version's codebook, and [[annPqFromStore]] serves ADC reading ONLY
+    * (vec_id, codes): at 100 TB the embedding column stays on disk and
+    * the serving tier's working set shrinks to m bytes per vector plus
+    * one shared codebook. The codebook then rides every rewrite FROZEN
+    * (like the coarse centroids between retrains): quantization quality
+    * drifts with the data like cell quality does, and re-running
+    * [[enablePq]] is the retrain lever.
+    *
+    * The codebook lands in the staging dir BEFORE the corpus rewrite,
+    * so an appender racing this rewrite encodes its staged batch; a
+    * batch staged in the pre-codebook instant carries no codes, is
+    * invisible to ADC (never wrongly ranked), still serves exactly, and
+    * is re-encoded by the carry-forward at publish.
+    */
+  def enablePq(s: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, filesPerCell: Int = 1): Long = {
+    require(filesPerCell >= 1, s"filesPerCell $filesPerCell")
+    val v = readVersion(s, dir)
+    val ticket = beginRewrite(s, dir, v)
+    val view = servingViewAt(s, dir, v, ticket.ingestBatches)
+    val cb = Pq.trainCodebook(s, view.select(col("vec_id"), col("embedding")),
+      m, ksub, iters)
+    writeCodebook(s, cb, s"$dir/v${v + 1}/pqcodebook")
+    s.read.parquet(s"$dir/v$v/centroids")
+      .write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
+    writeIndex(
+      view.repartition(col("cell"), pmod(hash(col("vec_id")), lit(filesPerCell))),
+      s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch", Some(cb))
+    writeCellStats(
+      cellStatsOf(s, readIndex(s,
+        s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")),
+      s"$dir/v${v + 1}/cellstats/ingest_batch=$BootstrapBatch")
+    finishRewrite(s, dir, v, ticket)
+    v + 1
+  }
+
+  /** COMPRESSED ANN against the persisted store — the [[annFromStore]]
+    * probe (O(cells) driver-side centroid ranking, partition pruning to
+    * the probed cells) with PQ ADC ranking instead of exact cosine: the
+    * scan reads ONLY (vec_id, codes) — columnar pruning leaves the
+    * embedding bytes on disk, pinned on the plan's ReadSchema in
+    * EngineSpec — and adds m table lookups per surviving row. Rows
+    * without codes (a batch staged in the pre-codebook instant of a
+    * racing [[enablePq]]) are invisible here, never wrongly ranked;
+    * the exact path still serves them.
+    */
+  def annPqFromStore(s: SparkSession, dir: String, qEmb: Array[Float],
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe $nprobe: must probe at least one cell")
+    val v = readVersion(s, dir)
+    val cb = codebookOf(s, dir, v).getOrElse(throw new IllegalStateException(
+      s"no PQ codebook at $dir v$v — run enablePq first"))
+    val table = Pq.adcTable(qEmb, cb)
+    val cents = s.read.parquet(s"$dir/v$v/centroids").collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = cents
+      .map(r => (r.getString(0), cos(qEmb, r.getSeq[Float](1).toArray)))
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nprobe).map(_._1).toSeq
+    // mergeSchema: a transient mid-enablePq append may lack the codes
+    // column in one partition; a single-file schema pick could hide
+    // codes everywhere (ADC would return nothing) — merge and let the
+    // per-row isNotNull filter scope what ADC can rank
+    val raw =
+      try s.read.option("mergeSchema", "true").parquet(s"$dir/v$v/index")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexRawSchema)
+      }
+    val cellType = raw.schema("cell").dataType
+    val pruned = raw.filter(probeCells
+      .map(c => col("cell") === lit(c).cast(cellType))
+      .reduceOption(_ || _).getOrElse(lit(false)))
+    val live = tombstones(s, dir, v) match {
+      case Some(t) => antiTombstones(pruned, t, watermarkOf(s, dir, v))
+      case None    => pruned
+    }
+    val coded =
+      if (live.columns.contains("codes")) live.filter(col("codes").isNotNull)
+      else live.filter(lit(false)) // no codes column anywhere: serve empty
+    coded
+      .select(col("vec_id"),
+        graft.functions.PqCodec.pqAdc(col("codes"), table, cb.m, cb.ksub)
+          .as("adist"))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Ingest-batch ids currently present in version `v`'s index
     * (driver-side listing of O(batches) partition directories, reset to
     * one by every rewrite).
@@ -711,12 +857,13 @@ object Ivf {
   private[graft] def finishRewrite(s: SparkSession, dir: String, v: Long,
       ticket: RewriteTicket): Unit = {
     val centroids = s.read.parquet(s"$dir/v${v + 1}/centroids")
+    val cb = codebookOf(s, dir, v + 1)
     (ingestBatchesOf(s, dir, v) -- ticket.ingestBatches)
       .filter(_ > ticket.wm).toSeq.sorted.foreach { b =>
         writeIndex(
           buildIndex(readIndex(s, s"$dir/v$v/index/ingest_batch=$b")
             .select("vec_id", "embedding"), centroids),
-          s"$dir/v${v + 1}/index/ingest_batch=$b")
+          s"$dir/v${v + 1}/index/ingest_batch=$b", cb)
         writeCellStats(
           cellStatsOf(s, readIndex(s,
             s"$dir/v${v + 1}/index/ingest_batch=$b")),
@@ -764,11 +911,15 @@ object Ivf {
     val v = readVersion(s, dir)
     val ticket = beginRewrite(s, dir, v) // staging flag BEFORE the snapshot
     val view = servingViewAt(s, dir, v, ticket.ingestBatches)
+    // the codebook (if PQ is enabled) rides the rewrite: staged before
+    // the corpus write so racing appenders encode against it
+    val cb = codebookOf(s, dir, v)
+    cb.foreach(writeCodebook(s, _, s"$dir/v${v + 1}/pqcodebook"))
     s.read.parquet(s"$dir/v$v/centroids")
       .write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
     writeIndex(
       view.repartition(col("cell"), pmod(hash(col("vec_id")), lit(filesPerCell))),
-      s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
+      s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch", cb)
     // the rewrite also resets the stats sidecar to O(cells) rows — and
     // back to EXACT after any deletes (tombstone-era stats are stale by
     // the deleted mass; see incrementalMaxDrift). Stats come from a
@@ -784,6 +935,52 @@ object Ivf {
       s"$dir/v${v + 1}/cellstats/ingest_batch=$BootstrapBatch")
     finishRewrite(s, dir, v, ticket)
     v + 1
+  }
+
+  /** Operability readout — one row per version describing the store's
+    * physical state: publication status, rewrite watermark, batch and
+    * tombstone counts, index file count, compressed-serving flag. The
+    * DESCRIBE-HISTORY a store operator reads before and after
+    * maintenance. Driver-side listings only (O(versions × batches +
+    * files) metadata, no data reads), returned as a local DataFrame.
+    */
+  def describeStore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fs = fsOf(s, dir)
+    def flagged(prefix: String): Set[Long] = {
+      val hits = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/$prefix-*"))
+      if (hits == null) Set.empty
+      else hits.map(_.getPath.getName.stripPrefix(prefix + "-").toLong).toSet
+    }
+    val ready = flagged("_ready")
+    val staging = flagged("_staging")
+    val vDirs = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/v*"))
+    val versions =
+      if (vDirs == null) Seq.empty[Long]
+      else vDirs.filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("v").toLong).toSeq.sorted
+    def fileCount(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(p)) 0L
+      else {
+        var n = 0L
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next().getPath.getName
+          if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+        }
+        n
+      }
+    }
+    versions.map { v =>
+      (v, ready.contains(v), staging.contains(v), watermarkOf(s, dir, v),
+        ingestBatchesOf(s, dir, v).size.toLong,
+        delBatchesOf(s, dir, v).size.toLong,
+        fileCount(s"$dir/v$v/index"),
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v$v/pqcodebook")))
+    }.toDF("version", "is_ready", "is_staging", "watermark",
+      "ingest_batches", "delete_batches", "index_files", "pq_enabled")
+      .orderBy("version")
   }
 
   /** One maintenance round, closing the [[centroidDrift]] loop: append
@@ -840,7 +1037,7 @@ object Ivf {
         s"$dir/v$v/cellstats/ingest_batch=$BootstrapBatch")
     }
     writeIndex(buildIndex(newVecs.select("vec_id", "embedding"), frozen),
-      s"$dir/v$v/index/ingest_batch=$batchId")
+      s"$dir/v$v/index/ingest_batch=$batchId", codebookOf(s, dir, v))
     // the batch's own stats come from its freshly written partition (a
     // batch-sized rescan), and drift merges the stats sidecar instead of
     // re-aggregating the corpus: the per-append cost is O(batch) data +
@@ -871,7 +1068,7 @@ object Ivf {
         scala.util.Try {
           val cents = s.read.parquet(s"$dir/v$n/centroids")
           writeIndex(buildIndex(newVecs.select("vec_id", "embedding"), cents),
-            s"$dir/v$n/index/ingest_batch=$batchId")
+            s"$dir/v$n/index/ingest_batch=$batchId", codebookOf(s, dir, n))
           writeCellStats(
             cellStatsOf(s, readIndex(s,
               s"$dir/v$n/index/ingest_batch=$batchId")),
@@ -888,12 +1085,14 @@ object Ivf {
         val ticket = beginRewrite(s, dir, v) // staging flag first
         val index = servingViewAt(s, dir, v, ticket.ingestBatches)
         val vecs = index.select("vec_id", "embedding")
+        val cb = codebookOf(s, dir, v) // PQ codebook rides the retrain frozen
+        cb.foreach(writeCodebook(s, _, s"$dir/v${v + 1}/pqcodebook"))
         val retrained = kmeans(s, vecs, centroidsOf(s, index), iters = kmeansIters)
         val local = s.createDataFrame(
           java.util.Arrays.asList(retrained.collect(): _*), retrained.schema)
         local.write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
         writeIndex(buildIndex(vecs, local),
-          s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch")
+          s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch", cb)
         // stats come from a single-pass rescan of the just-written -1
         // partition (scoped like compactStore's: a racing appender's
         // staged batch partition writes its own stats)

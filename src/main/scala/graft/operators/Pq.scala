@@ -177,15 +177,16 @@ object Pq {
       .getAs[scala.collection.Seq[Float]](0).length
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val dsub = dim / m
-    val nrm = sqrt(aggregate(col("embedding"), lit(0.0d),
-      (a, x) => a + x.cast("double") * x.cast("double")))
-    // (vec_id, sub, slice): the per-subspace training view — one corpus
-    // pass, slices only (dsub floats) through the aggregation shuffle
+    // (vec_id, sub, slice): the per-subspace training view — ONE codegen
+    // pass ([[graft.functions.PqSlices]]; the HOF formulation this
+    // replaces re-ran interpreted normalize folds m times per row and
+    // dominated enablePq at scale), MATERIALIZED once: the init and
+    // every Lloyd round's join re-read this checkpoint instead of
+    // re-slicing the corpus per iteration
     val sliced = embeddings
-      .select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
-        sIdx => slice(
-          transform(col("embedding"), x => (x.cast("double") / nrm).cast("float")),
-          sIdx * dsub + 1, lit(dsub)))).as(Seq("sub", "sl")))
+      .select(col("vec_id"),
+        posexplode(PqCodec.pqSlices(col("embedding"), m)).as(Seq("sub", "sl")))
+      .localCheckpoint()
     def centroidsOf(assigned: DataFrame): Map[(Int, Int), Array[Float]] =
       assigned.select(col("sub").cast("int"), col("code").cast("int"), col("sl"))
         .as[(Int, Int, Array[Float])]

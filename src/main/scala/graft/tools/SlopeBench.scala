@@ -155,7 +155,12 @@ object SlopeBench {
           // cells row below beats, measuring the cells lever the way the
           // LSH sweep measured bits=16 vs 20
           t(Ivf.annFromStore(s, sdir, qEmb, k = 10, nprobe = 2).collect()),
-          t(Ivf.compactStore(s, sdir)))
+          t(Ivf.compactStore(s, sdir)),
+          // compressed serving: the enablePq rewrite is corpus-sized by
+          // nature (train + re-encode), the ADC probe reads the SAME
+          // 1/5 of rows as q_ivfQ but only (vec_id, codes) bytes
+          t(Ivf.enablePq(s, sdir, m = 8, ksub = 16, iters = 2)),
+          t(Ivf.annPqFromStore(s, sdir, qEmb, k = 10, nprobe = 2).collect()))
         rm(sdir)
         times
       }
@@ -178,8 +183,8 @@ object SlopeBench {
       pass(); scaledPass() // uncharged warm-ups
       val best = (1 to passes).map(_ => pass() ++ scaledPass())
         .transpose.map(_.min)
-      Seq("q_ivfB", "q_ivfA", "q_ivfQ", "q_ivfC", "q_ivfBs", "q_ivfQs")
-        .zip(best)
+      Seq("q_ivfB", "q_ivfA", "q_ivfQ", "q_ivfC", "q_ivfP", "q_ivfQp",
+        "q_ivfBs", "q_ivfQs").zip(best)
     }
     // SPARK_GRAFT_FAMILY re-measures ONE family when only its code path
     // changed (the other families' recorded numbers stay valid):

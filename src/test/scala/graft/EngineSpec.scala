@@ -3541,6 +3541,78 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .count() == 3)
   }
 
+  test("ivf store PQ serving: enablePq rewrites the corpus with codes, " +
+      "annPqFromStore matches the trained quantizer exactly while " +
+      "reading ONLY (vec_id, codes), and appends/deletes/compactions " +
+      "keep the codebook and codes flowing") {
+    import graft.operators.{Ivf, Pq}
+    import graft.functions.PqCodec
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").filter(col("vec_id") < 80)
+    val base = e.filter(col("vec_id") < 60)
+    val batch = e.filter(col("vec_id") >= 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-pq").toString
+    Ivf.bootstrapStore(spark, base, dir)
+    assert(Ivf.enablePq(spark, dir, m = 8, ksub = 16, iters = 2) == 1L)
+    val cb = Ivf.codebookOf(spark, dir, 1L).get
+    val qEmb = e.filter(col("vec_id") === 0L).head().getSeq[Float](2).toArray
+    val nCells = Ivf.servingCentroids(spark, dir).count().toInt
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // exhaustive-probe store ADC == the pure trained-quantizer ranking
+    // over the same serving corpus, value-exact
+    def reference(k: Int) = pairs(
+      Pq.encode(Ivf.servingIndex(spark, dir), cb)
+        .select(col("vec_id"), PqCodec.pqAdc(col("codes"),
+          Pq.adcTable(qEmb, cb), cb.m, cb.ksub).as("adist"))
+        .orderBy(col("adist").asc, col("vec_id")).limit(k))
+    assert(pairs(Ivf.annPqFromStore(spark, dir, qEmb, k = 10,
+      nprobe = nCells)) == reference(10))
+    // the compressed read touches codes, never embeddings: ReadSchema
+    // must exclude the embedding column (columnar pruning is the point)
+    val plan = Ivf.annPqFromStore(spark, dir, qEmb, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty,
+      plan.take(1500))
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("embedding")),
+      s"ADC scan must not read embeddings: $readSchemas")
+    // appends encode against the version's codebook and serve via ADC
+    Ivf.maintainIndex(spark, dir, batch, batchId = 1L, driftThreshold = 2.1)
+    val q70 = e.filter(col("vec_id") === 70L).head().getSeq[Float](2).toArray
+    assert(Ivf.annPqFromStore(spark, dir, q70, k = 3, nprobe = nCells)
+      .collect().map(_.getLong(0)).contains(70L),
+      "an appended vector must be servable through ADC")
+    // deletes leave ADC immediately
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === 70L).select("vec_id"), delBatchId = 9L)
+    assert(!Ivf.annPqFromStore(spark, dir, q70, k = 10, nprobe = nCells)
+      .collect().map(_.getLong(0)).contains(70L))
+    // compaction carries codebook + codes; ADC keeps serving
+    assert(Ivf.compactStore(spark, dir) == 2L)
+    assert(Ivf.codebookOf(spark, dir, 2L).nonEmpty,
+      "the codebook must ride the rewrite")
+    val raw2 = spark.read.parquet(s"$dir/v2/index")
+    assert(raw2.columns.contains("codes") &&
+      raw2.filter(col("codes").isNull).count() == 0,
+      "every compacted row must carry codes")
+    assert(Ivf.annPqFromStore(spark, dir, qEmb, k = 10, nprobe = nCells)
+      .collect().map(_.getLong(0)).nonEmpty)
+    // the operability readout reflects the lifecycle just exercised:
+    // three published versions, PQ from v1 on, the delete recorded
+    // against v1 and drained by v2, and v2's watermark covering batch 1
+    val d = Ivf.describeStore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(d.keySet == Set(0L, 1L, 2L))
+    assert(Seq(0L, 1L, 2L).forall(v => d(v).getBoolean(1)), "all published")
+    assert(!d(0L).getBoolean(7) && d(1L).getBoolean(7) && d(2L).getBoolean(7),
+      "pq_enabled must flip at the enablePq rewrite")
+    assert(d(1L).getLong(5) == 1L && d(2L).getLong(5) == 0L,
+      "the delete lives on v1 and is drained by v2")
+    assert(d(2L).getLong(3) == 1L,
+      s"v2's watermark must cover batch 1: ${d(2L)}")
+  }
+
   test("ivf store incremental drift: the cellstats merge equals the " +
       "corpus-scan readout on an append-only history, self-heals a " +
       "legacy store, ignores tombstones until compaction restores " +
