@@ -641,7 +641,54 @@ object Ivf {
     val v = readVersion(s, dir)
     val cb = codebookOf(s, dir, v).getOrElse(throw new IllegalStateException(
       s"no PQ codebook at $dir v$v — run enablePq first"))
-    val table = Pq.adcTable(qEmb, cb)
+    adcRanked(s, dir, v, probedLiveAt(s, dir, v, qEmb, nprobe),
+      Pq.adcTable(qEmb, cb), cb).limit(k)
+  }
+
+  /** IVFADC+R — the ADC probe with an exact REFINE pass (Jégou et al.,
+    * TPAMI 2011 §VI): ADC ranks a shortlist of `refine × k` candidates
+    * from (vec_id, codes) alone, then ONE id-filtered read of the SAME
+    * probed cells re-ranks just those rows by exact cosine. The
+    * shortlist ids are driver-sized (refine × k longs), so the second
+    * scan is the partition-pruned probe plus a pushed-down `vec_id IN`
+    * filter — at 100 TB the embedding bytes read are bounded by the
+    * row groups holding refine × k rows, not the probed fifth of the
+    * corpus, and parquet min/max + dictionary pushdown does the
+    * bounding at the reader. Refine closes most of the quantization
+    * gap RecallBench measures while keeping the serving working set
+    * compressed: the recall lever AFTER m/ksub are fixed on disk.
+    * Version resolved ONCE for both passes — a concurrent publish can
+    * never pair one version's shortlist with another's embeddings.
+    */
+  def annPqRefined(s: SparkSession, dir: String, qEmb: Array[Float],
+      k: Int = 10, nprobe: Int = 2, refine: Int = 4): DataFrame = {
+    require(nprobe >= 1, s"nprobe $nprobe: must probe at least one cell")
+    require(refine >= 1, s"refine $refine: shortlist must cover k")
+    val v = readVersion(s, dir)
+    val cb = codebookOf(s, dir, v).getOrElse(throw new IllegalStateException(
+      s"no PQ codebook at $dir v$v — run enablePq first"))
+    val live = probedLiveAt(s, dir, v, qEmb, nprobe)
+    val shortlist = adcRanked(s, dir, v, live, Pq.adcTable(qEmb, cb), cb)
+      .limit(refine * k).collect().map(_.getLong(0)).toSeq
+    val hit = // empty shortlist (nothing coded yet): empty result, not isin()
+      if (shortlist.isEmpty) live.filter(lit(false))
+      else live.filter(col("vec_id").isin(shortlist: _*))
+    hit.select(col("vec_id"),
+        Similarity.cosineSafe(col("embedding"), typedLit(qEmb)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The shared probe read of version `v`: centroid ranking on O(cells)
+    * driver metadata, partition-column prune to the `nprobe` best
+    * cells, tombstone anti-join on top. mergeSchema because a transient
+    * mid-enablePq append may lack the codes column in one partition — a
+    * single-file schema pick could hide codes everywhere (ADC would
+    * return nothing); the per-row isNotNull filter scopes what ADC can
+    * rank.
+    */
+  private def probedLiveAt(s: SparkSession, dir: String, v: Long,
+      qEmb: Array[Float], nprobe: Int): DataFrame = {
     val cents = s.read.parquet(s"$dir/v$v/centroids").collect()
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -652,10 +699,6 @@ object Ivf {
       .map(r => (r.getString(0), cos(qEmb, r.getSeq[Float](1).toArray)))
       .sortBy { case (cell, sim) => (-sim, cell) }
       .take(nprobe).map(_._1).toSeq
-    // mergeSchema: a transient mid-enablePq append may lack the codes
-    // column in one partition; a single-file schema pick could hide
-    // codes everywhere (ADC would return nothing) — merge and let the
-    // per-row isNotNull filter scope what ADC can rank
     val raw =
       try s.read.option("mergeSchema", "true").parquet(s"$dir/v$v/index")
       catch {
@@ -668,10 +711,19 @@ object Ivf {
     val pruned = raw.filter(probeCells
       .map(c => col("cell") === lit(c).cast(cellType))
       .reduceOption(_ || _).getOrElse(lit(false)))
-    val live = tombstones(s, dir, v) match {
+    tombstones(s, dir, v) match {
       case Some(t) => antiTombstones(pruned, t, watermarkOf(s, dir, v))
       case None    => pruned
     }
+  }
+
+  /** ADC ranking of a probed view: (vec_id, adist) ascending, rows
+    * without codes (the one pre-codebook race instant of [[enablePq]])
+    * invisible — never wrongly ranked, still served by the exact path.
+    */
+  private def adcRanked(s: SparkSession, dir: String, v: Long,
+      live: DataFrame, table: Array[Double],
+      cb: graft.functions.PqCodebook): DataFrame = {
     val coded =
       if (live.columns.contains("codes")) live.filter(col("codes").isNotNull)
       else live.filter(lit(false)) // no codes column anywhere: serve empty
@@ -680,7 +732,6 @@ object Ivf {
         graft.functions.PqCodec.pqAdc(col("codes"), table, cb.m, cb.ksub)
           .as("adist"))
       .orderBy(col("adist").asc, col("vec_id"))
-      .limit(k)
   }
 
   /** Ingest-batch ids currently present in version `v`'s index

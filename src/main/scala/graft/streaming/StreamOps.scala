@@ -340,6 +340,89 @@ object StreamOps extends Serializable {
     else ChunkStore.write(batch, storeDir)
   }
 
+  /** Streaming vector ingestion into the persisted IVF store
+    * ([[graft.operators.Ivf]]): each micro-batch of (vec_id, label,
+    * embedding) rows appends via [[graft.operators.Ivf.maintainIndex]]
+    * with the STREAM's batchId — the store's per-batch
+    * `ingest_batch=<id>` OVERWRITE + `_batch-<id>` flag discipline IS
+    * the foreachBatch replay contract, so a batch replayed after a lost
+    * checkpoint commit rewrites its own partition and a completed batch
+    * is a no-op, with no marker machinery beyond what the store already
+    * carries. The first non-empty batch BOOTSTRAPS the store (label-
+    * seeded centroids, like [[graft.operators.Ivf.bootstrapStore]]
+    * callers everywhere); appends assign against the frozen serving
+    * centroids and the store retrains itself when the incremental drift
+    * readout crosses `driftThreshold` — the full maintenance lifecycle
+    * (drift, retrain, version publication, racing-rewrite carry) runs
+    * unchanged under streaming arrival, because the sink is just the
+    * store's own batch API driven by the stream's ids.
+    *
+    * At 100 TB this is the shape a live embedding pipeline needs: the
+    * per-batch cost is one batch-sized assignment pass plus O(cells ×
+    * batches) metadata (never a history rescan), and serving reads
+    * ([[graft.operators.Ivf.annFromStore]]/`annPqFromStore`) stay
+    * available throughout — the `_ready` flag protocol means a reader
+    * never sees a torn version, and a mid-append reader's worst case is
+    * missing the one in-flight batch (the standard file-sink caveat,
+    * same as [[ingestWithManifest]]).
+    */
+  def ingestVectors(vecs: DataFrame, storeDir: String, checkpoint: String,
+      driftThreshold: Double = 0.3, kmeansIters: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestVectorsBatch(batch, batchId, storeDir, driftThreshold,
+          kmeansIters)
+      }
+
+  /** The per-batch body of [[ingestVectors]], exposed for the replay /
+    * bootstrap / retrain pins in StreamOpsSpec. The bootstrap branch
+    * commits its `_batch-<id>` flag itself (bootstrapStore predates
+    * batch ids) and stakes a `_bootstrap_batch-<id>` marker BEFORE the
+    * bootstrap runs — the marker closes the one crash window the flag
+    * alone leaves open: a crash AFTER bootstrapStore publishes
+    * `_ready-0` but BEFORE the flag lands would make the replayed batch
+    * look like an ordinary append and maintainIndex would double-ingest
+    * the whole bootstrap corpus as `ingest_batch=0`. With the marker,
+    * the replay recognizes its batch as the consumed bootstrap and just
+    * commits the flag; a crash BEFORE bootstrapStore re-runs it, whose
+    * v0 writes are overwrite-idempotent. (foreachBatch replays the
+    * failed batch before any later one, so the marker can never pin a
+    * batch a different bootstrap beat to the store.) An empty
+    * micro-batch commits its id and moves on (bootstrapping from zero
+    * rows would train no centroids and poison every later read).
+    */
+  private[graft] def ingestVectorsBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, driftThreshold: Double = 0.3,
+      kmeansIters: Int = 2): Unit = {
+    import graft.operators.Ivf
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val batchFlag = new org.apache.hadoop.fs.Path(s"$storeDir/_batch-$batchId")
+    if (fs.exists(batchFlag)) return // completed batch replayed: no-op
+    val bootMarker = new org.apache.hadoop.fs.Path(
+      s"$storeDir/_bootstrap_batch-$batchId")
+    val ready = fs.globStatus(new org.apache.hadoop.fs.Path(s"$storeDir/_ready-*"))
+    val bootstrapped = ready != null && ready.nonEmpty
+    if (!bootstrapped) {
+      if (!batch.isEmpty) {
+        fs.mkdirs(bootMarker.getParent)
+        fs.create(bootMarker, true).close() // stake BEFORE the bootstrap
+        Ivf.bootstrapStore(s, batch, storeDir, kmeansIters)
+      }
+      fs.create(batchFlag, true).close()
+    } else if (fs.exists(bootMarker) || batch.isEmpty) {
+      // this batch IS the consumed bootstrap (crash landed between
+      // _ready and the flag) — or carries nothing: commit the id only
+      fs.create(batchFlag, true).close()
+    } else {
+      Ivf.maintainIndex(s, storeDir, batch, batchId, driftThreshold,
+        kmeansIters) // writes its own _batch flag
+    }
+  }
+
   /** Streaming decontamination gate: per micro-batch of arriving
     * (doc_id, text[, ...]) documents, drop every doc that NEAR-matches
     * the held-out benchmark (the [[graft.operators.TrainPrep

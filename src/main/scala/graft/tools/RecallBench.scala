@@ -1,0 +1,143 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, Similarity}
+
+/** ANN QUALITY readout — recall@k of the IVF store's serving paths
+  * against brute-force cosine ground truth, per ScaleGen decade. Speed
+  * without recall is a lie in an ANN system: the SLOPES sweeps pin that
+  * the probes stay flat while the corpus grows 100×, and this harness
+  * pins what those probes actually FIND, separating the two ways an
+  * IVF-PQ serving stack loses truth:
+  *
+  *   - COARSE-PRUNE loss (nprobe): `annFromStore` ranks exactly inside
+  *     the probed cells, so its only loss is true neighbors living in
+  *     unprobed cells. Swept nprobe 1 → 4 on the generator's 10-cell
+  *     store and 1 → 8 on the operated √n-cell store (the cells lever
+  *     the fourth sweep measures for cost, here measured for recall —
+  *     the two halves of the same operating decision).
+  *   - QUANTIZATION loss (PQ): `annPqFromStore` under an EXHAUSTIVE
+  *     probe has zero prune loss by construction, so its miss rate is
+  *     purely the m=8 codebook's distortion; the same probe at nprobe=2
+  *     shows the composed stack a deployment actually serves.
+  *
+  * Ground truth is the exact cosine top-k (`Similarity.cosineSafe`,
+  * ties broken by vec_id exactly like the serving paths) over the full
+  * corpus, for `Queries` evenly-spaced query vectors drawn FROM the
+  * corpus. Driver-side per-query loops are fine here: this is a quality
+  * harness over k-row results, not a throughput path — the serving
+  * plans it exercises are the partition-pruned scans SLOPES times.
+  *
+  * Output: one JSON line per decade dir into `recall_out.json`,
+  * `{"dir":…,"queries":{"<config>":<mean recall@10>}}` — the same shape
+  * slope_out.json carries, so the SLOPES.md tables read identically.
+  */
+object RecallBench {
+
+  private val K = 10
+  private val Queries = 20
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: RecallBench <decade-dir> [dir ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = new StringBuilder
+    args.foreach { dir =>
+      val line = measure(spark, dir)
+      println(line)
+      out.append(line).append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("recall_out.json"),
+      out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  private def rm(s: SparkSession, d: String): Unit =
+    new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(d), true)
+
+  private def measure(s: SparkSession, dir: String): String = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val step = math.max(1L, maxId / Queries)
+    val qids = (0L until Queries.toLong).map(_ * step).distinct
+    val qembs: Seq[(Long, Array[Float])] = e
+      .filter(col("vec_id").isin(qids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+
+    def topIds(df: DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val exact: Map[Long, Set[Long]] = qembs.map { case (id, q) =>
+      id -> topIds(e.select(col("vec_id"),
+          Similarity.cosineSafe(col("embedding"), typedLit(q)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(K))
+    }.toMap
+    def recall(ann: Array[Float] => DataFrame): Double =
+      qembs.map { case (id, q) =>
+        (topIds(ann(q)) & exact(id)).size.toDouble / K
+      }.sum / qembs.size
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // the generator's fixed 10-cell store, PQ enabled on top of it
+    val s1 = java.nio.file.Files.createTempDirectory("graft-recall-f").toString
+    Ivf.bootstrapStore(s, e, s1)
+    Ivf.enablePq(s, s1, m = 8, ksub = 16, iters = 3)
+    val cells1 = Ivf.servingCentroids(s, s1).count().toInt
+    Seq(1, 2, 4).foreach { np =>
+      results(s"exact_np$np") =
+        recall(q => Ivf.annFromStore(s, s1, q, k = K, nprobe = np))
+    }
+    results("adc_np2") =
+      recall(q => Ivf.annPqFromStore(s, s1, q, k = K, nprobe = 2))
+    results("adc_exhaustive") =
+      recall(q => Ivf.annPqFromStore(s, s1, q, k = K, nprobe = cells1))
+    // IVFADC+R: the exact refine of the 4k-deep ADC shortlist — the
+    // recall lever AFTER the on-disk m/ksub are fixed, priced at
+    // refine×k embedding rows per query instead of the probed fifth
+    results("refined_np2") =
+      recall(q => Ivf.annPqRefined(s, s1, q, k = K, nprobe = 2, refine = 4))
+    // the CODEBOOK-WIDTH lever: re-running enablePq is the quantizer
+    // retrain, so sweep ksub 16 → 256 (4-bit → the published-standard
+    // 8-bit codes; Jégou et al. 2011 run 256) on the same store and
+    // measure what the extra 4 bits/subspace buy in pure quantization
+    // recall — the operating-point decision a deployment makes, priced
+    // in recall here and in bytes/rewrite-cost by the SLOPES sweeps
+    Ivf.enablePq(s, s1, m = 8, ksub = 256, iters = 3)
+    results("adc256_np2") =
+      recall(q => Ivf.annPqFromStore(s, s1, q, k = K, nprobe = 2))
+    results("adc256_exhaustive") =
+      recall(q => Ivf.annPqFromStore(s, s1, q, k = K, nprobe = cells1))
+    results("refined256_np2") =
+      recall(q => Ivf.annPqRefined(s, s1, q, k = K, nprobe = 2, refine = 4))
+    rm(s, s1)
+
+    // the OPERATED store: cells ≈ √n (the fourth sweep's cost lever,
+    // here its recall price) — finer cells shrink the probed fraction
+    // AND the chance a true neighbor's cell is probed
+    val n = e.count()
+    val kc = math.max(10L, math.sqrt(n.toDouble).toLong)
+    val s2 = java.nio.file.Files.createTempDirectory("graft-recall-s").toString
+    Ivf.bootstrapStore(s, e.withColumn("label", pmod(col("vec_id"), lit(kc))), s2)
+    Seq(1, 2, 8).foreach { np =>
+      results(s"sqrtn_np$np") =
+        recall(q => Ivf.annFromStore(s, s2, q, k = K, nprobe = np))
+    }
+    rm(s, s2)
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+    s"""{"dir":"$dir","queries":{$qs}}"""
+  }
+}

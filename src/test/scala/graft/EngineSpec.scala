@@ -3577,6 +3577,19 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
     assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("embedding")),
       s"ADC scan must not read embeddings: $readSchemas")
+    // IVFADC+R: with the shortlist covering the whole probed corpus the
+    // refine pass IS the exact ranking — value-equal to annFromStore
+    // under the same probe (same cosine, same tie-break)
+    val nServe = Ivf.servingIndex(spark, dir).count().toInt
+    assert(pairs(Ivf.annPqRefined(spark, dir, qEmb, k = 10,
+        nprobe = nCells, refine = nServe)) ==
+      pairs(Ivf.annFromStore(spark, dir, qEmb, k = 10, nprobe = nCells)),
+      "exhaustive refine must equal the exact serving path")
+    // a tight shortlist still fills k rows, exact-cosine ranked
+    val tight = Ivf.annPqRefined(spark, dir, qEmb, k = 5, nprobe = nCells,
+      refine = 2).collect()
+    assert(tight.length == 5 &&
+      tight.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
     // appends encode against the version's codebook and serve via ADC
     Ivf.maintainIndex(spark, dir, batch, batchId = 1L, driftThreshold = 2.1)
     val q70 = e.filter(col("vec_id") === 70L).head().getSeq[Float](2).toArray

@@ -521,4 +521,84 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(entries == Set("_graft_ready", "part-00000.parquet"),
       s"published dir polluted: $entries")
   }
+
+  test("ingestVectors: the first micro-batch bootstraps the IVF store, " +
+      "later batches append exactly-once, and drifted arrivals retrain — " +
+      "the full store lifecycle under streaming arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.Tables
+    import graft.operators.Ivf
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("string").as("label"),
+        col("embedding"))
+      .as[(Long, String, Array[Float])]
+    val rows = e.collect().sortBy(_._1)
+    val n = rows.length
+    val boot = rows.take(n / 2)
+    val calm = rows.slice(n / 2, 3 * n / 4)
+    // the EngineSpec adversarial-shift recipe: a tight new domain far
+    // from the training distribution, so drift crosses the threshold
+    val shifted = rows.drop(3 * n / 4)
+      .map { case (id, l, emb) => (id, l, emb.map(x => x * 0.05f + 0.3f)) }
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-stream")
+    val (dir, ckpt) = (s"$base/store", s"$base/ckpt")
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "label", "embedding")
+    val q = StreamOps.ingestVectors(vecs, dir, ckpt, driftThreshold = 0.35)
+      .start()
+    try {
+      mem.addData(boot.toSeq: _*); q.processAllAvailable()
+      assert(Ivf.servingIndex(spark, dir).count() == boot.length.toLong,
+        "batch 0 must bootstrap the store")
+      mem.addData(calm.toSeq: _*); q.processAllAvailable()
+      val served = Ivf.servingIndex(spark, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(served.distinct.size == served.size &&
+        served.size == boot.length + calm.length,
+        s"serving must be bootstrap ∪ appended batches: ${served.size}")
+      val d1 = Ivf.describeStore(spark, dir).collect()
+      assert(d1.map(_.getLong(0)).max == 0L,
+        "stationary arrivals must not retrain")
+      mem.addData(shifted.toSeq: _*); q.processAllAvailable()
+      val d2 = Ivf.describeStore(spark, dir).collect()
+      assert(d2.map(_.getLong(0)).max == 1L,
+        s"drifted arrivals must publish a retrained version: ${d2.toSeq}")
+      val served2 = Ivf.servingIndex(spark, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(served2.distinct.size == served2.size && served2.size == n,
+        s"the retrained version must serve the complete corpus: ${served2.size}")
+    } finally q.stop()
+    // foreachBatch replay (checkpoint commit lost after a successful
+    // batch): a committed batchId is a no-op even across the retrain —
+    // the _batch flags live at the store root, not per version
+    val replayed = spark.createDataset(calm.toSeq)
+      .toDF("vec_id", "label", "embedding")
+    StreamOps.ingestVectorsBatch(replayed, 1L, dir)
+    assert(Ivf.servingIndex(spark, dir).count() == n.toLong)
+    // an empty micro-batch commits its id and changes nothing
+    StreamOps.ingestVectorsBatch(replayed.limit(0), 99L, dir)
+    assert(Ivf.servingIndex(spark, dir).count() == n.toLong)
+    assert(new java.io.File(s"$dir/_batch-99").isFile)
+    // bootstrap-crash replay (fresh store): a crash BETWEEN bootstrap
+    // and flag re-runs the bootstrap, whose v0 writes are overwrite-
+    // idempotent — and a flagged bootstrap batch replays as a no-op
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-boot")
+      .toString
+    val b0 = spark.createDataset(boot.toSeq).toDF("vec_id", "label", "embedding")
+    StreamOps.ingestVectorsBatch(b0, 0L, dir2)
+    StreamOps.ingestVectorsBatch(b0, 0L, dir2) // flagged: no-op
+    assert(Ivf.servingIndex(spark, dir2).count() == boot.length.toLong)
+    // crash between `_ready-0` and the flag: without the
+    // _bootstrap_batch marker this replay would look like an append and
+    // maintainIndex would DOUBLE-INGEST the bootstrap corpus
+    new java.io.File(s"$dir2/_batch-0").delete()
+    StreamOps.ingestVectorsBatch(b0, 0L, dir2)
+    val ids2 = Ivf.servingIndex(spark, dir2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids2.distinct.size == ids2.size && ids2.size == boot.length,
+      s"bootstrap replay must not duplicate the corpus: ${ids2.size}")
+    assert(new java.io.File(s"$dir2/_batch-0").isFile,
+      "the replay must re-commit the batch flag")
+  }
 }
