@@ -280,6 +280,9 @@ object SparkEntry {
     // product-quantized ANN: codegen encode + ADC table scan (IVFADC's
     // compression half; arithmetic codebook so the oracle is exact)
     "q_l56_pq_adc"          -> ((s: SparkSession, dir: String) => Pq.qL56(s, dir)),
+    // ADC+R: the q_l56 shortlist re-ranked by exact cosine — the oracle
+    // crosses both halves of the compressed serving stack
+    "q_l57_pq_refine"       -> ((s: SparkSession, dir: String) => Pq.qL57(s, dir)),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -309,7 +312,11 @@ object SparkEntry {
       "q_m09_chunk_store",
       // hybrid RRF materializes both k-bounded input rankings (BM25 +
       // cosine top-10) at construction to extract their ranks
-      "q_l51_hybrid_rrf")
+      "q_l51_hybrid_rrf",
+      // ADC+R runs the full ADC shortlist pass (collect of refine × k
+      // ids) at construction; the returned frame is the id-filtered
+      // exact re-rank
+      "q_l57_pq_refine")
 
   /** The shingle-postings CTE chain (3-word shingles → portable poly
     * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06
@@ -958,6 +965,16 @@ object SparkEntry {
       val cent = "(CAST(((s.s * 16 + k.k) * 8 + i + 1) * 2654435761 % 1000003 % 2001 - 1000 AS DOUBLE) / 1000.0)"
       val term = s"(v[CAST(s.s * 8 + i + 1 AS INT)] - $cent)"
       s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, b) -> a + b))) AS v FROM embeddings), d AS (SELECT n.vec_id, s.s AS sub, k.k AS code, list_reduce(list_prepend(0.0, list_transform(range(8), i -> $term * $term)), (a, b) -> a + b) AS dist FROM n, range(8) s(s), range(16) k(k)), codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d) WHERE rn = 1), qt AS (SELECT sub, code, dist FROM d WHERE vec_id = 0), adc AS (SELECT c.vec_id, list_reduce(list_prepend(0.0, list(q.dist ORDER BY c.sub)), (a, b) -> a + b) AS adist FROM codes c JOIN qt q ON q.sub = c.sub AND q.code = c.code WHERE c.vec_id <> 0 GROUP BY c.vec_id) SELECT vec_id, adist FROM adc ORDER BY adist, vec_id LIMIT 10"""
+    },
+    // q_l57 (ADC+R): the q_l56 chain ranks the 40-deep shortlist (adist
+    // then vec_id — a total order, so the shortlist boundary is
+    // deterministic on both engines), then the q_l02 exact-cosine fold
+    // re-ranks just those rows — the oracle crosses both halves of the
+    // compressed serving stack, quantized candidates AND exact refine
+    "q_l57_pq_refine" -> {
+      val cent = "(CAST(((s.s * 16 + k.k) * 8 + i + 1) * 2654435761 % 1000003 % 2001 - 1000 AS DOUBLE) / 1000.0)"
+      val term = s"(v[CAST(s.s * 8 + i + 1 AS INT)] - $cent)"
+      s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, b) -> a + b))) AS v FROM embeddings), d AS (SELECT n.vec_id, s.s AS sub, k.k AS code, list_reduce(list_prepend(0.0, list_transform(range(8), i -> $term * $term)), (a, b) -> a + b) AS dist FROM n, range(8) s(s), range(16) k(k)), codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d) WHERE rn = 1), qt AS (SELECT sub, code, dist FROM d WHERE vec_id = 0), adc AS (SELECT c.vec_id, list_reduce(list_prepend(0.0, list(q.dist ORDER BY c.sub)), (a, b) -> a + b) AS adist FROM codes c JOIN qt q ON q.sub = c.sub AND q.code = c.code WHERE c.vec_id <> 0 GROUP BY c.vec_id), short AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 40), qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q_emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS sim FROM embeddings e JOIN short ON short.vec_id = e.vec_id, qv ORDER BY sim DESC, e.vec_id LIMIT 10"""
     },
     // shared-bucket discipline (q_m06) + integer cumulative counts divided
     // once in double → bit-deterministic KS statistic

@@ -119,6 +119,48 @@ object Pq {
   def qL56(s: SparkSession, d: String): DataFrame =
     adcTopK(s, d, hashCodebook(m = 8, ksub = 16, dsub = 8))
 
+  /** ADC+R — [[adcTopK]]'s compressed ranking with an exact REFINE pass
+    * (Jégou et al., TPAMI 2011 §VI, the same two-pass shape as
+    * [[Ivf.annPqRefined]] serves from the persisted store): ADC ranks a
+    * shortlist of `refine × k` candidates from codes alone, then ONE
+    * id-filtered read re-ranks just those rows by exact cosine. The
+    * shortlist ids are driver-sized (refine × k longs), so the second
+    * pass is a pushed-down `vec_id IN` scan — at 100 TB the embedding
+    * bytes read are bounded by the row groups holding refine × k rows
+    * (parquet min/max + dictionary pushdown), not the corpus: the
+    * recall-vs-bytes lever AFTER the on-disk m/ksub are fixed, priced
+    * in recall by `tools/RecallBench`.
+    */
+  def adcRefineTopK(s: SparkSession, d: String, cb: PqCodebook,
+      queryVecId: Long = 0, k: Int = 10, refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine $refine: shortlist must cover k")
+    val e = Tables.embeddings(s, d)
+    val shortlist = adcTopK(s, d, cb, queryVecId, refine * k)
+      .collect().map(_.getLong(0)).toSeq
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val hit = // empty shortlist (empty corpus): empty result, not isin()
+      if (shortlist.isEmpty) e.filter(lit(false))
+      else e.filter(col("vec_id").isin(shortlist: _*))
+    hit.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Q-L57 — ADC+R top-10 under the q_l56 arithmetic codebook,
+    * oracle-checked value-exact end-to-end: the DuckDB twin regenerates
+    * the codebook, re-encodes, ranks the same 40-deep ADC shortlist
+    * (adist then vec_id — a total order, so the shortlist boundary is
+    * deterministic on both engines), and re-ranks it with the q_l02
+    * exact-cosine fold. The one query whose oracle crosses BOTH halves
+    * of the compressed serving stack: quantized candidate generation
+    * AND exact refinement.
+    */
+  def qL57(s: SparkSession, d: String): DataFrame =
+    adcRefineTopK(s, d, hashCodebook(m = 8, ksub = 16, dsub = 8))
+
   /** IVFADC — the composed serving read: [[Ivf]]'s coarse quantizer
     * prunes the corpus to the `nprobe` cells nearest the query, and the
     * PQ ADC scan ranks WITHIN the probed cells. Both halves keep their

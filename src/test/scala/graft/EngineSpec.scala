@@ -3014,6 +3014,17 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
     assert(narrow.map(cellOf).toSet.size <= 2,
       s"results crossed the probed-cell boundary")
+    // ADC+R: a shortlist covering the whole corpus makes the refine pass
+    // THE exact ranking — value-equal to brute-force cosine top-k (same
+    // fold, same tie-break); a tight shortlist still fills k rows,
+    // exact-cosine ordered
+    val n = e.count().toInt
+    assert(pairs(Pq.adcRefineTopK(spark, sfDir, cb, refine = n)) ==
+      pairs(graft.operators.Similarity.qL02(spark, sfDir)),
+      "exhaustive-shortlist ADC+R must equal exact brute-force top-k")
+    val tight = Pq.adcRefineTopK(spark, sfDir, cb, k = 5, refine = 2).collect()
+    assert(tight.length == 5 &&
+      tight.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
   test("ivf buildIndex: the NearestCell codegen assignment equals the " +
