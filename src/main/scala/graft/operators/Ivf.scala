@@ -1034,6 +1034,72 @@ object Ivf {
       .orderBy("version")
   }
 
+  /** Garbage-collect SUPERSEDED store versions — the retention half the
+    * append-only `_ready` protocol requires at scale: every retrain /
+    * compaction / enablePq stages a complete new corpus copy, so without
+    * GC a 100 TB store holds one full corpus PER REWRITE forever.
+    *
+    * A version directory `v<N>` is removed when (a) a HIGHER version is
+    * published (`_ready-<w>`, w > N — new readers can never resolve N
+    * again) and (b) that successor's publish flag is at least `retainMs`
+    * old (its filesystem modification time — the publish instant). The
+    * retention window is the Delta/Iceberg VACUUM contract: a reader
+    * resolves its version once ([[readVersion]]) and then scans files,
+    * so a reader slower than `retainMs` can lose its files mid-scan —
+    * operate with retainMs comfortably above the longest query/rewrite.
+    * What vacuum NEVER touches: the serving version (max `_ready`), any
+    * version above it (an in-flight staged rewrite — its `_staging`
+    * ticket, not vacuum, owns that lifecycle), the store-root `_batch` /
+    * `_del` replay flags (they are what keeps upstream replays no-ops
+    * across rewrites), and the `_ready`/`_staging` flag files themselves
+    * (the protocol's no-flag-ever-deleted invariant — readVersion takes
+    * the max, so tombstone flags of vacuumed versions stay harmless
+    * publication history, and [[describeStore]] lists directories, not
+    * flags). Crash mid-vacuum leaves a partially-deleted superseded dir
+    * no reader can resolve; the next vacuum finishes it. Concurrent
+    * rewrites only ever read the CURRENT serving version, so removing
+    * versions below it cannot race their inputs.
+    *
+    * Driver-side metadata only; returns the per-version decision ledger
+    * as a local DataFrame (version, vacuumed, reason).
+    */
+  def vacuumStore(s: SparkSession, dir: String,
+      retainMs: Long = 24L * 3600 * 1000): DataFrame = {
+    import s.implicits._
+    require(retainMs >= 0, s"retainMs $retainMs: must be non-negative")
+    val fs = fsOf(s, dir)
+    val ready = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/_ready-*"))
+    require(ready != null && ready.nonEmpty,
+      s"no IVF store at $dir — bootstrapStore first")
+    val publishedAt: Map[Long, Long] = ready.map(f =>
+      f.getPath.getName.stripPrefix("_ready-").toLong ->
+        f.getModificationTime).toMap
+    val maxReady = publishedAt.keys.max
+    val now = System.currentTimeMillis()
+    val vDirs = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/v*"))
+    val versions =
+      if (vDirs == null) Seq.empty[Long]
+      else vDirs.filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("v").toLong).toSeq.sorted
+    versions.map { v =>
+      if (v == maxReady) (v, false, "serving")
+      else if (v > maxReady) (v, false, "above serving (staged rewrite)")
+      else {
+        // superseded the instant its EARLIEST published successor's flag
+        // landed — age against that, not against maxReady (a store that
+        // rewrote twice must not reset v0's clock at the second publish)
+        val supersededAt = publishedAt.collect {
+          case (w, t) if w > v => t
+        }.min
+        val age = now - supersededAt
+        if (age >= retainMs) {
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
+          (v, true, s"superseded ${age}ms >= retainMs $retainMs")
+        } else (v, false, s"within retention (${age}ms < $retainMs)")
+      }
+    }.toDF("version", "vacuumed", "reason").orderBy("version")
+  }
+
   /** One maintenance round, closing the [[centroidDrift]] loop: append
     * the arriving batch against the FROZEN serving centroids (the
     * [[appendIndex]] contract — history is never re-assigned, per-batch

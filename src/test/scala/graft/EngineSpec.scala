@@ -3129,6 +3129,58 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       new java.io.File(s"$dir/v0/centroids").isDirectory)
   }
 
+  test("ivf store vacuum: superseded versions are removed only past the " +
+      "retention window, the serving version and everything above it " +
+      "survive, and the append-only flags stay put") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+    val cut = e.agg(max("vec_id")).head().getLong(0) / 2
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-vac").toString
+    Ivf.bootstrapStore(spark, e.filter(col("vec_id") <= cut), dir)
+    // the adversarial-shift recipe: force a retrain so v1 supersedes v0
+    val shifted = e.filter(col("vec_id") > cut)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => (x * lit(0.05) + lit(0.3)).cast("float")).as("embedding"))
+    val r = Ivf.maintainIndex(spark, dir, shifted, batchId = 1L,
+      driftThreshold = 0.35)
+    assert(r.retrained && r.version == 1, s"$r")
+    val servedBefore = Ivf.servingIndex(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    def ledger(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    // default retention (24h): v0 is superseded but fresh — kept
+    assert(ledger(Ivf.vacuumStore(spark, dir)) ==
+      Seq((0L, false), (1L, false)))
+    assert(new java.io.File(s"$dir/v0/index").isDirectory)
+    // a directory ABOVE serving (an in-flight staged rewrite) is never
+    // touched, even at zero retention
+    assert(new java.io.File(s"$dir/v2/index").mkdirs())
+    // zero retention: v0 goes, serving and the staged dir stay
+    assert(ledger(Ivf.vacuumStore(spark, dir, retainMs = 0L)) ==
+      Seq((0L, true), (1L, false), (2L, false)))
+    assert(!new java.io.File(s"$dir/v0").exists())
+    assert(new java.io.File(s"$dir/v2/index").isDirectory)
+    // the append-only flag invariant holds: _ready-0 is publication
+    // history, and the store still resolves + serves version 1 intact
+    assert(new java.io.File(s"$dir/_ready-0").isFile)
+    val servedAfter = Ivf.servingIndex(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(servedAfter == servedBefore, "vacuum must not change serving")
+    val q = e.filter(col("vec_id") === 0L).head().getSeq[Float](2).toArray
+    assert(Ivf.annFromStore(spark, dir, q, k = 5, nprobe = 10).count() == 5)
+    // re-vacuum is a no-op ledger over what remains
+    assert(ledger(Ivf.vacuumStore(spark, dir, retainMs = 0L)) ==
+      Seq((1L, false), (2L, false)))
+    // the store keeps maintaining after a vacuum: a fresh append lands
+    // in the serving version and the union contract still holds
+    val r2 = Ivf.maintainIndex(spark, dir,
+      e.filter(col("vec_id") <= 3).select("vec_id", "embedding"),
+      batchId = 2L, driftThreshold = 10.0)
+    assert(!r2.retrained && r2.version == 1, s"$r2")
+    assert(Ivf.servingIndex(spark, dir).count() ==
+      servedBefore.size.toLong + e.filter(col("vec_id") <= 3).count())
+  }
+
   test("ivf store serving-read contract: a reader resolving versions at " +
       "ANY stage of an in-flight retrain sees a complete version") {
     import graft.operators.Ivf
