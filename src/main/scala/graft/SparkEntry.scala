@@ -283,6 +283,9 @@ object SparkEntry {
     // ADC+R: the q_l56 shortlist re-ranked by exact cosine — the oracle
     // crosses both halves of the compressed serving stack
     "q_l57_pq_refine"       -> ((s: SparkSession, dir: String) => Pq.qL57(s, dir)),
+    // leakage-safe split: near-dup clusters inherit their representative's
+    // split bucket, so no cluster straddles train/val/test
+    "q_l58_leak_safe_split" -> (TrainPrep.qL58 _),
   )
 
   /** Queries whose builders run eager driver-side passes (sketch build +
@@ -316,7 +319,10 @@ object SparkEntry {
       // ADC+R runs the full ADC shortlist pass (collect of refine × k
       // ids) at construction; the returned frame is the id-filtered
       // exact re-rank
-      "q_l57_pq_refine")
+      "q_l57_pq_refine",
+      // leak-safe split runs q_l19's connected components (checkpointed
+      // label propagation) at construction
+      "q_l58_leak_safe_split")
 
   /** The shingle-postings CTE chain (3-word shingles → portable poly
     * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06
@@ -539,6 +545,18 @@ object SparkEntry {
         """j AS (SELECT c.comp, c.id, d.n_chars FROM comp c JOIN documents d ON d.doc_id = c.id), """ +
         """k AS (SELECT comp, id, n_chars, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n_chars DESC, id) AS rn FROM j) """ +
         """SELECT comp AS cluster_id, COUNT(*) AS size, CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keeper_id, CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars FROM k GROUP BY comp ORDER BY cluster_id"""),
+    // q_l58 (r13): the q_l19 transitive-closure clusters drive the q_l20
+    // content-hash split — every member buckets on its REPRESENTATIVE's
+    // text (component label = min doc_id), singletons on their own, so
+    // no near-dup cluster can straddle train/val/test
+    "q_l58_leak_safe_split" ->
+      (s"""WITH RECURSIVE pairs AS ($l05OracleSql), """ +
+        """edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), """ +
+        """reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), """ +
+        """comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a), """ +
+        """rep AS (SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS rep_id FROM documents d LEFT JOIN comp c ON c.id = d.doc_id), """ +
+        """sp AS (SELECT r.rep_id, r.n_chars, CAST(('0x' || substr(md5(rd.text), 1, 8)) AS BIGINT) % 100 AS bucket FROM rep r JOIN documents rd ON rd.doc_id = r.rep_id) """ +
+        """SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS docs, CAST(COUNT(DISTINCT rep_id) AS BIGINT) AS clusters, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM sp GROUP BY split ORDER BY split"""),
     // q_l46 (r11): int8-quantized per-label centroid sums — exact BIGINT
     // dims/dots/norms, one terminal double division, same op order
     "q_l46_label_drift" ->

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -183,6 +183,46 @@ object TrainPrep {
       .orderBy("split")
   }
 
+  /** Q-L58 — LEAKAGE-SAFE train/val/test split: [[qL20]]'s content-hash
+    * split made near-dup-aware. Hashing each document's OWN text puts
+    * exact duplicates on the same side by construction, but NEAR
+    * duplicates (the q_l05 verified pairs) can still straddle the test
+    * boundary — the eval-contamination leak a content-hash split alone
+    * cannot close. Here every document inherits its near-dup CLUSTER's
+    * split: clusters are the q_l19 connected components, the
+    * representative is the component label (the cluster's min doc_id by
+    * construction of min-propagation), and the split bucket hashes the
+    * REPRESENTATIVE's text — so no cluster can span two splits, and a
+    * singleton hashes its own text, exactly q_l20. Scale shapes: the
+    * pair chain is the banded q_l05 pipeline (ids-only shuffles), CC is
+    * the bounded-round label propagation over the pair set (tiny next
+    * to the corpus — near-dup mass, not corpus mass), and the rep-text
+    * lookup is one id-keyed join against a column-pruned second scan of
+    * documents, never corpus × corpus. Output: per split — docs,
+    * distinct clusters (singletons counted as their own), chars.
+    */
+  def qL58(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+    val pairs = LLMOps.qL05(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = connectedComponents(pairs)
+    val withRep = docs
+      .join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("comp"), col("doc_id")).as("rep_id"))
+    val repText = Tables.documents(s, d)
+      .select(col("doc_id").as("rep_id"), col("text").as("rep_text"))
+    withRep.join(repText, Seq("rep_id"))
+      .select(splitOf(col("rep_text")).as("split"),
+        col("rep_id"), col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("rep_id")).as("clusters"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("split")
+  }
+
   /** Q-L21 — sequence packing, concat-then-chunk (the GPT pretraining
     * layout): documents are concatenated in (source, doc_id) order and
     * the token stream is cut into fixed 2048-token bins; each doc reports
@@ -301,8 +341,10 @@ object TrainPrep {
   /** The content-hash split expression shared by qL20/qL24 — first 32
     * bits of md5(text) mod 100, 90/5/5.
     */
-  private def splitCol = {
-    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+  private def splitCol = splitOf(col("text"))
+
+  private def splitOf(text: Column) = {
+    val bucket = conv(substring(md5(text), 1, 8), 16, 10)
       .cast("long") % 100
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
   }

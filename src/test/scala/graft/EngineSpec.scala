@@ -268,6 +268,41 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(single == again) // deterministic
   }
 
+  test("leak-safe split: the corpus conserves, the cluster count is the " +
+      "CC-derived one, and the guard is non-vacuous — the naive own-text " +
+      "split WOULD straddle a near-dup cluster on this corpus") {
+    import graft.operators.{LLMOps, TrainPrep}
+    val docs = Tables.documents(spark, sfDir)
+    val agg = TrainPrep.qL58(spark, sfDir).collect()
+    // conservation: every document lands in exactly one split
+    assert(agg.map(_.getLong(1)).sum == docs.count())
+    assert(agg.map(_.getLong(3)).sum ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    // the clusters column is exactly the CC arithmetic: singletons +
+    // components = docs − clustered members + components
+    val pairs = LLMOps.qL05(spark, sfDir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = TrainPrep.connectedComponents(pairs)
+    val expectClusters = docs.count() - comp.count() +
+      comp.select("comp").distinct().count()
+    assert(agg.map(_.getLong(2)).sum == expectClusters,
+      s"clusters ${agg.map(_.getLong(2)).sum} != CC-derived $expectClusters")
+    // non-vacuity: at least one near-dup cluster's members hash their
+    // OWN texts into different buckets — the exact leak the rep-bucket
+    // rule closes (were this zero, the test would pin nothing)
+    def splitExpr(c: org.apache.spark.sql.Column) = {
+      val b = conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 100
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    }
+    val ownSplit = docs.select(col("doc_id").as("id"),
+      splitExpr(col("text")).as("own"))
+    val straddlers = comp.join(ownSplit, Seq("id"))
+      .groupBy("comp").agg(countDistinct("own").as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddlers > 0,
+      "no cluster straddles the naive split on this corpus — vacuous")
+  }
+
   test("sequence packing: two-level cumulative sum is shard-size invariant") {
     import graft.operators.TrainPrep
     // the shard decomposition is pure bookkeeping: any shard size (including
