@@ -37,6 +37,10 @@ object SlopeBench {
       "q_l42" -> ((s: SparkSession, d: String) => LLMOps.qL42(s, d)),
       "q_l43" -> ((s: SparkSession, d: String) => LLMOps.qL43(s, d)),
       "q_l44" -> ((s: SparkSession, d: String) => LLMOps.qL44(s, d)),
+      // the leak-safe split: the q_l05 chain + connected components +
+      // the rep-text join — measures the CC and rep-join slopes stacked
+      // on the measured pair family
+      "q_l58" -> ((s: SparkSession, d: String) => TrainPrep.qL58(s, d)),
       "q_l13s" -> ((s: SparkSession, d: String) =>
         Similarity.nearDupPairs(s, d, threshold = 0.45, bits = 16, tables = 14)),
       "q_l49s" -> ((s: SparkSession, d: String) =>
@@ -188,9 +192,12 @@ object SlopeBench {
     }
     // SPARK_GRAFT_FAMILY re-measures ONE family when only its code path
     // changed (the other families' recorded numbers stay valid):
-    // "ivf" = the store lifecycle alone, "pq" = the ADC scan alone
+    // "ivf" = the store lifecycle alone, "pq" = the ADC scan alone, or a
+    // comma list of op ids ("q_l58") for just-added ops
     val family = sys.env.get("SPARK_GRAFT_FAMILY")
     val onlyIvf = family.contains("ivf")
+    val opFilter: Option[Set[String]] = family.filter(_.startsWith("q_"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val out = new StringBuilder
     args.foreach { dir =>
       val ops =
@@ -198,7 +205,10 @@ object SlopeBench {
         else if (family.contains("pq"))
           (if (new java.io.File(s"$dir/embeddings.parquet").exists()) embOps
            else Nil) // a doc/event/media dir in the arg list is not an error
-        else opsFor(dir)
+        else opFilter match {
+          case Some(keep) => opsFor(dir).filter(o => keep(o._1))
+          case None       => opsFor(dir)
+        }
       require(family.isDefined || ops.nonEmpty, s"$dir holds no ScaleGen table")
       val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       ops.foreach { case (n, fn) => run(fn, dir) // uncharged warm-up
@@ -208,7 +218,7 @@ object SlopeBench {
           best(n) = math.min(best(n), run(fn, dir)) }
       }
       if (new java.io.File(s"$dir/embeddings.parquet").exists() &&
-          !family.contains("pq"))
+          !family.contains("pq") && opFilter.isEmpty)
         storeLifecycle(spark, dir).foreach { case (n, v) => best(n) = v }
       val qs = best.map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",")
       val line = s"""{"dir":"$dir","queries":{$qs}}"""
