@@ -365,15 +365,27 @@ object StreamOps extends Serializable {
     * never sees a torn version, and a mid-append reader's worst case is
     * missing the one in-flight batch (the standard file-sink caveat,
     * same as [[ingestWithManifest]]).
+    *
+    * `compactEvery`/`vacuumRetainMs` wire the store's two maintenance
+    * moves into the ingest loop as POLICY — the housekeeping a live
+    * store otherwise needs an operator for: once the serving version
+    * accumulates `compactEvery` ingest partitions, the sink compacts
+    * (folding file count back to cells × filesPerCell), and with
+    * `vacuumRetainMs >= 0` it then vacuums versions superseded past the
+    * window — bounding both axes of unbounded growth (files per
+    * version, versions per store). Housekeeping runs AFTER the batch's
+    * flag commits and is best-effort: a crash in between skips one
+    * round, never data, and the next batch catches up.
     */
   def ingestVectors(vecs: DataFrame, storeDir: String, checkpoint: String,
-      driftThreshold: Double = 0.3, kmeansIters: Int = 2)
+      driftThreshold: Double = 0.3, kmeansIters: Int = 2,
+      compactEvery: Int = 0, vacuumRetainMs: Long = -1L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestVectorsBatch(batch, batchId, storeDir, driftThreshold,
-          kmeansIters)
+          kmeansIters, compactEvery, vacuumRetainMs)
       }
 
   /** The per-batch body of [[ingestVectors]], exposed for the replay /
@@ -395,7 +407,8 @@ object StreamOps extends Serializable {
     */
   private[graft] def ingestVectorsBatch(batch: DataFrame, batchId: Long,
       storeDir: String, driftThreshold: Double = 0.3,
-      kmeansIters: Int = 2): Unit = {
+      kmeansIters: Int = 2, compactEvery: Int = 0,
+      vacuumRetainMs: Long = -1L): Unit = {
     import graft.operators.Ivf
     val s = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(storeDir)
@@ -420,6 +433,27 @@ object StreamOps extends Serializable {
     } else {
       Ivf.maintainIndex(s, storeDir, batch, batchId, driftThreshold,
         kmeansIters) // writes its own _batch flag
+    }
+    // HOUSEKEEPING, after the batch's own write committed its flag: the
+    // maintenance policy a live store runs inline with ingestion.
+    // Best-effort by design — a crash between the flag and here skips
+    // one housekeeping round (the replay no-ops the append and the NEXT
+    // batch's round catches up), never the data. compactEvery folds the
+    // per-batch partition sprawl back to cells × filesPerCell once the
+    // serving version accumulates that many ingest partitions (the
+    // file-count growth appends trade for cheap writes); vacuumRetainMs
+    // ≥ 0 then GCs versions superseded past the window — together they
+    // bound BOTH axes of unbounded growth (files per version, versions
+    // per store) without an operator in the loop.
+    val nowReady = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$storeDir/_ready-*"))
+    if (nowReady != null && nowReady.nonEmpty) { // no store yet: nothing to keep
+      if (compactEvery > 0) {
+        val serving = Ivf.describeStore(s, storeDir).collect()
+          .filter(_.getBoolean(1)).maxBy(_.getLong(0))
+        if (serving.getLong(4) >= compactEvery) Ivf.compactStore(s, storeDir)
+      }
+      if (vacuumRetainMs >= 0L) Ivf.vacuumStore(s, storeDir, vacuumRetainMs)
     }
   }
 

@@ -601,4 +601,58 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     assert(new java.io.File(s"$dir2/_batch-0").isFile,
       "the replay must re-commit the batch flag")
   }
+
+  test("ingestVectors housekeeping: the compactEvery/vacuumRetainMs policy " +
+      "folds file sprawl and GCs superseded versions inline with ingestion, " +
+      "with serving exact throughout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ivf
+    val rows = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("string").as("label"),
+        col("embedding"))
+      .as[(Long, String, Array[Float])]
+      .collect().sortBy(_._1)
+    val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq.take(4)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-hk")
+    val (dir, ckpt) = (s"$base/store", s"$base/ckpt")
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "label", "embedding")
+    // stationary arrivals (huge drift threshold): versions only ever
+    // advance through the POLICY's compactions, never retrains
+    val q = StreamOps.ingestVectors(vecs, dir, ckpt, driftThreshold = 10.0,
+      compactEvery = 2, vacuumRetainMs = 0L).start()
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        mem.addData(c.toSeq: _*); q.processAllAvailable()
+        val served = Ivf.servingIndex(spark, dir)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        val expect = chunks.take(i + 1).flatten.map(_._1)
+        assert(served.sorted == expect.sorted.toSeq,
+          s"after batch $i serving must be exactly the arrivals so far")
+      }
+    } finally q.stop()
+    // the policy ran: the serving version is compacted (its partition
+    // count is back under the threshold) and superseded versions are
+    // GONE from disk while their _ready flags remain publication history
+    val d = Ivf.describeStore(spark, dir).collect()
+    val servingV = d.filter(_.getBoolean(1)).map(_.getLong(0)).max
+    assert(servingV > 0, "compaction must have published new versions")
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.stripPrefix("v").toLong).sorted
+    assert(onDisk.toSeq == Seq(servingV),
+      s"vacuum must leave only the serving version on disk: ${onDisk.toSeq}")
+    assert(new java.io.File(s"$dir/_ready-0").isFile,
+      "vacuum must never delete the append-only flags")
+    val servingRow = d.filter(_.getLong(0) == servingV).head
+    assert(servingRow.getLong(4) < 2 + 1,
+      s"serving version must be freshly folded: ${servingRow.getLong(4)} partitions")
+    // a replayed already-committed batch still no-ops under the policy
+    val replay = spark.createDataset(chunks(1).toSeq)
+      .toDF("vec_id", "label", "embedding")
+    StreamOps.ingestVectorsBatch(replay, 1L, dir, driftThreshold = 10.0,
+      compactEvery = 2, vacuumRetainMs = 0L)
+    assert(Ivf.servingIndex(spark, dir).count() == rows.length.toLong)
+  }
 }
