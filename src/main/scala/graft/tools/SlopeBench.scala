@@ -164,7 +164,11 @@ object SlopeBench {
           // nature (train + re-encode), the ADC probe reads the SAME
           // 1/5 of rows as q_ivfQ but only (vec_id, codes) bytes
           t(Ivf.enablePq(s, sdir, m = 8, ksub = 16, iters = 2)),
-          t(Ivf.annPqFromStore(s, sdir, qEmb, k = 10, nprobe = 2).collect()))
+          t(Ivf.annPqFromStore(s, sdir, qEmb, k = 10, nprobe = 2).collect()),
+          // ADC+R: the refine pass adds ONE id-filtered read of
+          // refine × k rows on top of the ADC probe — the cost side of
+          // the recall recovery RecallBench measures
+          t(Ivf.annPqRefined(s, sdir, qEmb, k = 10, nprobe = 2).collect()))
         rm(sdir)
         times
       }
@@ -188,7 +192,7 @@ object SlopeBench {
       val best = (1 to passes).map(_ => pass() ++ scaledPass())
         .transpose.map(_.min)
       Seq("q_ivfB", "q_ivfA", "q_ivfQ", "q_ivfC", "q_ivfP", "q_ivfQp",
-        "q_ivfBs", "q_ivfQs").zip(best)
+        "q_ivfQr", "q_ivfBs", "q_ivfQs").zip(best)
     }
     // SPARK_GRAFT_FAMILY re-measures ONE family when only its code path
     // changed (the other families' recorded numbers stay valid):
