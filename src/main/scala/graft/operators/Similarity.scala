@@ -84,6 +84,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[annLsh]] keyed by a query EMBEDDING instead of a corpus vec_id —
+    * the probe twin `tools/RecallBench` sweeps (its ground-truth
+    * convention keeps the query row in its own top-k, so this variant
+    * does NOT self-exclude; for a corpus-drawn query the result is
+    * exactly [[annLsh]]'s plus the self row ranked first, spec-pinned).
+    * The query's buckets come from the same [[graft.functions
+    * .LshBuckets]] expression over the literal vector, so probe and
+    * corpus hash identically by construction.
+    */
+  def annLshVec(s: SparkSession, d: String, qEmb: Array[Float],
+      k: Int = 10, bits: Int = 6, tables: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val bucketed = e.withColumn("bucket",
+      explode(LshBuckets(col("embedding"), bits, tables)))
+    val q2 = s.range(1)
+      .select(explode(LshBuckets(typedLit(qEmb), bits, tables)).as("bucket"))
+    bucketed.join(broadcast(q2), Seq("bucket"))
+      .select(col("vec_id"), col("embedding"))
+      .distinct() // candidate may collide in several tables
+      .select(col("vec_id"),
+        cosineSafe(col("embedding"), typedLit(qEmb)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs via multi-table LSH: `tables` hash
     * tables of `bits` random-hyperplane bits each; a pair is a candidate
     * if it collides in ANY table (OR-amplification — one table of b bits

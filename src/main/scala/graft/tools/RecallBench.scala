@@ -124,6 +124,17 @@ object RecallBench {
       recall(q => Ivf.annPqRefined(s, s1, q, k = K, nprobe = 2, refine = 4))
     rm(s, s1)
 
+    // the LSH scale path (the q_l12 family): the TABLES lever at the
+    // registered bits=6 width — OR-amplification's recall curve per
+    // decade, beside the IVF paths' nprobe curve above. Candidates are
+    // bucket-mates in ANY table, exact cosine re-ranks — so like
+    // exact_np*, the only loss is true neighbors hashing into no
+    // shared bucket.
+    Seq(1, 4, 14).foreach { t =>
+      results(s"lsh_t$t") =
+        recall(q => Similarity.annLshVec(s, dir, q, k = K, tables = t))
+    }
+
     // the OPERATED store: cells ≈ √n (the fourth sweep's cost lever,
     // here its recall price) — finer cells shrink the probed fraction
     // AND the chance a true neighbor's cell is probed

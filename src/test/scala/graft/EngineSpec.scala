@@ -1965,6 +1965,25 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(ranked.last == 2L, s"zero vector not ranked last: $ranked")
   }
 
+  test("annLshVec is annLsh's probe twin: for a corpus-drawn query the " +
+      "embedding-keyed variant returns the self row first and then " +
+      "exactly the vec_id-keyed ranking") {
+    import graft.operators.Similarity
+    val q0 = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val viaVec = Similarity.annLshVec(spark, sfDir, q0, k = 11,
+      bits = 6, tables = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaVec.head._1 == 0L && viaVec.head._2 > 0.999999,
+      s"self must rank first: ${viaVec.head}")
+    val viaId = Similarity.annLsh(spark, sfDir, k = 10,
+      bits = 6, tables = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaVec.tail == viaId,
+      "probe twin must rank the identical candidate set identically")
+  }
+
   test("full-text AND search tolerates duplicate/case-colliding query terms") {
     import graft.operators.FullText
     val idx = FullText.invertedIndex(Tables.documents(spark, sfDir))
