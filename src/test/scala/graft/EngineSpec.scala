@@ -3235,6 +3235,85 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       servedBefore.size.toLong + e.filter(col("vec_id") <= 3).count())
   }
 
+  test("ivf store randomized lifecycle vs a model: any seeded sequence of " +
+      "appends, deletes, re-ingests, compactions, forced retrains and " +
+      "vacuums serves exactly the model's multiset after every step") {
+    import graft.operators.Ivf
+    // MODEL: a delete masks every copy of the id present when it lands
+    // (as-of = max ingest batch at delete time, and every live copy's
+    // effective batch is <= that by construction — rewrites collapse to
+    // the watermark, never past the newest batch); a re-ingest AFTER the
+    // delete serves. So per id, the serving copy count is the number of
+    // ingests since its last delete. The store never dedups: two
+    // ingests of one id without a delete between them serve twice.
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+    val embOf = e.collect().map(r => r.getLong(0) ->
+      (r.get(1), r.getSeq[Float](2).toArray)).toMap
+    val pool = embOf.keys.toSeq.sorted.take(60)
+    def batchDf(ids: Seq[Long]) = {
+      import spark.implicits._
+      ids.map(id => (id, embOf(id)._2)).toDF("vec_id", "embedding")
+    }
+    // fixed seed in CI; sweep locally with GRAFT_MODEL_SEED=n
+    val rnd = new scala.util.Random(
+      sys.env.getOrElse("GRAFT_MODEL_SEED", "13").toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString
+    val boot = pool.take(20)
+    Ivf.bootstrapStore(spark, e.filter(col("vec_id").isin(boot: _*)), dir)
+    val model = scala.collection.mutable.Map[Long, Int]()
+    boot.foreach(id => model(id) = 1)
+    var ingestId = 0L
+    var delId = 0L
+    def liveIds = model.filter(_._2 > 0).keys.toSeq.sorted
+    def check(step: String): Unit = {
+      val served = Ivf.servingIndex(spark, dir)
+        .groupBy("vec_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      val want = model.filter(_._2 > 0).toMap
+      assert(served == want,
+        s"after $step: served ${served.toSeq.sorted} != model ${want.toSeq.sorted}")
+    }
+    check("bootstrap")
+    (1 to 14).foreach { step =>
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>       // append fresh + re-ingested ids
+          val fresh = pool.filterNot(model.contains).take(rnd.nextInt(4))
+          val re = rnd.shuffle(model.keys.toSeq.sorted) // incl. deleted ones
+            .take(rnd.nextInt(3))
+          val ids = (fresh ++ re).distinct
+          if (ids.nonEmpty) {
+            ingestId += 1
+            Ivf.maintainIndex(spark, dir, batchDf(ids), ingestId,
+              driftThreshold = 10.0)
+            ids.foreach(id => model(id) = model.getOrElse(id, 0) + 1)
+          }
+        case 3 | 4 =>           // delete a random live subset
+          val ids = rnd.shuffle(liveIds).take(1 + rnd.nextInt(3))
+          if (ids.nonEmpty) {
+            Ivf.deleteVectors(spark, dir, batchDf(ids).select("vec_id"), delId)
+            delId += 1
+            ids.foreach(id => model(id) = 0)
+          }
+        case 5 | 6 =>           // compaction (corpus rewrite, same centroids)
+          Ivf.compactStore(spark, dir)
+        case 7 =>               // forced retrain (any nonzero drift trips it)
+          val ids = rnd.shuffle(liveIds).take(2)
+          if (ids.nonEmpty) {
+            ingestId += 1
+            Ivf.maintainIndex(spark, dir, batchDf(ids), ingestId,
+              driftThreshold = 1e-9)
+            ids.foreach(id => model(id) = model.getOrElse(id, 0) + 1)
+          }
+        case _ =>               // vacuum at zero retention, mid-lifecycle
+          Ivf.vacuumStore(spark, dir, retainMs = 0L)
+      }
+      check(s"step $step (op ${rnd.toString})")
+    }
+    // the store still answers after the whole gauntlet
+    val q = embOf(pool.head)._2
+    assert(Ivf.annFromStore(spark, dir, q, k = 3, nprobe = 10).count() == 3)
+  }
+
   test("ivf store serving-read contract: a reader resolving versions at " +
       "ANY stage of an in-flight retrain sees a complete version") {
     import graft.operators.Ivf
