@@ -53,9 +53,25 @@ object SlopeBench {
     */
   private def eventOps: Seq[(String, (SparkSession, String) => DataFrame)] = {
     import graft.operators.Temporal
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
     Seq(
       "q_t05" -> ((s: SparkSession, d: String) => Temporal.qT05(s, d)),
-      "q_t08" -> ((s: SparkSession, d: String) => Temporal.qT08(s, d)))
+      "q_t08" -> ((s: SparkSession, d: String) => Temporal.qT08(s, d)),
+      // the ranking/analytic/frame WINDOW family at corpus scale (the
+      // registered q_w01/w03/w07 shapes run over lineitem, which has no
+      // scale generator): rank + lag + trailing frame sharing ONE
+      // partition ordering — the single-exchange single-sort claim,
+      // measured on the events decades
+      "q_wE" -> ((s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            row_number().over(w).as("rn"),
+            lag(col("event_type"), 1).over(w).as("prev_type"),
+            count(lit(1)).over(w.rowsBetween(-9, 0)).as("trail10"))
+      }))
   }
 
   /** The perceptual near-dup JOINS over a planted-duplicate media corpus
