@@ -75,10 +75,19 @@ object Similarity {
       explode(LshBuckets(col("embedding"), bits, tables)))
     val q2 = bucketed.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"), col("bucket"))
-    bucketed.filter(col("vec_id") =!= 0)
-      .join(broadcast(q2), Seq("bucket"))
-      .select(col("vec_id"), col("embedding"), col("q_emb"))
-      .distinct() // candidate may collide in several tables
+    // candidate dedup carries ONLY ids (a candidate may collide in
+    // several tables): the distinct's shuffle moves 8-byte ids, and the
+    // embeddings rejoin by id afterwards — the same ids-only-through-
+    // the-shuffle discipline as [[nearDupPairs]], which measured the
+    // arrays-through-distinct formulation 4× slower there; the width
+    // difference grows with vector dimension at corpus scale
+    val candIds = bucketed.filter(col("vec_id") =!= 0)
+      .join(broadcast(q2.select("bucket")), Seq("bucket"))
+      .select("vec_id").distinct()
+    candIds
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))))
       .select(col("vec_id"), cosineSafe(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
@@ -100,9 +109,10 @@ object Similarity {
       explode(LshBuckets(col("embedding"), bits, tables)))
     val q2 = s.range(1)
       .select(explode(LshBuckets(typedLit(qEmb), bits, tables)).as("bucket"))
+    // ids-only dedup, embeddings rejoined by id — see [[annLsh]]
     bucketed.join(broadcast(q2), Seq("bucket"))
-      .select(col("vec_id"), col("embedding"))
-      .distinct() // candidate may collide in several tables
+      .select("vec_id").distinct()
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id"),
         cosineSafe(col("embedding"), typedLit(qEmb)).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
