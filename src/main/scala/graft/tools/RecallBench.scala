@@ -122,6 +122,12 @@ object RecallBench {
       recall(q => Ivf.annPqFromStore(s, s1, q, k = K, nprobe = cells1))
     results("refined256_np2") =
       recall(q => Ivf.annPqRefined(s, s1, q, k = K, nprobe = 2, refine = 4))
+    // the SHORTLIST-DEPTH lever: where refine=4 saturates below the
+    // prune ceiling (large decades push true neighbors past rank 40 in
+    // ADC order), a 160-deep shortlist should close back on exact_np2 —
+    // measured, so the depth-vs-bytes tradeoff is a curve, not a remark
+    results("refined256_np2_r16") =
+      recall(q => Ivf.annPqRefined(s, s1, q, k = K, nprobe = 2, refine = 16))
     rm(s, s1)
 
     // the LSH scale path (the q_l12 family): the TABLES lever at the
