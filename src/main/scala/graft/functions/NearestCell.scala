@@ -67,6 +67,25 @@ case class NearestCell(child: Expression, cells: Seq[String],
   @transient private lazy val packed = new NearestCellPacked(
     cells.map(UTF8String.fromString).toArray, cents.toArray)
 
+  // Array fields compare by REFERENCE under the synthesized case-class
+  // equals, so two structurally identical assignments would never
+  // canonicalize equal — Catalyst semanticEquals, exchange reuse, and
+  // cached-plan matching would silently miss. Compare element-wise.
+  override def equals(o: Any): Boolean = o match {
+    case that: NearestCell =>
+      child == that.child && cells == that.cells &&
+        cents.length == that.cents.length &&
+        cents.iterator.zip(that.cents.iterator)
+          .forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = child.hashCode() * 31 + cells.hashCode()
+    cents.foreach(a => h = h * 31 + java.util.Arrays.hashCode(a))
+    h
+  }
+
   override protected def nullSafeEval(v: Any): Any =
     NearestCell.best(v.asInstanceOf[ArrayData], packed)
 

@@ -21,6 +21,26 @@ final class PqCodebook(val m: Int, val dsub: Int, val ksub: Int,
     s"pq: ${cents.length} centroids != m*ksub = ${m * ksub}")
   require(cents.forall(_.length == dsub), s"pq: centroid dim != dsub=$dsub")
   val dim: Int = m * dsub
+
+  // Structural equality (Array compares by reference), so the
+  // expressions carrying a codebook ([[PqEncode]], and [[PqAdc]]'s
+  // table) canonicalize equal when structurally equal — without this,
+  // Catalyst semanticEquals / exchange reuse / cached-plan matching
+  // silently fail on any plan containing them.
+  override def equals(o: Any): Boolean = o match {
+    case that: PqCodebook =>
+      m == that.m && dsub == that.dsub && ksub == that.ksub &&
+        cents.length == that.cents.length &&
+        cents.indices.forall(i =>
+          java.util.Arrays.equals(cents(i), that.cents(i)))
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = (m * 31 + dsub) * 31 + ksub
+    cents.foreach(a => h = h * 31 + java.util.Arrays.hashCode(a))
+    h
+  }
 }
 
 /** PQ ENCODE as one codegen expression: unit-normalize the float vector
@@ -81,6 +101,18 @@ case class PqAdc(child: Expression, table: Array[Double], m: Int, ksub: Int)
 
   require(table.length == m * ksub,
     s"pq_adc: table ${table.length} != m*ksub = ${m * ksub}")
+
+  // element-wise equality for the table (see [[PqCodebook]] rationale)
+  override def equals(o: Any): Boolean = o match {
+    case that: PqAdc =>
+      child == that.child && m == that.m && ksub == that.ksub &&
+        java.util.Arrays.equals(table, that.table)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    ((child.hashCode() * 31 + m) * 31 + ksub) * 31 +
+      java.util.Arrays.hashCode(table)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -198,7 +230,14 @@ object PqCodec {
       norm += x * x
       i += 1
     }
-    val nrm = math.sqrt(norm) // v_i = x_i / nrm; a 0-norm → NaN like the SQL
+    // A zero-norm vector would encode to code 0 in every subspace (all
+    // distances NaN, the +Inf sentinel never beaten) — valid-looking
+    // codes with an arbitrary ADC rank, while the exact serving path
+    // ranks the same vector LAST (cosineSafe -1). Drop it like other
+    // malformed inputs (callers filter `codes IS NOT NULL`), keeping
+    // the two store paths consistent on zero vectors.
+    if (norm == 0.0) return null
+    val nrm = math.sqrt(norm)
     val out = new Array[Int](cb.m)
     var sub = 0
     while (sub < cb.m) {

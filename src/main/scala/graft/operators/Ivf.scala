@@ -83,12 +83,18 @@ object Ivf {
   def buildIndex(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val rows = centroids.select(col("cell").cast("string"), col("centroid"))
       .collect().sortBy(_.getString(0)) // stable plan; argmax is order-free
+    // orig_batch provenance, when the caller carries it (a retrain's
+    // re-assignment of the serving view), rides through the assignment
+    // untouched — re-assignment changes cells, never ingest history
+    val passthrough =
+      embeddings.columns.filter(_ == "orig_batch").map(col).toIndexedSeq
     embeddings
       .withColumn("cell", graft.functions.NearestCell(col("embedding"),
         rows.map(_.getString(0)).toSeq,
         rows.map(_.getSeq[Float](1).toArray).toSeq))
       .filter(col("cell").isNotNull) // no centroids / no matching dim
-      .select(col("cell"), col("vec_id"), col("embedding"))
+      .select(Seq(col("cell"), col("vec_id"), col("embedding")) ++
+        passthrough: _*)
   }
 
   /** Incremental index maintenance: assign ONLY the arriving batch
@@ -342,7 +348,13 @@ object Ivf {
       org.apache.spark.sql.types.LongType)))
 
   private def readIndexRaw(s: SparkSession, path: String): DataFrame =
-    try s.read.parquet(path)
+    // mergeSchema: partitions legitimately differ — collapsed `-1`
+    // partitions carry `orig_batch` provenance (and `codes` once PQ is
+    // on) that appended batch partitions lack; a single-file schema
+    // pick could silently HIDE orig_batch and degrade tombstone masking
+    // to the coarse watermark rule. Footer-merge cost is planning-time
+    // metadata, the same trade probedLiveAt already makes for codes.
+    try s.read.option("mergeSchema", "true").parquet(path)
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
@@ -421,19 +433,38 @@ object Ivf {
     when(col("ingest_batch").cast("long") === lit(BootstrapBatch), lit(wm))
       .otherwise(col("ingest_batch").cast("long"))
 
+  /** A row's effective batch id, PER-ROW when provenance is available:
+    * a collapsed `-1` row written by a post-provenance rewrite carries
+    * its original effective batch in `orig_batch` ([[servingViewAt]]),
+    * so a re-ingest keeps its own (post-delete) id through any number
+    * of collapses instead of inheriting the watermark — the fact that
+    * closes the delete-vs-rewrite re-ingest race (see
+    * [[deleteVectors]]). Legacy collapsed rows (orig_batch NULL or the
+    * column absent entirely) fall back to the watermark, which for
+    * pre-provenance data is exact: everything collapsed predates every
+    * later delete's as-of.
+    */
+  private def effectiveOf(idx: DataFrame, wm: Long) =
+    if (idx.columns.contains("orig_batch"))
+      when(col("ingest_batch").cast("long") === lit(BootstrapBatch),
+        coalesce(col("orig_batch").cast("long"), lit(wm)))
+        .otherwise(col("ingest_batch").cast("long"))
+    else effectiveBatch(wm)
+
   /** Anti-join an index (raw schema, `ingest_batch` present) against a
     * version's tombstones under the as-of rule (see [[tombstones]]): a
-    * tombstone masks rows whose EFFECTIVE batch id (`wm` for the
-    * collapsed -1 partition, the partition id otherwise) is <= its
-    * as_of. The join's strategy is left to Catalyst — the tombstone side
-    * is bounded between compactions (each compaction/retrain drains it
-    * to zero), so file-size stats broadcast it; no forced hint that
-    * would pin a 100 TB plan to a driver-sized assumption.
+    * tombstone masks rows whose EFFECTIVE batch id ([[effectiveOf]] —
+    * per-row provenance for collapsed partitions, the partition id
+    * otherwise) is <= its as_of. The join's strategy is left to
+    * Catalyst — the tombstone side is bounded between compactions (each
+    * compaction/retrain drains it to zero), so file-size stats
+    * broadcast it; no forced hint that would pin a 100 TB plan to a
+    * driver-sized assumption.
     */
   private def antiTombstones(idx: DataFrame, t: DataFrame,
       wm: Long): DataFrame =
     idx.join(t, idx("vec_id") === t("vec_id") &&
-      effectiveBatch(wm) <= t("as_of"), "left_anti")
+      effectiveOf(idx, wm) <= t("as_of"), "left_anti")
 
   /** The serving view of version `v`: the index minus its tombstones. */
   private def servingView(s: SparkSession, dir: String, v: Long): DataFrame = {
@@ -450,6 +481,16 @@ object Ivf {
     * rewrite snapshots, so its contents are exactly the batches its
     * ticket (and watermark) claim, however many appends land between
     * the ticket listing and the first job that executes this plan.
+    *
+    * The output carries `orig_batch` — each row's effective batch id
+    * under THIS version's watermark — and every rewrite writes it into
+    * the collapsed `-1` partition it produces. That per-row provenance
+    * is what lets [[antiTombstones]] mask EXACTLY the rows a delete's
+    * as-of covers after collapse, instead of over-masking to the
+    * watermark (the re-ingest race [[deleteVectors]] documents). One
+    * long column per row, columnar-compressed and never read by the
+    * serving scans (ANN probes prune it away) — provenance at the cost
+    * of metadata, not bandwidth.
     */
   private def servingViewAt(s: SparkSession, dir: String, v: Long,
       batches: Set[Long]): DataFrame = {
@@ -460,19 +501,22 @@ object Ivf {
         s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexRawSchema)
       else
-        try s.read.option("basePath", base).parquet(paths: _*)
+        try s.read.option("mergeSchema", "true").option("basePath", base)
+          .parquet(paths: _*)
         catch {
           case e: org.apache.spark.sql.AnalysisException
               if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
             s.createDataFrame(
               s.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexRawSchema)
         }
+    val wm = watermarkOf(s, dir, v)
     val live = tombstones(s, dir, v) match {
-      case Some(t) => antiTombstones(idx, t, watermarkOf(s, dir, v))
+      case Some(t) => antiTombstones(idx, t, wm)
       case None    => idx
     }
     live.select(col("cell").cast("string").as("cell"),
-      col("vec_id"), col("embedding"))
+      col("vec_id"), col("embedding"),
+      effectiveOf(idx, wm).cast("long").as("orig_batch"))
   }
 
   /** The serving centroid set / index of the CURRENT version. */
@@ -798,11 +842,9 @@ object Ivf {
     * `_staging-<N+1>` BEFORE listing their snapshot's batches and carry
     * forward any delete batches that landed after that listing
     * ([[finishRewrite]]); deleters, AFTER writing the current version's
-    * tombstone, re-apply it to every staged-or-published version above
-    * whose watermark is known, with `as_of = max(asOf, watermark)` —
-    * under the effective-batch rule that masks the collapsed rewrite
-    * partition while sparing batches appended to the new version after
-    * the delete. A staged version whose watermark file is not yet
+    * tombstone, re-apply the SAME tombstone (identical as-of, identical
+    * bytes) to every staged-or-published version above whose watermark
+    * is known. A staged version whose watermark file is not yet
     * visible is SKIPPED: its ticket listing has not happened, so the
     * already-written `v` tombstone lands in the snapshot's own
     * tombstone read. Ordering proof for the covered half: if the
@@ -813,12 +855,30 @@ object Ivf {
     * the same `del_batch` partition with identical content;
     * last-writer-wins on identical bytes, and a torn concurrent read is
     * the standard file-sink caveat, bounded until the overwrite
-    * commits. Residual window (documented, not closed): a re-ingest
-    * landing between this delete and a concurrent rewrite's snapshot
-    * can be masked in the NEW version by the `max(asOf, watermark)`
-    * staged tombstone — it serves again on its next re-ingest; closing
-    * it outright needs an atomic commit log (Delta/Iceberg-style OCC),
-    * the production escalation path for a file-based store.
+    * commits.
+    *
+    * The exact as-of is SUFFICIENT for staged versions because rewrites
+    * preserve per-row provenance: a collapsed `-1` row carries its
+    * original effective batch id in the `orig_batch` column
+    * ([[servingViewAt]]), and [[antiTombstones]] masks on that, not on
+    * the coarse watermark. This closes what used to be the store's one
+    * residual window — a re-ingest landing between a delete and a
+    * concurrent rewrite's snapshot listing was collapsed to effective
+    * id = watermark, indistinguishable from pre-delete mass, and the
+    * old `max(asOf, watermark)` staged tombstone masked it. With
+    * provenance the re-ingest keeps its own (higher) batch id through
+    * any number of collapses, so `as_of = asOf` spares it in every
+    * version, while pre-delete rows (orig_batch <= asOf by
+    * construction — asOf is the max effective id at delete time)
+    * stay masked. The interleaving is pinned deterministically in
+    * EngineSpec via [[interleaveAfterTombstoneWrite]]. A multi-WRITER
+    * store (concurrent rewriters racing each other) is the remaining
+    * production escalation that needs an atomic commit log
+    * (Delta/Iceberg-style OCC); this store's contract is one
+    * maintainer, any number of appenders/deleters/readers — and under
+    * that contract no coordination point (no log, no lock) is needed,
+    * which at 100 TB is the difference between ingest throughput
+    * scaling with writers and serializing on a commit sequence.
     *
     * REPLAY idempotence includes the as-of: a delete that crashed after
     * its tombstone write but before its `_del` flag reuses the as-of
@@ -835,25 +895,61 @@ object Ivf {
     if (fs.exists(flag)) return // completed delete replayed: no-op
     val v = readVersion(s, dir)
     val tombPath = s"$dir/v$v/tombstones/del_batch=$delBatchId"
-    val priorAsOf = scala.util.Try {
-      val r = s.read.parquet(tombPath).agg(max(col("as_of").cast("long"))).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
-    }.toOption.flatten
+    // An EXISTING tombstone must yield its recorded as-of — replay reuse
+    // is the guard against silently unserving a re-upload — so existence
+    // is checked explicitly and read errors on committed files
+    // PROPAGATE instead of falling back to a recomputed (potentially
+    // higher) as-of. The one benign read failure is a crash before the
+    // parquet footer committed (UNABLE_TO_INFER_SCHEMA): nothing was
+    // ever published, so recomputing is the first write, not a replay.
+    val priorAsOf =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(tombPath))) None
+      else {
+        val prior =
+          try Some(s.read.parquet(tombPath))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+              None
+          }
+        prior.flatMap { p =>
+          if (!p.columns.contains("as_of")) Some(Long.MaxValue) // legacy
+          else {
+            val r = p.agg(max(col("as_of").cast("long"))).head()
+            if (r.isNullAt(0)) None else Some(r.getLong(0))
+          }
+        }
+      }
     val asOf = priorAsOf.getOrElse(maxIngestBatch(s, dir, v))
+    // materialize the distinct id set ONCE (localCheckpoint: stays
+    // distributed, executes eagerly) before writing it to multiple
+    // destinations — a non-deterministic or concurrently-mutating ids
+    // source would otherwise write DIVERGENT tombstone sets across
+    // versions, breaking the identical-bytes assumption the race
+    // argument relies on
     val tomb = ids.select("vec_id").distinct()
-    tomb.withColumn("as_of", lit(asOf))
-      .write.mode("overwrite").parquet(tombPath)
+      .withColumn("as_of", lit(asOf)).localCheckpoint(true)
+    tomb.write.mode("overwrite").parquet(tombPath)
+    interleaveAfterTombstoneWrite(dir)
     stagedOrReadyAbove(s, dir, v).foreach { n =>
       val wmPath = fsOf(s, dir).globStatus(
         new org.apache.hadoop.fs.Path(s"$dir/v$n/_watermark-*"))
       if (wmPath != null && wmPath.nonEmpty) // ticket listed: cover n ourselves
-        tomb.withColumn("as_of", lit(math.max(asOf, watermarkOf(s, dir, n))))
-          .write.mode("overwrite")
+        tomb.write.mode("overwrite")
           .parquet(s"$dir/v$n/tombstones/del_batch=$delBatchId")
       // else: n's snapshot listing is still ahead — it will see v's tombstone
     }
     fs.create(flag, true).close()
   }
+
+  /** Test-only interleave hook, invoked between the current version's
+    * tombstone write and the staged-version cover loop — the exact
+    * instant the delete-vs-rewrite provenance argument is about. The
+    * deterministic spec leg runs a re-ingest plus a full compaction
+    * inside it, then lets the delete finish against the published
+    * successor. Default no-op; production never sets it.
+    */
+  private[graft] var interleaveAfterTombstoneWrite: String => Unit = _ => ()
 
   /** What a rewrite's [[beginRewrite]] snapshot covered: the watermark
     * (max effective batch id of the covered set) plus the exact ingest
@@ -1181,16 +1277,32 @@ object Ivf {
       val wmHits = fs.globStatus(
         new org.apache.hadoop.fs.Path(s"$dir/v$n/_watermark-*"))
       if (wmHits != null && wmHits.nonEmpty &&
-          batchId > watermarkOf(s, dir, n))
-        scala.util.Try {
-          val cents = s.read.parquet(s"$dir/v$n/centroids")
+          batchId > watermarkOf(s, dir, n)) {
+        // Only the staged-artifact READS may fail benignly here (the
+        // rewrite announced its watermark but has not yet committed its
+        // centroids/codebook — finishRewrite's carry listing covers the
+        // batch, per the either-or proof above), and only with the
+        // not-yet-committed signatures parquet raises (PATH_NOT_FOUND /
+        // UNABLE_TO_INFER_SCHEMA are both AnalysisException). WRITE
+        // failures must propagate: the `_batch` flag below would
+        // otherwise commit with the staged copy silently missing, and
+        // if the rewrite's carry listing already ran, the published
+        // version drops the batch forever while every replay no-ops.
+        val staged =
+          try Some((s.read.parquet(s"$dir/v$n/centroids"),
+            codebookOf(s, dir, n)))
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => None
+          }
+        staged.foreach { case (cents, cb) =>
           writeIndex(buildIndex(newVecs.select("vec_id", "embedding"), cents),
-            s"$dir/v$n/index/ingest_batch=$batchId", codebookOf(s, dir, n))
+            s"$dir/v$n/index/ingest_batch=$batchId", cb)
           writeCellStats(
             cellStatsOf(s, readIndex(s,
               s"$dir/v$n/index/ingest_batch=$batchId")),
             s"$dir/v$n/cellstats/ingest_batch=$batchId")
-        }.getOrElse(()) // centroids not yet staged: carry-forward covers
+        }
+      }
     }
     val maxDrift = incrementalMaxDrift(s, dir, v)
     val result =
@@ -1208,7 +1320,9 @@ object Ivf {
         val local = s.createDataFrame(
           java.util.Arrays.asList(retrained.collect(): _*), retrained.schema)
         local.write.mode("overwrite").parquet(s"$dir/v${v + 1}/centroids")
-        writeIndex(buildIndex(vecs, local),
+        writeIndex( // orig_batch provenance rides the re-assignment
+          buildIndex(index.select(col("vec_id"), col("embedding"),
+            col("orig_batch")), local),
           s"$dir/v${v + 1}/index/ingest_batch=$BootstrapBatch", cb)
         // stats come from a single-pass rescan of the just-written -1
         // partition (scoped like compactStore's: a racing appender's

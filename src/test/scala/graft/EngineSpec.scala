@@ -3304,6 +3304,30 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
               driftThreshold = 1e-9)
             ids.foreach(id => model(id) = model.getOrElse(id, 0) + 1)
           }
+        case 8 =>               // delete with a re-ingest + rewrite racing
+          // MID-delete (the provenance interleaving): as-of is computed
+          // before the hook, so the hook's re-ingest must serve and the
+          // hook's compaction must not let the staged cover mask it
+          val vics = rnd.shuffle(liveIds).take(1 + rnd.nextInt(2))
+          if (vics.nonEmpty) {
+            val re = rnd.shuffle((model.keys.toSeq ++ vics).distinct.sorted)
+              .take(1 + rnd.nextInt(2))
+            Ivf.interleaveAfterTombstoneWrite = { d =>
+              Ivf.interleaveAfterTombstoneWrite = _ => ()
+              ingestId += 1
+              Ivf.maintainIndex(spark, d, batchDf(re), ingestId,
+                driftThreshold = 10.0)
+              Ivf.compactStore(spark, d)
+            }
+            try Ivf.deleteVectors(spark, dir,
+              batchDf(vics).select("vec_id"), delId)
+            finally Ivf.interleaveAfterTombstoneWrite = _ => ()
+            delId += 1
+            // model order mirrors the causal order: the delete covers
+            // what existed at its as-of, THEN the re-ingest serves
+            vics.foreach(id => model(id) = 0)
+            re.foreach(id => model(id) = model.getOrElse(id, 0) + 1)
+          }
         case _ =>               // vacuum at zero retention, mid-lifecycle
           Ivf.vacuumStore(spark, dir, retainMs = 0L)
       }
@@ -3575,6 +3599,72 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Ivf.servingIndex(spark, dir)
       .filter(col("vec_id") === 1L).count() == 1,
       "a stale staged tombstone from an aborted rewrite masked a re-ingest")
+  }
+
+  test("ivf store re-ingest racing a delete AND a rewrite: per-row " +
+      "provenance through the collapse keeps the exact-as-of tombstone " +
+      "from masking the re-upload — the formerly documented residual " +
+      "window, closed") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").filter(col("vec_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-prov").toString
+    Ivf.bootstrapStore(spark, e.filter(col("vec_id") < 40), dir)
+    Ivf.maintainIndex(spark, dir, e.filter(col("vec_id") >= 40),
+      batchId = 5L, driftThreshold = 2.1)
+    // THE interleaving the pre-provenance protocol could not serve
+    // correctly (Ivf.scala used to document it as the one residual
+    // window): the deleter computes as-of 5 and writes v0's tombstone;
+    // BEFORE its staged-cover step, a re-ingest of the victim lands
+    // (batch 6) and a full compaction collapses it into v1's -1
+    // partition (watermark 6); the deleter then resumes against the
+    // published v1. The old max(asOf, watermark) cover masked the
+    // collapsed re-ingest (effective id = watermark = 6 <= 6); with
+    // orig_batch provenance the collapsed row keeps its own id 6 > 5
+    // and the byte-identical as-of-5 tombstone spares it.
+    val victim = 7L
+    var fired = 0
+    Ivf.interleaveAfterTombstoneWrite = { d =>
+      fired += 1
+      Ivf.interleaveAfterTombstoneWrite = _ => () // nested ops: no recursion
+      Ivf.maintainIndex(spark, d, e.filter(col("vec_id") === victim),
+        batchId = 6L, driftThreshold = 2.1)
+      Ivf.compactStore(spark, d)
+    }
+    try Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === victim).select("vec_id"), delBatchId = 11L)
+    finally Ivf.interleaveAfterTombstoneWrite = _ => ()
+    assert(fired == 1, "the interleave hook must drive the schedule")
+    // the staged cover recorded the EXACT as-of (5) — not the watermark
+    // (6) the old rule would have written and masked with
+    val staged = spark.read.parquet(s"$dir/v1/tombstones/del_batch=11")
+    assert(staged.select(col("as_of").cast("long")).head().getLong(0) == 5L,
+      "staged tombstone must carry the delete's own as-of")
+    // the collapsed -1 partition carries per-row provenance: the
+    // re-ingest kept batch 6, the collapsed pre-delete mass its own ids
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1/index")
+    assert(raw.columns.contains("orig_batch"))
+    assert(raw.filter(col("vec_id") === victim)
+      .select(col("orig_batch").cast("long")).head().getLong(0) == 6L,
+      "the collapsed re-ingest must keep its own batch id")
+    // the re-ingested victim SERVES in the published version (pre-fix:
+    // masked and then physically dropped at the next rewrite), exactly
+    // once — its pre-delete copy is gone
+    assert(Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id") === victim).count() == 1,
+      "the staged tombstone masked the collapsed re-ingest")
+    assert(Ivf.servingIndex(spark, dir).count() == e.count(),
+      "only the victim's pre-delete copy may be dropped")
+    // a delete AFTER the dust settles still removes the re-upload, and
+    // the NEXT rewrite keeps masking exactly (provenance survives
+    // chained collapses)
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === victim).select("vec_id"), delBatchId = 12L)
+    assert(Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id") === victim).count() == 0)
+    Ivf.compactStore(spark, dir)
+    assert(Ivf.servingIndex(spark, dir).count() == e.count() - 1)
   }
 
   test("ivf store append racing a rewrite: a batch landing mid-rewrite " +
