@@ -148,6 +148,13 @@ object SparkEntry {
     // shingles); videoNearDupPairs is the frame-set Jaccard join,
     // spec-pinned on a spliced-frame near-duplicate
     "q_mm06_video_dhash"   -> (Multimodal.qMM06 _),
+    // the audio near-dup JOIN itself (r14): banded-Hamming pairs over
+    // corpus fingerprints + planted leading-silence twins — the pair
+    // SET is oracle-tier now, not just the catalog
+    "q_mm07_audio_near_dup" -> (Multimodal.qMM07 _),
+    // the video near-dup JOIN (r14): frame-set Jaccard pairs over
+    // corpus postings + planted trim twins
+    "q_mm08_video_near_dup" -> (Multimodal.qMM08 _),
     // custom UDTF (Generator) leg of the extension surface
     "q_l16_ngram_top20"    -> (LLMOps.qL16 _),
     // bounded-state heavy hitters (sketch + exact recount; same oracle
@@ -752,6 +759,22 @@ object SparkEntry {
     // even when every value is equal (the r12 q_mm05 red)
     "q_mm05_audio_fp" ->
       """WITH m AS (SELECT doc_id, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 = 2), idx AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM m), s0 AS (SELECT doc_id, ns, i, (CAST(doc_id AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT doc_id, ns, i, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT doc_id, ns, i, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT doc_id, ns, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT doc_id, ns, i, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT doc_id, ns, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), en AS (SELECT doc_id, CAST(i * 33 // ns AS INT) AS frame, SUM(ABS((z % 65536) - 32768)) AS e FROM z3 GROUP BY doc_id, frame), bits AS (SELECT a.doc_id, a.frame AS pos, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.frame = a.frame + 1 WHERE a.frame < 32) SELECT doc_id, CAST(SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS BIGINT) AS afp FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    // q_mm07 (r14): the audio near-dup PAIR SET on planted duplicates —
+    // regenerate every wav row's 32-bit fingerprint (the q_mm05 chain)
+    // for the corpus AND the planted twins (doc_id + 10000000, same
+    // splitmix64 stream, first 16 samples silenced = the
+    // plantAudioTwins mutation folded into the frame energies), then
+    // rebuild the expected pairs ALL-PAIRS with bit_count(xor) — the
+    // oracle may be quadratic, the engine's banded join never is
+    "q_mm07_audio_near_dup" ->
+      """WITH w AS (SELECT doc_id, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 = 2), m AS (SELECT doc_id AS out_id, doc_id AS seed, ns, 0 AS tw FROM w UNION ALL SELECT doc_id + 10000000, doc_id, ns, 1 FROM w WHERE doc_id % 3 = 0), idx AS (SELECT out_id, seed, ns, tw, unnest(range(0, ns)) AS i FROM m), s0 AS (SELECT out_id, ns, tw, i, (CAST(seed AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT out_id, ns, tw, i, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT out_id, ns, tw, i, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), en AS (SELECT out_id, CAST(i * 33 // ns AS INT) AS frame, SUM(CASE WHEN tw = 1 AND i < 16 THEN 0 ELSE ABS((z % 65536) - 32768) END) AS e FROM z3 GROUP BY out_id, frame), bits AS (SELECT a.out_id, a.frame AS pos, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit FROM en a JOIN en b ON a.out_id = b.out_id AND b.frame = a.frame + 1 WHERE a.frame < 32), fp AS (SELECT out_id, CAST(SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS BIGINT) AS afp FROM bits GROUP BY out_id) SELECT a.out_id AS doc_a, b.out_id AS doc_b, CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming FROM fp a JOIN fp b ON a.out_id < b.out_id WHERE bit_count(xor(a.afp, b.afp)) <= 3 ORDER BY doc_a, doc_b""",
+    // q_mm08 (r14): the video near-dup PAIR SET on planted trim twins —
+    // the q_mm06 per-frame dHash rebuild over corpus mp4 rows AND twins
+    // (doc_id + 10000000, frames 0..F-2 of the SAME chain, only rows
+    // with >= 2 frames are planted), then distinct frame-hash sets,
+    // all-pairs intersection and Jaccard >= 0.8
+    "q_mm08_video_near_dup" ->
+      """WITH w AS (SELECT doc_id, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS nf FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 = 3), m AS (SELECT doc_id AS out_id, doc_id AS seed, nf FROM w UNION ALL SELECT doc_id + 10000000, doc_id, nf - 1 FROM w WHERE doc_id % 3 = 0 AND nf >= 2), fr AS (SELECT out_id, seed, unnest(range(0, nf)) AS f FROM m), grid AS (SELECT out_id, seed, f, unnest(range(0, 72)) AS g FROM fr), gxy AS (SELECT out_id, seed, f, g % 9 AS gx, g // 9 AS gy, f * 12 + ((g // 9) * 3 // 8) * 4 + ((g % 9) * 4 // 9) AS i FROM grid), s0 AS (SELECT out_id, f, gx, gy, (CAST(seed AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM gxy), x1 AS (SELECT out_id, f, gx, gy, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT out_id, f, gx, gy, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT out_id, f, gx, gy, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT out_id, f, gx, gy, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT out_id, f, gx, gy, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), gv AS (SELECT out_id, f, gx, gy, (299 * ((z % 16777216) // 65536) + 587 * ((z % 65536) // 256) + 114 * (z % 256)) // 1000 AS gray FROM z3), bits AS (SELECT a.out_id, a.f, a.gy * 8 + a.gx AS pos, CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit FROM gv a JOIN gv b ON a.out_id = b.out_id AND a.f = b.f AND a.gy = b.gy AND b.gx = a.gx + 1 WHERE a.gx < 8), hh AS (SELECT out_id, f, CAST(SUM(CASE WHEN bit = 1 AND pos < 32 THEN CAST(CAST(1 AS BIGINT) << CAST(pos AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) + CAST(SUM(CASE WHEN bit = 1 AND pos >= 32 THEN CAST(CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) * 4294967296 AS h64 FROM bits GROUP BY out_id, f), posts AS (SELECT DISTINCT out_id AS doc_id, CAST(CASE WHEN h64 >= 9223372036854775808 THEN h64 - 18446744073709551616 ELSE h64 END AS BIGINT) AS dhash FROM hh), sizes AS (SELECT doc_id, COUNT(*) AS n_fr FROM posts GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter FROM posts a JOIN posts b ON a.dhash = b.dhash AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b), j AS (SELECT i.doc_a, i.doc_b, CAST(i.inter AS DOUBLE) / CAST(na.n_fr + nb.n_fr - i.inter AS DOUBLE) AS jaccard FROM inter i JOIN sizes na ON i.doc_a = na.doc_id JOIN sizes nb ON i.doc_b = nb.doc_id) SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
     // q_mm06 (r12): regenerate each mp4 row's per-frame 4×3 pixels (ONE
     // splitmix64 chain chopped into frames — the q_mm02 video
     // discipline), sample the 9×8 grid with nearest-neighbor UPSCALING

@@ -209,6 +209,23 @@ object Multimodal {
     * frames — so the q_mm02 oracle regenerates all of it from doc_id
     * alone, exactly as it does for still images.
     */
+  /** The fixed ISO-BMFF header (ftyp + moov chain + mdat box header) in
+    * front of `nFrames` equal `Mp4FrameSize` slots — shared by the
+    * synthetic encoder and the [[trimLastFrame]] remux so both emit
+    * byte-identical containers.
+    */
+  private def putMp4Header(bb: java.nio.ByteBuffer, nFrames: Int): Unit = {
+    def box(size: Int, tag: String): Unit = {
+      bb.putInt(size); bb.put(tag.getBytes("US-ASCII"))
+    }
+    box(16, "ftyp"); bb.put("isom".getBytes("US-ASCII")); bb.putInt(0)
+    box(60, "moov"); box(52, "trak"); box(44, "mdia"); box(36, "minf")
+    box(28, "stbl")
+    box(20, "stsz"); bb.putInt(0) // version/flags
+    bb.putInt(Mp4FrameSize); bb.putInt(nFrames)
+    box(8 + nFrames * Mp4FrameSize, "mdat")
+  }
+
   private[graft] def encodeMp4(seed: Long, nFrames: Int,
       frameW: Int = Mp4FrameW, frameH: Int = Mp4FrameH): Array[Byte] = {
     // frame dims are a parameter (default: the fixture 4x3 the oracles
@@ -221,15 +238,7 @@ object Multimodal {
     // use 8x6 (~40 informative bits, still inside the 256 B slot).
     val dataLen = nFrames * Mp4FrameSize
     val bb = java.nio.ByteBuffer.allocate(Mp4HeaderLen + dataLen) // big-endian
-    def box(size: Int, tag: String): Unit = {
-      bb.putInt(size); bb.put(tag.getBytes("US-ASCII"))
-    }
-    box(16, "ftyp"); bb.put("isom".getBytes("US-ASCII")); bb.putInt(0)
-    box(60, "moov"); box(52, "trak"); box(44, "mdia"); box(36, "minf")
-    box(28, "stbl")
-    box(20, "stsz"); bb.putInt(0) // version/flags
-    bb.putInt(Mp4FrameSize); bb.putInt(nFrames)
-    box(8 + dataLen, "mdat")
+    putMp4Header(bb, nFrames)
     val fpix = frameW * frameH
     var f = 0
     while (f < nFrames) {
@@ -985,4 +994,108 @@ object Multimodal {
   def qMM04(s: SparkSession, d: String): DataFrame =
     imageDHash(s, withMedia(Tables.documents(s, d)))
       .orderBy("doc_id")
+
+  // ---- planted near-duplicate fixtures for the near-dup JOIN oracles ----
+
+  /** Twin ids live far above every real doc_id so a planted row can never
+    * collide with corpus mass (documents ids are corpus-ordinal; the
+    * decade fixtures top out orders of magnitude below this).
+    */
+  private[graft] val TwinOffset = 10000000L
+
+  /** Samples zeroed at the head of a planted audio twin — a leading-
+    * silence edit, the smallest real-world near-dup mutation: it
+    * perturbs only the first 1-2 of the 33 frame energies, so the
+    * gradient fingerprint moves 0-2 bits, well inside the Hamming-3
+    * serving threshold.
+    */
+  private[graft] val AudioTwinSilence = 16
+
+  /** PLANT deterministic audio near-duplicates (the q_l44 mutation
+    * idiom, applied to media): every third wav row gets a twin at
+    * `doc_id + TwinOffset` whose payload is the ORIGINAL BLOB decoded,
+    * its first [[AudioTwinSilence]] samples silenced, and re-encoded —
+    * a true decode→edit→re-encode near-dup, not a re-synthesis. Because
+    * the mutation is a pure function of the original's deterministic
+    * samples, the DuckDB oracle regenerates the twins' fingerprints
+    * exactly (q_mm07) and rebuilds the expected pair set all-pairs.
+    */
+  def plantAudioTwins(s: SparkSession, media: DataFrame): DataFrame = {
+    val mutate = udf((blob: Array[Byte]) =>
+      decodeWav(blob).map { ss =>
+        val out = ss.clone()
+        var i = 0
+        while (i < math.min(AudioTwinSilence, out.length)) { out(i) = 0; i += 1 }
+        encodeWavSamples(out)
+      }.orNull)
+    media.filter(col("meta.format") === "wav" && col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(TwinOffset)).as("doc_id"),
+        mutate(col("blob")).as("blob"), col("meta"))
+      .filter(col("blob").isNotNull)
+  }
+
+  /** Remux an mp4 payload minus its LAST frame slot — the trim edit of
+    * a planted video twin. Demux the real container, drop one slot,
+    * re-emit through the SAME header writer the encoder uses. None for
+    * single-frame payloads (a zero-frame twin has no postings) or a
+    * non-fixture slot size.
+    */
+  private[graft] def trimLastFrame(blob: Array[Byte]): Option[Array[Byte]] =
+    demuxMp4(blob).flatMap { case (slot, n, mdat) =>
+      if (n < 2 || slot != Mp4FrameSize) None
+      else {
+        val dataLen = (n - 1) * slot
+        val bb = java.nio.ByteBuffer.allocate(Mp4HeaderLen + dataLen)
+        putMp4Header(bb, n - 1)
+        bb.put(mdat, 0, dataLen)
+        Some(bb.array())
+      }
+    }
+
+  /** PLANT deterministic video near-duplicates: every third mp4 row
+    * (with ≥ 2 frames) gets a twin at `doc_id + TwinOffset` whose
+    * payload is the original demuxed and re-muxed without its last
+    * frame — the trim edit. The twin's frame-hash SET is a subset of
+    * the original's, so the Jaccard join (q_mm08) finds the pair
+    * whenever enough distinct frame hashes survive the trim, and the
+    * DuckDB oracle rebuilds the identical postings from the splitmix64
+    * chain (frames 0..F-2 of the original's seed).
+    */
+  def plantVideoTwins(s: SparkSession, media: DataFrame): DataFrame = {
+    val trim = udf((blob: Array[Byte]) => trimLastFrame(blob).orNull)
+    media.filter(col("meta.format") === "mp4" && col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(TwinOffset)).as("doc_id"),
+        trim(col("blob")).as("blob"),
+        struct(col("meta.format").as("format"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          (col("meta.n_frames") - 1).as("n_frames")).as("meta"))
+      .filter(col("blob").isNotNull)
+  }
+
+  /** Q-MM07 — the AUDIO near-dup JOIN itself, oracle-checked on planted
+    * duplicates: corpus wav rows plus [[plantAudioTwins]] run through
+    * the banded-Hamming join ([[audioNearDupPairs]]), and the DuckDB
+    * oracle regenerates every fingerprint — originals from the
+    * splitmix64 stream, twins with the leading-silence mutation folded
+    * into the frame energies — and rebuilds the expected pair set
+    * all-pairs (the oracle may be quadratic; the engine never is).
+    * Completes the r13 verdict gap: the pair SETS, not just the
+    * fingerprint catalogs, are now oracle-tier.
+    */
+  def qMM07(s: SparkSession, d: String): DataFrame = {
+    val media = withMedia(Tables.documents(s, d))
+    audioNearDupPairs(s, media.unionByName(plantAudioTwins(s, media)))
+  }
+
+  /** Q-MM08 — the VIDEO near-dup JOIN, oracle-checked on planted trim
+    * twins: corpus mp4 rows plus [[plantVideoTwins]] through the
+    * frame-set Jaccard join ([[videoNearDupPairs]]); the oracle
+    * rebuilds the per-frame hashes for originals AND twins (frames
+    * 0..F-2 of the same chain) and recomputes Jaccard over distinct
+    * frame-hash sets all-pairs.
+    */
+  def qMM08(s: SparkSession, d: String): DataFrame = {
+    val media = withMedia(Tables.documents(s, d))
+    videoNearDupPairs(s, media.unionByName(plantVideoTwins(s, media)))
+  }
 }

@@ -2168,6 +2168,30 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(da == 1L && db == 2L && math.abs(j - 19.0 / 21.0) < 1e-9, s"$pairs")
   }
 
+  test("multimodal planted twins: trimLastFrame remuxes byte-identically " +
+      "to the shorter encode, and the wav silence twin moves the " +
+      "fingerprint at most 2 bits") {
+    // the q_mm08 oracle regenerates twin postings as frames 0..F-2 of
+    // the SAME chain — valid only if the trim remux equals the shorter
+    // encoder output byte for byte
+    val full = Multimodal.encodeMp4(42L, 7)
+    val trimmed = Multimodal.trimLastFrame(full).get
+    assert(java.util.Arrays.equals(trimmed, Multimodal.encodeMp4(42L, 6)),
+      "trim remux must equal the shorter encode byte-identically")
+    assert(Multimodal.trimLastFrame(Multimodal.encodeMp4(42L, 1)).isEmpty,
+      "a single-frame payload has no trimmable twin")
+    // audio: the leading-silence mutation touches only the first frame
+    // energies — the twin stays within the Hamming-3 serving threshold
+    val orig = Multimodal.encodeWav(42L, 400)
+    val ss = Multimodal.decodeWav(orig).get
+    (0 until Multimodal.AudioTwinSilence).foreach(ss(_) = 0)
+    val twinFp = Multimodal.audioFingerprintOf(
+      Multimodal.encodeWavSamples(ss)).get
+    val origFp = Multimodal.audioFingerprintOf(orig).get
+    assert(java.lang.Long.bitCount(twinFp ^ origFp) <= 2,
+      s"silence edit moved the fingerprint too far: $origFp vs $twinFp")
+  }
+
   test("multimodal: the boilerplate-frame cap drops exactly the >K-video " +
       "frame hashes — boiler-only pairs leave, genuine near-dups stay") {
     import spark.implicits._
