@@ -646,8 +646,18 @@ object Ivf {
     * batch staged in the pre-codebook instant carries no codes, is
     * invisible to ADC (never wrongly ranked), still serves exactly, and
     * is re-encoded by the carry-forward at publish.
+    *
+    * DEFAULT ksub = 256 (8-bit codes, the Jégou et al. 2011 operating
+    * point) is MEASURED, not inherited: tools/RecallBench across the
+    * four ScaleGen decades (recall_out.json, SLOPES.md quality readout)
+    * has ksub=16 pure-quantization recall (exhaustive probe, so zero
+    * prune loss) collapsing 0.455 → 0.145 as the corpus grows 1000×,
+    * while ksub=256 roughly halves the loss at every decade
+    * (1.000 / 0.515 / 0.410 / 0.300) for 8 bytes/vector instead of 4 —
+    * at 100 TB still a ~64× working-set compression over float32
+    * embeddings.
     */
-  def enablePq(s: SparkSession, dir: String, m: Int = 8, ksub: Int = 16,
+  def enablePq(s: SparkSession, dir: String, m: Int = 8, ksub: Int = 256,
       iters: Int = 3, filesPerCell: Int = 1): Long = {
     require(filesPerCell >= 1, s"filesPerCell $filesPerCell")
     val v = readVersion(s, dir)
@@ -703,9 +713,18 @@ object Ivf {
     * compressed: the recall lever AFTER m/ksub are fixed on disk.
     * Version resolved ONCE for both passes — a concurrent publish can
     * never pair one version's shortlist with another's embeddings.
+    *
+    * DEFAULT refine = 16 is the RecallBench-measured operating point
+    * (recall_out.json, SLOPES.md): refine=4 saturates below the
+    * nprobe=2 prune ceiling once the corpus is dense enough to push
+    * true neighbors past ADC rank 40 (g1: 0.365 of 0.430; g10: 0.365
+    * of 0.515), while refine=16 closes on the ceiling exactly at g0.1
+    * (0.530 of 0.530) and recovers monotonically at g1/g10
+    * (0.415 / 0.450) — 160 embedding rows per query instead of 40,
+    * still shortlist-bounded, never corpus-bounded.
     */
   def annPqRefined(s: SparkSession, dir: String, qEmb: Array[Float],
-      k: Int = 10, nprobe: Int = 2, refine: Int = 4): DataFrame = {
+      k: Int = 10, nprobe: Int = 2, refine: Int = 16): DataFrame = {
     require(nprobe >= 1, s"nprobe $nprobe: must probe at least one cell")
     require(refine >= 1, s"refine $refine: shortlist must cover k")
     val v = readVersion(s, dir)

@@ -800,58 +800,75 @@ object Multimodal {
       maxHamming: Int = 6): DataFrame =
     hammingNearDupPairs(imageDHash(spark, media), "dhash", 64, maxHamming)
 
-  /** 32-bit audio energy fingerprint (the dHash analog for sound, the
-    * shape acoustic fingerprints like Chromaprint reduce to): decode the
-    * RIFF/PCM payload, fold |amplitude| into 33 time frames (sample i →
-    * frame i·33/n, exact BIGINT sums), bit b is set when frame b+1 is
-    * louder than frame b — 32 energy-gradient signs, invariant to
-    * uniform gain and robust to small edits. INTEGER end-to-end, so the
-    * q_mm05 oracle rebuilds the exact fingerprint from regenerated PCM.
-    * None when the bytes don't parse (quarantine policy).
+  /** `bits`-bit audio energy fingerprint (the dHash analog for sound,
+    * the shape acoustic fingerprints like Chromaprint reduce to): decode
+    * the RIFF/PCM payload, fold |amplitude| into `bits + 1` time frames
+    * (sample i → frame i·(bits+1)/n, exact BIGINT sums), bit b is set
+    * when frame b+1 is louder than frame b — energy-gradient signs,
+    * invariant to uniform gain and robust to small edits. INTEGER
+    * end-to-end, so the q_mm05 oracle rebuilds the exact default
+    * fingerprint from regenerated PCM. None when the bytes don't parse
+    * (quarantine policy).
+    *
+    * WIDTH is an operating point, exactly like the LSH band width
+    * (bits=16→20 in Similarity): the banded near-dup join's no-signal
+    * candidate term grows as n²/2^8 per band, and — more importantly —
+    * the probability that two UNRELATED clips land within the serving
+    * Hamming radius falls exponentially with bits. SLOPES.md records
+    * the 32-bit default saturating at the 10M+ clip scale; a
+    * deployment there sets bits=48/64 (finer time grid, same gradient
+    * semantics) — spec-pinned: a within-frame permutation collides at
+    * 32 bits and separates at 48.
     */
-  def audioFingerprintOf(blob: Array[Byte]): Option[Long] =
+  def audioFingerprintOf(blob: Array[Byte], bits: Int = 32): Option[Long] = {
+    require(bits >= 1 && bits <= 64, s"audio fingerprint bits $bits")
     decodeWav(blob).map { samples =>
       val n = samples.length
       if (n == 0) 0L
       else {
-        val e = new Array[Long](33)
+        val nf = bits + 1
+        val e = new Array[Long](nf)
         var i = 0
-        // long arithmetic: i * 33 wraps Int past ~65M samples (a valid
-        // ~2 h PCM payload) and a negative index would kill the task
-        // instead of fingerprinting the row
-        while (i < n) { e((i.toLong * 33 / n).toInt) += math.abs(samples(i)); i += 1 }
+        // long arithmetic: i * nf wraps Int past ~2^57/nf samples (a
+        // valid multi-hour PCM payload) and a negative index would kill
+        // the task instead of fingerprinting the row
+        while (i < n) { e((i.toLong * nf / n).toInt) += math.abs(samples(i)); i += 1 }
         var h = 0L
         var b = 0
-        while (b < 32) {
+        while (b < bits) {
           if (e(b + 1) > e(b)) h |= (1L << b)
           b += 1
         }
         h
       }
     }
+  }
 
-  /** Fingerprint catalog of the AUDIO rows: doc_id → 32-bit energy
+  /** Fingerprint catalog of the AUDIO rows: doc_id → `bits`-bit energy
     * fingerprint. Same partition-parallel shape and quarantine policy as
-    * [[imageDHash]]; the 4-byte fingerprint — not the waveform — is what
-    * every downstream dedup join shuffles.
+    * [[imageDHash]]; the ≤8-byte fingerprint — not the waveform — is
+    * what every downstream dedup join shuffles.
     */
-  def audioFingerprint(spark: SparkSession, media: DataFrame): DataFrame = {
+  def audioFingerprint(spark: SparkSession, media: DataFrame,
+      bits: Int = 32): DataFrame = {
     import spark.implicits._
     media.filter(col("meta.format") === "wav")
       .select(col("doc_id"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.flatMap { case (id, blob) =>
-        audioFingerprintOf(blob).map(DHashRow(id, _))
+        audioFingerprintOf(blob, bits).map(DHashRow(id, _))
       })
       .toDF("doc_id", "afp")
   }
 
-  /** Audio near-dup pairs: [[hammingNearDupPairs]] over the 32-bit
-    * fingerprints (4 bands — full recall to Hamming 3).
+  /** Audio near-dup pairs: [[hammingNearDupPairs]] over the `bits`-bit
+    * fingerprints (bits/8 bands — full recall to Hamming bits/8 - 1;
+    * the default 32/4 serves Hamming ≤ 3).
     */
   def audioNearDupPairs(spark: SparkSession, media: DataFrame,
-      maxHamming: Int = 3): DataFrame =
-    hammingNearDupPairs(audioFingerprint(spark, media), "afp", 32, maxHamming)
+      maxHamming: Int = 3, bits: Int = 32): DataFrame =
+    hammingNearDupPairs(audioFingerprint(spark, media, bits), "afp", bits,
+      maxHamming)
 
   /** Per-frame dHash list of an mp4 payload: ISO-BMFF demux, each frame's
     * PNG decoded through ImageIO (the [[decodeAndEmbedVideo]] loop), each

@@ -239,9 +239,10 @@ object TrainPrep {
     *   2. a window per (source, shard) computes the shard-local running
     *      sum — parallel across shards, each group ≤ shardSize rows;
     *   3. shard token totals (corpus/shardSize rows — tiny: at 10^11
-    *      docs / 2^20-doc shards, ~100k rows) are collected and
-    *      prefix-summed per source ON THE DRIVER, then broadcast-joined
-    *      back as each shard's offset.
+    *      docs / 2^20-doc shards, ~100k rows) are prefix-summed per
+    *      source by a DISTRIBUTED window over the totals frame (one
+    *      sequential task per source, over shard counts, not docs),
+    *      then broadcast-joined back as each shard's offset.
     * Offset + local sum = the identical global cumulative sum, fully
     * parallel. The totals pass is an EAGER second scan of the corpus
     * (tokenization runs twice) — the deliberate alternative to caching
@@ -266,28 +267,23 @@ object TrainPrep {
     */
   private def docCumTokens(s: SparkSession, d: String,
       shardSize: Int): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val base = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
         size(LLMOps.tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("shard", expr(s"doc_id div $shardSize"))
-    val totals = base.groupBy("source", "shard")
+    // shard offsets stay DISTRIBUTED (r14, verdict item): the exclusive
+    // per-source prefix sum runs as a window over the TOTALS frame —
+    // corpus/shardSize rows, one sequential task per source but over
+    // shard counts, not docs — instead of collecting every (source,
+    // shard) total to the driver and looping. At 10^11 docs / 2^20-doc
+    // shards that is ~100k rows the driver never has to hold; the
+    // broadcast below moves only the finished offsets.
+    val wOff = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("source", "shard")
       .agg(sum("n_tok").as("shard_tok"))
-      .collect()
-      .sortBy(r => (r.getString(0), r.getLong(1)))
-    val offsetRows = new scala.collection.mutable.ArrayBuffer[Row](totals.length)
-    var curSource: String = null
-    var acc = 0L
-    totals.foreach { r =>
-      if (r.getString(0) != curSource) { curSource = r.getString(0); acc = 0L }
-      offsetRows += Row(r.getString(0), r.getLong(1), acc)
-      acc += r.getLong(2)
-    }
-    val offsets = s.createDataFrame(
-      java.util.Arrays.asList(offsetRows.toSeq: _*),
-      StructType(Seq(StructField("source", StringType),
-        StructField("shard", LongType), StructField("offset", LongType))))
+      .select(col("source"), col("shard"),
+        coalesce(sum("shard_tok").over(wOff), lit(0L)).as("offset"))
     val wLocal = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.withColumn("local_cum", sum("n_tok").over(wLocal))

@@ -154,6 +154,36 @@ object RecallBench {
     }
     rm(s, s2)
 
+    // the STREAMING-built store vs its batch-built twin (r14, verdict
+    // item): StreamOps.ingestVectors drives the store through its
+    // foreachBatch body with the stream's batch ids, so a store built
+    // by streaming arrival — bootstrap-from-first-batch marker protocol
+    // included — must serve IDENTICAL recall to a twin built with the
+    // batch API from the same splits. Both rows are emitted; any gap
+    // between them is a protocol bug, not an operating-point trade.
+    val cut2 = maxId / 2
+    val slice = (maxId - cut2) / 3 + 1
+    val batches = (0 until 3).map(b => e.filter(
+      col("vec_id") > cut2 + b * slice &&
+        col("vec_id") <= cut2 + (b + 1) * slice))
+    val s3 = java.nio.file.Files.createTempDirectory("graft-recall-st").toString
+    val s4 = java.nio.file.Files.createTempDirectory("graft-recall-bt").toString
+    graft.streaming.StreamOps.ingestVectorsBatch(
+      e.filter(col("vec_id") <= cut2), 0L, s3, driftThreshold = 10.0)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamOps.ingestVectorsBatch(b, i + 1L, s3,
+        driftThreshold = 10.0)
+    }
+    Ivf.bootstrapStore(s, e.filter(col("vec_id") <= cut2), s4)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Ivf.maintainIndex(s, s4, b, i + 1L, driftThreshold = 10.0)
+    }
+    results("stream_np2") =
+      recall(q => Ivf.annFromStore(s, s3, q, k = K, nprobe = 2))
+    results("batchtwin_np2") =
+      recall(q => Ivf.annFromStore(s, s4, q, k = K, nprobe = 2))
+    rm(s, s3); rm(s, s4)
+
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
     s"""{"dir":"$dir","queries":{$qs}}"""
   }

@@ -92,6 +92,10 @@ object SlopeBench {
     Seq(
       "q_mmA" -> ((s: SparkSession, d: String) =>
         Multimodal.audioNearDupPairs(s, media(s, d))),
+      // the widened operating point (bits=48): same decode cost, finer
+      // time grid — the lever SLOPES.md names for the 10M+ clip scale
+      "q_mmA48" -> ((s: SparkSession, d: String) =>
+        Multimodal.audioNearDupPairs(s, media(s, d), bits = 48)),
       "q_mmV" -> ((s: SparkSession, d: String) =>
         Multimodal.videoNearDupPairs(s, media(s, d))))
   }
@@ -184,7 +188,10 @@ object SlopeBench {
           // ADC+R: the refine pass adds ONE id-filtered read of
           // refine × k rows on top of the ADC probe — the cost side of
           // the recall recovery RecallBench measures
-          t(Ivf.annPqRefined(s, sdir, qEmb, k = 10, nprobe = 2).collect()))
+          // refine pinned to 4 — the historical row; the serving DEFAULT
+          // is now the RecallBench-chosen 16
+          t(Ivf.annPqRefined(s, sdir, qEmb, k = 10, nprobe = 2,
+            refine = 4).collect()))
         rm(sdir)
         times
       }
@@ -210,18 +217,64 @@ object SlopeBench {
       Seq("q_ivfB", "q_ivfA", "q_ivfQ", "q_ivfC", "q_ivfP", "q_ivfQp",
         "q_ivfQr", "q_ivfBs", "q_ivfQs").zip(best)
     }
+    // CDC chunk-store lifecycle per decade (r14, verdict item: the one
+    // storage substrate whose WRITE path was unmeasured at the top
+    // decade — q_l42/43/44 sweep its read-side scans only). Stateful
+    // like the IVF lifecycle, so phase-by-phase into a fresh temp store
+    // per pass: build (corpus-sized by nature — the ONE full chunk+
+    // write), ONE append of the last ~10% of docs (the phase that must
+    // not scale with the store: batch chunking + a key-sized anti-join,
+    // never a history rewrite), materialize (manifest ⋈ chunks round-
+    // trip), and vacuum after dropping ~10% of docs (cost rides the
+    // DIRTY file set).
+    def chunkLifecycle(s: SparkSession, dir: String): Seq[(String, Double)] = {
+      import graft.io.ChunkStore
+      import org.apache.spark.sql.functions.{col, max}
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cut = maxId - maxId / 10
+      val base = docs.filter(col("doc_id") <= cut)
+      val batch = docs.filter(col("doc_id") > cut)
+      val live = docs.filter(col("doc_id") % 10 =!= 0L).select("doc_id")
+      def t(f: => Unit): Double = {
+        s.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def rm(sdir: String): Unit =
+        new org.apache.hadoop.fs.Path(sdir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(sdir), true)
+      def pass(): Seq[Double] = {
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft-slope-chunk").toString
+        val times = Seq(
+          t(ChunkStore.write(base, sdir)),
+          t(ChunkStore.append(s, batch, sdir)),
+          t(ChunkStore.materialize(s, sdir)
+            .write.format("noop").mode("overwrite").save()),
+          t(ChunkStore.vacuum(s, sdir, live)))
+        rm(sdir)
+        times
+      }
+      pass() // uncharged warm-up
+      val best = (1 to passes).map(_ => pass()).transpose.map(_.min)
+      Seq("q_chB", "q_chA", "q_chM", "q_chV").zip(best)
+    }
     // SPARK_GRAFT_FAMILY re-measures ONE family when only its code path
     // changed (the other families' recorded numbers stay valid):
-    // "ivf" = the store lifecycle alone, "pq" = the ADC scan alone, or a
+    // "ivf" = the store lifecycle alone, "chunk" = the CDC chunk-store
+    // lifecycle alone, "pq" = the ADC scan alone, or a
     // comma list of op ids ("q_l58") for just-added ops
     val family = sys.env.get("SPARK_GRAFT_FAMILY")
     val onlyIvf = family.contains("ivf")
+    val onlyChunk = family.contains("chunk")
     val opFilter: Option[Set[String]] = family.filter(_.startsWith("q_"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val out = new StringBuilder
     args.foreach { dir =>
       val ops =
-        if (onlyIvf) Nil
+        if (onlyIvf || onlyChunk) Nil
         else if (family.contains("pq"))
           (if (new java.io.File(s"$dir/embeddings.parquet").exists()) embOps
            else Nil) // a doc/event/media dir in the arg list is not an error
@@ -238,8 +291,11 @@ object SlopeBench {
           best(n) = math.min(best(n), run(fn, dir)) }
       }
       if (new java.io.File(s"$dir/embeddings.parquet").exists() &&
-          !family.contains("pq") && opFilter.isEmpty)
+          !family.contains("pq") && !onlyChunk && opFilter.isEmpty)
         storeLifecycle(spark, dir).foreach { case (n, v) => best(n) = v }
+      if (new java.io.File(s"$dir/documents.parquet").exists() &&
+          (onlyChunk || (family.isEmpty && opFilter.isEmpty)))
+        chunkLifecycle(spark, dir).foreach { case (n, v) => best(n) = v }
       val qs = best.map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",")
       val line = s"""{"dir":"$dir","queries":{$qs}}"""
       println(line)

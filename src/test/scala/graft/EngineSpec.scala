@@ -306,7 +306,11 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
   test("sequence packing: two-level cumulative sum is shard-size invariant") {
     import graft.operators.TrainPrep
     // the shard decomposition is pure bookkeeping: any shard size (including
-    // one shard per doc, and one shard for everything) packs identically
+    // one shard per doc, and one shard for everything) packs identically.
+    // Since r14 the shard offsets are a DISTRIBUTED window over the totals
+    // frame (no driver collect); shardSize=1<<20 makes that window the
+    // trivial one-shard-per-source case and the small sizes exercise the
+    // multi-shard prefix sum — this equality IS the offsets parity pin.
     val ref = TrainPrep.qL21(spark, sfDir, capacity = 256, shardSize = 1 << 20)
       .collect().toSeq
     Seq(1, 7, 128).foreach { ss =>
@@ -2166,6 +2170,49 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.length == 1)
     val (da, db, j) = pairs.head
     assert(da == 1L && db == 2L && math.abs(j - 19.0 / 21.0) < 1e-9, s"$pairs")
+  }
+
+  test("multimodal: audio fingerprint width is an operating point — a " +
+      "within-frame permutation collides at 32 bits and separates at 48, " +
+      "and a genuine edit still pairs at the wider width") {
+    import spark.implicits._
+    // B permutes samples WITHIN each of A's 33 equal frames (rotate by
+    // one inside each 30-sample block): the 33 frame |amplitude| sums
+    // are unchanged, so the 32-bit gradient fingerprint collides
+    // EXACTLY — the aliasing a 10M-clip corpus hits by birthday — while
+    // the 49-frame grid of the 48-bit fingerprint cuts across the
+    // rotation and separates the pair
+    val n = 990 // 33 frames of exactly 30 samples
+    val a = Array.tabulate(n)(Multimodal.syntheticSample(5L, _))
+    val b = new Array[Int](n)
+    (0 until 33).foreach { f =>
+      val lo = f * 30
+      (0 until 30).foreach(j => b(lo + (j + 1) % 30) = a(lo + j))
+    }
+    val blobA = Multimodal.encodeWavSamples(a)
+    val blobB = Multimodal.encodeWavSamples(b)
+    assert(Multimodal.audioFingerprintOf(blobA).get ==
+      Multimodal.audioFingerprintOf(blobB).get,
+      "within-frame permutation must collide at the default width")
+    assert(Multimodal.audioFingerprintOf(blobA, bits = 48).get !=
+      Multimodal.audioFingerprintOf(blobB, bits = 48).get,
+      "the 48-bit grid must separate the permuted clip")
+    // a real near-dup (leading-silence edit) still pairs at 48 bits
+    val edit = a.clone(); (0 until 16).foreach(edit(_) = 0)
+    val media = Seq((1L, blobA), (2L, blobB),
+        (3L, Multimodal.encodeWavSamples(edit)))
+      .toDF("doc_id", "blob")
+      .withColumn("meta", struct(lit("wav").as("format"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("n_frames")))
+    val at32 = Multimodal.audioNearDupPairs(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at48 = Multimodal.audioNearDupPairs(spark, media, bits = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at32.contains((1L, 2L)), s"32-bit alias pair must surface: $at32")
+    assert(!at48.contains((1L, 2L)),
+      s"48 bits must drop the aliased pair: $at48")
+    assert(at48.contains((1L, 3L)),
+      s"the genuine edit must survive the widening: $at48")
   }
 
   test("multimodal planted twins: trimLastFrame remuxes byte-identically " +
