@@ -80,11 +80,17 @@ case class NearestCell(child: Expression, cells: Seq[String],
     case _ => false
   }
 
-  override def hashCode(): Int = {
+  // cached: Catalyst hashes expressions repeatedly (ExpressionSet,
+  // canonicalization, exchange-reuse maps) and the centroid sweep is
+  // O(cells × dim) — at a sqrt-n cell layout that is millions of
+  // floats per call
+  @transient private lazy val cachedHash: Int = {
     var h = child.hashCode() * 31 + cells.hashCode()
     cents.foreach(a => h = h * 31 + java.util.Arrays.hashCode(a))
     h
   }
+
+  override def hashCode(): Int = cachedHash
 
   override protected def nullSafeEval(v: Any): Any =
     NearestCell.best(v.asInstanceOf[ArrayData], packed)

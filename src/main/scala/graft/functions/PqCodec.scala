@@ -36,11 +36,15 @@ final class PqCodebook(val m: Int, val dsub: Int, val ksub: Int,
     case _ => false
   }
 
-  override def hashCode(): Int = {
+  // cached — Catalyst hashes the carrying expressions repeatedly (the
+  // NearestCell rationale; m × ksub × dsub doubles per sweep)
+  @transient private lazy val cachedHash: Int = {
     var h = (m * 31 + dsub) * 31 + ksub
     cents.foreach(a => h = h * 31 + java.util.Arrays.hashCode(a))
     h
   }
+
+  override def hashCode(): Int = cachedHash
 }
 
 /** PQ ENCODE as one codegen expression: unit-normalize the float vector
@@ -110,9 +114,11 @@ case class PqAdc(child: Expression, table: Array[Double], m: Int, ksub: Int)
     case _ => false
   }
 
-  override def hashCode(): Int =
+  @transient private lazy val cachedHash: Int =
     ((child.hashCode() * 31 + m) * 31 + ksub) * 31 +
       java.util.Arrays.hashCode(table)
+
+  override def hashCode(): Int = cachedHash
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

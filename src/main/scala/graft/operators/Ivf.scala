@@ -903,7 +903,14 @@ object Ivf {
     * its tombstone write but before its `_del` flag reuses the as-of
     * already on disk — recomputing it at replay time would RAISE it
     * past any re-ingest that landed in between, silently unserving the
-    * re-upload the first attempt deliberately spared.
+    * re-upload the first attempt deliberately spared. The durable copy
+    * is a store-root `_delmeta-<id>-<asOf>` marker staked BEFORE the
+    * first tombstone write (root flags survive rewrites and vacuum):
+    * without it, a rewrite that physically APPLIED the crashed
+    * delete's tombstone leaves no partition for the replay to reuse,
+    * and a recomputed as-of at the new version would mask the
+    * collapsed re-ingest (pinned red-before/green-after in the replay
+    * spec leg's rewrite-intervening half).
     */
   def deleteVectors(s: SparkSession, dir: String, ids: DataFrame,
       delBatchId: Long): Unit = {
@@ -914,15 +921,32 @@ object Ivf {
     if (fs.exists(flag)) return // completed delete replayed: no-op
     val v = readVersion(s, dir)
     val tombPath = s"$dir/v$v/tombstones/del_batch=$delBatchId"
-    // An EXISTING tombstone must yield its recorded as-of — replay reuse
-    // is the guard against silently unserving a re-upload — so existence
-    // is checked explicitly and read errors on committed files
-    // PROPAGATE instead of falling back to a recomputed (potentially
-    // higher) as-of. The one benign read failure is a crash before the
-    // parquet footer committed (UNABLE_TO_INFER_SCHEMA): nothing was
-    // ever published, so recomputing is the first write, not a replay.
+    // The delete's AS-OF must be computed ONCE and survive any replay —
+    // recomputing it would raise it past a re-ingest that landed in
+    // between, silently unserving the re-upload. Durability layers, in
+    // authority order:
+    //   1. the STORE-ROOT `_delmeta-<id>-<asOf>` marker (name-encoded,
+    //      the `_watermark-` idiom), staked BEFORE any tombstone write.
+    //      Root flags are never touched by rewrites or vacuum, so this
+    //      survives the one interleaving the tombstone alone cannot: a
+    //      crash before the `_del` flag, followed by a rewrite that
+    //      APPLIES the tombstone physically (it was in the ticket's
+    //      listing, so the new version carries no del_batch partition
+    //      to reuse) — a marker-less replay at the new version would
+    //      recompute a higher as-of and mask the collapsed re-ingest.
+    //   2. the current version's tombstone partition (pre-marker
+    //      stores): existence checked explicitly so a read error on
+    //      committed files PROPAGATES instead of falling back to a
+    //      recomputed as-of; the one benign failure is a crash before
+    //      the parquet footer committed (UNABLE_TO_INFER_SCHEMA) —
+    //      nothing was published, so recomputing is the first write.
+    val metaGlob = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/_delmeta-$delBatchId-*"))
     val priorAsOf =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(tombPath))) None
+      if (metaGlob != null && metaGlob.nonEmpty)
+        Some(metaGlob.map(_.getPath.getName
+          .stripPrefix(s"_delmeta-$delBatchId-").toLong).min)
+      else if (!fs.exists(new org.apache.hadoop.fs.Path(tombPath))) None
       else {
         val prior =
           try Some(s.read.parquet(tombPath))
@@ -940,6 +964,9 @@ object Ivf {
         }
       }
     val asOf = priorAsOf.getOrElse(maxIngestBatch(s, dir, v))
+    if (metaGlob == null || metaGlob.isEmpty) // stake BEFORE any tombstone
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/_delmeta-$delBatchId-$asOf"), true).close()
     // materialize the distinct id set ONCE (localCheckpoint: stays
     // distributed, executes eagerly) before writing it to multiple
     // destinations — a non-deterministic or concurrently-mutating ids
@@ -1165,8 +1192,9 @@ object Ivf {
     * What vacuum NEVER touches: the serving version (max `_ready`), any
     * version above it (an in-flight staged rewrite — its `_staging`
     * ticket, not vacuum, owns that lifecycle), the store-root `_batch` /
-    * `_del` replay flags (they are what keeps upstream replays no-ops
-    * across rewrites), and the `_ready`/`_staging` flag files themselves
+    * `_del` / `_delmeta` replay records (they are what keeps upstream
+    * replays no-ops — and as-of-stable — across rewrites), and the
+    * `_ready`/`_staging` flag files themselves
     * (the protocol's no-flag-ever-deleted invariant — readVersion takes
     * the max, so tombstone flags of vacuumed versions stay harmless
     * publication history, and [[describeStore]] lists directories, not

@@ -261,9 +261,10 @@ object TrainPrep {
 
   /** The qL21 two-level cumulative token sum, shared with
     * [[writePackedShards]]: per doc, `cum` = the running token total of
-    * its source up to AND including it (shard-local windows + driver
-    * prefix-summed shard offsets — see qL21's doc for why the single
-    * per-source window is a scale hazard).
+    * its source up to AND including it (shard-local windows + a
+    * DISTRIBUTED per-source window prefix-summing the shard totals —
+    * see qL21's doc for why the single per-source window over DOCS is
+    * a scale hazard).
     */
   private def docCumTokens(s: SparkSession, d: String,
       shardSize: Int): DataFrame = {

@@ -3834,6 +3834,28 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Ivf.servingIndex(spark, dir)
       .filter(col("vec_id") === 7L).count() == 1,
       "a replayed delete recomputed its as-of and masked a later re-ingest")
+    // the REWRITE-INTERVENING half (r14, review finding): another delete
+    // crashes before its flag, its victim is re-ingested, and a
+    // COMPACTION runs before the replay — the rewrite applied the
+    // crashed tombstone physically (it was in the ticket listing), so
+    // the new version has NO del_batch partition to reuse and a
+    // tombstone-only guard would recompute a HIGHER as-of and mask the
+    // collapsed re-ingest. The store-root _delmeta marker is what the
+    // replay must fall back on.
+    Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === 9L).select("vec_id"), delBatchId = 4L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_del-4"), false) // crash
+    Ivf.maintainIndex(spark, dir, e.filter(col("vec_id") === 9L),
+      batchId = 3L, driftThreshold = 2.1) // re-ingest lands
+    Ivf.compactStore(spark, dir) // tombstone applied + dropped
+    assert(!new java.io.File(s"$dir/v1/tombstones/del_batch=4").exists(),
+      "precondition: the rewrite must leave no partition to reuse")
+    Ivf.deleteVectors(spark, dir, // the replay
+      e.filter(col("vec_id") === 9L).select("vec_id"), delBatchId = 4L)
+    assert(Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id") === 9L).count() == 1,
+      "a replay after an intervening rewrite recomputed its as-of and " +
+        "masked the collapsed re-ingest")
   }
 
   test("ivf store mixed tombstone schemas: legacy del batches (no as_of) " +
