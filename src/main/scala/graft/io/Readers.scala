@@ -112,6 +112,57 @@ object Readers {
     */
   def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
 
+  /** Raw text corpus source: one row per LINE (`value` string), or one
+    * row per FILE with `wholetext` — the ingestion shape of a crawl dump
+    * before any schema exists. Splittable per-line; `wholetext` reads
+    * each file in one task (document-per-file corpora), so pair it with
+    * many files, not one giant one.
+    */
+  def text(s: SparkSession, path: String,
+      wholetext: Boolean = false): DataFrame =
+    s.read.option("wholetext", wholetext).text(path)
+
+  /** Raw binary-file source: (path, modificationTime, length, content)
+    * per file — the ingestion shape of a MEDIA corpus (the blobs the
+    * Multimodal operators decode arrive as files, not parquet cells).
+    * `glob` pushes an extension filter into the FILE LISTING (e.g.
+    * `*.wav` never reads non-matching bytes at all); recursive lookup is
+    * on because media corpora arrive sharded into directory trees. Per-
+    * file content is one row — Spark caps it at
+    * `spark.sql.sources.binaryFile.maxLength` (Int.MaxValue); bigger
+    * objects belong in a streaming copy, not a DataFrame cell.
+    */
+  def binaryFiles(s: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = s.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+    glob.foldLeft(r)((rd, g) => rd.option("pathGlobFilter", g)).load(path)
+  }
+
+  /** A directory of raw media files as the (doc_id, blob, meta) frame
+    * every [[graft.operators.Multimodal]] operator consumes — the REAL
+    * ingestion path beside the synthetic `withMedia` fixture source:
+    * `doc_id` is the xxhash64 of the file path (deterministic, stable
+    * across re-ingestions of the same tree), `meta.format` comes from
+    * the file extension (lowercased; the decode operators quarantine
+    * payloads that don't parse as their claimed format), and the
+    * synthetic-only dims are 0 = unknown — no decode operator reads
+    * them. At 100 TB this is one file listing + a per-file content scan;
+    * everything downstream (fingerprints, features, near-dup joins)
+    * already shuffles digests, never the blobs.
+    */
+  def binaryMedia(s: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    binaryFiles(s, path, glob).select(
+      xxhash64(col("path")).as("doc_id"),
+      col("content").as("blob"),
+      struct(
+        lower(element_at(split(col("path"), "\\."), -1)).as("format"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("n_frames")).as("meta"))
+  }
+
   /** Partitioned JDBC scan. `partitionColumn` should be the PK/identity
     * column — the reference's identity seed/increment metadata
     * (Program.cs:169-170) gives natural bounds. With no partition column

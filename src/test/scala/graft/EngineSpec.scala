@@ -2172,6 +2172,49 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(da == 1L && db == 2L && math.abs(j - 19.0 / 21.0) < 1e-9, s"$pairs")
   }
 
+  test("binaryFile media ingestion: a directory tree of raw wav/png/mp4 " +
+      "files feeds every decode operator exactly like the parquet " +
+      "fixture, the glob prunes the listing, and doc_ids are stable " +
+      "across re-ingestion") {
+    import graft.io.Readers
+    val dir = java.nio.file.Files.createTempDirectory("graft-binmedia")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("shard0"))
+    def put(p: java.nio.file.Path, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(p, bytes)
+    put(dir.resolve("a.wav"), Multimodal.encodeWav(3L, 300))
+    put(sub.resolve("b.wav"), Multimodal.encodeWav(4L, 250))
+    put(dir.resolve("c.png"), Multimodal.encodeImage(5L, 6, 5, "png"))
+    put(sub.resolve("d.mp4"), Multimodal.encodeMp4(6L, 4))
+    put(dir.resolve("junk.txt"), "not media".getBytes("UTF-8"))
+    val media = Readers.binaryMedia(spark, dir.toString)
+    assert(media.count() == 5) // the txt row ingests; no decoder claims it
+    // each decode operator routes by meta.format and produces the same
+    // digest as the direct per-blob kernel — disk → binaryFile source →
+    // operator equals the in-memory path end-to-end
+    val afp = Multimodal.audioFingerprint(spark, media).collect()
+    assert(afp.map(_.getLong(1)).toSet == Set(
+      Multimodal.audioFingerprintOf(Multimodal.encodeWav(3L, 300)).get,
+      Multimodal.audioFingerprintOf(Multimodal.encodeWav(4L, 250)).get))
+    val dh = Multimodal.imageDHash(spark, media).collect()
+    assert(dh.length == 1 &&
+      dh.head.getLong(1) ==
+        Multimodal.dHashOf(Multimodal.encodeImage(5L, 6, 5, "png")).get)
+    val vf = Multimodal.videoFrameDHash(spark, media).collect()
+    assert(vf.map(_.getLong(2)).toSeq.sorted ==
+      Multimodal.videoFrameDHashes(Multimodal.encodeMp4(6L, 4)).get.toSeq.sorted)
+    // the glob prunes at the LISTING: only wav files enter the scan
+    assert(Readers.binaryMedia(spark, dir.toString, Some("*.wav")).count() == 2)
+    // deterministic identity: re-ingesting the same tree yields the same ids
+    val ids1 = media.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Readers.binaryMedia(spark, dir.toString)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2 && ids1.distinct.size == 5)
+    // raw text corpus source: per-line and per-file shapes
+    assert(Readers.text(spark, dir.resolve("junk.txt").toString).count() == 1)
+    assert(Readers.text(spark, dir.resolve("junk.txt").toString,
+      wholetext = true).head().getString(0) == "not media")
+  }
+
   test("multimodal: audio fingerprint width is an operating point — a " +
       "within-frame permutation collides at 32 bits and separates at 48, " +
       "and a genuine edit still pairs at the wider width") {
