@@ -57,6 +57,7 @@ object SparkEntry {
     "q_f04_json"           -> (Relational.qF04 _),
     "q_f05_full_join"      -> (Relational.qF05 _),
     "q_f14_variant_json"   -> (Relational.qF14 _),
+    "q_f15_xml_codec"      -> (Relational.qF15 _),
     "q_f06_conditional"    -> (Relational.qF06 _),
     "q_f08_date_arith"     -> (Relational.qF08 _),
     "q_v01_array_ops"      -> (Relational.qV01 _),
@@ -458,6 +459,12 @@ object SparkEntry {
     // JSON text — same field, same typed values, representation-neutral
     "q_f14_variant_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, COUNT(*) AS cnt, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY k_mod ORDER BY k_mod NULLS FIRST""",
+    // q_f15: the oracle never sees XML — it aggregates the parquet rows
+    // directly, so the Spark side's to_xml→from_xml round trip must be
+    // lossless to hash-match (DuckDB has no XML functions; the plain
+    // aggregate IS the fidelity check)
+    "q_f15_xml_codec" ->
+      """SELECT s_nationkey, COUNT(*) AS cnt, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum, CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_f05_full_join" ->
       """SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey, COUNT(s_suppkey) AS supp_rows, COUNT(c_custkey) AS cust_rows FROM supplier FULL OUTER JOIN customer ON s_nationkey = c_nationkey GROUP BY 1 ORDER BY nationkey NULLS FIRST""",
     "q_f06_conditional" ->
@@ -1210,6 +1217,9 @@ object SparkEntry {
       """SELECT key, COUNT(*) AS cnt, SUM(kv.value) AS total FROM events LATERAL VIEW explode(from_json(props, 'map<string,bigint>')) kv AS key, value GROUP BY key ORDER BY key""",
     "q_f14_variant_json" ->
       """SELECT k % 10 AS k_mod, COUNT(*) AS cnt, SUM(k) AS sum_k FROM (SELECT variant_get(parse_json(props), '$.k', 'bigint') AS k FROM events) GROUP BY k % 10 ORDER BY k_mod NULLS FIRST""",
+    // XML codec spelled in SQL: to_xml/from_xml are core functions
+    "q_f15_xml_codec" ->
+      """SELECT s_nationkey, COUNT(*) AS cnt, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum, CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum FROM (SELECT r.s_suppkey AS s_suppkey, r.s_nationkey AS s_nationkey, r.s_acctbal AS s_acctbal FROM (SELECT from_xml(to_xml(struct(s_suppkey, s_nationkey, s_acctbal)), 's_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE') AS r FROM supplier)) GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_a14_unpivot" ->
       """SELECT p_partkey, metric, value FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part) UNPIVOT INCLUDE NULLS (value FOR metric IN (p_size, p_retailprice)) ORDER BY p_partkey, metric""",
     // exact + approx sketches compared in one row (mirrors Scale.qA06/07/15)

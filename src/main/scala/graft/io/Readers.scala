@@ -112,6 +112,42 @@ object Readers {
     */
   def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
 
+  /** XML source — built into Spark 4 core (the former spark-xml module),
+    * no external jar. One row per `rowTag` element; files holding many
+    * row elements split per-element, so a sharded XML dump scans in
+    * parallel like csv/json lines. Explicit schema for the same reasons
+    * the csv/json ingest paths demand one: inference re-reads every file,
+    * and the quarantine contract below needs a declared row shape.
+    */
+  def xml(s: SparkSession, path: String, rowTag: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.option("rowTag", rowTag).schema(schema).xml(path)
+
+  /** XML twin of [[csvWithQuarantine]]: PERMISSIVE parse, one mangled
+    * row element = one quarantined row carrying its raw XML text in
+    * `_quarantine` — never a failed task, never silent loss. The same
+    * corrupt-column-only projection restriction applies.
+    */
+  def xmlWithQuarantine(s: SparkSession, path: String, rowTag: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantine")
+      .schema(schema.add("_quarantine", "string"))
+      .xml(path)
+
+  /** The pre-split quarantine pattern for XML — see
+    * [[csvSplitQuarantine]].
+    */
+  def xmlSplitQuarantine(s: SparkSession, path: String, rowTag: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val df = xmlWithQuarantine(s, path, rowTag, schema)
+    (df.filter(col("_quarantine").isNull).drop("_quarantine"),
+      df.filter(col("_quarantine").isNotNull))
+  }
+
   /** Raw text corpus source: one row per LINE (`value` string), or one
     * row per FILE with `wholetext` — the ingestion shape of a crawl dump
     * before any schema exists. Splittable per-line; `wholetext` reads

@@ -55,6 +55,15 @@ object Writers {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** XML sink — the export twin of [[Readers.xml]] (Spark 4 core
+    * datasource; one `rowTag` element per row, `rootTag` wrapping each
+    * part file). Interop format only: row-splittable on read but
+    * schema-per-element verbose — parquet/orc stay the analytic layout.
+    */
+  def xml(df: DataFrame, path: String, rowTag: String = "ROW",
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("rowTag", rowTag).xml(path)
+
   /** Hive-style partitioned parquet: one directory per `partitionCols`
     * value combination, so a filter on those columns prunes whole
     * directories before any file is opened — at 100 TB the difference

@@ -456,6 +456,36 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
       .orderBy(asc_nulls_first("k_mod"))
 
+  /** Q-F15 — XML codec surface (Spark 4 ships the former spark-xml
+    * datasource plus from_xml/to_xml in core): each supplier row is
+    * rendered to an XML fragment with `to_xml` and parsed straight back
+    * with an explicit schema, then aggregated per nation. The oracle
+    * computes the same aggregate over the parquet rows directly, so any
+    * fidelity loss in either codec direction (numeric formatting,
+    * escaping, whitespace) breaks the hash. Scale shape: the codec is a
+    * per-row projection inside the scan stage — the only shuffle is the
+    * final small-key aggregate, identical to the plain query's.
+    */
+  def qF15(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, IntegerType, DoubleType}
+    val sch = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType)))
+    Tables.supplier(s, d)
+      .select(to_xml(struct(col("s_suppkey"), col("s_nationkey"),
+        col("s_acctbal"))).as("x"))
+      .select(from_xml(col("x"), sch).as("r"))
+      .select(col("r.s_suppkey").as("s_suppkey"),
+        col("r.s_nationkey").as("s_nationkey"),
+        col("r.s_acctbal").as("s_acctbal"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("s_suppkey")).as("key_sum"),
+        dsum(col("s_acctbal")).as("bal_sum"))
+      .orderBy("s_nationkey")
+  }
+
   /** Q-F06 — conditional scalar functions: NULLIF / LEAST / GREATEST and a
     * two-branch IF, all codegen'd.
     */
