@@ -202,6 +202,10 @@ object PqCodec {
     var norm = 0.0
     var i = 0
     while (i < n) { val x = arr.getFloat(i).toDouble; norm += x * x; i += 1 }
+    // zero-norm guard, same contract as encode: NaN slices would poison
+    // the Lloyd centroid means silently — drop the row instead (callers
+    // filter nulls), keeping training consistent with the encode path
+    if (norm == 0.0) return null
     val nrm = math.sqrt(norm)
     val out = new Array[Any](m)
     var sub = 0

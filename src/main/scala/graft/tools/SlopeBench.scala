@@ -44,7 +44,26 @@ object SlopeBench {
       "q_l13s" -> ((s: SparkSession, d: String) =>
         Similarity.nearDupPairs(s, d, threshold = 0.45, bits = 16, tables = 14)),
       "q_l49s" -> ((s: SparkSession, d: String) =>
-        Similarity.qL49(s, d, threshold = 0.45, bits = 16, tables = 14)))
+        Similarity.qL49(s, d, threshold = 0.45, bits = 16, tables = 14)),
+      // XML codec decades (late r14): the q_f15 shape over the documents
+      // decades with the TEXT column riding the codec, so escaping cost
+      // is in the measurement — a per-row projection inside the scan
+      // stage whose only shuffle is the constant-size lang aggregate;
+      // the decade slope must ride row count and nothing else
+      "q_xmlC" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
+        val sch = StructType(Seq(StructField("doc_id", LongType),
+          StructField("lang", StringType), StructField("n_chars", LongType),
+          StructField("text", StringType)))
+        s.read.parquet(s"$d/documents.parquet")
+          .select(to_xml(struct(col("doc_id"), col("lang"), col("n_chars"),
+            col("text"))).as("x"))
+          .select(from_xml(col("x"), sch).as("r"))
+          .groupBy(col("r.lang").as("lang"))
+          .agg(count(lit(1)).as("cnt"), sum(col("r.n_chars")).as("chars"),
+            sum(length(col("r.text"))).as("text_chars"))
+      }))
   }
 
   /** Corpus-scan families added for the FOURTH decade (r12 verdict item

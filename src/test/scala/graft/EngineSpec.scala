@@ -3198,6 +3198,15 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val adc = badCodes.select(PqCodec.pqAdc(col("codes"),
       Pq.adcTable(q, cb3), cb3.m, cb3.ksub).as("adist")).head()
     assert(adc.isNullAt(0), "out-of-range code must ADC to NULL")
+    // zero-norm vectors drop from TRAINING too (the slices guard, same
+    // contract as encode): a corpus containing an all-zero row trains to
+    // a codebook with no NaN anywhere — before the guard the NaN slices
+    // silently poisoned every centroid mean they touched
+    val withZero = e.select("vec_id", "embedding").unionAll(
+      Seq((999999L, Array.fill(64)(0f))).toDF("vec_id", "embedding"))
+    val cbZ = Pq.trainCodebook(spark, withZero, m = 8, ksub = 16, iters = 1)
+    assert(cbZ.cents.forall(_.forall(v => !v.isNaN && !v.isInfinite)),
+      "a zero-norm training row must drop, not poison centroid means")
   }
 
   test("pq ivfadc composition: the cell prune in front of the ADC scan " +
