@@ -118,6 +118,14 @@ object Readers {
     * parallel like csv/json lines. Explicit schema for the same reasons
     * the csv/json ingest paths demand one: inference re-reads every file,
     * and the quarantine contract below needs a declared row shape.
+    *
+    * String fidelity (pinned in EngineSpec): markup escaping, unicode,
+    * newlines and INTERIOR whitespace runs round-trip exactly, but
+    * SURROUNDING whitespace is trimmed (`ignoreSurroundingSpaces`
+    * defaults true — pass it false via options on a hand-rolled read if
+    * padding is data) and a whitespace-only value collapses to the
+    * empty string. XML is the interop format here; values where leading
+    * space is semantic belong in parquet/csv.
     */
   def xml(s: SparkSession, path: String, rowTag: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =

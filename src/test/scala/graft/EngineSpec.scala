@@ -1659,6 +1659,36 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(back.exceptAll(sup).isEmpty && sup.exceptAll(back).isEmpty)
   }
 
+  test("xml codec string fidelity: markup escaping, unicode, newlines and " +
+      "interior whitespace round-trip exactly; the leading/trailing-space " +
+      "and empty-string edges are pinned to their documented lossiness") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val exact = Seq("a<b", "a&b", "x>y", "\"quoted\"", "it's",
+      "tab\there", "line\nbreak", "ünïcødé ✓", "a]]>b",
+      "pad  interior   runs", "<tag attr=\"v\"/>", "&amp; pre-escaped")
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    def roundTrip(in: Seq[String]): Seq[(String, String)] =
+      in.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+        .select(col("t"),
+          from_xml(to_xml(struct(col("id"), col("t"))), sch)
+            .getField("t").as("rt"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    roundTrip(exact).foreach { case (t, rt) =>
+      assert(rt == t, s"xml codec must round-trip ${t.replace("\n", "\\n")} " +
+        s"exactly, got ${Option(rt).map(_.replace("\n", "\\n"))}")
+    }
+    // the edges: pin what the codec actually does so the Readers scaladoc
+    // can't drift from behavior — SURROUNDING whitespace is trimmed
+    // (ignoreSurroundingSpaces defaults true in the Spark 4 XML source;
+    // interior runs survive, see "pad  interior   runs" above), and the
+    // empty string survives as empty, not null
+    assert(roundTrip(Seq("", " ", "  padded  ")).map(_._2) ==
+      Seq("", "", "padded"))
+  }
+
   test("incrementalSync: initial load, upsert merge, and no-op delta") {
     import spark.implicits._
     val tgt = Files.createTempDirectory("graft-sync").toString + "/t"
