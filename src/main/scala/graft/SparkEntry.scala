@@ -232,6 +232,7 @@ object SparkEntry {
     "q_x01_sql_cosine"     -> (ExtensionShowcase.qX01 _),
     "q_x02_lsh_rewrite"    -> (ExtensionShowcase.qX02 _),
     "q_x03_zorder_profile" -> (ExtensionShowcase.qX03 _),
+    "q_x04_xml_elision"    -> (ExtensionShowcase.qX04 _),
     // r5 batch 2: TPC-H Q14/Q22 shapes, per-group z-score outliers,
     // within-doc duplicate-n-gram ratio, type-token ratio, length trim
     "q_j15_tpch_q14"       -> (Relational.qJ15 _),
@@ -530,6 +531,11 @@ object SparkEntry {
     // the z-values are exactly equal across engines
     "q_x03_zorder_profile" ->
       """WITH pts AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem), zv AS (SELECT x, y, CAST(list_sum(list_transform(range(0, 8), i -> ((x >> i) & 1) * (1::BIGINT << (2*i)) + ((y >> i) & 1) * (1::BIGINT << (2*i+1)))) AS BIGINT) AS z FROM pts) SELECT z >> 10 AS bucket, COUNT(*) AS cnt, MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y FROM zv GROUP BY bucket ORDER BY bucket""",
+    // q_x04: the oracle aggregates the parquet rows directly — the Spark
+    // side must hash-match whether the XML codec pair executed (flag off)
+    // or was elided to a cast (flag on); ExtensionSpec pins both plans
+    "q_x04_xml_elision" ->
+      """SELECT o_custkey % 100 AS cust_mod, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders GROUP BY cust_mod ORDER BY cust_mod""",
     "q_l03_token_top20" ->
       """SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     // q_j13/q_l18: the oracle recomputes the exact quantities; the sketch
@@ -1418,5 +1424,10 @@ object SparkEntry {
     // ---- extension showcase ----
     "q_x03_zorder_profile" ->
       """WITH pts AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem), zv AS (SELECT x, y, aggregate(transform(sequence(0, 7), i -> shiftleft(CAST(shiftright(x, i) & 1 AS BIGINT), 2 * i) + shiftleft(CAST(shiftright(y, i) & 1 AS BIGINT), 2 * i + 1)), CAST(0 AS BIGINT), (a, b) -> a + b) AS z FROM pts) SELECT shiftright(z, 10) AS bucket, COUNT(*) AS cnt, MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y FROM zv GROUP BY shiftright(z, 10) ORDER BY bucket""",
+    // the NAIVE spelling (parity runs in the shared session, elision flag
+    // off — the codec pair executes and must produce the same rows the
+    // elided plan serves)
+    "q_x04_xml_elision" ->
+      """SELECT r.o_custkey % 100 AS cust_mod, COUNT(*) AS cnt, CAST(SUM(r.o_orderkey) AS BIGINT) AS key_sum FROM (SELECT from_xml(to_xml(struct(o_orderkey, o_custkey)), 'o_orderkey BIGINT, o_custkey BIGINT') AS r FROM orders) GROUP BY r.o_custkey % 100 ORDER BY cust_mod""",
   )
 }

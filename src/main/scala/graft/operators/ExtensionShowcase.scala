@@ -80,6 +80,41 @@ object ExtensionShowcase {
       .orderBy("id1", "id2")
   }
 
+  /** Q-X04 — the XML round-trip an ETL handoff leaves behind (render rows
+    * with to_xml, parse them straight back with from_xml, aggregate),
+    * elided by [[graft.plans.XmlElisionRule]] into a cast of the original
+    * struct: the two per-row string codecs (both CodegenFallback — they
+    * break the scan stage's whole-stage-codegen span) vanish from the
+    * plan entirely. The rule's soundness gates (empty options, exact
+    * name/type alignment, integral/boolean fields only) are what make the
+    * rewrite invisible to results — the oracle aggregates the parquet
+    * rows directly and must hash-match whichever plan served them.
+    */
+  def qX04(s: SparkSession, d: String): DataFrame = {
+    // child session, same isolation stance as qX02: the elision is
+    // opt-in and its flag must not leak into the caller's session
+    // (q_f15 exists precisely to measure the NON-elided codec)
+    val iso = s.newSession()
+    Graft.ensureRegistered(iso)
+    iso.conf.set("spark.graft.xml.elide", "true")
+    naiveXmlRoundTrip(iso, d)
+  }
+
+  /** The naive declarative form: what the handoff code writes; with the
+    * elision flag off this really does serialize and re-parse every row.
+    */
+  def naiveXmlRoundTrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val sch = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType)))
+    Tables.orders(s, d)
+      .select(from_xml(to_xml(struct(col("o_orderkey"), col("o_custkey"))),
+        sch).as("r"))
+      .groupBy((col("r.o_custkey") % 100).as("cust_mod"))
+      .agg(count(lit(1)).as("cnt"), sum(col("r.o_orderkey")).as("key_sum"))
+      .orderBy("cust_mod")
+  }
+
   /** Q-X03 — Z-order (Morton) bucket profile of the
     * [[graft.io.Writers.zValue]] interleave (the clustering key under
     * `Writers.zOrdered`'s layout): lineitem keys folded onto a 256×256

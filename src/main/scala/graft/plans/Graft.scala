@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // are independently opt-in
     ext.injectOptimizerRule(_ => MetaCountRule)
     ext.injectOptimizerRule(_ => ManifestPruneRule)
+    ext.injectOptimizerRule(_ => XmlElisionRule)
   }
 }
 
@@ -105,6 +106,9 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(ManifestPruneRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ManifestPruneRule
+    if (!spark.experimental.extraOptimizations.contains(XmlElisionRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ XmlElisionRule
   }
 
   /** Load a PERSISTED stats manifest (e.g. one a clone-layout opt-in or

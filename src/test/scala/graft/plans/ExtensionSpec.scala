@@ -119,6 +119,64 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
       s"rewritten ${got.length} pairs vs exact ${exact.length}")
   }
 
+  test("xml elision rule: the codec pair vanishes from the plan, results " +
+      "match the executed codec bit-for-bit (nulls included), and the " +
+      "soundness fences hold for string/misaligned shapes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    Graft.ensureRegistered(spark)
+    spark.conf.set("spark.graft.xml.elide", "false")
+    val naive = ExtensionShowcase.naiveXmlRoundTrip(spark, sfDir)
+    assert(naive.queryExecution.optimizedPlan.toString.contains("from_xml"))
+    val exact = naive.collect()
+
+    val elided = ExtensionShowcase.qX04(spark, sfDir)
+    val plan = elided.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("from_xml") && !plan.contains("to_xml"), plan)
+    assert(elided.collect().sameElements(exact))
+
+    // a NULL integral field agrees across both paths: to_xml omits the
+    // element, from_xml reads the missing element as null — the elided
+    // cast must land on the same rows
+    val inSch = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    val rows = java.util.Arrays.asList(Row(1L, 2L), Row(3L, null))
+    def viaCodec(sess: org.apache.spark.sql.SparkSession): Seq[Seq[Any]] =
+      sess.createDataFrame(rows, inSch)
+        .select(from_xml(to_xml(struct(col("a"), col("b"))), inSch).as("r"))
+        .select(col("r.a"), col("r.b")).orderBy("a")
+        .collect().map(_.toSeq.toList).toSeq
+    val executed = viaCodec(spark) // flag off: the codec really runs
+    val iso = spark.newSession()
+    Graft.ensureRegistered(iso)
+    iso.conf.set("spark.graft.xml.elide", "true")
+    assert(viaCodec(iso) == executed &&
+      executed == Seq(List(1L, 2L), List(3L, null)))
+
+    // fences, on parquet-backed frames (a LocalRelation child would be
+    // constant-folded whole and prove nothing): a STRING field must NOT
+    // elide — surrounding-whitespace trim is codec semantics the cast
+    // would skip — and a name-misaligned schema must not elide either
+    val strSch = StructType(Seq(StructField("o_orderpriority", StringType)))
+    val fenced = Tables.orders(iso, sfDir)
+      .select(from_xml(to_xml(struct(col("o_orderpriority"))), strSch).as("r"))
+    assert(fenced.queryExecution.optimizedPlan.toString.contains("from_xml"))
+    val renamed = StructType(Seq(
+      StructField("x", LongType), StructField("o_custkey", LongType)))
+    val mis = Tables.orders(iso, sfDir)
+      .select(from_xml(to_xml(struct(col("o_orderkey"), col("o_custkey"))),
+        renamed).as("r"))
+    assert(mis.queryExecution.optimizedPlan.toString.contains("from_xml"))
+    // positive control on the same backing: aligned integral fields DO
+    // elide in this session
+    val inSchQ = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType)))
+    val ok = Tables.orders(iso, sfDir)
+      .select(from_xml(to_xml(struct(col("o_orderkey"), col("o_custkey"))),
+        inSchQ).as("r"))
+    assert(!ok.queryExecution.optimizedPlan.toString.contains("from_xml"))
+  }
+
   test("lsh rewrite bag mode keeps naive multiplicity with no dedup operator") {
     spark.conf.set("spark.graft.lsh.rewrite", "false")
     val exact = ExtensionShowcase.naiveCosineJoin(spark, sfDir, 0.45).collect()
