@@ -63,7 +63,41 @@ object SlopeBench {
           .groupBy(col("r.lang").as("lang"))
           .agg(count(lit(1)).as("cnt"), sum(col("r.n_chars")).as("chars"),
             sum(length(col("r.text"))).as("text_chars"))
-      }))
+      }),
+      // the elision A/B (late r14): the SAME integral-only codec shape
+      // executed (q_xmlCi) vs elided by XmlElisionRule (q_xmlE, child
+      // session with the flag on) — the delta IS the per-row cost of two
+      // CodegenFallback string codecs at decade scale; text deliberately
+      // NOT in the struct (strings are fenced out of the elision)
+      "q_xmlCi" -> ((s: SparkSession, d: String) => xmlIntCodec(s, d)),
+      "q_xmlE" -> ((s: SparkSession, d: String) =>
+        xmlIntCodec(elisionSession(s), d)))
+  }
+
+  // built once and reused across passes: a fresh child session per call
+  // would bill ~0.1 s of session setup + registration to every pass of a
+  // sub-second row, drowning the codec delta the A/B exists to measure
+  private var elisionIso: SparkSession = _
+  private def elisionSession(s: SparkSession): SparkSession = synchronized {
+    if (elisionIso == null) {
+      elisionIso = s.newSession()
+      graft.plans.Graft.ensureRegistered(elisionIso)
+      elisionIso.conf.set("spark.graft.xml.elide", "true")
+    }
+    elisionIso
+  }
+
+  private def xmlIntCodec(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("lang"),
+        from_xml(to_xml(struct(col("doc_id"), col("n_chars"))), sch).as("r"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("r.doc_id")).as("id_sum"),
+        sum(col("r.n_chars")).as("chars"))
   }
 
   /** Corpus-scan families added for the FOURTH decade (r12 verdict item
