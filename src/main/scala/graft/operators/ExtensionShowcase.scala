@@ -82,7 +82,7 @@ object ExtensionShowcase {
 
   /** Q-X04 — the XML round-trip an ETL handoff leaves behind (render rows
     * with to_xml, parse them straight back with from_xml, aggregate),
-    * elided by [[graft.plans.XmlElisionRule]] into a cast of the original
+    * elided by [[graft.plans.RoundTripElisionRule]] into a cast of the original
     * struct: the two per-row string codecs (both CodegenFallback — they
     * break the scan stage's whole-stage-codegen span) vanish from the
     * plan entirely. The rule's soundness gates (empty options, exact
@@ -96,7 +96,7 @@ object ExtensionShowcase {
     // (q_f15 exists precisely to measure the NON-elided codec)
     val iso = s.newSession()
     Graft.ensureRegistered(iso)
-    iso.conf.set("spark.graft.xml.elide", "true")
+    iso.conf.set("spark.graft.codec.elide", "true")
     naiveXmlRoundTrip(iso, d)
   }
 

@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // are independently opt-in
     ext.injectOptimizerRule(_ => MetaCountRule)
     ext.injectOptimizerRule(_ => ManifestPruneRule)
-    ext.injectOptimizerRule(_ => XmlElisionRule)
+    ext.injectOptimizerRule(_ => RoundTripElisionRule)
   }
 }
 
@@ -106,9 +106,9 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(ManifestPruneRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ManifestPruneRule
-    if (!spark.experimental.extraOptimizations.contains(XmlElisionRule))
+    if (!spark.experimental.extraOptimizations.contains(RoundTripElisionRule))
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ XmlElisionRule
+        spark.experimental.extraOptimizations :+ RoundTripElisionRule
   }
 
   /** Load a PERSISTED stats manifest (e.g. one a clone-layout opt-in or

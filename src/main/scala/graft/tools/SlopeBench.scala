@@ -65,7 +65,7 @@ object SlopeBench {
             sum(length(col("r.text"))).as("text_chars"))
       }),
       // the elision A/B (late r14): the SAME integral-only codec shape
-      // executed (q_xmlCi) vs elided by XmlElisionRule (q_xmlE, child
+      // executed (q_xmlCi) vs elided by RoundTripElisionRule (q_xmlE, child
       // session with the flag on) — the delta IS the per-row cost of two
       // CodegenFallback string codecs at decade scale; text deliberately
       // NOT in the struct (strings are fenced out of the elision)
@@ -82,7 +82,7 @@ object SlopeBench {
     if (elisionIso == null) {
       elisionIso = s.newSession()
       graft.plans.Graft.ensureRegistered(elisionIso)
-      elisionIso.conf.set("spark.graft.xml.elide", "true")
+      elisionIso.conf.set("spark.graft.codec.elide", "true")
     }
     elisionIso
   }

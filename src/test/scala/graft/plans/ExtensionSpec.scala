@@ -119,13 +119,13 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
       s"rewritten ${got.length} pairs vs exact ${exact.length}")
   }
 
-  test("xml elision rule: the codec pair vanishes from the plan, results " +
-      "match the executed codec bit-for-bit (nulls included), and the " +
-      "soundness fences hold for string/misaligned shapes") {
+  test("round-trip elision rule: the xml/json codec pairs vanish from the " +
+      "plan, results match the executed codecs bit-for-bit (nulls " +
+      "included), and the per-codec soundness fences hold") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     Graft.ensureRegistered(spark)
-    spark.conf.set("spark.graft.xml.elide", "false")
+    spark.conf.set("spark.graft.codec.elide", "false")
     val naive = ExtensionShowcase.naiveXmlRoundTrip(spark, sfDir)
     assert(naive.queryExecution.optimizedPlan.toString.contains("from_xml"))
     val exact = naive.collect()
@@ -149,7 +149,7 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
     val executed = viaCodec(spark) // flag off: the codec really runs
     val iso = spark.newSession()
     Graft.ensureRegistered(iso)
-    iso.conf.set("spark.graft.xml.elide", "true")
+    iso.conf.set("spark.graft.codec.elide", "true")
     assert(viaCodec(iso) == executed &&
       executed == Seq(List(1L, 2L), List(3L, null)))
 
@@ -175,6 +175,38 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
       .select(from_xml(to_xml(struct(col("o_orderkey"), col("o_custkey"))),
         inSchQ).as("r"))
     assert(!ok.queryExecution.optimizedPlan.toString.contains("from_xml"))
+
+    // ---- the JSON twin: Spark's own OptimizeJsonExprs does NOT elide
+    // the full round trip (probed on 4.1), so the rule covers it with a
+    // wider gate — JSON escapes strings losslessly, so STRING fields
+    // elide here (unlike XML, whose trim fence stands above)
+    val jsonSch = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType)))
+    def jsonChain(sess: org.apache.spark.sql.SparkSession) =
+      Tables.orders(sess, sfDir)
+        .select(from_json(to_json(struct(col("o_orderkey"),
+          col("o_orderpriority"))), jsonSch).as("r"))
+        .select(col("r.o_orderkey"), col("r.o_orderpriority"))
+    assert(jsonChain(spark).queryExecution.optimizedPlan.toString
+      .contains("from_json")) // flag off: the pair survives optimization
+    assert(!jsonChain(iso).queryExecution.optimizedPlan.toString
+      .contains("from_json")) // flag on: elided, string field included
+    assert(jsonChain(iso).orderBy("o_orderkey").collect()
+      .sameElements(jsonChain(spark).orderBy("o_orderkey").collect()))
+    // null field agreement through the json codec vs the elided cast
+    def viaJson(sess: org.apache.spark.sql.SparkSession): Seq[Seq[Any]] =
+      sess.createDataFrame(rows, inSch)
+        .select(from_json(to_json(struct(col("a"), col("b"))), inSch).as("r"))
+        .select(col("r.a"), col("r.b")).orderBy("a")
+        .collect().map(_.toSeq.toList).toSeq
+    assert(viaJson(iso) == viaJson(spark) &&
+      viaJson(spark) == Seq(List(1L, 2L), List(3L, null)))
+    // json fence: a DOUBLE field must not elide (NaN/Infinity rendering
+    // is not provably invertible)
+    val dblSch = StructType(Seq(StructField("o_totalprice", DoubleType)))
+    val dbl = Tables.orders(iso, sfDir)
+      .select(from_json(to_json(struct(col("o_totalprice"))), dblSch).as("r"))
+    assert(dbl.queryExecution.optimizedPlan.toString.contains("from_json"))
   }
 
   test("lsh rewrite bag mode keeps naive multiplicity with no dedup operator") {
