@@ -71,7 +71,12 @@ object SlopeBench {
       // NOT in the struct (strings are fenced out of the elision)
       "q_xmlCi" -> ((s: SparkSession, d: String) => xmlIntCodec(s, d)),
       "q_xmlE" -> ((s: SparkSession, d: String) =>
-        xmlIntCodec(elisionSession(s), d)))
+        xmlIntCodec(elisionSession(s), d)),
+      // the JSON twin of the A/B — same shape through to_json/from_json,
+      // measuring the Jackson leg of RoundTripElisionRule
+      "q_jsonCi" -> ((s: SparkSession, d: String) => jsonIntCodec(s, d)),
+      "q_jsonE" -> ((s: SparkSession, d: String) =>
+        jsonIntCodec(elisionSession(s), d)))
   }
 
   // built once and reused across passes: a fresh child session per call
@@ -95,6 +100,19 @@ object SlopeBench {
     s.read.parquet(s"$d/documents.parquet")
       .select(col("lang"),
         from_xml(to_xml(struct(col("doc_id"), col("n_chars"))), sch).as("r"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("r.doc_id")).as("id_sum"),
+        sum(col("r.n_chars")).as("chars"))
+  }
+
+  private def jsonIntCodec(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("lang"),
+        from_json(to_json(struct(col("doc_id"), col("n_chars"))), sch).as("r"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("cnt"), sum(col("r.doc_id")).as("id_sum"),
         sum(col("r.n_chars")).as("chars"))
