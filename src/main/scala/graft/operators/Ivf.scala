@@ -890,7 +890,13 @@ object Ivf {
     * version, while pre-delete rows (orig_batch <= asOf by
     * construction — asOf is the max effective id at delete time)
     * stay masked. The interleaving is pinned deterministically in
-    * EngineSpec via [[interleaveAfterTombstoneWrite]]. A multi-WRITER
+    * EngineSpec via [[interleaveAfterTombstoneWrite]]. MIXED-VERSION
+    * guard: a staged version whose collapsed partition predates
+    * provenance (no `orig_batch` — an old-code rewriter racing this
+    * delete) masks on the coarse watermark, so for THAT shape the cover
+    * tombstone falls back to the old `max(asOf, watermark)` rule
+    * instead of letting pre-delete rows escape (spec-pinned). A
+    * multi-WRITER
     * store (concurrent rewriters racing each other) is the remaining
     * production escalation that needs an atomic commit log
     * (Delta/Iceberg-style OCC); this store's contract is one
@@ -978,11 +984,41 @@ object Ivf {
     tomb.write.mode("overwrite").parquet(tombPath)
     interleaveAfterTombstoneWrite(dir)
     stagedOrReadyAbove(s, dir, v).foreach { n =>
-      val wmPath = fsOf(s, dir).globStatus(
+      val wmHits = fsOf(s, dir).globStatus(
         new org.apache.hadoop.fs.Path(s"$dir/v$n/_watermark-*"))
-      if (wmPath != null && wmPath.nonEmpty) // ticket listed: cover n ourselves
-        tomb.write.mode("overwrite")
+      if (wmHits != null && wmHits.nonEmpty) { // ticket listed: cover n ourselves
+        // The exact as-of is sound ONLY against per-row provenance: if
+        // version n's collapsed `-1` partition was written by
+        // PRE-provenance rewriter code (mixed-version deployment: an old
+        // rewriter racing this new-code delete) its rows lack
+        // `orig_batch`, effectiveOf falls back to the watermark, and a
+        // watermark above our as-of would let pre-delete rows ESCAPE the
+        // mask. For that legacy shape, restore the old over-masking rule
+        // — as_of = max(asOf, watermark) — which masks every collapsed
+        // row (correct for pre-delete mass; it can over-mask a re-ingest
+        // the old code also over-masked, never anything the old rule
+        // served). Upgrade ordering note: deploy rewriters on
+        // provenance-aware code BEFORE relying on exact-as-of re-ingest
+        // sparing; this fallback makes the mixed window safe, not sharp.
+        val wm = wmHits.map(
+          _.getPath.getName.stripPrefix("_watermark-").toLong).max
+        val collapsed = s"$dir/v$n/index/ingest_batch=$BootstrapBatch"
+        val legacyCollapsed =
+          fs.exists(new org.apache.hadoop.fs.Path(collapsed)) &&
+            (try !s.read.parquet(collapsed).columns.contains("orig_batch")
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if Option(e.getCondition)
+                    .contains("UNABLE_TO_INFER_SCHEMA") =>
+                false // no committed rows: nothing collapsed to mask
+            })
+        val cover =
+          if (legacyCollapsed && wm > asOf)
+            tomb.withColumn("as_of", lit(math.max(asOf, wm)))
+          else tomb
+        cover.write.mode("overwrite")
           .parquet(s"$dir/v$n/tombstones/del_batch=$delBatchId")
+      }
       // else: n's snapshot listing is still ahead — it will see v's tombstone
     }
     fs.create(flag, true).close()

@@ -866,9 +866,18 @@ object Multimodal {
     * the default 32/4 serves Hamming ≤ 3).
     */
   def audioNearDupPairs(spark: SparkSession, media: DataFrame,
-      maxHamming: Int = 3, bits: Int = 32): DataFrame =
+      maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+    // the banded join's constraint, checked at THIS boundary: fingerprints
+    // alone accept any width in [1,64], but a width the 8-bit banding
+    // can't split would otherwise surface downstream as a confusing
+    // hashBits error after the decode work was already planned
+    require(bits % 8 == 0 && bits >= 16 && bits <= 64,
+      s"audioNearDupPairs: the banded Hamming join needs a fingerprint " +
+        s"width that is a multiple of 8 in [16,64], got $bits " +
+        s"(audioFingerprintOf alone accepts any width in [1,64])")
     hammingNearDupPairs(audioFingerprint(spark, media, bits), "afp", bits,
       maxHamming)
+  }
 
   /** Per-frame dHash list of an mp4 payload: ISO-BMFF demux, each frame's
     * PNG decoded through ImageIO (the [[decodeAndEmbedVideo]] loop), each

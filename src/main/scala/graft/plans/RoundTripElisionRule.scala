@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * behind when a producer renders rows to a wire format and the consumer
   * immediately parses them back in the same plan — are pure
   * serialize/parse round trips. When the parse schema provably matches
-  * the rendered struct and every field's type round-trips the codec's
+  * the rendered struct and every leaf type round-trips the codec's
   * text EXACTLY, the pair is semantics-free and this rule elides it to a
   * cast of the original struct, turning two per-row string codecs (both
   * CodegenFallback — they break the scan stage's whole-stage-codegen
@@ -25,19 +25,40 @@ import org.apache.spark.sql.types._
   *   - both codec option maps empty — a non-default option (custom null
   *     value, timestamp format, ignoreSurroundingSpaces=false…) changes
   *     the text contract, so the pair stops being a provable identity;
-  *   - field NAMES equal case-sensitively and in the same order, field
-  *     TYPES equal exactly (the cast added below is then shape-identity,
-  *     existing only to pin the original expression's field nullability);
-  *   - every field type round-trips the SPECIFIC codec's text exactly:
+  *   - field NAMES equal case-sensitively and in the same order at every
+  *     nesting level, leaf TYPES equal exactly. Field NULLABILITY is NOT
+  *     required to match: the parsers declare their output as the parse
+  *     schema with every level forced nullable (`schema.asNullable`), so
+  *     the replacement cast targets that same all-nullable shape — which
+  *     both preserves the replaced expression's dataType exactly and
+  *     keeps the cast resolvable when a user hands a NOT NULL parse
+  *     schema over a nullable source (nullable→non-nullable is not a
+  *     valid struct cast; nullable→nullable always is);
+  *   - every LEAF type round-trips the SPECIFIC codec's text exactly:
   *     integral and boolean for both (digit strings / true / false);
-  *     strings additionally for JSON, which escapes them losslessly —
-  *     but NOT for XML, whose surrounding-whitespace trimming is codec
-  *     semantics (pinned in the string-fidelity spec); floats/doubles
-  *     for neither (NaN/Infinity rendering is not provably invertible),
-  *     dates/timestamps for neither (format- and zone-dependent). A NULL
-  *     field round-trips in both codecs — the generators omit the
-  *     element/key, the parsers read the absence as null — pinned in
-  *     ExtensionSpec.
+  *     strings additionally for JSON, which escapes them losslessly
+  *     PROVIDED the value is well-formed UTF-8 — a string smuggling
+  *     invalid bytes / unpaired surrogates is normalized to U+FFFD by
+  *     the executed writer while the elided cast preserves the original
+  *     bytes, so the elision assumes (and documents) well-formed string
+  *     data, the same assumption every text sink in this engine makes —
+  *     but NOT strings for XML, whose surrounding-whitespace trimming is
+  *     codec semantics (pinned in the string-fidelity spec);
+  *     floats/doubles for neither (NaN/Infinity rendering is not
+  *     provably invertible), dates/timestamps for neither (format- and
+  *     zone-dependent). A NULL field round-trips in both codecs — the
+  *     generators omit the element/key, the parsers read the absence as
+  *     null — pinned in ExtensionSpec;
+  *   - NESTED STRUCTS recurse for both codecs: a missing element/key
+  *     parses as a null struct, and — probed on 4.1 and pinned in
+  *     ExtensionSpec — an all-null-fields struct renders as an EMPTY
+  *     element/object (`<c/>` / `{}`) and parses back as a non-null
+  *     struct of nulls, so the null/empty distinction survives;
+  *   - ARRAYS recurse for JSON ONLY: `[]`, null, and null elements all
+  *     round-trip JSON text exactly. XML's repeated-element encoding is
+  *     LOSSY (probed on 4.1): an empty array renders as nothing and
+  *     parses back as NULL, and null elements are silently dropped — so
+  *     any ArrayType anywhere in the schema fences the XML elision.
   *
   * Gated on `spark.graft.codec.elide` (default off), same stance as the
   * LSH rewrite: the declarative plan states intent, the config opts into
@@ -52,34 +73,61 @@ object RoundTripElisionRule extends Rule[LogicalPlan] {
   private val bothCodecs: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType, BooleanType)
 
-  private def elidable(target: StructType, source: DataType,
-      extraExact: Set[DataType]): Boolean = source match {
-    case st: StructType =>
-      st.length == target.length &&
-        st.fields.zip(target.fields).forall { case (s, t) =>
-          s.name == t.name && s.dataType == t.dataType &&
-            (bothCodecs.contains(s.dataType) ||
-              extraExact.contains(s.dataType))
-        }
-    case _ => false
+  /** Recursive gate: does `source` provably round-trip the codec's text
+    * as `target`? Structs recurse field-by-field (names in order, any
+    * nullability — see the cast-target note above); arrays recurse only
+    * where the codec's array encoding is lossless (`arraysOk`); leaves
+    * require exact type equality AND membership in the codec's
+    * exact-round-trip set.
+    */
+  private def elidable(target: DataType, source: DataType,
+      extraExact: Set[DataType], arraysOk: Boolean): Boolean =
+    (target, source) match {
+      case (t: StructType, s: StructType) =>
+        s.length == t.length &&
+          s.fields.zip(t.fields).forall { case (sf, tf) =>
+            sf.name == tf.name &&
+              elidable(tf.dataType, sf.dataType, extraExact, arraysOk)
+          }
+      case (ArrayType(te, _), ArrayType(se, _)) if arraysOk =>
+        elidable(te, se, extraExact, arraysOk)
+      case (t, s) =>
+        t == s && (bothCodecs.contains(s) || extraExact.contains(s))
+    }
+
+  /** The parse schema with every level forced nullable — what the
+    * parsers declare as their output type (`schema.asNullable` is
+    * private[spark]; this is the same recursion).
+    */
+  private def nullably(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = nullably(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(nullably(et), containsNull = true)
+    case MapType(kt, vt, _) =>
+      MapType(nullably(kt), nullably(vt), valueContainsNull = true)
+    case other => other
   }
 
   private def elide(child: Expression, schema: StructType): Expression =
-    // cast, not bare child: field types are equal so this is a no-op
-    // projection, but it pins the ORIGINAL expression's dataType
-    // (the parsers declare nullable fields; the struct's may be tighter)
-    Cast(child, schema)
+    // cast to the PARSERS' declared output type (schema with every level
+    // nullable), not the bare child and not the raw parse schema: leaf
+    // types are equal so the cast is a no-op projection, but targeting
+    // the all-nullable shape preserves the replaced expression's exact
+    // dataType and stays a valid struct cast even when the user's parse
+    // schema is tighter (non-nullable) than the source
+    Cast(child, nullably(schema))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformAllExpressions {
       case XmlToStructs(schema: StructType, o1, StructsToXml(o2, child, _), _)
           if o1.isEmpty && o2.isEmpty &&
-            elidable(schema, child.dataType, Set.empty) =>
+            elidable(schema, child.dataType, Set.empty, arraysOk = false) =>
         elide(child, schema)
       case JsonToStructs(schema: StructType, o1, inner, _)
           if o1.isEmpty && jsonRenderedChild(inner)
-            .exists(c => elidable(schema, c.dataType, Set(StringType))) =>
+            .exists(c => elidable(schema, c.dataType, Set(StringType),
+              arraysOk = true)) =>
         elide(jsonRenderedChild(inner).get, schema)
     }
   }

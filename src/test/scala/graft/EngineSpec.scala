@@ -2186,6 +2186,12 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val pairs = Multimodal.audioNearDupPairs(spark, media)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 1)))
+    // a fingerprint width the 8-bit banding can't split fails AT THE API
+    // BOUNDARY with the banding constraint named (r14 advice: bits=50
+    // used to surface downstream as a confusing hashBits error)
+    val bad = intercept[IllegalArgumentException](
+      Multimodal.audioNearDupPairs(spark, media, bits = 50))
+    assert(bad.getMessage.contains("multiple of 8"), bad.getMessage)
   }
 
   test("hammingNearDupPairs has FULL recall vs brute force on randomized " +
@@ -3859,6 +3865,53 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Ivf.servingIndex(spark, dir)
       .filter(col("vec_id") === victim).count() == 0)
     Ivf.compactStore(spark, dir)
+    assert(Ivf.servingIndex(spark, dir).count() == e.count() - 1)
+  }
+
+  test("ivf store mixed-version cover: a staged version collapsed by " +
+      "PRE-provenance rewriter code (no orig_batch) gets the old " +
+      "max(asOf, watermark) tombstone, so the delete takes effect " +
+      "instead of silently failing") {
+    import graft.operators.Ivf
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").filter(col("vec_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-legacy").toString
+    Ivf.bootstrapStore(spark, e.filter(col("vec_id") < 40), dir)
+    Ivf.maintainIndex(spark, dir, e.filter(col("vec_id") >= 40),
+      batchId = 5L, driftThreshold = 2.1)
+    val victim = 7L
+    // the provenance-race schedule, but the racing rewriter is OLD code:
+    // after it collapses everything into v1's -1 partition, strip
+    // orig_batch to reproduce pre-provenance rewriter output
+    Ivf.interleaveAfterTombstoneWrite = { d =>
+      Ivf.interleaveAfterTombstoneWrite = _ => ()
+      Ivf.maintainIndex(spark, d, e.filter(col("vec_id") === victim),
+        batchId = 6L, driftThreshold = 2.1)
+      Ivf.compactStore(spark, d)
+      val p = s"$d/v1/index/ingest_batch=-1"
+      val stripped = spark.read.parquet(p).drop("orig_batch")
+        .localCheckpoint(true)
+      stripped.write.mode("overwrite").parquet(p)
+    }
+    try Ivf.deleteVectors(spark, dir,
+      e.filter(col("vec_id") === victim).select("vec_id"), delBatchId = 21L)
+    finally Ivf.interleaveAfterTombstoneWrite = _ => ()
+    // v0's tombstone keeps the exact as-of (5); the LEGACY staged cover
+    // falls back to the watermark (6) — an exact-as-of cover against a
+    // provenance-less collapse (every row's effective id = watermark =
+    // 6 > 5) would mask NOTHING and the delete would silently fail
+    assert(spark.read.parquet(s"$dir/v0/tombstones/del_batch=21")
+      .select(col("as_of").cast("long")).head().getLong(0) == 5L)
+    assert(spark.read.parquet(s"$dir/v1/tombstones/del_batch=21")
+      .select(col("as_of").cast("long")).head().getLong(0) == 6L,
+      "legacy collapsed partition must get the max(asOf, watermark) cover")
+    // the delete HOLDS in the published version. The collapsed re-ingest
+    // is over-masked too — exactly the old rule's documented behavior,
+    // never worse; with provenance-aware rewriters the exact-as-of path
+    // (previous spec) spares it
+    assert(Ivf.servingIndex(spark, dir)
+      .filter(col("vec_id") === victim).count() == 0,
+      "pre-delete rows escaped the legacy staged cover")
     assert(Ivf.servingIndex(spark, dir).count() == e.count() - 1)
   }
 

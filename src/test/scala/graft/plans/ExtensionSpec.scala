@@ -209,6 +209,135 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
     assert(dbl.queryExecution.optimizedPlan.toString.contains("from_json"))
   }
 
+  test("round-trip elision recurses into nested structs (both codecs) and " +
+      "arrays (json only); nullability never blocks; the lossy-shape " +
+      "fences hold") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    Graft.ensureRegistered(spark)
+    spark.conf.set("spark.graft.codec.elide", "false")
+    val iso = spark.newSession()
+    Graft.ensureRegistered(iso)
+    iso.conf.set("spark.graft.codec.elide", "true")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+
+    // NESTED STRUCT, xml + json, parquet-backed (a LocalRelation child
+    // would be constant-folded whole and prove nothing): recursing the
+    // per-codec leaf gates elides the pair; results equal the executed
+    // codec bit-for-bit
+    val nestedSch = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("c", StructType(Seq(
+        StructField("o_custkey", LongType),
+        StructField("ck_i", IntegerType))))))
+    def nested(sess: org.apache.spark.sql.SparkSession,
+        via: (org.apache.spark.sql.Column, StructType) => org.apache.spark.sql.Column,
+        render: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Tables.orders(sess, sfDir)
+        .select(via(render(struct(col("o_orderkey"),
+          struct(col("o_custkey"),
+            col("o_custkey").cast("int").as("ck_i")).as("c"))),
+          nestedSch).as("r"))
+        .select(col("r.o_orderkey"), col("r.c.o_custkey"),
+          col("r.c.ck_i"))
+        .orderBy("o_orderkey")
+    val xOn = nested(iso, from_xml(_, _), to_xml(_))
+    assert(!planOf(xOn).contains("from_xml"), planOf(xOn))
+    assert(xOn.collect().sameElements(
+      nested(spark, from_xml(_, _), to_xml(_)).collect()))
+    val jOn = nested(iso, from_json(_, _), to_json(_))
+    assert(!planOf(jOn).contains("from_json"), planOf(jOn))
+    assert(jOn.collect().sameElements(
+      nested(spark, from_json(_, _), to_json(_)).collect()))
+
+    // value agreement on the nested null shapes (the probed 4.1 facts the
+    // gate relies on): a NULL inner struct round-trips (element/key
+    // omitted -> null) and an ALL-NULL-FIELDS inner struct renders as an
+    // EMPTY element/object and parses back NON-null — the elided cast
+    // must land on the identical rows for both codecs
+    val inner = StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType)))
+    val nsch = StructType(Seq(
+      StructField("a", LongType), StructField("c", inner)))
+    val nrows = java.util.Arrays.asList(
+      Row(1L, Row(10L, 20L)), Row(2L, null), Row(3L, Row(null, null)))
+    def viaNested(sess: org.apache.spark.sql.SparkSession,
+        json: Boolean): Seq[Seq[Any]] = {
+      val src = sess.createDataFrame(nrows, nsch)
+        .select(struct(col("a"), col("c")).as("s"))
+      val rt = if (json) from_json(to_json(col("s")), nsch)
+        else from_xml(to_xml(col("s")), nsch)
+      src.select(rt.as("r")).select(col("r.a"), col("r.c"))
+        .orderBy("a").collect().map(_.toSeq.toList).toSeq
+    }
+    assert(viaNested(iso, json = false) == viaNested(spark, json = false))
+    assert(viaNested(iso, json = true) == viaNested(spark, json = true))
+    assert(viaNested(spark, json = true) ==
+      Seq(List(1L, Row(10L, 20L)), List(2L, null), List(3L, Row(null, null))))
+
+    // ARRAYS: json elides (`[]`, null, and null elements all round-trip
+    // json text exactly); xml must NOT (repeated-element encoding is
+    // lossy: empty -> null, null elements dropped — probed on 4.1)
+    val arrSch = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("ks", ArrayType(LongType))))
+    def arr(sess: org.apache.spark.sql.SparkSession, json: Boolean) = {
+      val s0 = Tables.orders(sess, sfDir)
+        .select(struct(col("o_orderkey"),
+          array(col("o_custkey"), col("o_orderkey")).as("ks")).as("s"))
+      val rt = if (json) from_json(to_json(col("s")), arrSch)
+        else from_xml(to_xml(col("s")), arrSch)
+      s0.select(rt.as("r")).select(col("r.o_orderkey"), col("r.ks"))
+        .orderBy("o_orderkey")
+    }
+    assert(!planOf(arr(iso, json = true)).contains("from_json"))
+    assert(arr(iso, json = true).collect().sameElements(
+      arr(spark, json = true).collect()))
+    assert(planOf(arr(iso, json = false)).contains("from_xml"),
+      "xml arrays are lossy and must stay fenced")
+    // json array value agreement on the degenerate shapes
+    val aSch = StructType(Seq(
+      StructField("a", LongType), StructField("arr", ArrayType(LongType))))
+    val aRows = java.util.Arrays.asList(
+      Row(1L, Seq(1L, 2L)), Row(2L, Seq.empty[Long]), Row(3L, null),
+      Row(4L, Seq(null, 5L)))
+    def viaArr(sess: org.apache.spark.sql.SparkSession): Seq[Seq[Any]] =
+      sess.createDataFrame(aRows, aSch)
+        .select(from_json(to_json(struct(col("a"), col("arr"))), aSch).as("r"))
+        .select(col("r.a"), col("r.arr")).orderBy("a")
+        .collect().map(_.toSeq.toList).toSeq
+    assert(viaArr(iso) == viaArr(spark))
+
+    // a float leaf ANYWHERE in the nest blocks (NaN/Infinity rendering is
+    // not provably invertible) — the recursion must not widen the gate
+    val deepDbl = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("c", StructType(Seq(
+        StructField("o_totalprice", DoubleType))))))
+    val fencedDeep = Tables.orders(iso, sfDir)
+      .select(from_json(to_json(struct(col("o_orderkey"),
+        struct(col("o_totalprice")).as("c"))), deepDbl).as("r"))
+    assert(planOf(fencedDeep).contains("from_json"))
+
+    // NULLABILITY (the r14 advice finding): a user-supplied NOT NULL
+    // parse schema over a nullable source must still elide AND execute —
+    // the cast targets the parsers' declared all-nullable output type,
+    // so the plan stays valid where a cast to the tight schema would be
+    // an ill-typed nullable->non-nullable struct cast
+    val tight = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_custkey", LongType, nullable = false)))
+    def tightChain(sess: org.apache.spark.sql.SparkSession) =
+      Tables.orders(sess, sfDir)
+        .select(from_json(to_json(struct(col("o_orderkey"),
+          col("o_custkey"))), tight).as("r"))
+        .select(col("r.o_orderkey"), col("r.o_custkey"))
+        .orderBy("o_orderkey")
+    assert(!planOf(tightChain(iso)).contains("from_json"))
+    assert(tightChain(iso).collect().sameElements(tightChain(spark).collect()))
+  }
+
   test("lsh rewrite bag mode keeps naive multiplicity with no dedup operator") {
     spark.conf.set("spark.graft.lsh.rewrite", "false")
     val exact = ExtensionShowcase.naiveCosineJoin(spark, sfDir, 0.45).collect()
