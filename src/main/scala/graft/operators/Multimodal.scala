@@ -763,7 +763,7 @@ object Multimodal {
     * doc_b, distinct.
     */
   def hammingNearDupPairs(hashes: DataFrame, hashCol: String,
-      hashBits: Int, maxHamming: Int): DataFrame = {
+      hashBits: Int, maxHamming: Int, pinCatalog: Boolean = true): DataFrame = {
     require(hashBits % 8 == 0 && hashBits >= 16 && hashBits <= 64,
       s"hammingNearDupPairs: hashBits must be a multiple of 8 in [16,64], got $hashBits")
     val bands = hashBits / 8
@@ -774,8 +774,11 @@ object Multimodal {
     // BOTH self-join sides, and its lineage is the media DECODE — without
     // pinning, each exchange re-decodes the corpus (measured ~2x the
     // whole join's cost on the mp4 family); the pinned rows are 2 longs
-    // per item, never pixels
-    val cat = hashes.localCheckpoint()
+    // per item, never pixels. A catalog already PERSISTED (the
+    // FingerprintStore serving path) passes pinCatalog = false — its
+    // lineage is a parquet scan, and materializing a store-sized copy to
+    // executor disk would cost more than the re-scan it avoids.
+    val cat = if (pinCatalog) hashes.localCheckpoint() else hashes
     val banded = cat.select(col("doc_id"), col(hashCol).as("h64"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           shiftrightunsigned(col(hashCol), b * 8).bitwiseAND(lit(255L))
@@ -937,14 +940,25 @@ object Multimodal {
     * frame hashes identical; unrelated videos share none.
     */
   def videoNearDupPairs(spark: SparkSession, media: DataFrame,
-      minJaccard: Double = 0.8, maxVideosPerFrame: Int = 0): DataFrame = {
+      minJaccard: Double = 0.8, maxVideosPerFrame: Int = 0): DataFrame =
     // localCheckpoint (the qL19 pattern): posts feeds both self-join
     // sides AND the per-video size aggregate — pinning the (doc_id,
     // dhash) longs runs the demux + per-frame PNG decode ONCE instead of
     // once per consumer exchange
-    val raw = videoFrameDHash(spark, media)
-      .select("doc_id", "dhash").distinct()
-      .localCheckpoint()
+    videoJaccardPairs(videoFrameDHash(spark, media), minJaccard,
+      maxVideosPerFrame, pinPostings = true)
+
+  /** The frame-set Jaccard join over ANY (doc_id, …, dhash) postings
+    * frame — the decode-free half of [[videoNearDupPairs]], shared with
+    * the [[FingerprintStore]] serving path (whose postings are already
+    * parquet-persisted, so pinning would materialize a store-sized copy
+    * for nothing — pinPostings = false there).
+    */
+  private[operators] def videoJaccardPairs(postings: DataFrame,
+      minJaccard: Double, maxVideosPerFrame: Int,
+      pinPostings: Boolean): DataFrame = {
+    val dedup = postings.select("doc_id", "dhash").distinct()
+    val raw = if (pinPostings) dedup.localCheckpoint() else dedup
     // BOILERPLATE-FRAME cap (the sourceOverlap(maxSourcesPerShingle)
     // discipline, applied to the video family): a frame hash shared by
     // thousands of videos — black frames, channel intros, logo cards at

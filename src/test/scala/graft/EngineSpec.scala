@@ -2360,6 +2360,84 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       s"silence edit moved the fingerprint too far: $origFp vs $twinFp")
   }
 
+  test("fingerprint store: append equals rebuild across all three " +
+      "catalogs, overlapping ids never re-decode, corrupt payloads " +
+      "quarantine once, and the store-served near-dup joins match the " +
+      "decode path exactly") {
+    import graft.operators.FingerprintStore
+    val corpus = Multimodal.withMedia(Tables.documents(spark, sfDir))
+    val media = corpus
+      .unionByName(Multimodal.plantAudioTwins(spark, corpus))
+      .unionByName(Multimodal.plantVideoTwins(spark, corpus))
+      .localCheckpoint() // one fixture materialization for the whole spec
+    val half = media.filter(col("doc_id") % 2 === 0)
+    val rest = media.filter(col("doc_id") % 2 =!= 0)
+
+    def catalogs(d: String): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      FingerprintStore.imageHashes(spark, d).orderBy("doc_id"),
+      FingerprintStore.audioFingerprints(spark, d).orderBy("doc_id"),
+      FingerprintStore.videoPostings(spark, d).orderBy("doc_id", "frame"))
+      .map(_.collect().toSeq)
+
+    // APPEND-EQUALS-REBUILD: bootstrap(half) + append(rest) lands on the
+    // identical catalogs as a from-scratch bootstrap over everything
+    val inc = java.nio.file.Files.createTempDirectory("graft-fps-inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-fps-full").toString
+    FingerprintStore.bootstrap(spark, half, inc)
+    FingerprintStore.append(spark, rest, inc)
+    FingerprintStore.bootstrap(spark, media, full)
+    assert(catalogs(inc) == catalogs(full))
+    assert(FingerprintStore.ledger(spark, inc).count() == media.count())
+
+    // OVERLAP IS NEVER RE-DECODED: re-append already-seen ids carrying
+    // DIFFERENT payloads — if append decoded (or stored) them, the
+    // fingerprints would move / duplicate; the ledger must block at the
+    // ids-only anti-join
+    val mutated = rest.withColumn("blob",
+      concat(col("blob"), col("blob"))) // same ids, different bytes
+    FingerprintStore.append(spark, mutated, inc)
+    assert(catalogs(inc) == catalogs(full),
+      "an overlapping append must be a no-op on the catalogs")
+    assert(FingerprintStore.ledger(spark, inc).count() == media.count())
+
+    // CORRUPT PAYLOAD QUARANTINE: a new id whose bytes fail the claimed
+    // format's decoder lands in the ledger decoded=false with no
+    // fingerprint — and a LATER append of the same id (even with now-
+    // valid bytes) is blocked, so the decode is attempted exactly once
+    import spark.implicits._
+    val badId = 99000001L
+    val bad = Seq((badId, Array.fill[Byte](64)(7)))
+      .toDF("doc_id", "blob")
+      .withColumn("meta", struct(lit("wav").as("format"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("n_frames")))
+    FingerprintStore.append(spark, bad, inc)
+    val l = FingerprintStore.ledger(spark, inc)
+      .filter(col("doc_id") === badId).collect()
+    assert(l.length == 1 && !l.head.getAs[Boolean]("decoded"))
+    assert(FingerprintStore.audioFingerprints(spark, inc)
+      .filter(col("doc_id") === badId).isEmpty)
+    val fixed = bad.withColumn("blob",
+      typedLit(Multimodal.encodeWav(badId, 200)))
+    FingerprintStore.append(spark, fixed, inc)
+    assert(FingerprintStore.audioFingerprints(spark, inc)
+      .filter(col("doc_id") === badId).isEmpty,
+      "a quarantined id must not re-decode on a later append")
+
+    // STORE-SERVED JOIN PARITY: the three near-dup joins read persisted
+    // digests yet must land on the decode path's exact pair sets (the
+    // q_mm07/q_mm08 workloads, served with zero decode work)
+    assert(FingerprintStore.audioNearDupPairs(spark, full).collect()
+      .sameElements(Multimodal.audioNearDupPairs(spark, media).collect()))
+    assert(FingerprintStore.videoNearDupPairs(spark, full).collect()
+      .sameElements(Multimodal.videoNearDupPairs(spark, media).collect()))
+    assert(FingerprintStore.imageNearDupPairs(spark, full).collect()
+      .sameElements(Multimodal.imageNearDupPairs(spark, media).collect()))
+    // and the served plans carry no blob column anywhere
+    val served = FingerprintStore.videoNearDupPairs(spark, full)
+      .queryExecution.executedPlan.toString
+    assert(!served.contains("blob"), served)
+  }
+
   test("multimodal: the boilerplate-frame cap drops exactly the >K-video " +
       "frame hashes — boiler-only pairs leave, genuine near-dups stay") {
     import spark.implicits._
