@@ -156,6 +156,12 @@ object SparkEntry {
     // the video near-dup JOIN (r14): frame-set Jaccard pairs over
     // corpus postings + planted trim twins
     "q_mm08_video_near_dup" -> (Multimodal.qMM08 _),
+    // the COMPOSED media prep pipeline (r15, the media twin of q_l39):
+    // real files on disk → binaryMedia ingestion (ids from file stems)
+    // → format quarantine (a planted corrupt .wav drops at the
+    // fingerprint stage) → banded near-dup join → connected components
+    // → keeper resolution; blobs never shuffle past the fingerprint map
+    "q_mm09_media_pipeline" -> (Multimodal.qMM09 _),
     // custom UDTF (Generator) leg of the extension surface
     "q_l16_ngram_top20"    -> (LLMOps.qL16 _),
     // bounded-state heavy hitters (sketch + exact recount; same oracle
@@ -331,7 +337,10 @@ object SparkEntry {
       "q_l57_pq_refine",
       // leak-safe split runs q_l19's connected components (checkpointed
       // label propagation) at construction
-      "q_l58_leak_safe_split")
+      "q_l58_leak_safe_split",
+      // the composed media pipeline writes its file fixture and runs
+      // connected components at construction
+      "q_mm09_media_pipeline")
 
   /** The shingle-postings CTE chain (3-word shingles → portable poly
     * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06
@@ -385,6 +394,14 @@ object SparkEntry {
     * config): if one of these booleans ever goes red, triage it as
     * environment drift against those pins first, not as a logic bug.
     */
+  /** The audio-fingerprint rebuild CTE chain (corpus wav rows +
+    * planted silence twins → 32-bit gradient fingerprints, all in
+    * HUGEINT SQL) shared by the q_mm07 pair oracle and q_mm09's
+    * composed-pipeline oracle, which clusters the same pairs.
+    */
+  private val mm07FpCtes: String =
+    """w AS (SELECT doc_id, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 = 2), m AS (SELECT doc_id AS out_id, doc_id AS seed, ns, 0 AS tw FROM w UNION ALL SELECT doc_id + 10000000, doc_id, ns, 1 FROM w WHERE doc_id % 3 = 0), idx AS (SELECT out_id, seed, ns, tw, unnest(range(0, ns)) AS i FROM m), s0 AS (SELECT out_id, ns, tw, i, (CAST(seed AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT out_id, ns, tw, i, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT out_id, ns, tw, i, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), en AS (SELECT out_id, CAST(i * 33 // ns AS INT) AS frame, SUM(CASE WHEN tw = 1 AND i < 16 THEN 0 ELSE ABS((z % 65536) - 32768) END) AS e FROM z3 GROUP BY out_id, frame), bits AS (SELECT a.out_id, a.frame AS pos, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit FROM en a JOIN en b ON a.out_id = b.out_id AND b.frame = a.frame + 1 WHERE a.frame < 32), fp AS (SELECT out_id, CAST(SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS BIGINT) AS afp FROM bits GROUP BY out_id)"""
+
   def oracleSql: Map[String, String] = Map(
     "q_p01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' AND l_discount > 0.02 ORDER BY l_orderkey, l_linenumber""",
@@ -780,7 +797,22 @@ object SparkEntry {
     // rebuild the expected pairs ALL-PAIRS with bit_count(xor) — the
     // oracle may be quadratic, the engine's banded join never is
     "q_mm07_audio_near_dup" ->
-      """WITH w AS (SELECT doc_id, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 = 2), m AS (SELECT doc_id AS out_id, doc_id AS seed, ns, 0 AS tw FROM w UNION ALL SELECT doc_id + 10000000, doc_id, ns, 1 FROM w WHERE doc_id % 3 = 0), idx AS (SELECT out_id, seed, ns, tw, unnest(range(0, ns)) AS i FROM m), s0 AS (SELECT out_id, ns, tw, i, (CAST(seed AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT out_id, ns, tw, i, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT out_id, ns, tw, i, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), en AS (SELECT out_id, CAST(i * 33 // ns AS INT) AS frame, SUM(CASE WHEN tw = 1 AND i < 16 THEN 0 ELSE ABS((z % 65536) - 32768) END) AS e FROM z3 GROUP BY out_id, frame), bits AS (SELECT a.out_id, a.frame AS pos, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit FROM en a JOIN en b ON a.out_id = b.out_id AND b.frame = a.frame + 1 WHERE a.frame < 32), fp AS (SELECT out_id, CAST(SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS BIGINT) AS afp FROM bits GROUP BY out_id) SELECT a.out_id AS doc_a, b.out_id AS doc_b, CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming FROM fp a JOIN fp b ON a.out_id < b.out_id WHERE bit_count(xor(a.afp, b.afp)) <= 3 ORDER BY doc_a, doc_b""",
+      (s"""WITH $mm07FpCtes SELECT a.out_id AS doc_a, b.out_id AS doc_b, CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming FROM fp a JOIN fp b ON a.out_id < b.out_id WHERE bit_count(xor(a.afp, b.afp)) <= 3 ORDER BY doc_a, doc_b"""),
+      // q_mm09 (r15): the composed pipeline's oracle — the q_mm07
+      // fingerprint chain rebuilds every pair, the q_l19 recursive
+      // transitive-closure CTE resolves clusters, and the keeper is the
+      // longest clip (ns = the regenerated sample count; a silence twin
+      // preserves length), ties to the smallest id; the planted corrupt
+      // file produces no fingerprint and can appear nowhere
+    "q_mm09_media_pipeline" ->
+      (s"""WITH RECURSIVE $mm07FpCtes, """ +
+        """prs AS (SELECT a.out_id AS doc_a, b.out_id AS doc_b FROM fp a JOIN fp b ON a.out_id < b.out_id WHERE bit_count(xor(a.afp, b.afp)) <= 3), """ +
+        """edges AS (SELECT doc_a AS a, doc_b AS b FROM prs UNION SELECT doc_b, doc_a FROM prs), """ +
+        """reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), """ +
+        """comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a), """ +
+        """jj AS (SELECT c.comp, c.id, m.ns FROM comp c JOIN m ON m.out_id = c.id), """ +
+        """k AS (SELECT comp, id, ns, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY ns DESC, id) AS rn FROM jj) """ +
+        """SELECT comp AS cluster_id, COUNT(*) AS size, CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keeper_id, CAST(MAX(CASE WHEN rn = 1 THEN ns END) AS BIGINT) AS kept_samples FROM k GROUP BY comp ORDER BY cluster_id"""),
     // q_mm08 (r14): the video near-dup PAIR SET on planted trim twins —
     // the q_mm06 per-frame dHash rebuild over corpus mp4 rows AND twins
     // (doc_id + 10000000, frames 0..F-2 of the SAME chain, only rows

@@ -187,24 +187,39 @@ object Readers {
     * every [[graft.operators.Multimodal]] operator consumes — the REAL
     * ingestion path beside the synthetic `withMedia` fixture source:
     * `doc_id` is the xxhash64 of the file path (deterministic, stable
-    * across re-ingestions of the same tree), `meta.format` comes from
-    * the file extension (lowercased; the decode operators quarantine
-    * payloads that don't parse as their claimed format), and the
-    * synthetic-only dims are 0 = unknown — no decode operator reads
-    * them. At 100 TB this is one file listing + a per-file content scan;
-    * everything downstream (fingerprints, features, near-dup joins)
-    * already shuffles digests, never the blobs.
+    * across re-ingestions of the same tree) — or, with `idFromStem`,
+    * the numeric file stem (`…/123.wav` → 123), the shape of a corpus
+    * whose ids were assigned upstream and carried in the filenames —
+    * `meta.format` comes from the file extension (lowercased; the
+    * decode operators quarantine payloads that don't parse as their
+    * claimed format), and the dims are PROBED from headers only
+    * ([[graft.operators.Multimodal.probeDims]]: PNG IHDR / BMP info
+    * header / mp4 stsz + first-frame IHDR — no pixel or sample decode),
+    * with 0 = not-applicable-or-unprobeable (all wav dims, any
+    * malformed payload). At 100 TB this is one file listing + a
+    * per-file content scan; everything downstream (fingerprints,
+    * features, near-dup joins) already shuffles digests, never the
+    * blobs.
     */
   def binaryMedia(s: SparkSession, path: String,
-      glob: Option[String] = None): DataFrame = {
+      glob: Option[String] = None, idFromStem: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
-    binaryFiles(s, path, glob).select(
-      xxhash64(col("path")).as("doc_id"),
-      col("content").as("blob"),
-      struct(
-        lower(element_at(split(col("path"), "\\."), -1)).as("format"),
-        lit(0).as("width"), lit(0).as("height"),
-        lit(0).as("n_frames")).as("meta"))
+    val id =
+      if (idFromStem)
+        regexp_extract(col("path"), "([0-9]+)\\.[^./]+$", 1).cast("long")
+      else xxhash64(col("path"))
+    val fmt = lower(element_at(split(col("path"), "\\."), -1))
+    val probe = udf((f: String, b: Array[Byte]) =>
+      graft.operators.Multimodal.probeDims(f, b))
+    binaryFiles(s, path, glob)
+      .withColumn("p", probe(fmt, col("content")))
+      .select(
+        id.as("doc_id"),
+        col("content").as("blob"),
+        struct(
+          fmt.as("format"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.n_frames").as("n_frames")).as("meta"))
   }
 
   /** Partitioned JDBC scan. `partitionColumn` should be the PK/identity

@@ -1112,6 +1112,113 @@ object Multimodal {
       .filter(col("blob").isNotNull)
   }
 
+  /** Real media dimensions, probed from HEADERS only (no pixel/sample
+    * decode): PNG reads IHDR's big-endian width/height, BMP reads the
+    * BITMAPINFOHEADER's little-endian pair (single images: n_frames =
+    * 1), mp4 walks the box chain to stsz for the frame count and the
+    * first frame's PNG IHDR for the frame dims. WAV returns all-zero —
+    * audio genuinely has no pixel dimensions, so 0 = not-applicable is
+    * the honest value, not an unprobed placeholder. Any malformed or
+    * unknown payload probes to zeros (the quarantine-not-crash policy);
+    * the real decoders downstream re-validate everything they read.
+    */
+  final case class MediaDims(width: Int, height: Int, n_frames: Int)
+  def probeDims(format: String, blob: Array[Byte]): MediaDims = {
+    def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    def le32(b: Array[Byte], o: Int): Int =
+      ((b(o + 3) & 0xff) << 24) | ((b(o + 2) & 0xff) << 16) |
+        ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    val none = MediaDims(0, 0, 0)
+    try format match {
+      case "png" if blob.length >= 24 && (blob(0) & 0xff) == 0x89 &&
+          blob(1) == 'P' && blob(2) == 'N' && blob(3) == 'G' =>
+        MediaDims(be32(blob, 16), be32(blob, 20), 1)
+      case "bmp" if blob.length >= 26 && blob(0) == 'B' && blob(1) == 'M' =>
+        MediaDims(le32(blob, 18), le32(blob, 22), 1)
+      case "mp4" =>
+        demuxMp4(blob) match {
+          case Some((_, nFrames, mdat))
+              if mdat.length >= 24 && (mdat(0) & 0xff) == 0x89 =>
+            MediaDims(be32(mdat, 16), be32(mdat, 20), nFrames)
+          case Some((_, nFrames, _)) => MediaDims(0, 0, nFrames)
+          case None => none
+        }
+      case _ => none
+    } catch { case scala.util.control.NonFatal(_) => none }
+  }
+
+  /** The doc_id of the deliberately-corrupt payload [[qMM09]] plants to
+    * exercise the quarantine leg — far outside both the corpus and the
+    * twin ranges.
+    */
+  private[graft] val CorruptMediaId = 88000001L
+
+  /** Q-MM09 — the COMPOSED media prep pipeline, the media twin of the
+    * text family's composed q_l39: raw media FILES on disk →
+    * [[graft.io.Readers.binaryMedia]] ingestion (recursive listing,
+    * extension glob pushed into the file listing, ids from the numeric
+    * file stems) → format quarantine (a planted corrupt payload claims
+    * `.wav`, fails the RIFF parse, and is dropped at the fingerprint
+    * stage — one quarantined row, never a failed job) → audio
+    * fingerprint catalog → banded-Hamming near-dup join → connected
+    * components → cluster KEEPER resolution (longest clip wins, sample
+    * count read off the container length; ties to the smallest id — a
+    * silence twin preserves length, so the original outranks it
+    * deterministically).
+    *
+    * Oracle-checked end to end: files are named `<doc_id>.wav` where
+    * doc_id is the corpus id, so the DuckDB oracle regenerates every
+    * fingerprint from the id (the q_mm07 chain), rebuilds the pair set
+    * all-pairs, resolves clusters with the recursive transitive-closure
+    * CTE (the q_l19/q_l45 idiom), and recomputes each keeper.
+    *
+    * Scale shape: the fixture WRITE is the synthetic-source side (each
+    * task writes its partition's files — stands in for the crawl that
+    * delivered the corpus). The pipeline itself never shuffles a blob:
+    * fingerprints are a per-partition map over the file scan, the join
+    * and CC move (id, fingerprint) longs, and the keeper ordering key
+    * (sample count) is a header-length expression evaluated scan-side.
+    */
+  def qMM09(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val corpus = withMedia(Tables.documents(s, d))
+    val wav = corpus.filter(col("meta.format") === "wav")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mm09-").toString
+    wav.unionByName(plantAudioTwins(s, wav))
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+        it.foreach { case (id, blob) =>
+          val dir = java.nio.file.Paths.get(tmp, s"shard=${(id % 4).toInt}")
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.write(dir.resolve(s"$id.wav"), blob)
+        }
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, s"$CorruptMediaId.wav"),
+      Array.fill[Byte](64)(7))
+    // ---- the pipeline under test starts at the file listing
+    val media = graft.io.Readers.binaryMedia(s, tmp, Some("*.wav"),
+      idFromStem = true)
+    val pairs = audioNearDupPairs(s, media)
+    val comp = TrainPrep.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val ns = media.select(col("doc_id").as("id"),
+      ((length(col("blob")) - 44) / 2).cast("long").as("n_samples"))
+    val w = Window.partitionBy("comp")
+      .orderBy(col("n_samples").desc, col("id"))
+    comp.join(ns, Seq("id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("size"),
+        max(when(col("rn") === 1, col("id"))).as("keeper_id"),
+        max(when(col("rn") === 1, col("n_samples"))).as("kept_samples"))
+      .orderBy("cluster_id")
+  }
+
   /** Q-MM07 — the AUDIO near-dup JOIN itself, oracle-checked on planted
     * duplicates: corpus wav rows plus [[plantAudioTwins]] run through
     * the banded-Hamming join ([[audioNearDupPairs]]), and the DuckDB

@@ -2291,6 +2291,29 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(Readers.text(spark, dir.resolve("junk.txt").toString).count() == 1)
     assert(Readers.text(spark, dir.resolve("junk.txt").toString,
       wholetext = true).head().getString(0) == "not media")
+    // meta dims are PROBED from headers (r15, closing the r14 zeroed-dims
+    // nit): PNG IHDR / mp4 stsz + first-frame IHDR carry the REAL
+    // encoded dims; wav and unparseable payloads probe to the honest 0
+    val metas = media.select(col("meta.format"), col("meta.width"),
+        col("meta.height"), col("meta.n_frames"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).toSet
+    assert(metas == Set(
+      ("wav", 0, 0, 0), ("png", 6, 5, 1),
+      ("mp4", Multimodal.Mp4FrameW, Multimodal.Mp4FrameH, 4),
+      ("txt", 0, 0, 0)), metas.toString)
+    // a BMP payload probes its little-endian info-header dims
+    put(dir.resolve("e.bmp"), Multimodal.encodeImage(7L, 9, 4, "bmp"))
+    val bm = Readers.binaryMedia(spark, dir.toString, Some("*.bmp"))
+      .select(col("meta.width"), col("meta.height"), col("meta.n_frames"))
+      .head()
+    assert((bm.getInt(0), bm.getInt(1), bm.getInt(2)) == ((9, 4, 1)))
+    // idFromStem: numeric filenames become the doc_id — the ingestion
+    // shape of a corpus whose ids were assigned upstream (q_mm09)
+    put(sub.resolve("12345.wav"), Multimodal.encodeWav(9L, 100))
+    val stemmed = Readers.binaryMedia(spark, dir.toString,
+      Some("12345.wav"), idFromStem = true)
+    assert(stemmed.select("doc_id").head().getLong(0) == 12345L)
   }
 
   test("multimodal: audio fingerprint width is an operating point — a " +
