@@ -182,6 +182,23 @@ object RecallBench {
       recall(q => Ivf.annFromStore(s, s3, q, k = K, nprobe = 2))
     results("batchtwin_np2") =
       recall(q => Ivf.annFromStore(s, s4, q, k = K, nprobe = 2))
+    // r15 (verdict item): the arrival-mode-irrelevance claim must hold
+    // for the COMPRESSED serving path too — enablePq at the measured
+    // serving defaults (m=8, ksub=256) on BOTH stores, then the ADC
+    // probe and the ADC+R refine (refine=16, the measured default).
+    // The codebook trains on the store's vector set, which is identical
+    // by construction, so any stream-vs-batch gap in these rows is a
+    // protocol bug surfacing, not an operating-point trade.
+    Ivf.enablePq(s, s3, iters = 3)
+    Ivf.enablePq(s, s4, iters = 3)
+    results("stream_adc_np2") =
+      recall(q => Ivf.annPqFromStore(s, s3, q, k = K, nprobe = 2))
+    results("batchtwin_adc_np2") =
+      recall(q => Ivf.annPqFromStore(s, s4, q, k = K, nprobe = 2))
+    results("stream_adcr_np2") =
+      recall(q => Ivf.annPqRefined(s, s3, q, k = K, nprobe = 2))
+    results("batchtwin_adcr_np2") =
+      recall(q => Ivf.annPqRefined(s, s4, q, k = K, nprobe = 2))
     rm(s, s3); rm(s, s4)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")

@@ -76,7 +76,17 @@ object SlopeBench {
       // measuring the Jackson leg of RoundTripElisionRule
       "q_jsonCi" -> ((s: SparkSession, d: String) => jsonIntCodec(s, d)),
       "q_jsonE" -> ((s: SparkSession, d: String) =>
-        jsonIntCodec(elisionSession(s), d)))
+        jsonIntCodec(elisionSession(s), d)),
+      // the NESTED A/B (r15): the widened recursive gate measured on the
+      // shapes it newly covers — an XML nested struct and a JSON nested
+      // struct + array (arrays are JSON-only: XML's repeated-element
+      // encoding is lossy and stays fenced)
+      "q_xmlNCi" -> ((s: SparkSession, d: String) => xmlNestedCodec(s, d)),
+      "q_xmlNE" -> ((s: SparkSession, d: String) =>
+        xmlNestedCodec(elisionSession(s), d)),
+      "q_jsonNCi" -> ((s: SparkSession, d: String) => jsonNestedCodec(s, d)),
+      "q_jsonNE" -> ((s: SparkSession, d: String) =>
+        jsonNestedCodec(elisionSession(s), d)))
   }
 
   // built once and reused across passes: a fresh child session per call
@@ -116,6 +126,47 @@ object SlopeBench {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("cnt"), sum(col("r.doc_id")).as("id_sum"),
         sum(col("r.n_chars")).as("chars"))
+  }
+
+  /** Nested-struct round trip (doc_id, c: (n_chars, half)) — the shape
+    * the r15 recursive gate newly elides for BOTH codecs.
+    */
+  private def xmlNestedCodec(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("c", StructType(Seq(StructField("n_chars", LongType),
+        StructField("half", LongType))))))
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("lang"),
+        from_xml(to_xml(struct(col("doc_id"),
+          struct(col("n_chars"),
+            (col("n_chars") / 2).cast("long").as("half")).as("c"))),
+          sch).as("r"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("r.doc_id")).as("id_sum"),
+        sum(col("r.c.n_chars")).as("chars"), sum(col("r.c.half")).as("halves"))
+  }
+
+  /** Nested struct + ARRAY round trip through JSON — arrays elide for
+    * JSON only, so this is the widest shape the rule covers.
+    */
+  private def jsonNestedCodec(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("c", StructType(Seq(StructField("n_chars", LongType)))),
+      StructField("ks", ArrayType(LongType))))
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("lang"),
+        from_json(to_json(struct(col("doc_id"),
+          struct(col("n_chars")).as("c"),
+          array(col("doc_id"), col("n_chars"),
+            (col("doc_id") % 7).cast("long")).as("ks"))), sch).as("r"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("r.doc_id")).as("id_sum"),
+        sum(col("r.c.n_chars")).as("chars"),
+        sum(element_at(col("r.ks"), 3)).as("mod_sum"))
   }
 
   /** Corpus-scan families added for the FOURTH decade (r12 verdict item
@@ -196,13 +247,24 @@ object SlopeBench {
     require(args.nonEmpty, "usage: SlopeBench <dir> [dir ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
-    val spark = SparkSession.builder()
+    // Split-sizing levers (r15, the r14 fifth-readout caveat made
+    // measurable): the g-decade fixtures arrive as 32 × ~2 MB files,
+    // which the 128 MB maxPartitionBytes + 4 MB openCostInBytes defaults
+    // bin-pack into ~3 scan tasks — capping SCAN parallelism at any core
+    // count. SPARK_GRAFT_MAXPART / SPARK_GRAFT_OPENCOST size the splits
+    // to the fixture so the core-scaling rows can separate "the engine
+    // doesn't spread" from "the defaults under-split a tiny corpus".
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "1")
-      .getOrCreate()
+    val builder1 = sys.env.get("SPARK_GRAFT_MAXPART").foldLeft(builder0)(
+      (b, v) => b.config("spark.sql.files.maxPartitionBytes", v))
+    val builder = sys.env.get("SPARK_GRAFT_OPENCOST").foldLeft(builder1)(
+      (b, v) => b.config("spark.sql.files.openCostInBytes", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def run(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       spark.catalog.clearCache()
@@ -332,20 +394,66 @@ object SlopeBench {
       val best = (1 to passes).map(_ => pass()).transpose.map(_.min)
       Seq("q_chB", "q_chA", "q_chM", "q_chV").zip(best)
     }
+    // Media fingerprint-store lifecycle per decade (r15, verdict item 1:
+    // every persisted substrate carries build/append/serve slopes — this
+    // is the media family's). Stateful, so phase-by-phase into a fresh
+    // temp store per pass: bootstrap (corpus decode, by nature), ONE
+    // append of the last ~10% of ids re-keyed as NEW media (the phase
+    // that must ride BATCH decode, never store size — the ledger
+    // anti-join is ids-only), then the audio and video near-dup joins
+    // SERVED from the store (zero decode — compare against the recorded
+    // q_mmA/q_mmV decode-path rows at the same decade: the delta is the
+    // per-analysis decode cost the store amortizes away).
+    def fpsLifecycle(s: SparkSession, dir: String): Seq[(String, Double)] = {
+      import graft.operators.FingerprintStore
+      import org.apache.spark.sql.functions.{col, max}
+      def media = s.read.parquet(s"$dir/media.parquet")
+        .repartition(s.sparkContext.defaultParallelism) // spread the decode
+      val maxId = media.agg(max("doc_id")).head().getLong(0)
+      val cut = maxId - maxId / 10
+      def t(f: => Unit): Double = {
+        s.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def rm(sdir: String): Unit =
+        new org.apache.hadoop.fs.Path(sdir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(sdir), true)
+      def pass(): Seq[Double] = {
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft-slope-fps").toString
+        val times = Seq(
+          t(FingerprintStore.bootstrap(s, media.filter(col("doc_id") <= cut),
+            sdir)),
+          t(FingerprintStore.append(s, media.filter(col("doc_id") > cut),
+            sdir)),
+          t(FingerprintStore.audioNearDupPairs(s, sdir)
+            .write.format("noop").mode("overwrite").save()),
+          t(FingerprintStore.videoNearDupPairs(s, sdir)
+            .write.format("noop").mode("overwrite").save()))
+        rm(sdir)
+        times
+      }
+      pass() // uncharged warm-up
+      val best = (1 to passes).map(_ => pass()).transpose.map(_.min)
+      Seq("q_fpB", "q_fpA", "q_fpS", "q_fpV").zip(best)
+    }
     // SPARK_GRAFT_FAMILY re-measures ONE family when only its code path
     // changed (the other families' recorded numbers stay valid):
     // "ivf" = the store lifecycle alone, "chunk" = the CDC chunk-store
-    // lifecycle alone, "pq" = the ADC scan alone, or a
+    // lifecycle alone, "fps" = the media fingerprint-store lifecycle
+    // alone, "pq" = the ADC scan alone, or a
     // comma list of op ids ("q_l58") for just-added ops
     val family = sys.env.get("SPARK_GRAFT_FAMILY")
     val onlyIvf = family.contains("ivf")
     val onlyChunk = family.contains("chunk")
+    val onlyFps = family.contains("fps")
     val opFilter: Option[Set[String]] = family.filter(_.startsWith("q_"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val out = new StringBuilder
     args.foreach { dir =>
       val ops =
-        if (onlyIvf || onlyChunk) Nil
+        if (onlyIvf || onlyChunk || onlyFps) Nil
         else if (family.contains("pq"))
           (if (new java.io.File(s"$dir/embeddings.parquet").exists()) embOps
            else Nil) // a doc/event/media dir in the arg list is not an error
@@ -362,11 +470,15 @@ object SlopeBench {
           best(n) = math.min(best(n), run(fn, dir)) }
       }
       if (new java.io.File(s"$dir/embeddings.parquet").exists() &&
-          !family.contains("pq") && !onlyChunk && opFilter.isEmpty)
+          !family.contains("pq") && !onlyChunk && !onlyFps &&
+          opFilter.isEmpty)
         storeLifecycle(spark, dir).foreach { case (n, v) => best(n) = v }
       if (new java.io.File(s"$dir/documents.parquet").exists() &&
           (onlyChunk || (family.isEmpty && opFilter.isEmpty)))
         chunkLifecycle(spark, dir).foreach { case (n, v) => best(n) = v }
+      if (new java.io.File(s"$dir/media.parquet").exists() &&
+          (onlyFps || (family.isEmpty && opFilter.isEmpty)))
+        fpsLifecycle(spark, dir).foreach { case (n, v) => best(n) = v }
       val qs = best.map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",")
       val line = s"""{"dir":"$dir","queries":{$qs}}"""
       println(line)
