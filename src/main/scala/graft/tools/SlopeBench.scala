@@ -86,7 +86,20 @@ object SlopeBench {
         xmlNestedCodec(elisionSession(s), d)),
       "q_jsonNCi" -> ((s: SparkSession, d: String) => jsonNestedCodec(s, d)),
       "q_jsonNE" -> ((s: SparkSession, d: String) =>
-        jsonNestedCodec(elisionSession(s), d)))
+        jsonNestedCodec(elisionSession(s), d)),
+      // scan-DOMINATED probe (r15, the split-sizing lever's honest
+      // denominator): a pure parquet scan + per-row length fold +
+      // constant-size aggregate — the shape whose wall time IS the scan
+      // stage, so SPARK_GRAFT_MAXPART moving it (or not) isolates what
+      // the bin-packed ~3-task scan actually costs
+      "q_scan" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions._
+        s.read.parquet(s"$d/documents.parquet")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(length(col("text"))).as("chars"),
+            sum(crc32(col("text"))).as("crc"))
+      }))
   }
 
   // built once and reused across passes: a fresh child session per call
