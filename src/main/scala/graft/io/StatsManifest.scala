@@ -384,10 +384,11 @@ object StatsManifest {
     * the function renders URIs (`file:///a/b`) where listing-based
     * manifests hold Path strings (`file:/a/b`) — joins between the two
     * silently miss without this (every bloom NULL = no skipping; vacuum
-    * would see every file as clean). Shared by the bloom build and
-    * [[ChunkStore.vacuum]]'s dirty-file attribution.
+    * would see every file as clean). Shared by the bloom build and the
+    * dirty-file attribution of [[ChunkStore.vacuum]] and
+    * [[graft.operators.FingerprintStore.vacuum]].
     */
-  private[io] def normalizedInputFile(): Column = {
+  private[graft] def normalizedInputFile(): Column = {
     val norm = udf { u: String =>
       new org.apache.hadoop.fs.Path(new java.net.URI(u)).toString
     }

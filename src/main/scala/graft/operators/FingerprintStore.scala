@@ -192,4 +192,89 @@ object FingerprintStore {
       minJaccard: Double = 0.8, maxVideosPerFrame: Int = 0): DataFrame =
     Multimodal.videoJaccardPairs(videoPostings(s, dir), minJaccard,
       maxVideosPerFrame, pinPostings = false)
+
+  /** Vacuum report: rows dropped across the four catalogs, files
+    * rewritten vs left untouched (summed across catalogs).
+    */
+  final case class VacuumStats(droppedRows: Long, rewrittenFiles: Int,
+      untouchedFiles: Int)
+
+  /** Reclaim the store after media deletion — the right-to-be-forgotten
+    * path a 100 TB media catalog cannot skip, and the `maintain` phase
+    * that completes the store's lifecycle (build/append/serve/maintain,
+    * the ChunkStore discipline): drop every catalog and ledger row whose
+    * doc_id is absent from `liveDocs` (the retention set). A vacuumed id
+    * is fully forgotten — a later [[append]] of the same id re-ingests
+    * it fresh (the ledger row is gone), which is exactly right for a
+    * deletion followed by a legitimate re-upload.
+    *
+    * Cost shape (the rewrite-dirty-files discipline, shared with
+    * [[graft.io.ChunkStore.vacuum]]): the dead pass reads the doc_id
+    * column only (columnar projection); only files holding ≥ 1 dead row
+    * are re-read full-width and rewritten — clean files are never read,
+    * never moved — so vacuum cost rides the DIRTY file set, not store
+    * size. Swap is stage-then-rename with displaced originals parked in
+    * `<dir>/.vacuum-trash/` until the vacuum completes (crash recovery:
+    * restore them by hand; a completed vacuum removes the dir).
+    *
+    * Concurrency contract: a MAINTENANCE operation — run without
+    * concurrent readers/appenders, same as every file-level rewrite
+    * without a table format's snapshot isolation.
+    */
+  def vacuum(s: SparkSession, dir: String,
+      liveDocs: DataFrame): VacuumStats = {
+    import org.apache.hadoop.fs.Path
+    import graft.io.StatsManifest
+    val fs = fsOf(s, dir)
+    val live = liveDocs.select("doc_id").distinct().localCheckpoint(true)
+    val trash = new Path(s"$dir/.vacuum-trash")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    def renameOrDie(from: Path, to: Path): Unit =
+      require(fs.rename(from, to), s"vacuum: rename $from -> $to failed")
+    var dropped = 0L
+    var rewritten = 0
+    var untouched = 0
+    Seq("image", "audio", "video", "ledger").foreach { cat =>
+      val catDir = s"$dir/$cat"
+      val allFiles = StatsManifest.listParquet(s, catDir)
+      if (allFiles.nonEmpty) {
+        // ONE ids-only pass yields the dead total and the dirty file
+        // list together (the ChunkStore.vacuum shape)
+        val deadPerFile = s.read.parquet(catDir)
+          .withColumn("f", StatsManifest.normalizedInputFile())
+          .select("doc_id", "f")
+          .join(live, Seq("doc_id"), "left_anti")
+          .groupBy("f").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val dirty = deadPerFile.keySet
+        dropped += deadPerFile.values.sum
+        untouched += allFiles.count(f => !dirty(f))
+        if (dirty.nonEmpty) {
+          fs.mkdirs(trash)
+          val staged = s"$dir/.vacuum-staged-$cat"
+          // the staging scan opens ONLY the dirty files — a filter on
+          // the input_file_name-derived column over the full-store frame
+          // would read every clean file's pages too (UDF filters don't
+          // push down)
+          s.read.parquet(dirty.toSeq: _*)
+            .join(live, Seq("doc_id"), "left_semi")
+            .write.mode("overwrite").parquet(staged)
+          dirty.foreach { f =>
+            val p = new Path(f)
+            renameOrDie(p, new Path(trash, s"$cat-${p.getName}"))
+          }
+          StatsManifest.listParquet(s, staged).zipWithIndex.foreach {
+            case (f, i) =>
+              val p = new Path(f)
+              renameOrDie(p,
+                new Path(catDir, s"vacuum-$token-$i-${p.getName}"))
+          }
+          fs.delete(new Path(staged), true)
+          rewritten += dirty.size
+        }
+      }
+    }
+    if (fs.exists(trash)) fs.delete(trash, true)
+    VacuumStats(dropped, rewritten, untouched)
+  }
 }

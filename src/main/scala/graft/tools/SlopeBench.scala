@@ -443,13 +443,20 @@ object SlopeBench {
           t(FingerprintStore.audioNearDupPairs(s, sdir)
             .write.format("noop").mode("overwrite").save()),
           t(FingerprintStore.videoNearDupPairs(s, sdir)
-            .write.format("noop").mode("overwrite").save()))
+            .write.format("noop").mode("overwrite").save()),
+          // maintain: forget ~10% of ids (uniformly spread, so ~every
+          // file is dirty — the worst-case rewrite fraction, matching
+          // the chunk-store vacuum row's discipline); the phase is
+          // digest-file IO only, never a decode
+          t(FingerprintStore.vacuum(s, sdir,
+            media.filter(org.apache.spark.sql.functions.col("doc_id")
+              % 10 =!= 0).select("doc_id"))))
         rm(sdir)
         times
       }
       pass() // uncharged warm-up
       val best = (1 to passes).map(_ => pass()).transpose.map(_.min)
-      Seq("q_fpB", "q_fpA", "q_fpS", "q_fpV").zip(best)
+      Seq("q_fpB", "q_fpA", "q_fpS", "q_fpV", "q_fpM").zip(best)
     }
     // SPARK_GRAFT_FAMILY re-measures ONE family when only its code path
     // changed (the other families' recorded numbers stay valid):

@@ -2461,6 +2461,71 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(!served.contains("blob"), served)
   }
 
+  test("fingerprint store vacuum: dropped ids vanish from every catalog, " +
+      "clean files are never touched, and a vacuumed id re-appends " +
+      "fresh — the right-to-be-forgotten + legitimate-re-upload path") {
+    import graft.operators.{FingerprintStore, Multimodal}
+    val media = Multimodal.withMedia(Tables.documents(spark, sfDir))
+      .localCheckpoint()
+    val half = media.filter(col("doc_id") % 2 === 0)
+    val rest = media.filter(col("doc_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fps-vac").toString
+    FingerprintStore.bootstrap(spark, half, dir)
+    val bootFiles = Seq("image", "audio", "video", "ledger")
+      .flatMap(c => graft.io.StatsManifest.listParquet(spark, s"$dir/$c"))
+      .toSet
+    FingerprintStore.append(spark, rest, dir)
+
+    // forget every odd id (the appended batch): the bootstrap-era files
+    // hold only even ids, so they are CLEAN and must survive untouched
+    val live = media.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val expectDrop =
+      FingerprintStore.ledger(spark, dir)
+        .filter(col("doc_id") % 2 =!= 0).count() +
+        FingerprintStore.imageHashes(spark, dir)
+          .filter(col("doc_id") % 2 =!= 0).count() +
+        FingerprintStore.audioFingerprints(spark, dir)
+          .filter(col("doc_id") % 2 =!= 0).count() +
+        FingerprintStore.videoPostings(spark, dir)
+          .filter(col("doc_id") % 2 =!= 0).count()
+    val stats = FingerprintStore.vacuum(spark, dir, live)
+    assert(stats.droppedRows == expectDrop, stats.toString)
+    Seq(
+      FingerprintStore.ledger(spark, dir),
+      FingerprintStore.imageHashes(spark, dir),
+      FingerprintStore.audioFingerprints(spark, dir),
+      FingerprintStore.videoPostings(spark, dir)).foreach { cat =>
+      assert(cat.filter(col("doc_id") % 2 =!= 0).isEmpty,
+        "vacuumed ids must vanish from every catalog")
+    }
+    // clean (bootstrap-era) files never moved, never rewritten
+    val after = Seq("image", "audio", "video", "ledger")
+      .flatMap(c => graft.io.StatsManifest.listParquet(spark, s"$dir/$c"))
+      .toSet
+    assert(bootFiles.subsetOf(after),
+      "vacuum must not touch files holding only live rows")
+    assert(stats.untouchedFiles >= bootFiles.size, stats.toString)
+    // the catalogs still EQUAL a from-scratch bootstrap over the
+    // retained media (vacuum is exact, not approximate)
+    val ref = java.nio.file.Files.createTempDirectory("graft-fps-vref").toString
+    FingerprintStore.bootstrap(spark, half, ref)
+    assert(FingerprintStore.audioFingerprints(spark, dir)
+      .orderBy("doc_id").collect().toSeq ==
+      FingerprintStore.audioFingerprints(spark, ref)
+        .orderBy("doc_id").collect().toSeq)
+    // a vacuumed id is FORGOTTEN: re-appending it ingests fresh (the
+    // deletion-then-legitimate-re-upload sequence)
+    val victim = rest.select("doc_id").filter(col("doc_id") % 2 =!= 0)
+      .head().getLong(0)
+    FingerprintStore.append(spark,
+      media.filter(col("doc_id") === victim), dir)
+    assert(FingerprintStore.ledger(spark, dir)
+      .filter(col("doc_id") === victim).count() == 1,
+      "a vacuumed id must re-ingest on a later append")
+    // no trash left behind after a completed vacuum
+    assert(!new java.io.File(s"$dir/.vacuum-trash").exists())
+  }
+
   test("multimodal: the boilerplate-frame cap drops exactly the >K-video " +
       "frame hashes — boiler-only pairs leave, genuine near-dups stay") {
     import spark.implicits._
