@@ -162,6 +162,13 @@ object SparkEntry {
     // fingerprint stage) → banded near-dup join → connected components
     // → keeper resolution; blobs never shuffle past the fingerprint map
     "q_mm09_media_pipeline" -> (Multimodal.qMM09 _),
+    // the MIXED-MEDIA corpus prep pipeline (r16): one file tree of all
+    // four formats + per-modality twins + a corrupt payload →
+    // binaryMedia → FingerprintStore bootstrap (decode once, quarantine
+    // once) → all three near-dup families SERVED FROM THE STORE → one
+    // unified connected-components pass → keeper table (richest member
+    // per cluster: pixels / samples / frames, ties to smallest id)
+    "q_mm10_mixed_media"   -> (Multimodal.qMM10 _),
     // custom UDTF (Generator) leg of the extension surface
     "q_l16_ngram_top20"    -> (LLMOps.qL16 _),
     // bounded-state heavy hitters (sketch + exact recount; same oracle
@@ -338,9 +345,11 @@ object SparkEntry {
       // leak-safe split runs q_l19's connected components (checkpointed
       // label propagation) at construction
       "q_l58_leak_safe_split",
-      // the composed media pipeline writes its file fixture and runs
+      // the composed media pipelines write their file fixtures, the
+      // mixed-media one bootstraps its fingerprint store, and both run
       // connected components at construction
-      "q_mm09_media_pipeline")
+      "q_mm09_media_pipeline",
+      "q_mm10_mixed_media")
 
   /** The shingle-postings CTE chain (3-word shingles → portable poly
     * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06
@@ -401,6 +410,80 @@ object SparkEntry {
     */
   private val mm07FpCtes: String =
     """w AS (SELECT doc_id, ((doc_id % 1000003 + 4) * 2654435761) % 1500 + 100 AS ns FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 = 2), m AS (SELECT doc_id AS out_id, doc_id AS seed, ns, 0 AS tw FROM w UNION ALL SELECT doc_id + 10000000, doc_id, ns, 1 FROM w WHERE doc_id % 3 = 0), idx AS (SELECT out_id, seed, ns, tw, unnest(range(0, ns)) AS i FROM m), s0 AS (SELECT out_id, ns, tw, i, (CAST(seed AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS s FROM idx), x1 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(s // 4294967296 AS BIGINT), CAST((s // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(s % 4294967296 AS BIGINT), CAST((s // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM s0), z1 AS (SELECT out_id, ns, tw, i, ((x % 4294967296) * 484763065 + (((x // 4294967296) * 484763065 + (x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1), x2 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x FROM z1), z2 AS (SELECT out_id, ns, tw, i, ((x % 4294967296) * 321982955 + (((x // 4294967296) * 321982955 + (x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2), z3 AS (SELECT out_id, ns, tw, i, CAST(xor(CAST(z // 4294967296 AS BIGINT), CAST((z // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(z % 4294967296 AS BIGINT), CAST((z // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM z2), en AS (SELECT out_id, CAST(i * 33 // ns AS INT) AS frame, SUM(CASE WHEN tw = 1 AND i < 16 THEN 0 ELSE ABS((z % 65536) - 32768) END) AS e FROM z3 GROUP BY out_id, frame), bits AS (SELECT a.out_id, a.frame AS pos, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit FROM en a JOIN en b ON a.out_id = b.out_id AND b.frame = a.frame + 1 WHERE a.frame < 32), fp AS (SELECT out_id, CAST(SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS BIGINT) AS afp FROM bits GROUP BY out_id)"""
+
+  /** DuckDB spelling of ONE splitmix64 draw — `z = mix64(seed +
+    * (i+1)·φ64)`, the q_mm02 HUGEINT chain — over any source CTE
+    * carrying `seed` and `i` columns (all other columns ride through),
+    * prefix-parameterized so q_mm10's three digest rebuilds coexist in
+    * one statement without CTE-name collisions. Emits CTEs
+    * `<p>s0..<p>z3`; `<p>z3` carries the source columns plus `z`.
+    */
+  private def duckSplitmix(p: String, src: String): String =
+    s"""${p}s0 AS (SELECT *, (CAST(seed AS HUGEINT) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485) % 18446744073709551616 AS sg FROM $src), """ +
+      s"""${p}x1 AS (SELECT * EXCLUDE (sg), CAST(xor(CAST(sg // 4294967296 AS BIGINT), CAST((sg // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(sg % 4294967296 AS BIGINT), CAST((sg // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS xg FROM ${p}s0), """ +
+      s"""${p}z1 AS (SELECT * EXCLUDE (xg), ((xg % 4294967296) * 484763065 + (((xg // 4294967296) * 484763065 + (xg % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS zg FROM ${p}x1), """ +
+      s"""${p}x2 AS (SELECT * EXCLUDE (zg), CAST(xor(CAST(zg // 4294967296 AS BIGINT), CAST((zg // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(zg % 4294967296 AS BIGINT), CAST((zg // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS xg FROM ${p}z1), """ +
+      s"""${p}z2 AS (SELECT * EXCLUDE (xg), ((xg % 4294967296) * 321982955 + (((xg // 4294967296) * 321982955 + (xg % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS zg FROM ${p}x2), """ +
+      s"""${p}z3 AS (SELECT * EXCLUDE (zg), CAST(xor(CAST(zg // 4294967296 AS BIGINT), CAST((zg // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(zg % 4294967296 AS BIGINT), CAST((zg // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS z FROM ${p}z2)"""
+
+  /** The 64-bit dHash fold over a `bit`/`pos` frame, signed-wrapped to
+    * the BIGINT Spark's Long holds (the q_mm04 spelling).
+    */
+  private val duckH64: String =
+    """CAST(SUM(CASE WHEN bit = 1 AND pos < 32 THEN CAST(CAST(1 AS BIGINT) << CAST(pos AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) + CAST(SUM(CASE WHEN bit = 1 AND pos >= 32 THEN CAST(CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) AS HUGEINT) ELSE 0 END) AS HUGEINT) * 4294967296 AS h64"""
+
+  private val duckSignedH64: String =
+    """CAST(CASE WHEN h64 >= 9223372036854775808 THEN h64 - 18446744073709551616 ELSE h64 END AS BIGINT)"""
+
+  /** q_mm10's oracle — the unified mixed-media keeper table: all three
+    * digest catalogs regenerated from their splitmix64 chains (image
+    * per q_mm04 + exact twins, audio per q_mm07 incl. silence twins,
+    * video per q_mm08 incl. trim twins), each family's pair set rebuilt
+    * all-pairs, ONE transitive closure over the union, keepers by
+    * modality-appropriate richness (pixels / samples / frames) with
+    * ties to the smallest id. The oracle may be quadratic per family;
+    * the engine's joins are banded/posting-bounded and read persisted
+    * digests off the fingerprint store.
+    */
+  private val mm10OracleSql: String =
+    s"""WITH RECURSIVE $mm07FpCtes, """ +
+      // ---- image dHash catalog (q_mm04 chain) + exact-copy twins
+      """im AS (SELECT doc_id, ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 AS iw, ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 AS ihp FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 < 2), """ +
+      """imm AS (SELECT doc_id AS out_id, doc_id AS seed, iw, ihp FROM im UNION ALL SELECT doc_id + 10000000, doc_id, iw, ihp FROM im WHERE doc_id % 3 = 0), """ +
+      """igrid AS (SELECT out_id, seed, iw, ihp, unnest(range(0, 72)) AS g FROM imm), """ +
+      """igxy AS (SELECT out_id, seed, g % 9 AS gx, g // 9 AS gy, ((g // 9) * ihp // 8) * iw + ((g % 9) * iw // 9) AS i FROM igrid), """ +
+      duckSplitmix("i", "igxy") + ", " +
+      """igv AS (SELECT out_id, gx, gy, (299 * ((z % 16777216) // 65536) + 587 * ((z % 65536) // 256) + 114 * (z % 256)) // 1000 AS gray FROM iz3), """ +
+      """ibits AS (SELECT a.out_id, a.gy * 8 + a.gx AS pos, CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit FROM igv a JOIN igv b ON a.out_id = b.out_id AND a.gy = b.gy AND b.gx = a.gx + 1 WHERE a.gx < 8), """ +
+      s"""ihh AS (SELECT out_id, $duckH64 FROM ibits GROUP BY out_id), """ +
+      s"""ihs AS (SELECT out_id, $duckSignedH64 AS dh FROM ihh), """ +
+      """ip AS (SELECT a.out_id AS doc_a, b.out_id AS doc_b FROM ihs a JOIN ihs b ON a.out_id < b.out_id WHERE bit_count(xor(a.dh, b.dh)) <= 6), """ +
+      // ---- audio pairs off the shared fp chain (corpus + silence twins)
+      """ap AS (SELECT a.out_id AS doc_a, b.out_id AS doc_b FROM fp a JOIN fp b ON a.out_id < b.out_id WHERE bit_count(xor(a.afp, b.afp)) <= 3), """ +
+      // ---- video frame-hash postings (q_mm08 chain) + trim twins
+      """vw AS (SELECT doc_id, ((doc_id % 1000003 + 3) * 2654435761) % 300 + 1 AS nf FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 = 3), """ +
+      """vm AS (SELECT doc_id AS out_id, doc_id AS seed, nf FROM vw UNION ALL SELECT doc_id + 10000000, doc_id, nf - 1 FROM vw WHERE doc_id % 3 = 0 AND nf >= 2), """ +
+      """vfr AS (SELECT out_id, seed, unnest(range(0, nf)) AS f FROM vm), """ +
+      """vgrid AS (SELECT out_id, seed, f, unnest(range(0, 72)) AS g FROM vfr), """ +
+      """vgxy AS (SELECT out_id, seed, f, g % 9 AS gx, g // 9 AS gy, f * 12 + ((g // 9) * 3 // 8) * 4 + ((g % 9) * 4 // 9) AS i FROM vgrid), """ +
+      duckSplitmix("v", "vgxy") + ", " +
+      """vgv AS (SELECT out_id, f, gx, gy, (299 * ((z % 16777216) // 65536) + 587 * ((z % 65536) // 256) + 114 * (z % 256)) // 1000 AS gray FROM vz3), """ +
+      """vbits AS (SELECT a.out_id, a.f, a.gy * 8 + a.gx AS pos, CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit FROM vgv a JOIN vgv b ON a.out_id = b.out_id AND a.f = b.f AND a.gy = b.gy AND b.gx = a.gx + 1 WHERE a.gx < 8), """ +
+      s"""vhh AS (SELECT out_id, f, $duckH64 FROM vbits GROUP BY out_id, f), """ +
+      s"""vps AS (SELECT DISTINCT out_id AS vid, $duckSignedH64 AS dh FROM vhh), """ +
+      """vsz AS (SELECT vid, COUNT(*) AS n_fr FROM vps GROUP BY vid), """ +
+      """vin AS (SELECT a.vid AS doc_a, b.vid AS doc_b, COUNT(*) AS inter FROM vps a JOIN vps b ON a.dh = b.dh AND a.vid < b.vid GROUP BY doc_a, doc_b), """ +
+      """vp AS (SELECT i.doc_a, i.doc_b FROM vin i JOIN vsz na ON i.doc_a = na.vid JOIN vsz nb ON i.doc_b = nb.vid WHERE CAST(i.inter AS DOUBLE) / CAST(na.n_fr + nb.n_fr - i.inter AS DOUBLE) >= 0.8), """ +
+      // ---- one transitive closure over the unified pair set
+      """prs AS (SELECT * FROM ip UNION ALL SELECT * FROM ap UNION ALL SELECT * FROM vp), """ +
+      """edges AS (SELECT doc_a AS a, doc_b AS b FROM prs UNION SELECT doc_b, doc_a FROM prs), """ +
+      """reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), """ +
+      """comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a), """ +
+      // ---- modality-appropriate richness, then keepers
+      """rich AS (SELECT out_id AS id, 'image' AS modality, CAST(iw * ihp AS BIGINT) AS richness FROM imm UNION ALL SELECT out_id, 'audio', CAST(ns AS BIGINT) FROM m UNION ALL SELECT out_id, 'video', CAST(nf AS BIGINT) FROM vm), """ +
+      """jj AS (SELECT c.comp, c.id, r.modality, r.richness FROM comp c JOIN rich r ON r.id = c.id), """ +
+      """k AS (SELECT comp, id, modality, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY richness DESC, id) AS rn FROM jj) """ +
+      """SELECT comp AS cluster_id, MIN(modality) AS modality, COUNT(*) AS size, CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keeper_id FROM k GROUP BY comp ORDER BY cluster_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q_p01_scan_filter" ->
@@ -813,6 +896,8 @@ object SparkEntry {
         """jj AS (SELECT c.comp, c.id, m.ns FROM comp c JOIN m ON m.out_id = c.id), """ +
         """k AS (SELECT comp, id, ns, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY ns DESC, id) AS rn FROM jj) """ +
         """SELECT comp AS cluster_id, COUNT(*) AS size, CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keeper_id, CAST(MAX(CASE WHEN rn = 1 THEN ns END) AS BIGINT) AS kept_samples FROM k GROUP BY comp ORDER BY cluster_id"""),
+    // q_mm10 (r16): the mixed-media keeper table — see mm10OracleSql
+    "q_mm10_mixed_media" -> mm10OracleSql,
     // q_mm08 (r14): the video near-dup PAIR SET on planted trim twins —
     // the q_mm06 per-frame dHash rebuild over corpus mp4 rows AND twins
     // (doc_id + 10000000, frames 0..F-2 of the SAME chain, only rows

@@ -205,9 +205,18 @@ object Readers {
       glob: Option[String] = None, idFromStem: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val id =
-      if (idFromStem)
-        regexp_extract(col("path"), "([0-9]+)\\.[^./]+$", 1).cast("long")
-      else xxhash64(col("path"))
+      if (idFromStem) {
+        // anchored to the WHOLE stem (the segment between the last '/'
+        // and the extension): "a123.wav" or "x.wav" is an id-less
+        // filename in an ids-in-stems corpus — a data-layout bug — and
+        // must fail LOUDLY, not ingest as 123 or as a silent NULL id
+        val stem = regexp_extract(col("path"), "(?:^|/)([0-9]+)\\.[^./]+$", 1)
+        when(stem === "",
+          raise_error(concat(
+            lit("binaryMedia(idFromStem=true): filename stem is not a "),
+            lit("bare numeric doc_id: "), col("path"))))
+          .otherwise(stem.cast("long"))
+      } else xxhash64(col("path"))
     val fmt = lower(element_at(split(col("path"), "\\."), -1))
     val probe = udf((f: String, b: Array[Byte]) =>
       graft.operators.Multimodal.probeDims(f, b))

@@ -41,8 +41,18 @@ import org.apache.spark.sql.functions._
   *
   * Concurrency contract: single maintainer (bootstrap/append/vacuum),
   * any number of readers — the ChunkStore/StatsManifest posture. Append
-  * idempotence is the caller's batch discipline (re-appending a batch
-  * whose rows all hit the ledger is a no-op by construction).
+  * idempotence is the STORE's, not the caller's (the Ivf
+  * `ingest_batch`/`_batch-<id>` discipline, r16): every append runs
+  * under a batch id, lands its rows as `batch<id>-*`-prefixed files in
+  * each catalog, and commits a root `_batch-<id>` flag LAST. A replay
+  * of a flagged batch is a no-op; a replay of an unflagged (crashed)
+  * batch first deletes that id's file remnants from all four catalogs —
+  * restoring the exactly-before-this-batch state — and redoes the whole
+  * append, so the crash window the plain mode("append") writes left
+  * open (catalogs landed, ledger didn't → replay re-decodes and
+  * DUPLICATES the digest rows) is closed: replay rewrites, never
+  * duplicates, and the one-row-per-item ledger invariant holds across
+  * any number of retries.
   *
   * Scale shape of [[append]]: the new-id set is computed ids-only
   * (doc_id anti-join against the ledger — key-sized exchange), then the
@@ -130,13 +140,77 @@ object FingerprintStore {
         coalesce(col("decoded"), lit(false)).as("decoded"))
   }
 
+  private val Catalogs = Seq("image", "audio", "video", "ledger")
+
+  /** The next unused batch id: one past the highest committed `_batch-*`
+    * flag (0 for a store that has only bootstrapped). Only safe under
+    * the single-maintainer contract — a crashed batch has no flag, so
+    * the retry re-allocates the SAME id and its remnant-delete pass
+    * restores the before state.
+    */
+  private def nextBatchId(s: SparkSession, dir: String): Long = {
+    val hits = fsOf(s, dir).globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/_batch-*"))
+    if (hits == null || hits.isEmpty) 0L
+    else hits.map(_.getPath.getName.stripPrefix("_batch-").toLong).max + 1L
+  }
+
+  /** Land `df`'s rows in `$dir/$cat` as `batch<id>-*`-named files: write
+    * to a staging dir, rename each data file in with the batch prefix,
+    * drop the stage. The prefix is what makes a crashed batch's remnants
+    * identifiable (and deletable) on replay — a bare mode("append")
+    * write scatters anonymous part files that no retry could take back.
+    */
+  private def landBatchFiles(s: SparkSession, df: DataFrame, dir: String,
+      cat: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s, dir)
+    val stage = s"$dir/.append-staged-$cat"
+    df.write.mode("overwrite").parquet(stage)
+    fs.mkdirs(new Path(s"$dir/$cat"))
+    graft.io.StatsManifest.listParquet(s, stage).zipWithIndex.foreach {
+      case (f, i) =>
+        val p = new Path(f)
+        require(fs.rename(p,
+          new Path(s"$dir/$cat", s"batch$batchId-$i-${p.getName}")),
+          s"append: rename $f into $dir/$cat failed")
+    }
+    fs.delete(new Path(stage), true)
+  }
+
   /** Incrementally ingest a batch: decode ONLY media whose doc_id the
     * ledger has never seen, append their digests and ledger rows.
     * History is read ids-only (the ledger's doc_id column) and never
     * rewritten; a batch overlapping already-ingested ids costs one
     * key-sized anti-join, zero decodes for the overlap.
+    *
+    * Idempotence (r16): the batch lands as `batch<id>-*` files per
+    * catalog with a root `_batch-<id>` flag committed LAST. Callers
+    * with their own batch ids (a streaming sink's foreachBatch — see
+    * [[graft.streaming.StreamOps.ingestMedia]]) pass `batchId` ≥ 0;
+    * the default −1 self-allocates the next id from the committed
+    * flags, which under the single-maintainer contract makes a plain
+    * retried `append` land on its crashed predecessor's id and REWRITE
+    * it. Either way: flagged id → no-op; unflagged id → remnants of
+    * that id are deleted from every catalog before the batch runs, so
+    * a replay after any crash point produces the exact
+    * append-equals-rebuild catalogs (spec-pinned in EngineSpec).
     */
-  def append(s: SparkSession, media: DataFrame, dir: String): Unit = {
+  def append(s: SparkSession, media: DataFrame, dir: String,
+      batchId: Long = -1L): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s, dir)
+    val id = if (batchId >= 0L) batchId else nextBatchId(s, dir)
+    val flag = new Path(s"$dir/_batch-$id")
+    if (fs.exists(flag)) return // committed batch replayed: no-op
+    // a crashed attempt at this id left identifiable remnants — take
+    // them back first, restoring the exactly-before-this-batch state
+    // (in particular the ledger's view of "seen"), so the re-run below
+    // neither duplicates digests nor skips re-decoding its own rows
+    Catalogs.foreach { cat =>
+      val hits = fs.globStatus(new Path(s"$dir/$cat/batch$id-*"))
+      if (hits != null) hits.foreach(h => fs.delete(h.getPath, false))
+    }
     val audioBits = audioBitsOf(s, dir)
     val seen = s.read.parquet(s"$dir/ledger").select("doc_id")
     // ids-only anti-join first (key-sized exchange), so the blob column
@@ -145,20 +219,21 @@ object FingerprintStore {
       .join(seen, Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // materialized once: sized below AND reused
     val n = newIds.count()
-    if (n == 0L) return
-    val fresh =
-      if (n <= BroadcastIdCap)
-        media.join(broadcast(newIds), Seq("doc_id"), "left_semi")
-      else media.join(newIds, Seq("doc_id"), "left_semi")
-    val (img, aud, vid) = fingerprints(s, fresh, audioBits)
-    val (imgP, audP, vidP) =
-      (img.localCheckpoint(), aud.localCheckpoint(), vid.localCheckpoint())
-    imgP.write.mode("append").parquet(s"$dir/image")
-    audP.write.mode("append").parquet(s"$dir/audio")
-    vidP.write.mode("append").parquet(s"$dir/video")
-    val ids = fresh.select(col("doc_id"), col("meta.format").as("format"))
-    ledgerOf(ids, imgP, audP, vidP)
-      .write.mode("append").parquet(s"$dir/ledger")
+    if (n > 0L) {
+      val fresh =
+        if (n <= BroadcastIdCap)
+          media.join(broadcast(newIds), Seq("doc_id"), "left_semi")
+        else media.join(newIds, Seq("doc_id"), "left_semi")
+      val (img, aud, vid) = fingerprints(s, fresh, audioBits)
+      val (imgP, audP, vidP) =
+        (img.localCheckpoint(), aud.localCheckpoint(), vid.localCheckpoint())
+      landBatchFiles(s, imgP, dir, "image", id)
+      landBatchFiles(s, audP, dir, "audio", id)
+      landBatchFiles(s, vidP, dir, "video", id)
+      val ids = fresh.select(col("doc_id"), col("meta.format").as("format"))
+      landBatchFiles(s, ledgerOf(ids, imgP, audP, vidP), dir, "ledger", id)
+    }
+    fs.create(flag, true).close() // the commit point — everything landed
   }
 
   def imageHashes(s: SparkSession, dir: String): DataFrame =
@@ -214,8 +289,19 @@ object FingerprintStore {
     * are re-read full-width and rewritten — clean files are never read,
     * never moved — so vacuum cost rides the DIRTY file set, not store
     * size. Swap is stage-then-rename with displaced originals parked in
-    * `<dir>/.vacuum-trash/` until the vacuum completes (crash recovery:
-    * restore them by hand; a completed vacuum removes the dir).
+    * `<dir>/.vacuum-trash/` until the vacuum completes (a completed
+    * vacuum removes both the trash dir and the `_vacuum-inprogress-*`
+    * marker it staked first).
+    *
+    * CRASH RECOVERY — order matters: a crash mid-swap can leave some
+    * `vacuum-<token>-*` replacement files already renamed into a
+    * catalog while their displaced originals sit in trash, so restoring
+    * trash alone would DUPLICATE those files' live rows. Recover a store
+    * whose `_vacuum-inprogress-<token>` marker survives by (1) deleting
+    * every `vacuum-<token>-*` file from all four catalogs for that
+    * token, (2) moving `.vacuum-trash/<cat>-<name>` files back to their
+    * catalogs, (3) removing the marker and trash dir — i.e. roll the
+    * vacuum BACK, then re-run it.
     *
     * Concurrency contract: a MAINTENANCE operation — run without
     * concurrent readers/appenders, same as every file-level rewrite
@@ -229,6 +315,11 @@ object FingerprintStore {
     val live = liveDocs.select("doc_id").distinct().localCheckpoint(true)
     val trash = new Path(s"$dir/.vacuum-trash")
     val token = java.util.UUID.randomUUID().toString.take(8)
+    // staked before any file moves; survives a crash as the recovery
+    // signal (and names the token whose files must be rolled back first
+    // — see the scaladoc's CRASH RECOVERY order)
+    val inProgress = new Path(s"$dir/_vacuum-inprogress-$token")
+    fs.create(inProgress, true).close()
     def renameOrDie(from: Path, to: Path): Unit =
       require(fs.rename(from, to), s"vacuum: rename $from -> $to failed")
     var dropped = 0L
@@ -275,6 +366,7 @@ object FingerprintStore {
       }
     }
     if (fs.exists(trash)) fs.delete(trash, true)
+    fs.delete(inProgress, false)
     VacuumStats(dropped, rewritten, untouched)
   }
 }

@@ -1074,6 +1074,25 @@ object Multimodal {
       .filter(col("blob").isNotNull)
   }
 
+  /** PLANT deterministic image EXACT duplicates: every third image row
+    * (png/bmp) gets a twin at `doc_id + TwinOffset` carrying the
+    * ORIGINAL BLOB verbatim — the re-upload / mirrored-asset case, the
+    * most common image duplication in a crawled corpus. The twin's
+    * dHash is bit-identical (Hamming 0, inside any serving radius), and
+    * because it shares the original's pixel stream the DuckDB oracle
+    * regenerates its hash from the original's seed with no extra
+    * machinery. (The near-dup RADIUS semantics are exercised by the
+    * audio family's silence twins and the video family's trim twins in
+    * the same composed query — image mutations don't decompose into an
+    * oracle-regenerable pixel edit under a 9×8 sampled grid whose cells
+    * alias on small images.)
+    */
+  def plantImageTwins(s: SparkSession, media: DataFrame): DataFrame =
+    media.filter(col("meta.format").isin("png", "bmp") &&
+        col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(TwinOffset)).as("doc_id"),
+        col("blob"), col("meta"))
+
   /** Remux an mp4 payload minus its LAST frame slot — the trim edit of
     * a planted video twin. Demux the real container, drop one slot,
     * re-emit through the SAME header writer the encoder uses. None for
@@ -1174,29 +1193,62 @@ object Multimodal {
     * all-pairs, resolves clusters with the recursive transitive-closure
     * CTE (the q_l19/q_l45 idiom), and recomputes each keeper.
     *
-    * Scale shape: the fixture WRITE is the synthetic-source side (each
-    * task writes its partition's files — stands in for the crawl that
-    * delivered the corpus). The pipeline itself never shuffles a blob:
+    * Scale shape: the fixture WRITE is the synthetic-source side
+    * ([[writeMediaFixtureDriverSide]] — driver-side, deterministic
+    * path, stands in for the crawl that delivered the corpus; it is NOT
+    * part of the pipeline under test, which starts at the file
+    * listing). The pipeline itself never shuffles a blob:
     * fingerprints are a per-partition map over the file scan, the join
     * and CC move (id, fingerprint) longs, and the keeper ordering key
     * (sample count) is a header-length expression evaluated scan-side.
     */
+  /** Write a media frame to disk as a `<doc_id>.<format>` file tree
+    * (4 `shard=N` subdirs — the recursive-listing shape a sharded crawl
+    * delivery has) — the FIXTURE side of the composed pipelines, NOT an
+    * operator: it stands in for the crawl that delivered the corpus.
+    * Runs DRIVER-side over a toLocalIterator (one partition's blobs in
+    * memory at a time, file count is fixture-sized by construction), so
+    * it is correct on a real cluster too — an executor-side
+    * foreachPartition write would scatter files across worker-local
+    * filesystems and the driver's listing would miss them. The target
+    * dir is DETERMINISTIC per caller and rebuilt from scratch each run
+    * (delete + recreate), so repeated bench/correctness invocations
+    * reuse one footprint instead of leaking a tree per run.
+    */
+  private[graft] def writeMediaFixtureDriverSide(s: SparkSession,
+      media: DataFrame, dir: String): Unit = {
+    import s.implicits._
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) { // fresh tree, bounded footprint
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    media.select(col("doc_id"), col("meta.format"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .toLocalIterator().forEachRemaining { case (id, fmt, blob) =>
+        val d = root.resolve(s"shard=${(id % 4).toInt}")
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.write(d.resolve(s"$id.$fmt"), blob)
+      }
+  }
+
+  /** Deterministic per-dataset scratch dir under the JVM tmpdir — the
+    * fixture/store location the composed media queries rebuild each
+    * run.
+    */
+  private[graft] def scratchDir(tag: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+
   def qMM09(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import s.implicits._
     val corpus = withMedia(Tables.documents(s, d))
     val wav = corpus.filter(col("meta.format") === "wav")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mm09-").toString
-    wav.unionByName(plantAudioTwins(s, wav))
-      .select(col("doc_id"), col("blob"))
-      .as[(Long, Array[Byte])]
-      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
-        it.foreach { case (id, blob) =>
-          val dir = java.nio.file.Paths.get(tmp, s"shard=${(id % 4).toInt}")
-          java.nio.file.Files.createDirectories(dir)
-          java.nio.file.Files.write(dir.resolve(s"$id.wav"), blob)
-        }
-      }
+    val tmp = scratchDir("mm09", d)
+    writeMediaFixtureDriverSide(s, wav.unionByName(plantAudioTwins(s, wav)),
+      tmp)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(tmp, s"$CorruptMediaId.wav"),
       Array.fill[Byte](64)(7))
@@ -1216,6 +1268,86 @@ object Multimodal {
       .agg(count(lit(1)).as("size"),
         max(when(col("rn") === 1, col("id"))).as("keeper_id"),
         max(when(col("rn") === 1, col("n_samples"))).as("kept_samples"))
+      .orderBy("cluster_id")
+  }
+
+  /** Q-MM10 — the MIXED-MEDIA corpus prep pipeline, the full multimodal
+    * composition the store exists for: one file tree holding all four
+    * formats (png/bmp/wav/mp4, plus planted twins per modality and one
+    * corrupt payload) → [[graft.io.Readers.binaryMedia]] ingestion →
+    * [[FingerprintStore.bootstrap]] (every blob decodes EXACTLY ONCE
+    * into the three digest catalogs; the corrupt row quarantines in the
+    * ledger) → all three near-dup families SERVED FROM THE STORE
+    * (image banded-Hamming, audio banded-Hamming, video frame-set
+    * Jaccard — zero decode work, blobs never in any join plan) → ONE
+    * connected-components pass over the unified pair set (modalities
+    * can't cross-link: pairs only form within a catalog, so one CC is
+    * both correct and one less pass than three) → a unified keeper
+    * table, one row per cluster with its modality, size and keeper.
+    *
+    * KEEPER RULE, one expression across modalities (computed scan-side
+    * off headers, never a decode): keep the RICHEST member — pixels
+    * (w·h) for images, sample count for audio, frame count for video —
+    * ties to the smallest id. An exact image twin ties on pixels and
+    * loses on id; a silence audio twin preserves length and loses on
+    * id; a trimmed video twin genuinely has fewer frames.
+    *
+    * Oracle-checked end to end: the DuckDB oracle regenerates all three
+    * digest catalogs from the splitmix64 chains (the q_mm04/05/06
+    * spellings, twins folded in per q_mm07/08), rebuilds each family's
+    * pair set all-pairs, resolves the union's clusters with the
+    * recursive transitive-closure CTE and recomputes every keeper.
+    *
+    * Scale shape: fixture write is driver-side synthetic-source
+    * scaffolding ([[writeMediaFixtureDriverSide]]); the pipeline under
+    * test starts at the file listing. Decode cost rides the bootstrap
+    * (once per corpus lifetime — later analyses re-read the store);
+    * every exchange after the scan carries ids + digests only. The
+    * video join's cost at bench SF is the q_mm08-adjudicated fixture
+    * entropy (4×3 frames ⇒ ~9 informative dHash bits), not the plan.
+    */
+  def qMM10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = withMedia(Tables.documents(s, d))
+    val media = corpus
+      .unionByName(plantImageTwins(s, corpus))
+      .unionByName(plantAudioTwins(s, corpus))
+      .unionByName(plantVideoTwins(s, corpus))
+    val tmp = scratchDir("mm10", d)
+    writeMediaFixtureDriverSide(s, media, tmp)
+    java.nio.file.Files.write( // claims png, fails the decoder → ledger
+      java.nio.file.Paths.get(tmp, s"$CorruptMediaId.png"), // quarantine
+      Array.fill[Byte](64)(7))
+    // ---- the pipeline under test starts at the file listing
+    val ingested = graft.io.Readers.binaryMedia(s, tmp,
+      idFromStem = true)
+    val store = scratchDir("mm10-store", d)
+    FingerprintStore.bootstrap(s, ingested, store)
+    val pairs = FingerprintStore.imageNearDupPairs(s, store)
+      .select("doc_a", "doc_b")
+      .unionByName(FingerprintStore.audioNearDupPairs(s, store)
+        .select("doc_a", "doc_b"))
+      .unionByName(FingerprintStore.videoNearDupPairs(s, store)
+        .select("doc_a", "doc_b"))
+    val comp = TrainPrep.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val rich = ingested.select(col("doc_id").as("id"),
+      when(col("meta.format").isin("png", "bmp"), lit("image"))
+        .when(col("meta.format") === "wav", lit("audio"))
+        .otherwise(lit("video")).as("modality"),
+      when(col("meta.format").isin("png", "bmp"),
+        col("meta.width").cast("long") * col("meta.height"))
+        .when(col("meta.format") === "wav",
+          ((length(col("blob")) - 44) / 2).cast("long"))
+        .otherwise(col("meta.n_frames").cast("long")).as("richness"))
+    val w = Window.partitionBy("comp")
+      .orderBy(col("richness").desc, col("id"))
+    comp.join(rich, Seq("id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(min("modality").as("modality"),
+        count(lit(1)).as("size"),
+        max(when(col("rn") === 1, col("id"))).as("keeper_id"))
       .orderBy("cluster_id")
   }
 

@@ -457,6 +457,65 @@ object StreamOps extends Serializable {
     }
   }
 
+  /** Streaming MEDIA ingestion into the persisted fingerprint store
+    * ([[graft.operators.FingerprintStore]]) — the arrival shape the
+    * store exists for: a live media crawl delivers (doc_id, blob, meta)
+    * rows continuously, each micro-batch decodes ONLY its never-seen
+    * ids, and every near-dup analysis thereafter reads persisted
+    * digests instead of re-decoding the corpus. The sink is the store's
+    * own batch API driven by the stream's batch ids: the store's
+    * `batch<id>-*` file prefix + `_batch-<id>` flag discipline IS the
+    * foreachBatch replay contract — a batch replayed after a lost
+    * checkpoint commit (or a crash at ANY point inside the append)
+    * deletes its own remnants and rewrites, a completed batch no-ops —
+    * so the catalogs are exactly-once under partial-failure replay with
+    * no marker machinery beyond what the store already carries.
+    *
+    * The first non-empty batch BOOTSTRAPS the store at `audioBits`;
+    * later batches append. The bootstrap needs no extra crash marker
+    * (unlike [[ingestVectors]]'s): its catalog writes are
+    * mode(overwrite) — a crash before the `_audiobits` marker re-runs
+    * it idempotently — and a crash AFTER the marker but before the
+    * batch flag replays down the APPEND path, where the fully-written
+    * ledger anti-joins every id away and the flag commits over zero new
+    * rows. An empty pre-bootstrap batch commits its id and waits
+    * (bootstrapping zero rows would fix `audioBits` into an empty store
+    * for no benefit).
+    */
+  def ingestMedia(media: DataFrame, storeDir: String, checkpoint: String,
+      audioBits: Int = 32)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestMediaBatch(batch, batchId, storeDir, audioBits)
+      }
+
+  /** The per-batch body of [[ingestMedia]], exposed for the replay /
+    * crash-window pins in StreamBatchParitySpec.
+    */
+  private[graft] def ingestMediaBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, audioBits: Int = 32): Unit = {
+    import graft.operators.FingerprintStore
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val flag = new org.apache.hadoop.fs.Path(s"$storeDir/_batch-$batchId")
+    if (fs.exists(flag)) return // completed batch replayed: no-op
+    val marker = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$storeDir/_audiobits-*"))
+    if (marker == null || marker.isEmpty) {
+      if (!batch.isEmpty)
+        FingerprintStore.bootstrap(s, batch, storeDir, audioBits)
+      fs.mkdirs(flag.getParent)
+      fs.create(flag, true).close()
+    } else {
+      // append commits the _batch flag itself (after remnant-delete +
+      // catalogs + ledger), including over an all-overlap or empty batch
+      FingerprintStore.append(s, batch, storeDir, batchId)
+    }
+  }
+
   /** Streaming decontamination gate: per micro-batch of arriving
     * (doc_id, text[, ...]) documents, drop every doc that NEAR-matches
     * the held-out benchmark (the [[graft.operators.TrainPrep
