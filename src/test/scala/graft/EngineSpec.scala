@@ -2461,6 +2461,118 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(!served.contains("blob"), served)
   }
 
+  test("fingerprint store append replay is exactly-once: a crash at any " +
+      "point inside a batch — catalogs landed without the ledger, or " +
+      "everything landed without the flag — rewrites on retry instead " +
+      "of duplicating, and a flagged batch replays as a no-op") {
+    import graft.operators.FingerprintStore
+    import org.apache.hadoop.fs.Path
+    val media = Multimodal.withMedia(Tables.documents(spark, sfDir))
+      .localCheckpoint()
+    val half = media.filter(col("doc_id") % 2 === 0)
+    val rest = media.filter(col("doc_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fps-rep").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft-fps-ref").toString
+    FingerprintStore.bootstrap(spark, media, ref) // the expected end state
+    def catalogs(d: String): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      FingerprintStore.imageHashes(spark, d).orderBy("doc_id"),
+      FingerprintStore.audioFingerprints(spark, d).orderBy("doc_id"),
+      FingerprintStore.videoPostings(spark, d).orderBy("doc_id", "frame"),
+      FingerprintStore.ledger(spark, d).orderBy("doc_id"))
+      .map(_.collect().toSeq)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    FingerprintStore.bootstrap(spark, half, dir)
+    FingerprintStore.append(spark, rest, dir, batchId = 7L)
+    // CRASH SHAPE 1 — after the digest catalogs, before the ledger and
+    // flag (the r15 duplicate window): reconstruct it by deleting the
+    // batch's ledger files and its flag, then replay the batch
+    fs.delete(new Path(s"$dir/_batch-7"), false)
+    fs.globStatus(new Path(s"$dir/ledger/batch7-*"))
+      .foreach(h => fs.delete(h.getPath, false))
+    FingerprintStore.append(spark, rest, dir, batchId = 7L)
+    assert(catalogs(dir) == catalogs(ref),
+      "replaying a catalogs-landed/ledger-lost batch must rewrite, not " +
+        "duplicate")
+    // CRASH SHAPE 2 — everything landed, flag lost: replay rewrites the
+    // whole batch and still converges on the rebuild state
+    fs.delete(new Path(s"$dir/_batch-7"), false)
+    FingerprintStore.append(spark, rest, dir, batchId = 7L)
+    assert(catalogs(dir) == catalogs(ref))
+    assert(FingerprintStore.ledger(spark, dir)
+      .groupBy("doc_id").count().where(col("count") > 1).isEmpty,
+      "the ledger must stay one-row-per-item across replays")
+    // COMMITTED batch replayed: a no-op even with different rows
+    FingerprintStore.append(spark,
+      media.withColumn("blob", concat(col("blob"), col("blob"))),
+      dir, batchId = 7L)
+    assert(catalogs(dir) == catalogs(ref))
+    // the self-allocating batch-API path inherits the discipline: its
+    // next id IS the crashed one (no flag landed), so a bare retried
+    // append() rewrites the same batch
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-fps-r2").toString
+    FingerprintStore.bootstrap(spark, half, dir2)
+    FingerprintStore.append(spark, rest, dir2) // self-allocates id 0
+    fs.delete(new Path(s"$dir2/_batch-0"), false)
+    fs.globStatus(new Path(s"$dir2/ledger/batch0-*"))
+      .foreach(h => fs.delete(h.getPath, false))
+    FingerprintStore.append(spark, rest, dir2) // re-allocates id 0
+    assert(catalogs(dir2) == catalogs(ref))
+  }
+
+  test("fingerprint store vacuum composes with keeper resolution: " +
+      "vacuuming to the keeper set leaves a store whose near-dup joins " +
+      "find nothing left to dedup — the right-to-be-forgotten pipeline " +
+      "end to end") {
+    import graft.operators.{FingerprintStore, TrainPrep}
+    val corpus = Multimodal.withMedia(Tables.documents(spark, sfDir))
+    val media = corpus
+      .unionByName(Multimodal.plantImageTwins(spark, corpus))
+      .unionByName(Multimodal.plantAudioTwins(spark, corpus))
+      .unionByName(Multimodal.plantVideoTwins(spark, corpus))
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-fps-kp").toString
+    FingerprintStore.bootstrap(spark, media, dir)
+    def pairs(d: String) =
+      FingerprintStore.imageNearDupPairs(spark, d).select("doc_a", "doc_b")
+        .unionByName(FingerprintStore.audioNearDupPairs(spark, d)
+          .select("doc_a", "doc_b"))
+        .unionByName(FingerprintStore.videoNearDupPairs(spark, d)
+          .select("doc_a", "doc_b"))
+    val before = pairs(dir).localCheckpoint()
+    assert(before.count() > 0, "fixture must contain planted near-dups")
+    // keepers = smallest id per cluster (originals), plus every
+    // unclustered id — the LIVE set after a dedup pass
+    val comp = TrainPrep.connectedComponents(
+      before.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val dropped = comp.filter(col("id") =!= col("comp")) // comp = min id
+      .select(col("id").as("doc_id"))
+    val live = FingerprintStore.ledger(spark, dir).select("doc_id")
+      .exceptAll(dropped)
+    val stats = FingerprintStore.vacuum(spark, dir, live)
+    assert(stats.droppedRows > 0, stats.toString)
+    // the vacuumed store serves ONLY keepers, and dedup finds nothing:
+    // every planted pair linked an original to its twin, the twin lost
+    assert(pairs(dir).isEmpty,
+      "a keeper-vacuumed store must have no near-dup pairs left")
+    assert(FingerprintStore.ledger(spark, dir)
+      .join(dropped, Seq("doc_id"), "left_semi").isEmpty,
+      "dropped ids must be gone from the ledger")
+    // a forgotten twin re-appends fresh (deletion then re-upload) — pick
+    // one whose DIRECT pair partner is a surviving keeper, so the
+    // re-formed pair is guaranteed (a chain component's dropped tail
+    // might only have paired with other dropped members)
+    val victim = before
+      .join(comp.filter(col("id") === col("comp"))
+        .select(col("id").as("doc_a")), Seq("doc_a"))
+      .select("doc_b").head().getLong(0)
+    FingerprintStore.append(spark,
+      media.filter(col("doc_id") === victim), dir)
+    assert(pairs(dir).count() > 0,
+      "re-appending a forgotten twin must re-pair it with its keeper")
+  }
+
   test("fingerprint store vacuum: dropped ids vanish from every catalog, " +
       "clean files are never touched, and a vacuumed id re-appends " +
       "fresh — the right-to-be-forgotten + legitimate-re-upload path") {

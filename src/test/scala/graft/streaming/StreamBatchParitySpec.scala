@@ -455,6 +455,69 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
     assert(stored == want)
   }
 
+  test("streaming media ingest over micro-batches lands on the batch " +
+      "bootstrap's exact catalogs, and crash-window replays stay " +
+      "exactly-once") {
+    import graft.operators.{FingerprintStore, Multimodal}
+    val media = Multimodal.withMedia(Tables.documents(spark, sfDir))
+      .localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("graft-smi").toString
+    val landing = new java.io.File(s"$base/landing"); landing.mkdirs()
+    val n = media.agg(max("doc_id")).head().getLong(0) + 1
+    // three arrival files, ascending mtimes → three micro-batches: the
+    // first bootstraps the store, the rest ride the append path
+    Seq((0L, n / 3, 0), (n / 3, 2 * n / 3, 1), (2 * n / 3, n + 1, 2))
+      .foreach { case (lo, hi, i) =>
+        media.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+        val part = new java.io.File(s"$base/stage$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(landing, f"arrive-$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(1000000000L + i * 60000L)
+      }
+    val stream = spark.readStream.schema(media.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val q = StreamOps.ingestMedia(stream, s"$base/store", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    // streamed store == from-scratch batch bootstrap, all four catalogs
+    val ref = s"$base/ref"
+    FingerprintStore.bootstrap(spark, media, ref)
+    def catalogs(d: String): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      FingerprintStore.imageHashes(spark, d).orderBy("doc_id"),
+      FingerprintStore.audioFingerprints(spark, d).orderBy("doc_id"),
+      FingerprintStore.videoPostings(spark, d).orderBy("doc_id", "frame"),
+      FingerprintStore.ledger(spark, d).orderBy("doc_id"))
+      .map(_.collect().toSeq)
+    assert(catalogs(s"$base/store") == catalogs(ref),
+      "arrival order must be irrelevant to the persisted catalogs")
+    // REPLAY, the foreachBatch contract: a batch re-delivered after a
+    // lost checkpoint commit no-ops (flag present)…
+    val b2 = spark.read.parquet(s"$base/stage2")
+    StreamOps.ingestMediaBatch(b2, 2L, s"$base/store")
+    assert(catalogs(s"$base/store") == catalogs(ref))
+    // …and the bootstrap's own crash window (marker landed, flag lost)
+    // replays down the append path, where the ledger blocks every id
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/store/_batch-0"), false)
+    StreamOps.ingestMediaBatch(spark.read.parquet(s"$base/stage0"), 0L,
+      s"$base/store")
+    assert(catalogs(s"$base/store") == catalogs(ref))
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$base/store/_batch-0")),
+      "the replayed batch must re-commit its flag")
+    // an empty pre-bootstrap batch commits its id and waits
+    val empty = s"$base/store-empty"
+    StreamOps.ingestMediaBatch(media.limit(0), 0L, empty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$empty/_batch-0")))
+    assert(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$empty/_audiobits-*")).isEmpty,
+      "an empty first batch must not bootstrap")
+  }
+
   test("streaming decontamination gate drops exactly the batch fuzzy-" +
       "decontam matches; clean output is the complement") {
     import graft.operators.TrainPrep
