@@ -58,7 +58,17 @@ import org.apache.spark.sql.types._
   *     round-trip JSON text exactly. XML's repeated-element encoding is
   *     LOSSY (probed on 4.1): an empty array renders as nothing and
   *     parses back as NULL, and null elements are silently dropped — so
-  *     any ArrayType anywhere in the schema fences the XML elision.
+  *     any ArrayType anywhere in the schema fences the XML elision;
+  *   - MAPS recurse for JSON ONLY, and only with STRING keys (r16,
+  *     probed on 4.1): a string-keyed map IS a JSON object — `{}`, a
+  *     null map, null values, and struct values (incl. null structs)
+  *     all round-trip exactly, with keys riding the same well-formed-
+  *     UTF-8 escaping assumption as string leaves. Non-string keys need
+  *     no fence of their own: `from_json` REJECTS any non-string map
+  *     key at analysis time (INVALID_JSON_MAP_KEY_TYPE), so such a pair
+  *     can never reach the optimizer. MapType anywhere fences XML (the
+  *     XML generator has no array/map encoding to prove anything
+  *     about).
   *
   * Gated on `spark.graft.codec.elide` (default off), same stance as the
   * LSH rewrite: the declarative plan states intent, the config opts into
@@ -75,22 +85,26 @@ object RoundTripElisionRule extends Rule[LogicalPlan] {
 
   /** Recursive gate: does `source` provably round-trip the codec's text
     * as `target`? Structs recurse field-by-field (names in order, any
-    * nullability — see the cast-target note above); arrays recurse only
-    * where the codec's array encoding is lossless (`arraysOk`); leaves
-    * require exact type equality AND membership in the codec's
-    * exact-round-trip set.
+    * nullability — see the cast-target note above); arrays and
+    * string-keyed maps recurse only where the codec's container
+    * encoding is lossless (`jsonContainers` — JSON's `[]`/`{}` are;
+    * XML's repeated/absent elements aren't); leaves require exact type
+    * equality AND membership in the codec's exact-round-trip set.
     */
   private def elidable(target: DataType, source: DataType,
-      extraExact: Set[DataType], arraysOk: Boolean): Boolean =
+      extraExact: Set[DataType], jsonContainers: Boolean): Boolean =
     (target, source) match {
       case (t: StructType, s: StructType) =>
         s.length == t.length &&
           s.fields.zip(t.fields).forall { case (sf, tf) =>
             sf.name == tf.name &&
-              elidable(tf.dataType, sf.dataType, extraExact, arraysOk)
+              elidable(tf.dataType, sf.dataType, extraExact, jsonContainers)
           }
-      case (ArrayType(te, _), ArrayType(se, _)) if arraysOk =>
-        elidable(te, se, extraExact, arraysOk)
+      case (ArrayType(te, _), ArrayType(se, _)) if jsonContainers =>
+        elidable(te, se, extraExact, jsonContainers)
+      case (MapType(tk, tv, _), MapType(sk, sv, _))
+          if jsonContainers && tk == StringType && sk == StringType =>
+        elidable(tv, sv, extraExact, jsonContainers)
       case (t, s) =>
         t == s && (bothCodecs.contains(s) || extraExact.contains(s))
     }
@@ -108,7 +122,7 @@ object RoundTripElisionRule extends Rule[LogicalPlan] {
     case other => other
   }
 
-  private def elide(child: Expression, schema: StructType): Expression =
+  private def elide(child: Expression, schema: DataType): Expression =
     // cast to the PARSERS' declared output type (schema with every level
     // nullable), not the bare child and not the raw parse schema: leaf
     // types are equal so the cast is a no-op projection, but targeting
@@ -122,12 +136,15 @@ object RoundTripElisionRule extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case XmlToStructs(schema: StructType, o1, StructsToXml(o2, child, _), _)
           if o1.isEmpty && o2.isEmpty &&
-            elidable(schema, child.dataType, Set.empty, arraysOk = false) =>
+            elidable(schema, child.dataType, Set.empty, jsonContainers = false) =>
         elide(child, schema)
-      case JsonToStructs(schema: StructType, o1, inner, _)
+      // the JSON parse schema may be a struct, a string-keyed map, or an
+      // array at TOP level too (from_json accepts all three) — elidable
+      // recurses over whichever shape arrives
+      case JsonToStructs(schema, o1, inner, _)
           if o1.isEmpty && jsonRenderedChild(inner)
             .exists(c => elidable(schema, c.dataType, Set(StringType),
-              arraysOk = true)) =>
+              jsonContainers = true)) =>
         elide(jsonRenderedChild(inner).get, schema)
     }
   }

@@ -87,6 +87,12 @@ object SlopeBench {
       "q_jsonNCi" -> ((s: SparkSession, d: String) => jsonNestedCodec(s, d)),
       "q_jsonNE" -> ((s: SparkSession, d: String) =>
         jsonNestedCodec(elisionSession(s), d)),
+      // the MAP A/B (r16): a string-keyed map column through
+      // to_json/from_json — the container shape the widened gate newly
+      // elides (JSON only; XML has no map encoding and stays fenced)
+      "q_jsonMCi" -> ((s: SparkSession, d: String) => jsonMapCodec(s, d)),
+      "q_jsonME" -> ((s: SparkSession, d: String) =>
+        jsonMapCodec(elisionSession(s), d)),
       // scan-DOMINATED probe (r15, the split-sizing lever's honest
       // denominator): a pure parquet scan + per-row length fold +
       // constant-size aggregate — the shape whose wall time IS the scan
@@ -180,6 +186,29 @@ object SlopeBench {
       .agg(count(lit(1)).as("cnt"), sum(col("r.doc_id")).as("id_sum"),
         sum(col("r.c.n_chars")).as("chars"),
         sum(element_at(col("r.ks"), 3)).as("mod_sum"))
+  }
+
+  /** String-keyed-map round trip (doc_id, m: map<string,long>) through
+    * JSON — the container shape the r16 gate newly elides. The map is
+    * built from columns (two entries per row), so the executed codec
+    * pays object rendering + parsing per row while the elided plan is a
+    * no-op cast.
+    */
+  private def jsonMapCodec(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("m", MapType(StringType, LongType))))
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("lang"),
+        from_json(to_json(struct(col("doc_id"),
+          map(lit("n"), col("n_chars"),
+            lit("d7"), (col("doc_id") % 7).cast("long")).as("m"))),
+          sch).as("r"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("r.doc_id")).as("id_sum"),
+        sum(element_at(col("r.m"), "n")).as("chars"),
+        sum(element_at(col("r.m"), "d7")).as("mod_sum"))
   }
 
   /** Corpus-scan families added for the FOURTH decade (r12 verdict item
@@ -444,19 +473,45 @@ object SlopeBench {
             .write.format("noop").mode("overwrite").save()),
           t(FingerprintStore.videoNearDupPairs(s, sdir)
             .write.format("noop").mode("overwrite").save()),
-          // maintain: forget ~10% of ids (uniformly spread, so ~every
-          // file is dirty — the worst-case rewrite fraction, matching
-          // the chunk-store vacuum row's discipline); the phase is
-          // digest-file IO only, never a decode
+          // maintain, REALISTIC dirty fraction (r16): deletions correlate
+          // with ingestion — forgetting the appended batch's ids dirties
+          // ONLY that batch's files (~10% of the store); the bootstrap-era
+          // ~90% is provably untouched (the EngineSpec clean-file pin)
           t(FingerprintStore.vacuum(s, sdir,
-            media.filter(org.apache.spark.sql.functions.col("doc_id")
-              % 10 =!= 0).select("doc_id"))))
+            media.filter(col("doc_id") <= cut).select("doc_id"))),
+          // maintain, WORST-CASE dirty fraction: a further uniform ~10%
+          // drop over the remaining (bootstrap-era) corpus — ids are
+          // round-robin across files, so ~every file rewrites (the
+          // recorded r15 discipline; corpus is ~90% of that row's)
+          t(FingerprintStore.vacuum(s, sdir,
+            media.filter(col("doc_id") <= cut && col("doc_id") % 10 =!= 0)
+              .select("doc_id"))))
         rm(sdir)
         times
       }
       pass() // uncharged warm-up
       val best = (1 to passes).map(_ => pass()).transpose.map(_.min)
-      Seq("q_fpB", "q_fpA", "q_fpS", "q_fpV", "q_fpM").zip(best)
+      val main = Seq("q_fpB", "q_fpA", "q_fpS", "q_fpV", "q_fpM10",
+        "q_fpM").zip(best)
+      // WIDTH-variant serving rows (r16, the r14 width-knob finding
+      // confirmed through the STORE path): two stores bootstrapped once
+      // (uncharged — decode cost is width-invariant, the recorded q_fpB
+      // row stands) at audioBits = 48 / 64, then the audio serving join
+      // timed per pass; the join reads its band count off the store's
+      // _audiobits marker, nothing is passed by hand.
+      val widthRows = Seq(48, 64).map { bits =>
+        val wdir = java.nio.file.Files
+          .createTempDirectory(s"graft-slope-fps$bits").toString
+        FingerprintStore.bootstrap(s, media, wdir, audioBits = bits)
+        def serve(): Double =
+          t(FingerprintStore.audioNearDupPairs(s, wdir)
+            .write.format("noop").mode("overwrite").save())
+        serve() // uncharged warm-up
+        val best = (1 to passes).map(_ => serve()).min
+        rm(wdir)
+        s"q_fpS$bits" -> best
+      }
+      main ++ widthRows
     }
     // SPARK_GRAFT_FAMILY re-measures ONE family when only its code path
     // changed (the other families' recorded numbers stay valid):

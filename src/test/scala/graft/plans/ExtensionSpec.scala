@@ -338,6 +338,99 @@ class ExtensionSpec extends AnyFunSuite with SparkFixture {
     assert(tightChain(iso).collect().sameElements(tightChain(spark).collect()))
   }
 
+  test("round-trip elision recurses into string-keyed maps (json only, " +
+      "nested and top-level); non-string-value and xml fences hold") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    Graft.ensureRegistered(spark)
+    spark.conf.set("spark.graft.codec.elide", "false")
+    val iso = spark.newSession()
+    Graft.ensureRegistered(iso)
+    iso.conf.set("spark.graft.codec.elide", "true")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+
+    // STRUCT WITH A MAP FIELD, parquet-backed: json elides and lands on
+    // the executed codec's exact rows; xml stays fenced (no map encoding)
+    val mSch = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("kv", MapType(StringType, LongType))))
+    def viaStruct(sess: org.apache.spark.sql.SparkSession, json: Boolean) = {
+      val s0 = Tables.orders(sess, sfDir)
+        .select(struct(col("o_orderkey"),
+          map(lit("ck"), col("o_custkey"), lit("ok"), col("o_orderkey"))
+            .as("kv")).as("s"))
+      val rt = if (json) from_json(to_json(col("s")), mSch)
+        else from_xml(to_xml(col("s")), mSch)
+      s0.select(rt.as("r"))
+        .select(col("r.o_orderkey"), map_values(col("r.kv")).as("vs"))
+        .orderBy("o_orderkey")
+    }
+    assert(!planOf(viaStruct(iso, json = true)).contains("from_json"),
+      planOf(viaStruct(iso, json = true)))
+    assert(viaStruct(iso, json = true).collect().sameElements(
+      viaStruct(spark, json = true).collect()))
+    assert(planOf(viaStruct(iso, json = false)).contains("from_xml"),
+      "xml has no map encoding and must stay fenced")
+
+    // TOP-LEVEL map parse schema (from_json accepts MapType directly)
+    val topSch = MapType(StringType, LongType)
+    def viaTop(sess: org.apache.spark.sql.SparkSession) =
+      Tables.orders(sess, sfDir)
+        .select(from_json(
+          to_json(map(lit("ck"), col("o_custkey"))), topSch).as("m"))
+        .select(element_at(col("m"), "ck").as("ck")).orderBy("ck")
+    assert(!planOf(viaTop(iso)).contains("from_json"), planOf(viaTop(iso)))
+    assert(viaTop(iso).collect().sameElements(viaTop(spark).collect()))
+
+    // degenerate-shape value agreement (the probed 4.1 facts the gate
+    // relies on): entries / empty map / null map / null value / struct
+    // values incl. a null struct — elided == executed == expected
+    val vInner = StructType(Seq(StructField("x", LongType)))
+    val dSch = StructType(Seq(
+      StructField("a", LongType),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("ms", MapType(StringType, vInner))))
+    val dRows = java.util.Arrays.asList(
+      Row(1L, Map("k" -> 1L, "n" -> null), Map("s" -> Row(5L))),
+      Row(2L, Map.empty[String, Long], Map("z" -> null)),
+      Row(3L, null, null))
+    def viaDegen(sess: org.apache.spark.sql.SparkSession): Seq[Seq[Any]] =
+      sess.createDataFrame(dRows, dSch)
+        .select(from_json(to_json(struct(col("a"), col("m"), col("ms"))),
+          dSch).as("r"))
+        .select(col("r.a"), col("r.m"), col("r.ms")).orderBy("a")
+        .collect().map(_.toSeq.toList).toSeq
+    assert(viaDegen(iso) == viaDegen(spark))
+    assert(viaDegen(spark).map(_.head) == Seq(1L, 2L, 3L))
+    assert(viaDegen(spark)(0)(1) == Map("k" -> 1L, "n" -> null) &&
+      viaDegen(spark)(0)(2) == Map("s" -> Row(5L)) &&
+      viaDegen(spark)(1)(1) == Map.empty[String, Long] &&
+      viaDegen(spark)(1)(2) == Map("z" -> null) &&
+      viaDegen(spark)(2)(1) == null)
+
+    // a non-exact VALUE type fences exactly like any other leaf: a
+    // double-valued map must not elide (NaN/Infinity rendering)
+    val dblSch = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("kv", MapType(StringType, DoubleType))))
+    val fenced = Tables.orders(iso, sfDir)
+      .select(from_json(to_json(struct(col("o_orderkey"),
+        map(lit("p"), col("o_totalprice")).as("kv"))), dblSch).as("r"))
+    assert(planOf(fenced).contains("from_json"))
+
+    // non-string KEYS need no fence of ours: from_json itself rejects
+    // them at analysis time, so the pair can never reach the optimizer
+    val intKey = intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.orders(iso, sfDir)
+        .select(from_json(to_json(map(col("o_orderkey"), lit(1L))),
+          MapType(LongType, LongType)).as("m"))
+        .queryExecution.optimizedPlan
+    }
+    assert(intKey.getMessage.contains("INVALID_JSON_MAP_KEY_TYPE") ||
+      intKey.getMessage.toLowerCase.contains("key"), intKey.getMessage)
+  }
+
   test("lsh rewrite bag mode keeps naive multiplicity with no dedup operator") {
     spark.conf.set("spark.graft.lsh.rewrite", "false")
     val exact = ExtensionShowcase.naiveCosineJoin(spark, sfDir, 0.45).collect()
