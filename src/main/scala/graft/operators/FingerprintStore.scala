@@ -106,6 +106,14 @@ object FingerprintStore {
     require(audioBits % 8 == 0 && audioBits >= 16 && audioBits <= 64,
       s"audioBits $audioBits: the banded serving join needs a multiple " +
         "of 8 in [16,64]")
+    // a re-bootstrap over a store with a torn vacuum/compact must not
+    // leave the stale marker + trash behind: a later recover() would
+    // "restore" pre-bootstrap files into the fresh catalogs
+    val fs0 = fsOf(s, dir)
+    val stale = fs0.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/_vacuum-inprogress-*"))
+    if (stale != null) stale.foreach(m => fs0.delete(m.getPath, false))
+    fs0.delete(new org.apache.hadoop.fs.Path(s"$dir/.vacuum-trash"), true)
     val (img, aud, vid) = fingerprints(s, media, audioBits)
     // the ledger join consumes the catalogs' doc_ids, and the catalogs
     // are ALSO written — pin the digest rows so the blobs decode once,
@@ -203,6 +211,11 @@ object FingerprintStore {
     val id = if (batchId >= 0L) batchId else nextBatchId(s, dir)
     val flag = new Path(s"$dir/_batch-$id")
     if (fs.exists(flag)) return // committed batch replayed: no-op
+    // a torn vacuum/compact (surviving _vacuum-inprogress marker) left
+    // some catalog rows parked in trash — appending against that view
+    // would anti-join on an incomplete ledger and re-ingest parked ids;
+    // roll the maintenance back first (cheap glob when clean)
+    recover(s, dir)
     // a crashed attempt at this id left identifiable remnants — take
     // them back first, restoring the exactly-before-this-batch state
     // (in particular the ledger's view of "seen"), so the re-run below
@@ -267,6 +280,117 @@ object FingerprintStore {
       minJaccard: Double = 0.8, maxVideosPerFrame: Int = 0): DataFrame =
     Multimodal.videoJaccardPairs(videoPostings(s, dir), minJaccard,
       maxVideosPerFrame, pinPostings = false)
+
+  /** Fold the per-batch file sprawl back to one write's worth of files
+    * per catalog — the maintenance move a LIVE ingest loop needs: every
+    * append lands ~shuffle-partitions files per catalog, so a crawl
+    * delivering thousands of micro-batches grows each catalog to
+    * hundreds of thousands of tiny files (the classic small-files
+    * problem: listing cost, footer reads, and scan-task scheduling all
+    * ride file COUNT at 100 TB, not bytes). One corpus-sized rewrite
+    * per catalog, swapped with the vacuum discipline (stage, trash,
+    * rename-in, drop trash) under the same `_vacuum-inprogress-`
+    * recovery marker — [[recover]] rolls back a torn compact exactly
+    * like a torn vacuum.
+    *
+    * The `_batch-*` flags are KEPT: they are the replay contract, not
+    * file metadata — a batch replayed after its files were folded away
+    * still finds its flag and no-ops, and [[append]]'s remnant-delete
+    * glob (`batch<id>-*`) cannot match the folded `compact-` names, so
+    * idempotence survives compaction. Same single-maintainer contract
+    * as vacuum.
+    */
+  def compact(s: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.io.StatsManifest
+    val fs = fsOf(s, dir)
+    val trash = new Path(s"$dir/.vacuum-trash")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val inProgress = new Path(s"$dir/_vacuum-inprogress-$token")
+    fs.create(inProgress, true).close()
+    def renameOrDie(from: Path, to: Path): Unit =
+      require(fs.rename(from, to), s"compact: rename $from -> $to failed")
+    Catalogs.foreach { cat =>
+      val catDir = s"$dir/$cat"
+      val files = StatsManifest.listParquet(s, catDir)
+      // fold to a BYTES-derived file count (~128 MB each), not the scan's
+      // partitioning: Spark splits a small-file read into
+      // defaultParallelism partitions, so a bare rewrite would reproduce
+      // the sprawl it is meant to fold
+      val bytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      val target = math.max(1, (bytes / (128L << 20)).toInt)
+      if (files.length > target) {
+        val staged = s"$dir/.compact-staged-$cat"
+        s.read.parquet(catDir).coalesce(target)
+          .write.mode("overwrite").parquet(staged)
+        fs.mkdirs(trash)
+        files.foreach { f =>
+          val p = new Path(f)
+          renameOrDie(p, new Path(trash, s"$cat-${p.getName}"))
+        }
+        StatsManifest.listParquet(s, staged).zipWithIndex.foreach {
+          case (f, i) =>
+            val p = new Path(f)
+            renameOrDie(p,
+              new Path(catDir, s"vacuum-$token-$i-${p.getName}"))
+        }
+        fs.delete(new Path(staged), true)
+      }
+    }
+    if (fs.exists(trash)) fs.delete(trash, true)
+    fs.delete(inProgress, false)
+  }
+
+  /** Count of data files per catalog — the [[compact]] trigger a live
+    * ingest loop polls (cheap: one recursive listing, no reads).
+    */
+  def dataFileCount(s: SparkSession, dir: String): Int =
+    Catalogs.map(cat =>
+      graft.io.StatsManifest.listParquet(s, s"$dir/$cat").length).sum
+
+  /** Roll back a vacuum/compact that crashed mid-swap — the CODE form
+    * of the scaladoc'd CRASH RECOVERY order, so an operator (or the
+    * ingest loop itself, on startup) never performs it by hand: for
+    * each surviving `_vacuum-inprogress-<token>` marker, (1) delete
+    * that token's `vacuum-<token>-*` replacement files from every
+    * catalog (they duplicate rows still present in trash), (2) move
+    * `.vacuum-trash/<cat>-<name>` originals back into their catalogs,
+    * (3) drop the marker, trash and stage dirs. The store lands on its
+    * exact pre-vacuum state; re-running the vacuum/compact then
+    * completes the maintenance. A clean store (no marker) is a no-op.
+    * Returns true when a rollback was performed.
+    */
+  def recover(s: SparkSession, dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s, dir)
+    val markers = fs.globStatus(new Path(s"$dir/_vacuum-inprogress-*"))
+    if (markers == null || markers.isEmpty) return false
+    def renameOrDie(from: Path, to: Path): Unit =
+      require(fs.rename(from, to), s"recover: rename $from -> $to failed")
+    markers.foreach { m =>
+      val token = m.getPath.getName.stripPrefix("_vacuum-inprogress-")
+      Catalogs.foreach { cat =>
+        val hits = fs.globStatus(new Path(s"$dir/$cat/vacuum-$token-*"))
+        if (hits != null) hits.foreach(h => fs.delete(h.getPath, false))
+      }
+    }
+    val trash = new Path(s"$dir/.vacuum-trash")
+    val parked = fs.globStatus(new Path(s"$dir/.vacuum-trash/*"))
+    if (parked != null) parked.foreach { f =>
+      val name = f.getPath.getName
+      Catalogs.find(c => name.startsWith(s"$c-")).foreach { cat =>
+        renameOrDie(f.getPath,
+          new Path(s"$dir/$cat", name.stripPrefix(s"$cat-")))
+      }
+    }
+    if (fs.exists(trash)) fs.delete(trash, true)
+    Catalogs.foreach { cat =>
+      Seq(s"$dir/.vacuum-staged-$cat", s"$dir/.compact-staged-$cat")
+        .foreach(p => fs.delete(new Path(p), true))
+    }
+    markers.foreach(m => fs.delete(m.getPath, false))
+    true
+  }
 
   /** Vacuum report: rows dropped across the four catalogs, files
     * rewritten vs left untouched (summed across catalogs).

@@ -483,19 +483,29 @@ object StreamOps extends Serializable {
     * for no benefit).
     */
   def ingestMedia(media: DataFrame, storeDir: String, checkpoint: String,
-      audioBits: Int = 32)
+      audioBits: Int = 32, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestMediaBatch(batch, batchId, storeDir, audioBits)
+        ingestMediaBatch(batch, batchId, storeDir, audioBits, compactEvery)
       }
 
   /** The per-batch body of [[ingestMedia]], exposed for the replay /
-    * crash-window pins in StreamBatchParitySpec.
+    * crash-window pins in StreamBatchParitySpec. With `compactEvery`
+    * > 0, HOUSEKEEPING runs after the batch's flag commits (the
+    * ingestVectors policy discipline): once the four catalogs
+    * accumulate more than that many data files — every append lands
+    * ~shuffle-partitions files per catalog, so a long-lived crawl
+    * otherwise grows to the small-files wall — the store compacts.
+    * Best-effort by design: a crash mid-compact leaves the recovery
+    * marker, the NEXT batch's append rolls it back
+    * ([[graft.operators.FingerprintStore.recover]] runs inside
+    * append), and a later round re-compacts; data is never at risk,
+    * only one housekeeping round.
     */
   private[graft] def ingestMediaBatch(batch: DataFrame, batchId: Long,
-      storeDir: String, audioBits: Int = 32): Unit = {
+      storeDir: String, audioBits: Int = 32, compactEvery: Int = 0): Unit = {
     import graft.operators.FingerprintStore
     val s = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(storeDir)
@@ -510,10 +520,16 @@ object StreamOps extends Serializable {
       fs.mkdirs(flag.getParent)
       fs.create(flag, true).close()
     } else {
-      // append commits the _batch flag itself (after remnant-delete +
-      // catalogs + ledger), including over an all-overlap or empty batch
+      // append commits the _batch flag itself (after torn-maintenance
+      // recovery, remnant-delete, catalogs, ledger), including over an
+      // all-overlap or empty batch
       FingerprintStore.append(s, batch, storeDir, batchId)
     }
+    val bootstrapped = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$storeDir/_audiobits-*"))
+    if (compactEvery > 0 && bootstrapped != null && bootstrapped.nonEmpty &&
+        FingerprintStore.dataFileCount(s, storeDir) > compactEvery)
+      FingerprintStore.compact(s, storeDir)
   }
 
   /** Streaming decontamination gate: per micro-batch of arriving

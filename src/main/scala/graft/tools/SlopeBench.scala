@@ -485,14 +485,19 @@ object SlopeBench {
           // recorded r15 discipline; corpus is ~90% of that row's)
           t(FingerprintStore.vacuum(s, sdir,
             media.filter(col("doc_id") <= cut && col("doc_id") % 10 =!= 0)
-              .select("doc_id"))))
+              .select("doc_id"))),
+          // maintain, file-count fold (r16): the corpus-sized rewrite a
+          // live ingest loop schedules when the per-batch file sprawl
+          // crosses its budget — digest-file IO at a bytes-derived
+          // target, never a decode
+          t(FingerprintStore.compact(s, sdir)))
         rm(sdir)
         times
       }
       pass() // uncharged warm-up
       val best = (1 to passes).map(_ => pass()).transpose.map(_.min)
       val main = Seq("q_fpB", "q_fpA", "q_fpS", "q_fpV", "q_fpM10",
-        "q_fpM").zip(best)
+        "q_fpM", "q_fpC").zip(best)
       // WIDTH-variant serving rows (r16, the r14 width-knob finding
       // confirmed through the STORE path): two stores bootstrapped once
       // (uncharged — decode cost is width-invariant, the recorded q_fpB

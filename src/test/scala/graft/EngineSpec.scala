@@ -2573,6 +2573,85 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       "re-appending a forgotten twin must re-pair it with its keeper")
   }
 
+  test("fingerprint store compact folds the per-batch file sprawl " +
+      "without moving a row, keeps every replay flag, and a torn " +
+      "vacuum/compact rolls back exactly via recover") {
+    import graft.operators.FingerprintStore
+    import org.apache.hadoop.fs.Path
+    val media = Multimodal.withMedia(Tables.documents(spark, sfDir))
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-fps-cmp").toString
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // bootstrap + three appends: the batch discipline lands
+    // ~partitions files per catalog per batch
+    FingerprintStore.bootstrap(spark, media.filter(col("doc_id") % 4 === 0),
+      dir)
+    (1 to 3).foreach(i => FingerprintStore.append(spark,
+      media.filter(col("doc_id") % 4 === i), dir))
+    def catalogs(d: String): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      FingerprintStore.imageHashes(spark, d).orderBy("doc_id"),
+      FingerprintStore.audioFingerprints(spark, d).orderBy("doc_id"),
+      FingerprintStore.videoPostings(spark, d).orderBy("doc_id", "frame"),
+      FingerprintStore.ledger(spark, d).orderBy("doc_id"))
+      .map(_.collect().toSeq)
+    val before = catalogs(dir)
+    val filesBefore = FingerprintStore.dataFileCount(spark, dir)
+    FingerprintStore.compact(spark, dir)
+    assert(catalogs(dir) == before, "compact must not move a row")
+    val filesAfter = FingerprintStore.dataFileCount(spark, dir)
+    assert(filesAfter < filesBefore,
+      s"compact must fold files: $filesBefore -> $filesAfter")
+    // flags survive → a replayed old batch still no-ops after its
+    // files were folded away
+    assert(fs.exists(new Path(s"$dir/_batch-0")))
+    FingerprintStore.append(spark,
+      media.filter(col("doc_id") % 4 === 1)
+        .withColumn("blob", concat(col("blob"), col("blob"))),
+      dir, batchId = 0L)
+    assert(catalogs(dir) == before,
+      "a committed batch must replay as a no-op after compaction")
+    assert(fs.exists(new Path(s"$dir/.vacuum-trash")) === false)
+
+    // TORN-MAINTENANCE ROLLBACK: reconstruct a mid-swap crash (some
+    // catalogs swapped with vacuum-<token>-* files, their originals in
+    // trash; marker surviving), then recover — the store must land on
+    // its exact pre-maintenance state, and append must self-heal by
+    // running recover itself
+    val token = "deadbeef"
+    fs.create(new Path(s"$dir/_vacuum-inprogress-$token"), true).close()
+    fs.mkdirs(new Path(s"$dir/.vacuum-trash"))
+    val audioFiles = graft.io.StatsManifest
+      .listParquet(spark, s"$dir/audio")
+    // "swap" the audio catalog: park originals in trash, plant a
+    // replacement holding only a SUBSET (simulates a staged rewrite
+    // that must not survive the rollback)
+    // wav ids are ≡ 2 (mod 4) in this corpus (the format draw is
+    // id mod 4), so halve on mod 8 to get a strict subset
+    FingerprintStore.audioFingerprints(spark, dir)
+      .filter(col("doc_id") % 8 === 2)
+      .write.mode("overwrite").parquet(s"$dir/.vacuum-staged-audio")
+    audioFiles.foreach { f =>
+      val p = new Path(f)
+      assert(fs.rename(p, new Path(s"$dir/.vacuum-trash",
+        s"audio-${p.getName}")))
+    }
+    graft.io.StatsManifest.listParquet(spark, s"$dir/.vacuum-staged-audio")
+      .zipWithIndex.foreach { case (f, i) =>
+        val p = new Path(f)
+        assert(fs.rename(p,
+          new Path(s"$dir/audio", s"vacuum-$token-$i-${p.getName}")))
+      }
+    assert(catalogs(dir) != before, "the torn state must be visible")
+    assert(FingerprintStore.recover(spark, dir))
+    assert(catalogs(dir) == before,
+      "recover must land on the exact pre-maintenance state")
+    assert(!fs.exists(new Path(s"$dir/_vacuum-inprogress-$token")))
+    assert(!fs.exists(new Path(s"$dir/.vacuum-trash")))
+    assert(!FingerprintStore.recover(spark, dir),
+      "a clean store must recover as a no-op")
+  }
+
   test("fingerprint store vacuum: dropped ids vanish from every catalog, " +
       "clean files are never touched, and a vacuumed id re-appends " +
       "fresh — the right-to-be-forgotten + legitimate-re-upload path") {

@@ -516,6 +516,19 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
     assert(fs.globStatus(
       new org.apache.hadoop.fs.Path(s"$empty/_audiobits-*")).isEmpty,
       "an empty first batch must not bootstrap")
+    // HOUSEKEEPING policy: a batch landing with compactEvery set folds
+    // the per-batch file sprawl once the catalogs exceed the budget —
+    // catalogs stay row-identical, file count drops, and the replayed
+    // batch before it still no-ops (flags survive compaction)
+    val preFiles = FingerprintStore.dataFileCount(spark, s"$base/store")
+    StreamOps.ingestMediaBatch( // id 99: the stream may have committed
+      media.limit(0), 99L, s"$base/store", compactEvery = 4) // a trailing empty batch
+    assert(catalogs(s"$base/store") == catalogs(ref),
+      "compaction must not move a row")
+    assert(FingerprintStore.dataFileCount(spark, s"$base/store") < preFiles,
+      "the compactEvery policy must fold files")
+    StreamOps.ingestMediaBatch(b2, 2L, s"$base/store")
+    assert(catalogs(s"$base/store") == catalogs(ref))
   }
 
   test("streaming decontamination gate drops exactly the batch fuzzy-" +
