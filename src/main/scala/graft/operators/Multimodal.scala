@@ -1206,9 +1206,13 @@ object Multimodal {
     * (4 `shard=N` subdirs — the recursive-listing shape a sharded crawl
     * delivery has) — the FIXTURE side of the composed pipelines, NOT an
     * operator: it stands in for the crawl that delivered the corpus.
-    * Runs DRIVER-side over a toLocalIterator (one partition's blobs in
-    * memory at a time, file count is fixture-sized by construction), so
-    * it is correct on a real cluster too — an executor-side
+    * The blob ENCODE/collect runs as ONE parallel Spark job and only
+    * the file writes run driver-side (the fixture is bounded by
+    * construction — tens of MB at bench SF — so the collect is a
+    * fixture-sized transfer, not a corpus operator; a toLocalIterator
+    * here would serialize the encode work to one task at a time, +1.4 s
+    * per q_mm09 pass measured). Driver-side writing is what makes the
+    * fixture correct on a real cluster too — an executor-side
     * foreachPartition write would scatter files across worker-local
     * filesystems and the driver's listing would miss them. The target
     * dir is DETERMINISTIC per caller and rebuilt from scratch each run
@@ -1226,7 +1230,7 @@ object Multimodal {
     }
     media.select(col("doc_id"), col("meta.format"), col("blob"))
       .as[(Long, String, Array[Byte])]
-      .toLocalIterator().forEachRemaining { case (id, fmt, blob) =>
+      .collect().foreach { case (id, fmt, blob) =>
         val d = root.resolve(s"shard=${(id % 4).toInt}")
         java.nio.file.Files.createDirectories(d)
         java.nio.file.Files.write(d.resolve(s"$id.$fmt"), blob)
