@@ -529,6 +529,24 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
       "the compactEvery policy must fold files")
     StreamOps.ingestMediaBatch(b2, 2L, s"$base/store")
     assert(catalogs(s"$base/store") == catalogs(ref))
+    // a compact TORN mid-swap (marker staked, one catalog's files
+    // parked in trash) is rolled back by the NEXT batch's append —
+    // the docstring's best-effort-housekeeping claim, end to end
+    val store = new org.apache.hadoop.fs.Path(s"$base/store")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$base/store/_vacuum-inprogress-torntest"), true).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/store/.vacuum-trash"))
+    graft.io.StatsManifest.listParquet(spark, s"$base/store/ledger")
+      .foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        assert(fs.rename(p, new org.apache.hadoop.fs.Path(
+          s"$base/store/.vacuum-trash", s"ledger-${p.getName}")))
+      }
+    StreamOps.ingestMediaBatch(media.limit(0), 100L, s"$base/store")
+    assert(catalogs(s"$base/store") == catalogs(ref),
+      "the next batch's append must roll a torn maintenance back")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$base/store/_vacuum-inprogress-torntest")))
   }
 
   test("streaming decontamination gate drops exactly the batch fuzzy-" +
