@@ -449,7 +449,7 @@ object SparkEntry {
     s"""WITH RECURSIVE $mm07FpCtes, """ +
       // ---- image dHash catalog (q_mm04 chain) + exact-copy twins
       """im AS (SELECT doc_id, ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 AS iw, ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 AS ihp FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 < 2), """ +
-      """imm AS (SELECT doc_id AS out_id, doc_id AS seed, iw, ihp FROM im UNION ALL SELECT doc_id + 10000000, doc_id, iw, ihp FROM im WHERE doc_id % 3 = 0), """ +
+      """imm AS (SELECT doc_id AS out_id, doc_id AS seed, iw, ihp FROM im UNION ALL SELECT doc_id + 10000000, doc_id, iw, ihp FROM im WHERE doc_id % 3 = 0 AND iw >= 10), """ +
       """igrid AS (SELECT out_id, seed, iw, ihp, unnest(range(0, 72)) AS g FROM imm), """ +
       """igxy AS (SELECT out_id, seed, g % 9 AS gx, g // 9 AS gy, ((g // 9) * ihp // 8) * iw + ((g % 9) * iw // 9) AS i FROM igrid), """ +
       duckSplitmix("i", "igxy") + ", " +

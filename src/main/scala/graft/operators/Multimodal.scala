@@ -1074,24 +1074,43 @@ object Multimodal {
       .filter(col("blob").isNotNull)
   }
 
-  /** PLANT deterministic image EXACT duplicates: every third image row
-    * (png/bmp) gets a twin at `doc_id + TwinOffset` carrying the
-    * ORIGINAL BLOB verbatim — the re-upload / mirrored-asset case, the
-    * most common image duplication in a crawled corpus. The twin's
-    * dHash is bit-identical (Hamming 0, inside any serving radius), and
-    * because it shares the original's pixel stream the DuckDB oracle
-    * regenerates its hash from the original's seed with no extra
-    * machinery. (The near-dup RADIUS semantics are exercised by the
-    * audio family's silence twins and the video family's trim twins in
-    * the same composed query — image mutations don't decompose into an
-    * oracle-regenerable pixel edit under a 9×8 sampled grid whose cells
-    * alias on small images.)
+  /** PLANT deterministic image near-duplicates: every third image row
+    * (png/bmp) at least 10 px wide gets a twin at `doc_id + TwinOffset`
+    * whose payload is the ORIGINAL BLOB decoded, its bottom-right
+    * pixel blacked, and re-encoded — a true decode→edit→re-encode
+    * near-dup (the watermark/retouch case): the twin's BYTES differ
+    * from the original's, but its dHash is bit-identical because the
+    * 9×8 sampling grid provably never reads column w−1 when w ≥ 10
+    * (max sampled column = ⌊8w/9⌋ < w−1 ⟺ w > 9), so the pair sits at
+    * Hamming 0 inside any serving radius AND the DuckDB oracle
+    * regenerates the twin's hash from the original's seed with no
+    * mutation model. (Sub-10-px images are skipped: their grid cells
+    * alias every pixel, so no edit is hash-invisible — and the audio
+    * silence twins / video trim twins in the same composed query
+    * already exercise the nonzero-radius semantics.)
     */
-  def plantImageTwins(s: SparkSession, media: DataFrame): DataFrame =
+  def plantImageTwins(s: SparkSession, media: DataFrame): DataFrame = {
+    val mutate = udf((blob: Array[Byte]) => {
+      imageIoInMemory
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(blob))
+      if (img == null) null
+      else {
+        img.setRGB(img.getWidth - 1, img.getHeight - 1, 0xFF000000)
+        val out = new java.io.ByteArrayOutputStream()
+        val fmt = // re-encode in the claimed container
+          if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') "bmp"
+          else "png"
+        javax.imageio.ImageIO.write(img, fmt, out)
+        out.toByteArray
+      }
+    })
     media.filter(col("meta.format").isin("png", "bmp") &&
-        col("doc_id") % 3 === 0)
+        col("doc_id") % 3 === 0 && col("meta.width") >= 10)
       .select((col("doc_id") + lit(TwinOffset)).as("doc_id"),
-        col("blob"), col("meta"))
+        mutate(col("blob")).as("blob"), col("meta"))
+      .filter(col("blob").isNotNull)
+  }
 
   /** Remux an mp4 payload minus its LAST frame slot — the trim edit of
     * a planted video twin. Demux the real container, drop one slot,
