@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * the whole perceptual-dedup family is O(new media per day), not
   * O(corpus) per analysis.
   *
-  * Layout under `dir` (all parquet, append-only between vacuums):
+  * Layout under `dir` (all parquet, flat per catalog):
   *   - `ledger/` — one row per INGESTED media item: (doc_id, format,
   *     decoded). Every batch row lands here — including items whose
   *     bytes failed their format's decoder (decoded = false), so a
@@ -39,29 +39,76 @@ import org.apache.spark.sql.functions._
   *     analyses (splice detection, boilerplate-frame audits) read the
   *     same catalog the pair join does.
   *
-  * Concurrency contract: single maintainer (bootstrap/append/vacuum),
-  * any number of readers — the ChunkStore/StatsManifest posture. Append
-  * idempotence is the STORE's, not the caller's (the Ivf
-  * `ingest_batch`/`_batch-<id>` discipline, r16): every append runs
-  * under a batch id, lands its rows as `batch<id>-*`-prefixed files in
-  * each catalog, and commits a root `_batch-<id>` flag LAST. A replay
-  * of a flagged batch is a no-op; a replay of an unflagged (crashed)
-  * batch first deletes that id's file remnants from all four catalogs —
-  * restoring the exactly-before-this-batch state — and redoes the whole
-  * append, so the crash window the plain mode("append") writes left
-  * open (catalogs landed, ledger didn't → replay re-decodes and
-  * DUPLICATES the digest rows) is closed: replay rewrites, never
+  * == Concurrency contract: single maintainer, snapshot-isolated readers ==
+  *
+  * One maintainer (bootstrap/append/compact/vacuum) at a time; any
+  * number of readers, concurrent with ANY maintenance move. Reader
+  * isolation is the Iceberg/Delta idiom in miniature — metadata-pointer
+  * commits over immutable data files:
+  *
+  *   - Committed files are NEVER renamed or deleted by a completing
+  *     maintenance move. [[vacuum]]/[[compact]] land their rewritten
+  *     files under `fold-<token>-*` names ALONGSIDE the originals, then
+  *     commit by publishing a new root snapshot (`_snapfiles-<k>` file
+  *     list + `_snap-<k>` flag, max flag wins — the Ivf `_ready-N`
+  *     idiom). The single flag-create is the atomic commit point.
+  *   - Readers ([[imageHashes]] …) resolve the max `_snap-<k>` at plan
+  *     time and scan exactly that snapshot's files, plus any
+  *     `batch<tag>-*` files appended after it (appends are additive and
+  *     never rewritten by the batch discipline, so including them is
+  *     always consistent). A DataFrame planned BEFORE a vacuum/compact
+  *     holds pre-swap file paths — all still on disk — and materializes
+  *     the pre-maintenance snapshot correctly AFTER the swap.
+  *   - Displaced originals are RETIRED, not deleted: recorded in the new
+  *     snapshot's retired list and reaped (physically deleted) at the
+  *     START of the NEXT maintenance move. The grace window is therefore
+  *     one full maintenance cycle: a reader must not span two
+  *     vacuum/compact rounds (the same bounded-staleness contract as
+  *     Iceberg snapshot expiry / Delta VACUUM retention).
+  *
+  * Crash recovery is rollback-trivial under this scheme because
+  * originals never move: a torn vacuum/compact leaves only INVISIBLE
+  * junk (`fold-<token>-*` files no snapshot references, stage dirs, the
+  * `_maint-inprogress-<token>` marker). [[recover]] deletes the junk and
+  * drops the marker — no restore step exists to get wrong. If the crash
+  * happened AFTER the snapshot flag committed, recover detects the
+  * token in the current snapshot and rolls FORWARD (cleanup only).
+  *
+  * == Append idempotence: namespaced batch flags ==
+  *
+  * Every append runs under a batch TAG, lands its rows as
+  * `batch<tag>-*`-prefixed files in each catalog, and commits a root
+  * `_batch-<tag>` flag LAST. A replay of a flagged batch is a no-op; a
+  * replay of an unflagged (crashed) batch first deletes that tag's file
+  * remnants from all four catalogs — restoring the exactly-before-this-
+  * batch state — and redoes the whole append, so replay rewrites, never
   * duplicates, and the one-row-per-item ledger invariant holds across
   * any number of retries.
   *
-  * Scale shape of [[append]]: the new-id set is computed ids-only
-  * (doc_id anti-join against the ledger — key-sized exchange), then the
-  * batch's blob rows are filtered to new ids via a BROADCAST semi-join
-  * when the new-id set is driver-safe, so the blob column never crosses
-  * an exchange; above the broadcast bound it degrades to one BATCH-sized
-  * blob shuffle (never store-sized), same as ChunkStore.append's
-  * batch-text exchange. History parquet is read ids-only and never
-  * rewritten.
+  * Tags live in two DISJOINT namespaces so a checkpointed stream and an
+  * ad-hoc manual append can share a store without colliding:
+  * caller-supplied ids (a streaming sink's foreachBatch —
+  * [[graft.streaming.StreamOps.ingestMedia]]) use the bare numeric tag
+  * (`_batch-<N>`); the self-allocating `batchId = -1` path draws from
+  * the MANUAL namespace (`_batch-m<N>`). Without the namespace split, a
+  * manual append between two stream batches could pre-commit the flag
+  * the stream's next (real) batch id would present, silently no-opping
+  * that micro-batch's ingestion.
+  *
+  * [[compact]] additionally rolls committed flags up into a per-
+  * namespace WATERMARK (`_batchmark-<ns><N>` = "all ids 0..N in <ns>
+  * are committed"), so a long-lived crawl doesn't accrue one root flag
+  * file per micro-batch forever — the root listing stays O(exceptions),
+  * not O(batches ever ingested).
+  *
+  * == Scale shape of [[append]] ==
+  *
+  * The new-id set is computed ids-only (doc_id anti-join against the
+  * ledger — key-sized exchange), then the batch's blob rows are filtered
+  * to new ids via a BROADCAST semi-join when the new-id set is
+  * driver-safe, so the blob column never crosses an exchange; above the
+  * broadcast bound it degrades to one BATCH-sized blob shuffle (never
+  * store-sized). History parquet is read ids-only and never rewritten.
   */
 object FingerprintStore {
 
@@ -70,6 +117,8 @@ object FingerprintStore {
     * batches fall back to the shuffle semi-join.
     */
   private val BroadcastIdCap = 4000000L
+
+  private val Catalogs = Seq("image", "audio", "video", "ledger")
 
   private def fsOf(s: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -83,6 +132,183 @@ object FingerprintStore {
       s"fingerprint store at $dir has no _audiobits marker — not bootstrapped?")
     hits.map(_.getPath.getName.stripPrefix("_audiobits-").toInt).max
   }
+
+  // ------------------------------------------------------------------
+  // Batch flags: two namespaces + the compact-maintained watermark
+  // ------------------------------------------------------------------
+
+  /** The committed-batch view: explicit flags plus the per-namespace
+    * watermarks compact folds old flags into. Loaded once per
+    * operation (one root glob).
+    */
+  private final case class Flags(explicit: Set[String],
+      streamMark: Long, manualMark: Long) {
+    def committed(tag: String): Boolean =
+      explicit(tag) || {
+        val (ns, id) = splitTag(tag)
+        id >= 0 && id <= (if (ns == "m") manualMark else streamMark)
+      }
+    def nextManualId: Long = {
+      val flagged = explicit.iterator.filter(_.startsWith("m"))
+        .flatMap(t => t.stripPrefix("m").toLongOption)
+      (flagged ++ Iterator.single(manualMark)).max + 1L
+    }
+  }
+
+  /** `"m12"` → ("m", 12); `"7"` → ("", 7); anything unparseable → id −1
+    * (never watermark-covered, so only an explicit flag commits it).
+    */
+  private def splitTag(tag: String): (String, Long) =
+    if (tag.startsWith("m"))
+      ("m", tag.stripPrefix("m").toLongOption.getOrElse(-1L))
+    else ("", tag.toLongOption.getOrElse(-1L))
+
+  private def loadFlags(s: SparkSession, dir: String): Flags = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s, dir)
+    val flags = fs.globStatus(new Path(s"$dir/_batch-*"))
+    val marks = fs.globStatus(new Path(s"$dir/_batchmark-*"))
+    val explicit =
+      if (flags == null) Set.empty[String]
+      else flags.map(_.getPath.getName.stripPrefix("_batch-")).toSet
+    val (sm, mm) =
+      if (marks == null || marks.isEmpty) (-1L, -1L)
+      else {
+        val parsed = marks.toSeq
+          .map(_.getPath.getName.stripPrefix("_batchmark-"))
+          .map(splitTag)
+        (parsed.collect { case ("", n) => n }.foldLeft(-1L)(math.max),
+          parsed.collect { case ("m", n) => n }.foldLeft(-1L)(math.max))
+      }
+    Flags(explicit, sm, mm)
+  }
+
+  /** Is this caller-supplied (stream-namespace) batch id committed —
+    * either its `_batch-<id>` flag survives, or compact rolled it into
+    * the stream watermark? The check a foreachBatch sink runs before
+    * deciding whether a replayed micro-batch has work to do.
+    */
+  def batchCommitted(s: SparkSession, dir: String, batchId: Long): Boolean =
+    loadFlags(s, dir).committed(batchId.toString)
+
+  /** Commit a stream-namespace batch flag directly (the bootstrap leg of
+    * [[graft.streaming.StreamOps.ingestMediaBatch]], where the catalog
+    * write is mode-overwrite-idempotent and [[append]] never runs).
+    */
+  def commitBatchFlag(s: SparkSession, dir: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_batch-$batchId")
+    val fs = fsOf(s, dir)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  // ------------------------------------------------------------------
+  // Snapshots: the metadata-pointer commit readers resolve
+  // ------------------------------------------------------------------
+
+  /** One committed snapshot: per catalog, the live file NAMES the
+    * snapshot references and the retired names awaiting reap. `token`
+    * is the maintenance token that published it (how [[recover]] tells
+    * a committed maintenance from a torn one).
+    */
+  private final case class Snapshot(k: Long, token: String,
+      live: Map[String, Set[String]], retired: Map[String, Set[String]])
+
+  private def currentSnapshot(s: SparkSession, dir: String)
+      : Option[Snapshot] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s, dir)
+    val flags = fs.globStatus(new Path(s"$dir/_snap-*"))
+    if (flags == null || flags.isEmpty) return None
+    val k = flags.map(_.getPath.getName.stripPrefix("_snap-").toLong).max
+    val in = fs.open(new Path(s"$dir/_snapfiles-$k"))
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    var token = ""
+    val live = scala.collection.mutable.Map[String, Set[String]]()
+      .withDefaultValue(Set.empty)
+    val retired = scala.collection.mutable.Map[String, Set[String]]()
+      .withDefaultValue(Set.empty)
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      line.split('\t') match {
+        case Array("token", t) => token = t
+        case Array(cat, "L", name) => live(cat) = live(cat) + name
+        case Array(cat, "R", name) => retired(cat) = retired(cat) + name
+        case other => sys.error(
+          s"corrupt snapshot line in $dir/_snapfiles-$k: ${other.mkString("\t")}")
+      }
+    }
+    Some(Snapshot(k, token, live.toMap.withDefaultValue(Set.empty),
+      retired.toMap.withDefaultValue(Set.empty)))
+  }
+
+  /** Publish snapshot `k`: write the file list, then create the
+    * `_snap-<k>` flag — the single atomic commit point. Older snapshot
+    * metadata is dropped AFTER the flag (a crash between leaves extra
+    * `_snap-*` files; max-wins makes that harmless and the next
+    * maintenance cleans up).
+    */
+  private def publishSnapshot(s: SparkSession, dir: String, snap: Snapshot)
+      : Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s, dir)
+    val sb = new StringBuilder
+    sb.append("token\t").append(snap.token).append('\n')
+    for (cat <- Catalogs) {
+      snap.live(cat).toSeq.sorted
+        .foreach(n => sb.append(cat).append("\tL\t").append(n).append('\n'))
+      snap.retired(cat).toSeq.sorted
+        .foreach(n => sb.append(cat).append("\tR\t").append(n).append('\n'))
+    }
+    val out = fs.create(new Path(s"$dir/_snapfiles-${snap.k}"), true)
+    try out.write(sb.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.create(new Path(s"$dir/_snap-${snap.k}"), true).close()
+    Seq("_snap-", "_snapfiles-").foreach { pre =>
+      val old = fs.globStatus(new Path(s"$dir/$pre*"))
+      if (old != null) old
+        .filter(_.getPath.getName.stripPrefix(pre).toLong < snap.k)
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+  }
+
+  /** The files a fresh read of `cat` scans: the current snapshot's live
+    * list, plus `batch<tag>-*` files appended after it (present in the
+    * listing, referenced by no snapshot). Pre-snapshot stores (bootstrap
+    * crashed before its snapshot) fall back to the raw listing.
+    */
+  private def liveFiles(s: SparkSession, dir: String, cat: String)
+      : Seq[String] = {
+    val catDir = s"$dir/$cat"
+    if (!fsOf(s, dir).exists(new org.apache.hadoop.fs.Path(catDir)))
+      return Nil
+    val listing = graft.io.StatsManifest.listParquet(s, catDir)
+    currentSnapshot(s, dir) match {
+      case None => listing
+      case Some(snap) =>
+        val (live, retired) = (snap.live(cat), snap.retired(cat))
+        listing.filter { f =>
+          val n = new org.apache.hadoop.fs.Path(f).getName
+          live(n) || (n.startsWith("batch") && !retired(n) && !live(n))
+        }
+    }
+  }
+
+  /** Snapshot-resolved catalog read — every public accessor and the
+    * append anti-join go through here, so retired-but-retained files
+    * are invisible the instant the new snapshot commits.
+    */
+  private def readCat(s: SparkSession, dir: String, cat: String): DataFrame = {
+    val files = liveFiles(s, dir, cat)
+    if (files.isEmpty) s.read.parquet(s"$dir/$cat") // pre-snapshot/legacy
+    else s.read.parquet(files: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Decode + bootstrap + append
+  // ------------------------------------------------------------------
 
   /** Decode one media frame into the three per-kind digest catalogs.
     * The decodes are the Multimodal partition-parallel mapPartitions
@@ -99,21 +325,30 @@ object FingerprintStore {
 
   /** Build the store from scratch over `media` ((doc_id, blob, meta) —
     * the [[graft.io.Readers.binaryMedia]] / [[Multimodal.withMedia]]
-    * shape). Decodes every row once.
+    * shape). Decodes every row once. Commits by publishing snapshot 0
+    * and (LAST) the `_audiobits` marker — a crash anywhere before the
+    * marker re-runs bootstrap idempotently (all catalog writes are
+    * mode-overwrite).
     */
   def bootstrap(s: SparkSession, media: DataFrame, dir: String,
       audioBits: Int = 32): Unit = {
+    import org.apache.hadoop.fs.Path
     require(audioBits % 8 == 0 && audioBits >= 16 && audioBits <= 64,
       s"audioBits $audioBits: the banded serving join needs a multiple " +
         "of 8 in [16,64]")
-    // a re-bootstrap over a store with a torn vacuum/compact must not
-    // leave the stale marker + trash behind: a later recover() would
-    // "restore" pre-bootstrap files into the fresh catalogs
+    // a re-bootstrap must not leave a prior life's maintenance metadata
+    // behind: a surviving marker/snapshot would make recover() or a
+    // reader resurrect pre-bootstrap state over the fresh catalogs.
+    // (_batch-* flags are KEPT — they are committed-batch history a
+    // replaying stream checkpoint may still consult.)
     val fs0 = fsOf(s, dir)
-    val stale = fs0.globStatus(
-      new org.apache.hadoop.fs.Path(s"$dir/_vacuum-inprogress-*"))
-    if (stale != null) stale.foreach(m => fs0.delete(m.getPath, false))
-    fs0.delete(new org.apache.hadoop.fs.Path(s"$dir/.vacuum-trash"), true)
+    Seq("_maint-inprogress-*", "_snap-*", "_snapfiles-*", "_batchmark-*")
+      .foreach { g =>
+        val hits = fs0.globStatus(new Path(s"$dir/$g"))
+        if (hits != null) hits.foreach(h => fs0.delete(h.getPath, false))
+      }
+    Catalogs.foreach(cat =>
+      fs0.delete(new Path(s"$dir/.append-staged-$cat"), true))
     val (img, aud, vid) = fingerprints(s, media, audioBits)
     // the ledger join consumes the catalogs' doc_ids, and the catalogs
     // are ALSO written — pin the digest rows so the blobs decode once,
@@ -127,8 +362,12 @@ object FingerprintStore {
     val ids = media.select(col("doc_id"), col("meta.format").as("format"))
     ledgerOf(ids, imgP, audP, vidP)
       .write.mode("overwrite").parquet(s"$dir/ledger")
-    fsOf(s, dir).create(new org.apache.hadoop.fs.Path(
-      s"$dir/_audiobits-$audioBits"), true).close()
+    val live = Catalogs.map(cat => cat ->
+      graft.io.StatsManifest.listParquet(s, s"$dir/$cat")
+        .map(f => new Path(f).getName).toSet).toMap
+    publishSnapshot(s, dir, Snapshot(0L, "bootstrap", live,
+      Catalogs.map(_ -> Set.empty[String]).toMap))
+    fs0.create(new Path(s"$dir/_audiobits-$audioBits"), true).close()
   }
 
   /** The ledger frame for a batch given its PINNED catalogs. A doc_id
@@ -148,29 +387,14 @@ object FingerprintStore {
         coalesce(col("decoded"), lit(false)).as("decoded"))
   }
 
-  private val Catalogs = Seq("image", "audio", "video", "ledger")
-
-  /** The next unused batch id: one past the highest committed `_batch-*`
-    * flag (0 for a store that has only bootstrapped). Only safe under
-    * the single-maintainer contract — a crashed batch has no flag, so
-    * the retry re-allocates the SAME id and its remnant-delete pass
-    * restores the before state.
-    */
-  private def nextBatchId(s: SparkSession, dir: String): Long = {
-    val hits = fsOf(s, dir).globStatus(
-      new org.apache.hadoop.fs.Path(s"$dir/_batch-*"))
-    if (hits == null || hits.isEmpty) 0L
-    else hits.map(_.getPath.getName.stripPrefix("_batch-").toLong).max + 1L
-  }
-
-  /** Land `df`'s rows in `$dir/$cat` as `batch<id>-*`-named files: write
+  /** Land `df`'s rows in `$dir/$cat` as `batch<tag>-*`-named files: write
     * to a staging dir, rename each data file in with the batch prefix,
     * drop the stage. The prefix is what makes a crashed batch's remnants
     * identifiable (and deletable) on replay — a bare mode("append")
     * write scatters anonymous part files that no retry could take back.
     */
   private def landBatchFiles(s: SparkSession, df: DataFrame, dir: String,
-      cat: String, batchId: Long): Unit = {
+      cat: String, tag: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(s, dir)
     val stage = s"$dir/.append-staged-$cat"
@@ -180,7 +404,7 @@ object FingerprintStore {
       case (f, i) =>
         val p = new Path(f)
         require(fs.rename(p,
-          new Path(s"$dir/$cat", s"batch$batchId-$i-${p.getName}")),
+          new Path(s"$dir/$cat", s"batch$tag-$i-${p.getName}")),
           s"append: rename $f into $dir/$cat failed")
     }
     fs.delete(new Path(stage), true)
@@ -192,40 +416,40 @@ object FingerprintStore {
     * rewritten; a batch overlapping already-ingested ids costs one
     * key-sized anti-join, zero decodes for the overlap.
     *
-    * Idempotence (r16): the batch lands as `batch<id>-*` files per
-    * catalog with a root `_batch-<id>` flag committed LAST. Callers
-    * with their own batch ids (a streaming sink's foreachBatch — see
-    * [[graft.streaming.StreamOps.ingestMedia]]) pass `batchId` ≥ 0;
-    * the default −1 self-allocates the next id from the committed
-    * flags, which under the single-maintainer contract makes a plain
-    * retried `append` land on its crashed predecessor's id and REWRITE
-    * it. Either way: flagged id → no-op; unflagged id → remnants of
-    * that id are deleted from every catalog before the batch runs, so
-    * a replay after any crash point produces the exact
-    * append-equals-rebuild catalogs (spec-pinned in EngineSpec).
+    * Idempotence: the batch lands as `batch<tag>-*` files per catalog
+    * with a root `_batch-<tag>` flag committed LAST. Callers with their
+    * own batch ids (a streaming sink's foreachBatch — see
+    * [[graft.streaming.StreamOps.ingestMedia]]) pass `batchId` ≥ 0 and
+    * get the bare numeric tag; the default −1 self-allocates the next
+    * id in the MANUAL namespace (`m<N>` tags — see the class doc: the
+    * namespaces are disjoint, so a manual append can never pre-commit a
+    * flag a checkpointed stream's next batch would present). Either
+    * way: committed tag → no-op; uncommitted tag → remnants of that tag
+    * are deleted from every catalog before the batch runs, so a replay
+    * after any crash point produces the exact append-equals-rebuild
+    * catalogs (spec-pinned in EngineSpec).
     */
   def append(s: SparkSession, media: DataFrame, dir: String,
       batchId: Long = -1L): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(s, dir)
-    val id = if (batchId >= 0L) batchId else nextBatchId(s, dir)
-    val flag = new Path(s"$dir/_batch-$id")
-    if (fs.exists(flag)) return // committed batch replayed: no-op
-    // a torn vacuum/compact (surviving _vacuum-inprogress marker) left
-    // some catalog rows parked in trash — appending against that view
-    // would anti-join on an incomplete ledger and re-ingest parked ids;
-    // roll the maintenance back first (cheap glob when clean)
+    val flags = loadFlags(s, dir)
+    val tag = if (batchId >= 0L) batchId.toString else s"m${flags.nextManualId}"
+    if (flags.committed(tag)) return // committed batch replayed: no-op
+    // a torn vacuum/compact left invisible junk and a marker — clean it
+    // so this batch's work can't interleave with a half-done swap
+    // (cheap glob when clean)
     recover(s, dir)
-    // a crashed attempt at this id left identifiable remnants — take
+    // a crashed attempt at this tag left identifiable remnants — take
     // them back first, restoring the exactly-before-this-batch state
     // (in particular the ledger's view of "seen"), so the re-run below
     // neither duplicates digests nor skips re-decoding its own rows
     Catalogs.foreach { cat =>
-      val hits = fs.globStatus(new Path(s"$dir/$cat/batch$id-*"))
+      val hits = fs.globStatus(new Path(s"$dir/$cat/batch$tag-*"))
       if (hits != null) hits.foreach(h => fs.delete(h.getPath, false))
     }
     val audioBits = audioBitsOf(s, dir)
-    val seen = s.read.parquet(s"$dir/ledger").select("doc_id")
+    val seen = readCat(s, dir, "ledger").select("doc_id")
     // ids-only anti-join first (key-sized exchange), so the blob column
     // stays out of every store-sized plan edge
     val newIds = media.select("doc_id").distinct()
@@ -240,23 +464,24 @@ object FingerprintStore {
       val (img, aud, vid) = fingerprints(s, fresh, audioBits)
       val (imgP, audP, vidP) =
         (img.localCheckpoint(), aud.localCheckpoint(), vid.localCheckpoint())
-      landBatchFiles(s, imgP, dir, "image", id)
-      landBatchFiles(s, audP, dir, "audio", id)
-      landBatchFiles(s, vidP, dir, "video", id)
+      landBatchFiles(s, imgP, dir, "image", tag)
+      landBatchFiles(s, audP, dir, "audio", tag)
+      landBatchFiles(s, vidP, dir, "video", tag)
       val ids = fresh.select(col("doc_id"), col("meta.format").as("format"))
-      landBatchFiles(s, ledgerOf(ids, imgP, audP, vidP), dir, "ledger", id)
+      landBatchFiles(s, ledgerOf(ids, imgP, audP, vidP), dir, "ledger", tag)
     }
-    fs.create(flag, true).close() // the commit point — everything landed
+    // the commit point — everything landed
+    fs.create(new Path(s"$dir/_batch-$tag"), true).close()
   }
 
   def imageHashes(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/image")
+    readCat(s, dir, "image")
   def audioFingerprints(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/audio")
+    readCat(s, dir, "audio")
   def videoPostings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/video")
+    readCat(s, dir, "video")
   def ledger(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/ledger")
+    readCat(s, dir, "ledger")
 
   /** The near-dup joins, SERVED FROM THE STORE — hash-identical to their
     * decode-path twins ([[Multimodal.imageNearDupPairs]] /
@@ -281,6 +506,81 @@ object FingerprintStore {
     Multimodal.videoJaccardPairs(videoPostings(s, dir), minJaccard,
       maxVideosPerFrame, pinPostings = false)
 
+  // ------------------------------------------------------------------
+  // Maintenance: compact, vacuum, recover — snapshot-pointer commits
+  // ------------------------------------------------------------------
+
+  /** Start a maintenance move: stake the marker, roll back any PRIOR
+    * torn maintenance, reap retired files whose grace (one maintenance
+    * cycle) has expired, and delete remnants of torn appends so an
+    * uncommitted batch's rows can never be folded into a snapshot the
+    * batch's replay couldn't take back. Returns (token, the snapshot to
+    * build on, its live file sets).
+    */
+  private def beginMaintenance(s: SparkSession, dir: String)
+      : (String, Long, Map[String, Seq[String]]) = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s, dir)
+    recover(s, dir)
+    val token = java.util.UUID.randomUUID().toString
+    fs.create(new Path(s"$dir/_maint-inprogress-$token"), true).close()
+    // reap: the previous snapshot's retired files have had their one
+    // round of grace — physically delete them now
+    val prior = currentSnapshot(s, dir)
+    prior.foreach { snap =>
+      Catalogs.foreach { cat =>
+        snap.retired(cat).foreach(n =>
+          fs.delete(new Path(s"$dir/$cat/$n"), false))
+      }
+    }
+    // torn-batch pre-clean: batch files whose tag never committed are a
+    // crashed append's remnants; restore the before-batch state (the
+    // replay will redo the whole batch) rather than folding them in
+    val flags = loadFlags(s, dir)
+    Catalogs.foreach { cat =>
+      val hits = fs.globStatus(new Path(s"$dir/$cat/batch*"))
+      if (hits != null) hits.foreach { h =>
+        val tag = h.getPath.getName.stripPrefix("batch").takeWhile(_ != '-')
+        if (!flags.committed(tag)) fs.delete(h.getPath, false)
+      }
+    }
+    val k = prior.map(_.k).getOrElse(-1L)
+    val live = Catalogs.map(cat => cat -> liveFiles(s, dir, cat)).toMap
+    (token, k, live)
+  }
+
+  /** Finish a maintenance move: publish the new snapshot (IF any
+    * catalog changed), roll committed batch flags up into the
+    * per-namespace watermarks, and drop the marker. Watermark order is
+    * crash-monotone: the new mark is created BEFORE the flags it covers
+    * (and any older mark) are deleted, so no crash point ever makes a
+    * committed batch look uncommitted.
+    */
+  private def finishMaintenance(s: SparkSession, dir: String, token: String,
+      priorK: Long, newLive: Map[String, Set[String]],
+      newRetired: Map[String, Set[String]]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s, dir)
+    if (newRetired.valuesIterator.exists(_.nonEmpty))
+      publishSnapshot(s, dir, Snapshot(priorK + 1L, token, newLive, newRetired))
+    val flags = loadFlags(s, dir)
+    Seq("", "m").foreach { ns =>
+      val mark = if (ns == "m") flags.manualMark else flags.streamMark
+      val ids = flags.explicit.iterator.map(splitTag)
+        .collect { case (`ns`, id) if id >= 0 => id }.toArray.sorted
+      var wm = mark
+      ids.foreach(id => if (id == wm + 1) wm = id)
+      if (wm > mark) {
+        fs.create(new Path(s"$dir/_batchmark-$ns$wm"), true).close()
+        ids.takeWhile(_ <= wm).foreach(id =>
+          fs.delete(new Path(s"$dir/_batch-$ns$id"), false))
+        if (mark >= 0)
+          fs.delete(new Path(s"$dir/_batchmark-$ns$mark"), false)
+      }
+    }
+    fs.delete(new Path(s"$dir/_maint-inprogress-$token"), false)
+  }
+
   /** Fold the per-batch file sprawl back to one write's worth of files
     * per catalog — the maintenance move a LIVE ingest loop needs: every
     * append lands ~shuffle-partitions files per catalog, so a crawl
@@ -288,31 +588,28 @@ object FingerprintStore {
     * hundreds of thousands of tiny files (the classic small-files
     * problem: listing cost, footer reads, and scan-task scheduling all
     * ride file COUNT at 100 TB, not bytes). One corpus-sized rewrite
-    * per catalog, swapped with the vacuum discipline (stage, trash,
-    * rename-in, drop trash) under the same `_vacuum-inprogress-`
-    * recovery marker — [[recover]] rolls back a torn compact exactly
-    * like a torn vacuum.
+    * per catalog, committed via the snapshot pointer: folded
+    * replacements land as `fold-<token>-*` files alongside the
+    * originals, invisible until the new `_snap-<k>` flag publishes —
+    * readers planned mid-compact keep materializing the old snapshot.
     *
-    * The `_batch-*` flags are KEPT: they are the replay contract, not
-    * file metadata — a batch replayed after its files were folded away
-    * still finds its flag and no-ops, and [[append]]'s remnant-delete
-    * glob (`batch<id>-*`) cannot match the folded `compact-` names, so
-    * idempotence survives compaction. Same single-maintainer contract
-    * as vacuum.
+    * The `_batch-*` flags stay COMMITTED — compact rolls contiguous
+    * prefixes of them up into the per-namespace `_batchmark-` watermark
+    * (one root file instead of one per micro-batch ever ingested), and
+    * the committed check consults flag-or-watermark, so a batch
+    * replayed after its files were folded away still no-ops, and
+    * [[append]]'s remnant-delete glob (`batch<tag>-*`) cannot match the
+    * folded `fold-` names. Same single-maintainer contract as vacuum.
     */
   def compact(s: SparkSession, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.io.StatsManifest
     val fs = fsOf(s, dir)
-    val trash = new Path(s"$dir/.vacuum-trash")
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    val inProgress = new Path(s"$dir/_vacuum-inprogress-$token")
-    fs.create(inProgress, true).close()
-    def renameOrDie(from: Path, to: Path): Unit =
-      require(fs.rename(from, to), s"compact: rename $from -> $to failed")
+    val (token, k, live) = beginMaintenance(s, dir)
+    val newLive = scala.collection.mutable.Map[String, Set[String]]()
+    val newRetired = scala.collection.mutable.Map[String, Set[String]]()
     Catalogs.foreach { cat =>
-      val catDir = s"$dir/$cat"
-      val files = StatsManifest.listParquet(s, catDir)
+      val files = live(cat)
       // fold to a BYTES-derived file count (~128 MB each), not the scan's
       // partitioning: Spark splits a small-file read into
       // defaultParallelism partitions, so a bare rewrite would reproduce
@@ -321,74 +618,78 @@ object FingerprintStore {
       val target = math.max(1, (bytes / (128L << 20)).toInt)
       if (files.length > target) {
         val staged = s"$dir/.compact-staged-$cat"
-        s.read.parquet(catDir).coalesce(target)
+        s.read.parquet(files: _*).coalesce(target)
           .write.mode("overwrite").parquet(staged)
-        fs.mkdirs(trash)
-        files.foreach { f =>
-          val p = new Path(f)
-          renameOrDie(p, new Path(trash, s"$cat-${p.getName}"))
-        }
-        StatsManifest.listParquet(s, staged).zipWithIndex.foreach {
+        val folded = StatsManifest.listParquet(s, staged).zipWithIndex.map {
           case (f, i) =>
             val p = new Path(f)
-            renameOrDie(p,
-              new Path(catDir, s"vacuum-$token-$i-${p.getName}"))
+            val name = s"fold-$token-$i-${p.getName}"
+            require(fs.rename(p, new Path(s"$dir/$cat", name)),
+              s"compact: rename $f into $dir/$cat failed")
+            name
         }
         fs.delete(new Path(staged), true)
+        newLive(cat) = folded.toSet
+        newRetired(cat) =
+          files.map(f => new Path(f).getName).toSet
+      } else {
+        newLive(cat) = files.map(f => new Path(f).getName).toSet
+        newRetired(cat) = Set.empty
       }
     }
-    if (fs.exists(trash)) fs.delete(trash, true)
-    fs.delete(inProgress, false)
+    finishMaintenance(s, dir, token, k, newLive.toMap, newRetired.toMap)
   }
 
   /** Count of data files per catalog — the [[compact]] trigger a live
-    * ingest loop polls (cheap: one recursive listing, no reads).
+    * ingest loop polls (cheap: one recursive listing + the snapshot
+    * read, no footers). Counts LIVE files only: retired-but-retained
+    * files are invisible junk awaiting reap, not scan work.
     */
   def dataFileCount(s: SparkSession, dir: String): Int =
-    Catalogs.map(cat =>
-      graft.io.StatsManifest.listParquet(s, s"$dir/$cat").length).sum
+    Catalogs.map(cat => liveFiles(s, dir, cat).length).sum
 
-  /** Roll back a vacuum/compact that crashed mid-swap — the CODE form
-    * of the scaladoc'd CRASH RECOVERY order, so an operator (or the
-    * ingest loop itself, on startup) never performs it by hand: for
-    * each surviving `_vacuum-inprogress-<token>` marker, (1) delete
-    * that token's `vacuum-<token>-*` replacement files from every
-    * catalog (they duplicate rows still present in trash), (2) move
-    * `.vacuum-trash/<cat>-<name>` originals back into their catalogs,
-    * (3) drop the marker, trash and stage dirs. The store lands on its
-    * exact pre-vacuum state; re-running the vacuum/compact then
-    * completes the maintenance. A clean store (no marker) is a no-op.
-    * Returns true when a rollback was performed.
+  /** Roll back (or forward) a vacuum/compact that crashed mid-move —
+    * the CODE form of the recovery contract, run automatically at the
+    * head of every [[append]] and maintenance move. Because committed
+    * files never move under the snapshot scheme, a torn maintenance
+    * leaves only INVISIBLE junk; recovery is deletion, never
+    * restoration:
+    *
+    *   - for each surviving `_maint-inprogress-<token>` marker: if the
+    *     CURRENT snapshot carries that token, the move actually
+    *     committed (crash landed between the snapshot flag and the
+    *     marker delete) — roll FORWARD by dropping the marker alone;
+    *     otherwise delete the token's `fold-<token>-*` files from every
+    *     catalog (no snapshot references them) and drop the marker;
+    *   - stage dirs of ALL three kinds (`.append-staged-*`,
+    *     `.compact-staged-*`, `.vacuum-staged-*`) are dropped
+    *     unconditionally — a crashed append's staging parquet is
+    *     transient junk too, not just a crashed maintenance's.
+    *
+    * A clean store is a no-op. Returns true when a torn maintenance
+    * marker was processed.
     */
   def recover(s: SparkSession, dir: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(s, dir)
-    val markers = fs.globStatus(new Path(s"$dir/_vacuum-inprogress-*"))
-    if (markers == null || markers.isEmpty) return false
-    def renameOrDie(from: Path, to: Path): Unit =
-      require(fs.rename(from, to), s"recover: rename $from -> $to failed")
-    markers.foreach { m =>
-      val token = m.getPath.getName.stripPrefix("_vacuum-inprogress-")
-      Catalogs.foreach { cat =>
-        val hits = fs.globStatus(new Path(s"$dir/$cat/vacuum-$token-*"))
-        if (hits != null) hits.foreach(h => fs.delete(h.getPath, false))
-      }
-    }
-    val trash = new Path(s"$dir/.vacuum-trash")
-    val parked = fs.globStatus(new Path(s"$dir/.vacuum-trash/*"))
-    if (parked != null) parked.foreach { f =>
-      val name = f.getPath.getName
-      Catalogs.find(c => name.startsWith(s"$c-")).foreach { cat =>
-        renameOrDie(f.getPath,
-          new Path(s"$dir/$cat", name.stripPrefix(s"$cat-")))
-      }
-    }
-    if (fs.exists(trash)) fs.delete(trash, true)
     Catalogs.foreach { cat =>
-      Seq(s"$dir/.vacuum-staged-$cat", s"$dir/.compact-staged-$cat")
+      Seq(s"$dir/.append-staged-$cat", s"$dir/.compact-staged-$cat",
+        s"$dir/.vacuum-staged-$cat")
         .foreach(p => fs.delete(new Path(p), true))
     }
-    markers.foreach(m => fs.delete(m.getPath, false))
+    val markers = fs.globStatus(new Path(s"$dir/_maint-inprogress-*"))
+    if (markers == null || markers.isEmpty) return false
+    val committedToken = currentSnapshot(s, dir).map(_.token)
+    markers.foreach { m =>
+      val token = m.getPath.getName.stripPrefix("_maint-inprogress-")
+      if (!committedToken.contains(token)) {
+        Catalogs.foreach { cat =>
+          val hits = fs.globStatus(new Path(s"$dir/$cat/fold-$token-*"))
+          if (hits != null) hits.foreach(h => fs.delete(h.getPath, false))
+        }
+      }
+      fs.delete(m.getPath, false)
+    }
     true
   }
 
@@ -412,24 +713,18 @@ object FingerprintStore {
     * column only (columnar projection); only files holding ≥ 1 dead row
     * are re-read full-width and rewritten — clean files are never read,
     * never moved — so vacuum cost rides the DIRTY file set, not store
-    * size. Swap is stage-then-rename with displaced originals parked in
-    * `<dir>/.vacuum-trash/` until the vacuum completes (a completed
-    * vacuum removes both the trash dir and the `_vacuum-inprogress-*`
-    * marker it staked first).
+    * size. The swap is the snapshot-pointer commit (class doc): the
+    * dirty files' survivors land as `fold-<token>-*` files, the new
+    * snapshot lists them live and the dirty originals retired, and the
+    * originals stay on disk until the NEXT maintenance move reaps them —
+    * so concurrent readers, including ones planned before the vacuum,
+    * are never broken mid-scan. NOTE the privacy consequence of grace:
+    * the forgotten rows' bytes leave disk one maintenance move later,
+    * not at vacuum return ([[reapRetired]] forces it eagerly when the
+    * deletion SLA demands).
     *
-    * CRASH RECOVERY — order matters: a crash mid-swap can leave some
-    * `vacuum-<token>-*` replacement files already renamed into a
-    * catalog while their displaced originals sit in trash, so restoring
-    * trash alone would DUPLICATE those files' live rows. Recover a store
-    * whose `_vacuum-inprogress-<token>` marker survives by (1) deleting
-    * every `vacuum-<token>-*` file from all four catalogs for that
-    * token, (2) moving `.vacuum-trash/<cat>-<name>` files back to their
-    * catalogs, (3) removing the marker and trash dir — i.e. roll the
-    * vacuum BACK, then re-run it.
-    *
-    * Concurrency contract: a MAINTENANCE operation — run without
-    * concurrent readers/appenders, same as every file-level rewrite
-    * without a table format's snapshot isolation.
+    * Concurrency: single maintainer, snapshot-isolated readers (class
+    * doc) — readers need not pause; a second maintainer must not run.
     */
   def vacuum(s: SparkSession, dir: String,
       liveDocs: DataFrame): VacuumStats = {
@@ -437,25 +732,20 @@ object FingerprintStore {
     import graft.io.StatsManifest
     val fs = fsOf(s, dir)
     val live = liveDocs.select("doc_id").distinct().localCheckpoint(true)
-    val trash = new Path(s"$dir/.vacuum-trash")
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    // staked before any file moves; survives a crash as the recovery
-    // signal (and names the token whose files must be rolled back first
-    // — see the scaladoc's CRASH RECOVERY order)
-    val inProgress = new Path(s"$dir/_vacuum-inprogress-$token")
-    fs.create(inProgress, true).close()
-    def renameOrDie(from: Path, to: Path): Unit =
-      require(fs.rename(from, to), s"vacuum: rename $from -> $to failed")
+    val (token, k, liveF) = beginMaintenance(s, dir)
     var dropped = 0L
     var rewritten = 0
     var untouched = 0
-    Seq("image", "audio", "video", "ledger").foreach { cat =>
-      val catDir = s"$dir/$cat"
-      val allFiles = StatsManifest.listParquet(s, catDir)
+    val newLive = scala.collection.mutable.Map[String, Set[String]]()
+    val newRetired = scala.collection.mutable.Map[String, Set[String]]()
+    Catalogs.foreach { cat =>
+      val allFiles = liveF(cat)
+      newLive(cat) = allFiles.map(f => new Path(f).getName).toSet
+      newRetired(cat) = Set.empty
       if (allFiles.nonEmpty) {
         // ONE ids-only pass yields the dead total and the dirty file
         // list together (the ChunkStore.vacuum shape)
-        val deadPerFile = s.read.parquet(catDir)
+        val deadPerFile = s.read.parquet(allFiles: _*)
           .withColumn("f", StatsManifest.normalizedInputFile())
           .select("doc_id", "f")
           .join(live, Seq("doc_id"), "left_anti")
@@ -465,7 +755,6 @@ object FingerprintStore {
         dropped += deadPerFile.values.sum
         untouched += allFiles.count(f => !dirty(f))
         if (dirty.nonEmpty) {
-          fs.mkdirs(trash)
           val staged = s"$dir/.vacuum-staged-$cat"
           // the staging scan opens ONLY the dirty files — a filter on
           // the input_file_name-derived column over the full-store frame
@@ -474,23 +763,49 @@ object FingerprintStore {
           s.read.parquet(dirty.toSeq: _*)
             .join(live, Seq("doc_id"), "left_semi")
             .write.mode("overwrite").parquet(staged)
-          dirty.foreach { f =>
-            val p = new Path(f)
-            renameOrDie(p, new Path(trash, s"$cat-${p.getName}"))
-          }
-          StatsManifest.listParquet(s, staged).zipWithIndex.foreach {
-            case (f, i) =>
+          val folded = StatsManifest.listParquet(s, staged).zipWithIndex
+            .map { case (f, i) =>
               val p = new Path(f)
-              renameOrDie(p,
-                new Path(catDir, s"vacuum-$token-$i-${p.getName}"))
-          }
+              val name = s"fold-$token-$i-${p.getName}"
+              require(fs.rename(p, new Path(s"$dir/$cat", name)),
+                s"vacuum: rename $f into $dir/$cat failed")
+              name
+            }
           fs.delete(new Path(staged), true)
+          val dirtyNames = dirty.map(f => new Path(f).getName)
+          newLive(cat) = (newLive(cat) -- dirtyNames) ++ folded
+          newRetired(cat) = dirtyNames
           rewritten += dirty.size
         }
       }
     }
-    if (fs.exists(trash)) fs.delete(trash, true)
-    fs.delete(inProgress, false)
+    finishMaintenance(s, dir, token, k, newLive.toMap, newRetired.toMap)
     VacuumStats(dropped, rewritten, untouched)
+  }
+
+  /** Eagerly reap the CURRENT snapshot's retired files without waiting
+    * for the next maintenance move — the hook a hard deletion SLA calls
+    * after [[vacuum]] returns, once in-flight readers planned before
+    * the vacuum have drained (the caller owns that quiesce; reaping
+    * under a still-running pre-vacuum scan is exactly the breakage the
+    * grace window exists to prevent). Publishes a successor snapshot
+    * with an empty retired set so a later maintenance doesn't re-reap.
+    */
+  def reapRetired(s: SparkSession, dir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s, dir)
+    currentSnapshot(s, dir) match {
+      case None => 0
+      case Some(snap) =>
+        val n = Catalogs.map { cat =>
+          val names = snap.retired(cat)
+          names.foreach(nm => fs.delete(new Path(s"$dir/$cat/$nm"), false))
+          names.size
+        }.sum
+        if (n > 0)
+          publishSnapshot(s, dir, Snapshot(snap.k + 1L, snap.token,
+            snap.live, Catalogs.map(_ -> Set.empty[String]).toMap))
+        n
+    }
   }
 }

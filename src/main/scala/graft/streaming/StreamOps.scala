@@ -510,15 +510,15 @@ object StreamOps extends Serializable {
     val s = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val flag = new org.apache.hadoop.fs.Path(s"$storeDir/_batch-$batchId")
-    if (fs.exists(flag)) return // completed batch replayed: no-op
+    // completed batch replayed: no-op. The committed check is
+    // flag-OR-watermark — compact may have rolled this id's flag up
+    if (FingerprintStore.batchCommitted(s, storeDir, batchId)) return
     val marker = fs.globStatus(
       new org.apache.hadoop.fs.Path(s"$storeDir/_audiobits-*"))
     if (marker == null || marker.isEmpty) {
       if (!batch.isEmpty)
         FingerprintStore.bootstrap(s, batch, storeDir, audioBits)
-      fs.mkdirs(flag.getParent)
-      fs.create(flag, true).close()
+      FingerprintStore.commitBatchFlag(s, storeDir, batchId)
     } else {
       // append commits the _batch flag itself (after torn-maintenance
       // recovery, remnant-delete, catalogs, ledger), including over an

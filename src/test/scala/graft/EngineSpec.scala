@@ -2508,16 +2508,20 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       media.withColumn("blob", concat(col("blob"), col("blob"))),
       dir, batchId = 7L)
     assert(catalogs(dir) == catalogs(ref))
-    // the self-allocating batch-API path inherits the discipline: its
-    // next id IS the crashed one (no flag landed), so a bare retried
-    // append() rewrites the same batch
+    // the self-allocating batch-API path inherits the discipline — and
+    // draws from the MANUAL namespace (m-tags), so its flags can never
+    // collide with a checkpointed stream's numeric ids: its next id IS
+    // the crashed one (no flag landed), so a bare retried append()
+    // rewrites the same batch
     val dir2 = java.nio.file.Files.createTempDirectory("graft-fps-r2").toString
     FingerprintStore.bootstrap(spark, half, dir2)
-    FingerprintStore.append(spark, rest, dir2) // self-allocates id 0
-    fs.delete(new Path(s"$dir2/_batch-0"), false)
-    fs.globStatus(new Path(s"$dir2/ledger/batch0-*"))
+    FingerprintStore.append(spark, rest, dir2) // self-allocates tag m0
+    assert(fs.exists(new Path(s"$dir2/_batch-m0")),
+      "self-allocated batches must flag in the manual namespace")
+    fs.delete(new Path(s"$dir2/_batch-m0"), false)
+    fs.globStatus(new Path(s"$dir2/ledger/batchm0-*"))
       .foreach(h => fs.delete(h.getPath, false))
-    FingerprintStore.append(spark, rest, dir2) // re-allocates id 0
+    FingerprintStore.append(spark, rest, dir2) // re-allocates tag m0
     assert(catalogs(dir2) == catalogs(ref))
   }
 
@@ -2574,8 +2578,9 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("fingerprint store compact folds the per-batch file sprawl " +
-      "without moving a row, keeps every replay flag, and a torn " +
-      "vacuum/compact rolls back exactly via recover") {
+      "without moving a row, rolls contiguous flags into the watermark " +
+      "(replays still no-op), snapshot-isolates pre-planned readers, " +
+      "and a torn compact rolls back exactly via recover") {
     import graft.operators.FingerprintStore
     import org.apache.hadoop.fs.Path
     val media = Multimodal.withMedia(Tables.documents(spark, sfDir))
@@ -2583,12 +2588,13 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val dir = java.nio.file.Files.createTempDirectory("graft-fps-cmp").toString
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    // bootstrap + three appends: the batch discipline lands
+    // bootstrap + three appends under EXPLICIT (stream-namespace) ids —
+    // the ingestMedia arrival shape; the batch discipline lands
     // ~partitions files per catalog per batch
     FingerprintStore.bootstrap(spark, media.filter(col("doc_id") % 4 === 0),
       dir)
     (1 to 3).foreach(i => FingerprintStore.append(spark,
-      media.filter(col("doc_id") % 4 === i), dir))
+      media.filter(col("doc_id") % 4 === i), dir, batchId = i - 1L))
     def catalogs(d: String): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
       FingerprintStore.imageHashes(spark, d).orderBy("doc_id"),
       FingerprintStore.audioFingerprints(spark, d).orderBy("doc_id"),
@@ -2597,59 +2603,69 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       .map(_.collect().toSeq)
     val before = catalogs(dir)
     val filesBefore = FingerprintStore.dataFileCount(spark, dir)
+    // a reader PLANNED BEFORE the compact: its file list is resolved
+    // here, against the pre-compact snapshot
+    val preplanned = FingerprintStore.audioFingerprints(spark, dir)
     FingerprintStore.compact(spark, dir)
     assert(catalogs(dir) == before, "compact must not move a row")
     val filesAfter = FingerprintStore.dataFileCount(spark, dir)
     assert(filesAfter < filesBefore,
       s"compact must fold files: $filesBefore -> $filesAfter")
-    // flags survive → a replayed old batch still no-ops after its
-    // files were folded away
-    assert(fs.exists(new Path(s"$dir/_batch-0")))
+    // SNAPSHOT ISOLATION: the pre-compact plan still materializes the
+    // pre-compact rows — displaced originals are retired and RETAINED
+    // through one maintenance round of grace, never deleted at swap
+    assert(preplanned.orderBy("doc_id").collect().toSeq == before(1),
+      "a reader planned before a compact must materialize after it")
+    // FLAG ROLLUP: the contiguous committed prefix 0..2 folds into the
+    // stream-namespace watermark — one root file, not one per batch
+    assert(!fs.exists(new Path(s"$dir/_batch-0")),
+      "compact must roll contiguous flags up")
+    assert(fs.exists(new Path(s"$dir/_batchmark-2")))
+    // a committed batch replayed AFTER rollup + compaction still
+    // no-ops, even with different rows (the committed check is
+    // flag-OR-watermark; append's remnant glob can't match fold- names)
     FingerprintStore.append(spark,
       media.filter(col("doc_id") % 4 === 1)
         .withColumn("blob", concat(col("blob"), col("blob"))),
       dir, batchId = 0L)
     assert(catalogs(dir) == before,
       "a committed batch must replay as a no-op after compaction")
-    assert(fs.exists(new Path(s"$dir/.vacuum-trash")) === false)
+    // GRACE + REAP: the retired originals are still on disk (that is
+    // what isolated the pre-planned reader); an eager reap deletes them
+    // and the raw listing converges on the live set
+    def rawCount() = Seq("image", "audio", "video", "ledger")
+      .map(c => graft.io.StatsManifest.listParquet(spark, s"$dir/$c").length)
+      .sum
+    assert(rawCount() > filesAfter,
+      "displaced originals must be retained through the grace window")
+    assert(FingerprintStore.reapRetired(spark, dir) > 0)
+    assert(rawCount() == FingerprintStore.dataFileCount(spark, dir),
+      "reap must converge the raw listing on the live set")
+    assert(catalogs(dir) == before, "reap must not move a live row")
 
-    // TORN-MAINTENANCE ROLLBACK: reconstruct a mid-swap crash (some
-    // catalogs swapped with vacuum-<token>-* files, their originals in
-    // trash; marker surviving), then recover — the store must land on
-    // its exact pre-maintenance state, and append must self-heal by
-    // running recover itself
-    val token = "deadbeef"
-    fs.create(new Path(s"$dir/_vacuum-inprogress-$token"), true).close()
-    fs.mkdirs(new Path(s"$dir/.vacuum-trash"))
-    val audioFiles = graft.io.StatsManifest
-      .listParquet(spark, s"$dir/audio")
-    // "swap" the audio catalog: park originals in trash, plant a
-    // replacement holding only a SUBSET (simulates a staged rewrite
-    // that must not survive the rollback)
-    // wav ids are ≡ 2 (mod 4) in this corpus (the format draw is
-    // id mod 4), so halve on mod 8 to get a strict subset
-    FingerprintStore.audioFingerprints(spark, dir)
-      .filter(col("doc_id") % 8 === 2)
-      .write.mode("overwrite").parquet(s"$dir/.vacuum-staged-audio")
-    audioFiles.foreach { f =>
-      val p = new Path(f)
-      assert(fs.rename(p, new Path(s"$dir/.vacuum-trash",
-        s"audio-${p.getName}")))
-    }
-    graft.io.StatsManifest.listParquet(spark, s"$dir/.vacuum-staged-audio")
-      .zipWithIndex.foreach { case (f, i) =>
-        val p = new Path(f)
-        assert(fs.rename(p,
-          new Path(s"$dir/audio", s"vacuum-$token-$i-${p.getName}")))
-      }
-    assert(catalogs(dir) != before, "the torn state must be visible")
-    assert(FingerprintStore.recover(spark, dir))
+    // TORN MAINTENANCE: a crashed compact leaves only INVISIBLE junk —
+    // fold-<token>-* files no snapshot references, plus the marker.
+    // Readers never see it; recover deletes it (no restore step exists)
+    val token = "torntoken"
+    fs.create(new Path(s"$dir/_maint-inprogress-$token"), true).close()
+    val junk = new Path(s"$dir/audio/fold-$token-0-junk.parquet")
+    fs.create(junk, true).close() // zero-byte garbage: unreadable
     assert(catalogs(dir) == before,
-      "recover must land on the exact pre-maintenance state")
-    assert(!fs.exists(new Path(s"$dir/_vacuum-inprogress-$token")))
-    assert(!fs.exists(new Path(s"$dir/.vacuum-trash")))
+      "uncommitted fold files must be invisible to readers")
+    assert(FingerprintStore.recover(spark, dir))
+    assert(!fs.exists(junk),
+      "recover must delete the torn compact's fold files")
+    assert(!fs.exists(new Path(s"$dir/_maint-inprogress-$token")))
+    assert(catalogs(dir) == before)
     assert(!FingerprintStore.recover(spark, dir),
       "a clean store must recover as a no-op")
+    // recover also drops a crashed append's staging parquet — all
+    // three stage kinds are transient junk under its contract
+    val stage = new Path(s"$dir/.append-staged-ledger")
+    fs.mkdirs(stage)
+    FingerprintStore.recover(spark, dir)
+    assert(!fs.exists(stage),
+      "recover must clean append staging remnants too")
   }
 
   test("fingerprint store vacuum: dropped ids vanish from every catalog, " +

@@ -529,24 +529,86 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
       "the compactEvery policy must fold files")
     StreamOps.ingestMediaBatch(b2, 2L, s"$base/store")
     assert(catalogs(s"$base/store") == catalogs(ref))
-    // a compact TORN mid-swap (marker staked, one catalog's files
-    // parked in trash) is rolled back by the NEXT batch's append —
-    // the docstring's best-effort-housekeeping claim, end to end
-    val store = new org.apache.hadoop.fs.Path(s"$base/store")
+    // a compact TORN mid-swap (marker staked, uncommitted fold files
+    // planted) is INVISIBLE to readers under the snapshot scheme and
+    // rolled back by the NEXT batch's append — the docstring's
+    // best-effort-housekeeping claim, end to end
     fs.create(new org.apache.hadoop.fs.Path(
-      s"$base/store/_vacuum-inprogress-torntest"), true).close()
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/store/.vacuum-trash"))
-    graft.io.StatsManifest.listParquet(spark, s"$base/store/ledger")
-      .foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        assert(fs.rename(p, new org.apache.hadoop.fs.Path(
-          s"$base/store/.vacuum-trash", s"ledger-${p.getName}")))
-      }
+      s"$base/store/_maint-inprogress-torntest"), true).close()
+    val junk = new org.apache.hadoop.fs.Path(
+      s"$base/store/ledger/fold-torntest-0-junk.parquet")
+    fs.create(junk, true).close()
+    assert(catalogs(s"$base/store") == catalogs(ref),
+      "a torn compact's fold files must be invisible to readers")
     StreamOps.ingestMediaBatch(media.limit(0), 100L, s"$base/store")
     assert(catalogs(s"$base/store") == catalogs(ref),
       "the next batch's append must roll a torn maintenance back")
+    assert(!fs.exists(junk))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$base/store/_vacuum-inprogress-torntest")))
+      s"$base/store/_maint-inprogress-torntest")))
+  }
+
+  test("a manual append between stream batches cannot shadow the " +
+      "stream's next micro-batch: stop, ad-hoc append, restart — the " +
+      "store still equals the from-scratch bootstrap") {
+    import graft.operators.{FingerprintStore, Multimodal}
+    val media = Multimodal.withMedia(Tables.documents(spark, sfDir))
+      .localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("graft-smm").toString
+    val landing = new java.io.File(s"$base/landing"); landing.mkdirs()
+    val n = media.agg(max("doc_id")).head().getLong(0) + 1
+    // four slices: 0..2 arrive before the stop, 3 is the MANUAL append,
+    // 4 arrives after the restart
+    val cuts = Seq(0L, n / 5, 2 * n / 5, 3 * n / 5, 4 * n / 5, n + 1)
+    def slice(i: Int) = media.filter(
+      col("doc_id") >= cuts(i) && col("doc_id") < cuts(i + 1))
+    def land(i: Int): Unit = {
+      slice(i).coalesce(1).write.mode("overwrite").parquet(s"$base/stage$i")
+      val part = new java.io.File(s"$base/stage$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(landing, f"arrive-$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000L + i * 60000L)
+    }
+    (0 to 2).foreach(land)
+    val stream1 = spark.readStream.schema(media.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val q1 = StreamOps.ingestMedia(stream1, s"$base/store", s"$base/ckpt")
+      .start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the stream committed batches 0..2; an ad-hoc self-allocating
+    // append now lands slice 3 — in the MANUAL namespace (_batch-m0),
+    // so it cannot pre-commit the flag the restarted stream's next
+    // checkpointed batch id (3) will present
+    FingerprintStore.append(spark, slice(3), s"$base/store")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$base/store/_batch-m0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$base/store/_batch-3")),
+      "the manual append must not occupy the stream namespace")
+    // restart: slice 4 arrives as the stream's REAL batch 3
+    land(4)
+    val stream2 = spark.readStream.schema(media.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val q2 = StreamOps.ingestMedia(stream2, s"$base/store", s"$base/ckpt")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    // nothing dropped: the store equals a from-scratch bootstrap over
+    // ALL the media — before the namespace split, the manual append
+    // would have committed _batch-3 and the restarted stream's batch 3
+    // (slice 4) would have silently no-opped
+    val ref = s"$base/ref"
+    FingerprintStore.bootstrap(spark, media, ref)
+    def catalogs(d: String): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      FingerprintStore.imageHashes(spark, d).orderBy("doc_id"),
+      FingerprintStore.audioFingerprints(spark, d).orderBy("doc_id"),
+      FingerprintStore.videoPostings(spark, d).orderBy("doc_id", "frame"),
+      FingerprintStore.ledger(spark, d).orderBy("doc_id"))
+      .map(_.collect().toSeq)
+    assert(catalogs(s"$base/store") == catalogs(ref),
+      "stream + manual + restarted stream must converge on the rebuild")
   }
 
   test("streaming decontamination gate drops exactly the batch fuzzy-" +
