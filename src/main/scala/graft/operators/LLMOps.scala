@@ -211,10 +211,13 @@ object LLMOps {
     * per-batch artifact a daily pipeline stores so dedup against history
     * never re-reads history text. The snapshot is band keys, not raw
     * signatures: ~64 bytes/doc regardless of document size, so 100 TB of
-    * corpus stores as a few hundred GB of snapshot.
+    * corpus stores as a few hundred GB of snapshot. Since r17 the
+    * snapshot is a [[MinhashSnapshot]] store (the BatchStore lifecycle:
+    * exactly-once appends, compact, vacuum, recover); this is its
+    * bootstrap.
     */
   def writeMinhashSnapshot(docs: DataFrame, dir: String): Unit =
-    minhashBands(shinglePostingsOf(docs)).write.mode("overwrite").parquet(dir)
+    MinhashSnapshot.bootstrap(docs.sparkSession, docs, dir)
 
   /** Delta-dedup candidates: LSH pairs touching at least one NEW doc,
     * computed by shingling ONLY the new batch and joining its band keys
@@ -233,7 +236,8 @@ object LLMOps {
     // lineage truncation the batch would be shingled and minhashed TWICE
     // per invocation — bands are ~64 B/doc, so the checkpoint is cheap
     val fresh = minhashBands(shinglePostingsOf(newDocs)).localCheckpoint()
-    val snap = s.read.parquet(snapshotDir).select("doc_id", "band_key")
+    val snap = MinhashSnapshot.bands(s, snapshotDir)
+      .select("doc_id", "band_key")
     val all = snap.unionByName(fresh)
     fresh.select(col("band_key"), col("doc_id").as("id_a"))
       .join(all.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))

@@ -185,27 +185,39 @@ object StreamOps extends Serializable {
     * pair is emitted exactly once across a run — by the micro-batch that
     * completes it — so the union of emitted pairs equals the full-corpus
     * batch candidates (parity-checked in StreamBatchParitySpec).
-    * foreachBatch is at-least-once: a replayed batch re-emits its pairs
-    * and re-appends its bands, and both sinks tolerate that (candidates
-    * are distinct-ed downstream; duplicate band rows only produce
-    * duplicate candidates, removed by the same distinct). Seed
+    *
+    * Exactly-once under foreachBatch replay (r17, the
+    * [[graft.operators.MinhashSnapshot]] lifecycle): the snapshot side
+    * appends under the stream's batch id — committed id replays as a
+    * no-op; a crashed attempt's half-landed bands are remnant-deleted
+    * BEFORE the replay recomputes its pairs — and the pairs side writes
+    * each batch into its own `ingest_batch=<id>` partition with
+    * OVERWRITE (the ingestTable idiom), so the replay rewrites the same
+    * subdirectory instead of appending duplicate rows. Seed
     * `snapshotDir` with [[graft.operators.LLMOps.writeMinhashSnapshot]]
-    * (possibly of an empty frame) before starting.
+    * (possibly of an empty frame) before starting; readers see
+    * `ingest_batch` as a trailing partition column on the pairs table.
     */
   def streamingDeltaDedup(docs: DataFrame, snapshotDir: String,
       pairsDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        import graft.operators.LLMOps
-        // pairs BEFORE publishing this batch's bands: the snapshot must
-        // hold strictly-earlier docs when the delta runs, or the batch
-        // would pair against itself through both sides
-        LLMOps.deltaDedupCandidates(batch.sparkSession, batch, snapshotDir)
-          .write.mode("append").parquet(pairsDir)
-        LLMOps.minhashBands(LLMOps.shinglePostingsOf(batch))
-          .write.mode("append").parquet(snapshotDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{LLMOps, MinhashSnapshot}
+        val s = batch.sparkSession
+        if (!MinhashSnapshot.batchCommitted(s, snapshotDir, batchId)) {
+          // clear a torn prior attempt FIRST: its half-landed bands must
+          // not feed this replay's own pair computation
+          MinhashSnapshot.beginBatch(s, snapshotDir, batchId)
+          // pairs BEFORE publishing this batch's bands: the snapshot must
+          // hold strictly-earlier docs when the delta runs, or the batch
+          // would pair against itself through both sides
+          LLMOps.deltaDedupCandidates(s, batch, snapshotDir)
+            .write.mode("overwrite")
+            .parquet(s"$pairsDir/ingest_batch=$batchId")
+          MinhashSnapshot.append(s, batch, snapshotDir, batchId)
+        }
       }
 
   /** Streaming parquet ingest that keeps the table's stats manifest

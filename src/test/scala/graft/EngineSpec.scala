@@ -1924,6 +1924,76 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("minhash snapshot store: batch appends are exactly-once under " +
+      "crash replay, self-allocated tags use the manual namespace, " +
+      "compact folds files without changing the band set, and vacuum " +
+      "forgets a doc's band keys") {
+    import graft.operators.MinhashSnapshot
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .localCheckpoint()
+    val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhs").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft-mhs-ref").toString
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    MinhashSnapshot.bootstrap(spark, docs, ref) // the expected end state
+    def bandSet(d: String) = MinhashSnapshot.bands(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val want = bandSet(ref)
+
+    MinhashSnapshot.bootstrap(spark,
+      docs.filter(col("doc_id") < n / 2), dir)
+    MinhashSnapshot.append(spark,
+      docs.filter(col("doc_id") >= n / 2), dir, batchId = 7L)
+    assert(bandSet(dir) == want, "append must equal the rebuild")
+    // CRASH SHAPE 1 — some of the batch's files landed, flag lost:
+    // replay deletes the remnants and rewrites, never duplicates (the
+    // bare mode-append snapshot this store replaced stacked a second
+    // copy of every band key here)
+    fs.delete(new Path(s"$dir/_batch-7"), false)
+    val rem = fs.globStatus(new Path(s"$dir/bands/batch7-*"))
+    assert(rem.nonEmpty)
+    fs.delete(rem.head.getPath, false) // half-landed: drop one file
+    MinhashSnapshot.append(spark,
+      docs.filter(col("doc_id") >= n / 2), dir, batchId = 7L)
+    assert(bandSet(dir) == want,
+      "a half-landed batch must rewrite on replay, not duplicate")
+    // CRASH SHAPE 2 — everything landed, flag lost
+    fs.delete(new Path(s"$dir/_batch-7"), false)
+    MinhashSnapshot.append(spark,
+      docs.filter(col("doc_id") >= n / 2), dir, batchId = 7L)
+    assert(bandSet(dir) == want)
+    // COMMITTED batch replayed: a no-op even with different rows
+    MinhashSnapshot.append(spark, docs.limit(3), dir, batchId = 7L)
+    assert(bandSet(dir) == want)
+    // self-allocating appends draw MANUAL tags — disjoint from stream
+    // ids by construction (the BatchStore namespace contract)
+    MinhashSnapshot.append(spark, docs.limit(0), dir)
+    assert(fs.exists(new Path(s"$dir/_batch-m0")))
+    // COMPACT: pre-planned readers survive the swap; the band set and
+    // the committed view are unchanged; file sprawl folds
+    val preplanned = MinhashSnapshot.bands(spark, dir)
+    val filesBefore = MinhashSnapshot.dataFileCount(spark, dir)
+    MinhashSnapshot.compact(spark, dir)
+    assert(bandSet(dir) == want, "compact must not move a row")
+    assert(MinhashSnapshot.dataFileCount(spark, dir) < filesBefore)
+    assert(preplanned.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq == want,
+      "a reader planned before the compact must materialize after it")
+    assert(MinhashSnapshot.batchCommitted(spark, dir, 7L),
+      "rollup must keep committed batches committed")
+    // VACUUM: a forgotten doc's band keys leave the snapshot (derived
+    // PII under right-to-be-forgotten); survivors are untouched
+    val victim = n - 1
+    val stats = MinhashSnapshot.vacuum(spark, dir,
+      docs.filter(col("doc_id") =!= victim))
+    assert(stats.droppedRows > 0)
+    assert(bandSet(dir) == want.filterNot(_._1 == victim))
+    // recover on a clean store is a no-op
+    assert(!MinhashSnapshot.recover(spark, dir))
+  }
+
   test("delta dedup: new batch vs stored snapshot equals full recompute; " +
       "history is never re-shingled") {
     import graft.operators.LLMOps

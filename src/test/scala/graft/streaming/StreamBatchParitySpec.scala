@@ -204,6 +204,19 @@ class StreamBatchParitySpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed.nonEmpty)
     assert(streamed == batch)
+    // the snapshot holds exactly ONE copy of every doc's bands — the
+    // MinhashSnapshot store's exactly-once contract (the old bare
+    // mode-append snapshot stacked duplicates under replay)
+    import graft.operators.MinhashSnapshot
+    val bands = MinhashSnapshot.bands(spark, s"$base/snap")
+    assert(bands.groupBy("doc_id", "band_key").count()
+      .where(col("count") > 1).isEmpty,
+      "the band snapshot must never hold duplicate rows")
+    // a committed stream batch replayed AFTER the run no-ops, even with
+    // different rows
+    val preBands = bands.count()
+    MinhashSnapshot.append(spark, docs.limit(5), s"$base/snap", 2L)
+    assert(MinhashSnapshot.bands(spark, s"$base/snap").count() == preBands)
   }
 
   test("streaming chunk-store ingest over micro-batches reconstructs the " +
