@@ -1097,12 +1097,28 @@ object Multimodal {
       if (img == null) null
       else {
         img.setRGB(img.getWidth - 1, img.getHeight - 1, 0xFF000000)
-        val out = new java.io.ByteArrayOutputStream()
         val fmt = // re-encode in the claimed container
           if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') "bmp"
           else "png"
-        javax.imageio.ImageIO.write(img, fmt, out)
-        out.toByteArray
+        // ImageIO.write returns FALSE (leaving the stream empty) when no
+        // writer accepts the image type — e.g. the BMP writer rejecting
+        // alpha. Ignoring it would plant a 0-byte "twin" that passes
+        // isNotNull and quarantines engine-side while the oracle still
+        // expects its hash. Retry through the universally-writable
+        // 3BYTE_BGR raster; only then give up (null → twin dropped).
+        def enc(i: java.awt.image.BufferedImage): Option[Array[Byte]] = {
+          val out = new java.io.ByteArrayOutputStream()
+          if (javax.imageio.ImageIO.write(i, fmt, out)) Some(out.toByteArray)
+          else None
+        }
+        enc(img).orElse {
+          val bgr = new java.awt.image.BufferedImage(img.getWidth,
+            img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = bgr.createGraphics()
+          g.drawImage(img, 0, 0, null)
+          g.dispose()
+          enc(bgr)
+        }.orNull
       }
     })
     media.filter(col("meta.format").isin("png", "bmp") &&
@@ -1234,9 +1250,10 @@ object Multimodal {
     * fixture correct on a real cluster too — an executor-side
     * foreachPartition write would scatter files across worker-local
     * filesystems and the driver's listing would miss them. The target
-    * dir is DETERMINISTIC per caller and rebuilt from scratch each run
-    * (delete + recreate), so repeated bench/correctness invocations
-    * reuse one footprint instead of leaking a tree per run.
+    * dir is DETERMINISTIC per caller and rebuilt from scratch when this
+    * runs (delete + recreate); callers go through [[stageFixtureOnce]],
+    * which skips the rebuild entirely while the recipe marker matches —
+    * one footprint, built once per (dataset, recipe).
     */
   private[graft] def writeMediaFixtureDriverSide(s: SparkSession,
       media: DataFrame, dir: String): Unit = {
@@ -1257,24 +1274,79 @@ object Multimodal {
   }
 
   /** Deterministic per-dataset scratch dir under the JVM tmpdir — the
-    * fixture/store location the composed media queries rebuild each
-    * run.
+    * fixture/store location the composed media queries stage into.
     */
   private[graft] def scratchDir(tag: String, d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
       java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
 
+  /** Bump whenever the fixture CONTENT recipe changes — the synthetic
+    * encoders, the twin mutations, the corrupt plant, the shard layout —
+    * so stale staged trees invalidate. The staged tree is keyed on
+    * (tag, dataset dir, this version).
+    */
+  private[graft] val MediaFixtureVersion = "v1"
+
+  private object FixtureLock
+
+  /** Stage a composed query's media fixture tree ONCE per (tag, dataset,
+    * [[MediaFixtureVersion]]): `build` runs only when the sibling
+    * `<dir>.fixture-<hash>` marker is missing (the marker commits LAST,
+    * so a crashed build rebuilds whole), and repeated bench/verify
+    * passes of q_mm09/q_mm10 price the PIPELINE instead of re-billing
+    * ~30 s of fixture ENCODE scaffolding per pass — drift in the
+    * pipeline stays visible in the row. An OS file lock (`<dir>.lock`,
+    * JVM-monitor-wrapped for in-process callers) serializes concurrent
+    * JVMs (bench beside verify on the same dataset): the loser of the
+    * race finds the winner's marker and reuses the tree instead of
+    * clobbering it mid-read — the hazard the bare deterministic
+    * delete+recreate had.
+    */
+  private[graft] def stageFixtureOnce(tag: String, d: String)
+      (build: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val dir = scratchDir(tag, d)
+    val recipeHash = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3
+        .stringHash(s"$tag:$MediaFixtureVersion").toLong & 0xffffffffL)
+    val marker = Paths.get(s"$dir.fixture-$recipeHash")
+    val lockPath = Paths.get(s"$dir.lock")
+    FixtureLock.synchronized {
+      Files.createDirectories(lockPath.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try {
+          if (!Files.exists(marker)) {
+            // stale markers of older recipes: this tree is being replaced
+            import scala.jdk.CollectionConverters._
+            val parent = Paths.get(dir).getParent
+            val base = Paths.get(dir).getFileName.toString + ".fixture-"
+            Files.list(parent).iterator().asScala
+              .filter(_.getFileName.toString.startsWith(base))
+              .foreach(Files.delete)
+            build(dir)
+            Files.write(marker, Array.emptyByteArray)
+          }
+        } finally lk.release()
+      } finally ch.close()
+    }
+    dir
+  }
+
   def qMM09(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = withMedia(Tables.documents(s, d))
     val wav = corpus.filter(col("meta.format") === "wav")
-    val tmp = scratchDir("mm09", d)
-    writeMediaFixtureDriverSide(s, wav.unionByName(plantAudioTwins(s, wav)),
-      tmp)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(tmp, s"$CorruptMediaId.wav"),
-      Array.fill[Byte](64)(7))
+    val tmp = stageFixtureOnce("mm09", d) { dir =>
+      writeMediaFixtureDriverSide(s,
+        wav.unionByName(plantAudioTwins(s, wav)), dir)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"$CorruptMediaId.wav"),
+        Array.fill[Byte](64)(7))
+    }
     // ---- the pipeline under test starts at the file listing
     val media = graft.io.Readers.binaryMedia(s, tmp, Some("*.wav"),
       idFromStem = true)
@@ -1336,11 +1408,12 @@ object Multimodal {
       .unionByName(plantImageTwins(s, corpus))
       .unionByName(plantAudioTwins(s, corpus))
       .unionByName(plantVideoTwins(s, corpus))
-    val tmp = scratchDir("mm10", d)
-    writeMediaFixtureDriverSide(s, media, tmp)
-    java.nio.file.Files.write( // claims png, fails the decoder → ledger
-      java.nio.file.Paths.get(tmp, s"$CorruptMediaId.png"), // quarantine
-      Array.fill[Byte](64)(7))
+    val tmp = stageFixtureOnce("mm10", d) { dir =>
+      writeMediaFixtureDriverSide(s, media, dir)
+      java.nio.file.Files.write( // claims png, fails the decoder →
+        java.nio.file.Paths.get(dir, s"$CorruptMediaId.png"), // ledger
+        Array.fill[Byte](64)(7)) // quarantine
+    }
     // ---- the pipeline under test starts at the file listing
     val ingested = graft.io.Readers.binaryMedia(s, tmp,
       idFromStem = true)
