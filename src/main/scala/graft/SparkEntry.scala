@@ -207,6 +207,10 @@ object SparkEntry {
     "q_l22_quality_funnel" -> (TrainPrep.qL22 _),
     // the composed corpus-prep pipeline: quality -> dedup -> split
     "q_l39_pipeline"       -> (TrainPrep.qL39 _),
+    // the UNIFIED TEXT+media corpus-prep capstone (r17): quality ->
+    // text dedup -> benchmark decontam -> media near-dup drop (served
+    // from the fingerprint store) -> split + pack, one provenance table
+    "q_l59_unified_prep"   -> (TrainPrep.qL59 _),
     "q_l23_balanced_sample" -> ((s: SparkSession, d: String) => TrainPrep.qL23(s, d)),
     "q_l24_contamination"  -> (TrainPrep.qL24 _),
     // batch session_window + TPC-H Q7/Q8 shapes
@@ -349,7 +353,11 @@ object SparkEntry {
       // mixed-media one bootstraps its fingerprint store, and both run
       // connected components at construction
       "q_mm09_media_pipeline",
-      "q_mm10_mixed_media")
+      "q_mm10_mixed_media",
+      // the unified TEXT+media capstone stages its fixture/store,
+      // checkpoints its keeper/contaminated/media-loser frames and runs
+      // connected components at construction
+      "q_l59_unified_prep")
 
   /** The shingle-postings CTE chain (3-word shingles → portable poly
     * hash → distinct (doc, hash) postings) shared by the q_l05/q_l06
@@ -445,8 +453,12 @@ object SparkEntry {
     * the engine's joins are banded/posting-bounded and read persisted
     * digests off the fingerprint store.
     */
-  private val mm10OracleSql: String =
-    s"""WITH RECURSIVE $mm07FpCtes, """ +
+  /** The q_mm10 digest-rebuild chain through the richness rank `k` —
+    * shared by [[mm10OracleSql]] and the q_l59 unified-prep oracle
+    * (which consumes `k`'s losers instead of its keepers).
+    */
+  private val mm10RankCtes: String =
+    s"""$mm07FpCtes, """ +
       // ---- image dHash catalog (q_mm04 chain) + exact-copy twins
       """im AS (SELECT doc_id, ((doc_id % 1000003 + 1) * 2654435761) % 16 + 4 AS iw, ((doc_id % 1000003 + 2) * 2654435761) % 16 + 4 AS ihp FROM documents WHERE ((doc_id % 1000003 + 0) * 2654435761) % 4 < 2), """ +
       """imm AS (SELECT doc_id AS out_id, doc_id AS seed, iw, ihp FROM im UNION ALL SELECT doc_id + 10000000, doc_id, iw, ihp FROM im WHERE doc_id % 3 = 0 AND iw >= 10), """ +
@@ -482,8 +494,39 @@ object SparkEntry {
       // ---- modality-appropriate richness, then keepers
       """rich AS (SELECT out_id AS id, 'image' AS modality, CAST(iw * ihp AS BIGINT) AS richness FROM imm UNION ALL SELECT out_id, 'audio', CAST(ns AS BIGINT) FROM m UNION ALL SELECT out_id, 'video', CAST(nf AS BIGINT) FROM vm), """ +
       """jj AS (SELECT c.comp, c.id, r.modality, r.richness FROM comp c JOIN rich r ON r.id = c.id), """ +
-      """k AS (SELECT comp, id, modality, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY richness DESC, id) AS rn FROM jj) """ +
+      """k AS (SELECT comp, id, modality, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY richness DESC, id) AS rn FROM jj)"""
+
+  private val mm10OracleSql: String =
+    s"""WITH RECURSIVE $mm10RankCtes """ +
       """SELECT comp AS cluster_id, MIN(modality) AS modality, COUNT(*) AS size, CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keeper_id FROM k GROUP BY comp ORDER BY cluster_id"""
+
+  /** q_l59's oracle — the unified TEXT+media corpus-prep funnel: the
+    * q_l39 quality/dedup/split CTEs, exact benchmark decontamination
+    * via the q_l06 poly-hash shingle chain (benchmark = doc_id % 13),
+    * media losers from the q_mm10 rank chain (rn > 1, corpus side),
+    * then per-stage survivor counts + token totals and the md5-split
+    * rows with their 2048-token bin counts.
+    */
+  private val l59OracleSql: String =
+    s"""WITH RECURSIVE $mm10RankCtes, """ +
+      """txs AS (SELECT doc_id, text, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS wc, CAST(length(text) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_tok_len, CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_ratio FROM documents), """ +
+      """txr AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) AS max_tok FROM (SELECT doc_id, t, COUNT(*) AS cnt FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) GROUP BY doc_id, t) GROUP BY doc_id), """ +
+      """txq AS (SELECT txs.doc_id, text, wc FROM txs JOIN txr USING (doc_id) WHERE wc BETWEEN 20 AND 80 AND mean_tok_len BETWEEN 3 AND 10 AND max_tok / wc <= 0.125 AND stop_ratio >= 0.01), """ +
+      """txd AS (SELECT text, MIN(doc_id) AS doc_id, MIN(wc) AS wc FROM txq GROUP BY text), """ +
+      """bw AS (SELECT string_split(lower(text), ' ') AS toks FROM documents WHERE doc_id % 13 = 0), """ +
+      """bsl AS (SELECT CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM bw), """ +
+      """bh AS (SELECT DISTINCT unnest(list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007))) AS h FROM bsl), """ +
+      """kw AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM txd), """ +
+      """ksl AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [array_to_string(toks, ' ')] END AS shl FROM kw), """ +
+      """kpost AS (SELECT doc_id, unnest(list_transform(shl, sh -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ord(substr(sh, i, 1)) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007))) AS h FROM ksl), """ +
+      """cont AS (SELECT DISTINCT kpost.doc_id FROM kpost JOIN bh USING (h)), """ +
+      """clean AS (SELECT * FROM txd WHERE doc_id NOT IN (SELECT doc_id FROM cont)), """ +
+      """mlose AS (SELECT id FROM k WHERE rn > 1 AND id < 10000000), """ +
+      """kept AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT id FROM mlose)), """ +
+      """fheads AS (SELECT '00_ingested' AS stage, COUNT(*) AS docs, SUM(CAST(wc AS BIGINT)) AS total_tokens, CAST(0 AS HUGEINT) AS packed_bins FROM txs UNION ALL SELECT '10_quality', COUNT(*), SUM(CAST(wc AS BIGINT)), 0 FROM txq UNION ALL SELECT '20_text_dedup', COUNT(*), SUM(CAST(wc AS BIGINT)), 0 FROM txd UNION ALL SELECT '30_decontam', COUNT(*), SUM(CAST(wc AS BIGINT)), 0 FROM clean UNION ALL SELECT '40_media_dedup', COUNT(*), SUM(CAST(wc AS BIGINT)), 0 FROM kept), """ +
+      """fspl AS (SELECT '50_' || CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS stage, wc FROM (SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS b, wc FROM kept)), """ +
+      """f50 AS (SELECT stage, COUNT(*) AS docs, SUM(CAST(wc AS BIGINT)) AS total_tokens, (SUM(CAST(wc AS BIGINT)) + 2047) // 2048 AS packed_bins FROM fspl GROUP BY stage) """ +
+      """SELECT stage, docs, CAST(total_tokens AS BIGINT) AS total_tokens, CAST(packed_bins AS BIGINT) AS packed_bins FROM (SELECT * FROM fheads UNION ALL SELECT * FROM f50) ORDER BY stage"""
 
   def oracleSql: Map[String, String] = Map(
     "q_p01_scan_filter" ->
@@ -898,6 +941,8 @@ object SparkEntry {
         """SELECT comp AS cluster_id, COUNT(*) AS size, CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keeper_id, CAST(MAX(CASE WHEN rn = 1 THEN ns END) AS BIGINT) AS kept_samples FROM k GROUP BY comp ORDER BY cluster_id"""),
     // q_mm10 (r16): the mixed-media keeper table — see mm10OracleSql
     "q_mm10_mixed_media" -> mm10OracleSql,
+    // q_l59 (r17): the unified TEXT+media corpus-prep funnel
+    "q_l59_unified_prep" -> l59OracleSql,
     // q_mm08 (r14): the video near-dup PAIR SET on planted trim twins —
     // the q_mm06 per-frame dHash rebuild over corpus mp4 rows AND twins
     // (doc_id + 10000000, frames 0..F-2 of the SAME chain, only rows

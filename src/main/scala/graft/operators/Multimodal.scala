@@ -1401,24 +1401,38 @@ object Multimodal {
     * video join's cost at bench SF is the q_mm08-adjudicated fixture
     * entropy (4×3 frames ⇒ ~9 informative dHash bits), not the plan.
     */
-  def qMM10(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Stage the q_mm10/q_l59 mixed-media fixture tree (all four formats,
+    * per-modality twins, one corrupt payload) once per dataset — the
+    * shared synthetic-source scaffolding of the composed queries.
+    */
+  private[graft] def stageMm10Fixture(s: SparkSession, d: String): String = {
     val corpus = withMedia(Tables.documents(s, d))
     val media = corpus
       .unionByName(plantImageTwins(s, corpus))
       .unionByName(plantAudioTwins(s, corpus))
       .unionByName(plantVideoTwins(s, corpus))
-    val tmp = stageFixtureOnce("mm10", d) { dir =>
+    stageFixtureOnce("mm10", d) { dir =>
       writeMediaFixtureDriverSide(s, media, dir)
       java.nio.file.Files.write( // claims png, fails the decoder →
         java.nio.file.Paths.get(dir, s"$CorruptMediaId.png"), // ledger
         Array.fill[Byte](64)(7)) // quarantine
     }
-    // ---- the pipeline under test starts at the file listing
-    val ingested = graft.io.Readers.binaryMedia(s, tmp,
-      idFromStem = true)
-    val store = scratchDir("mm10-store", d)
-    FingerprintStore.bootstrap(s, ingested, store)
+  }
+
+  /** Cluster-ranked mixed-media items over a bootstrapped fingerprint
+    * store: all three near-dup families SERVED FROM THE STORE, one
+    * connected-components pass over the unified pair set (modalities
+    * can't cross-link: pairs only form within a catalog), then the
+    * cross-modality richness rank — (id, modality, comp, richness, rn),
+    * rn = 1 is the cluster's keeper. Shared by [[qMM10]]'s keeper table
+    * and the unified corpus-prep capstone's media-loser drop
+    * ([[TrainPrep.qL59]]). `ingested` supplies richness scan-side
+    * (headers + blob length — never a decode); only (id, digest) longs
+    * cross the joins' exchanges.
+    */
+  private[graft] def mixedMediaRanked(s: SparkSession, ingested: DataFrame,
+      store: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairs = FingerprintStore.imageNearDupPairs(s, store)
       .select("doc_a", "doc_b")
       .unionByName(FingerprintStore.audioNearDupPairs(s, store)
@@ -1440,6 +1454,16 @@ object Multimodal {
       .orderBy(col("richness").desc, col("id"))
     comp.join(rich, Seq("id"))
       .withColumn("rn", row_number().over(w))
+  }
+
+  def qMM10(s: SparkSession, d: String): DataFrame = {
+    val tmp = stageMm10Fixture(s, d)
+    // ---- the pipeline under test starts at the file listing
+    val ingested = graft.io.Readers.binaryMedia(s, tmp,
+      idFromStem = true)
+    val store = scratchDir("mm10-store", d)
+    FingerprintStore.bootstrap(s, ingested, store)
+    mixedMediaRanked(s, ingested, store)
       .groupBy(col("comp").as("cluster_id"))
       .agg(min("modality").as("modality"),
         count(lit(1)).as("size"),

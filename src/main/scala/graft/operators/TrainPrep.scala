@@ -710,6 +710,141 @@ object TrainPrep {
       .orderBy("split")
   }
 
+  /** Q-L59 — the UNIFIED corpus-prep capstone across TEXT and MEDIA:
+    * one oracle-checked provenance funnel over a corpus whose documents
+    * CARRY media ([[Multimodal.withMedia]] — doc i's blob derives from
+    * doc_id i), composing the q_l39 text side with the q_mm10 media
+    * side under ONE keeper story. Stages, each row = the survivors
+    * after that stage (docs + token total), then the final split:
+    *
+    *   - `00_ingested` — the raw corpus.
+    *   - `10_quality` — qL22's four-predicate gate.
+    *   - `20_text_dedup` — exact dedup, MIN doc_id per text keeps.
+    *   - `30_decontam` — drop any keeper sharing a 3-shingle with the
+    *     held-out benchmark (doc_id % 13 — the eval-set convention the
+    *     streaming admission gate uses); exact-overlap decontamination,
+    *     the q_l24 semi-join shape against a benchmark-sized hash set.
+    *   - `40_media_dedup` — drop any doc whose MEDIA lost its near-dup
+    *     cluster: all three perceptual families (image dHash, audio
+    *     fingerprint, video frame-set Jaccard) served from the
+    *     persisted fingerprint store, one CC pass, richest-member-wins
+    *     ([[Multimodal.mixedMediaRanked]]); planted twins (media-only
+    *     provenance rows, ids ≥ TwinOffset) can lose a cluster but are
+    *     never corpus documents, so only corpus losers drop here.
+    *   - `50_train`/`50_val`/`50_test` — the q_l20 md5 content-hash
+    *     split of the final kept set, with `packed_bins` = the number
+    *     of 2048-token training bins the split packs into (the qL21
+    *     contiguous-stream bin count; [[writePackedShards]] is the
+    *     operator that lands the real artifact).
+    *
+    * This is the nightly run a training-data org actually executes —
+    * quality, text dedup, eval decontamination, cross-modality media
+    * dedup, split, pack — as ONE query with one provenance table out.
+    *
+    * Scale shape: the text chain is qL39's (two corpus-sized shuffles:
+    * the (doc,token) repetition aggregate and the text-keyed dedup over
+    * quality survivors); the survivor frame is localCheckpoint-ed once
+    * and every later stage joins ids-only against it (contaminated ids,
+    * media losers — both bounded sets, checkpointed). The media side
+    * reads the PERSISTED store — decode happened once at ingest
+    * (bootstrap is priced by q_mm10); blobs appear only scan-side in
+    * the richness projection, and every exchange after the scans
+    * carries ids, shingle hashes or digests. The DuckDB oracle rebuilds
+    * the whole funnel: quality/dedup/split per the q_l39 CTEs, decontam
+    * per the q_l06 poly-hash shingle chain, and the media losers from
+    * the q_mm10 digest-rebuild chain (splitmix64 → dHash/fingerprint/
+    * frame-hash → all-pairs → recursive-CTE closure → richness rank).
+    */
+  def qL59(s: SparkSession, d: String): DataFrame = {
+    val stop = LLMOps.stopwords
+    val docs = Tables.documents(s, d)
+    val wc = size(LLMOps.tokens(col("text"))).cast("double")
+    val stats = docs.select(
+      col("doc_id"), col("text"),
+      wc.as("wc"),
+      (length(col("text")).cast("double") / wc).as("mean_tok_len"),
+      (size(filter(LLMOps.tokens(col("text")), t => t.isin(stop: _*)))
+        .cast("double") / wc).as("stop_ratio"))
+    val rep = docs
+      .select(col("doc_id"), explode(LLMOps.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").cast("double").as("max_tok"))
+    val qual = col("wc").between(20.0, 80.0) &&
+      col("mean_tok_len").between(3.0, 10.0) &&
+      (col("max_tok") / col("wc")) <= 0.125 &&
+      col("stop_ratio") >= 0.01
+    // one corpus pass carries the quality AND keeper flags: keeper =
+    // the MIN doc_id among a text's quality survivors (the qL04/qL39
+    // deterministic winner, as a window so the funnel counts fall out
+    // of the same frame)
+    val wTxt = Window.partitionBy("text")
+    val base = stats.join(rep, Seq("doc_id"))
+      .withColumn("q", qual)
+      .withColumn("k", col("q") &&
+        col("doc_id") === min(when(col("q"), col("doc_id"))).over(wTxt))
+    // funnel heads (one aggregate): ingested / quality / text-dedup
+    val heads = base.agg(
+      count(lit(1)).as("d0"), sum(col("wc").cast("long")).as("t0"),
+      sum(when(col("q"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("q"), col("wc").cast("long")).otherwise(0L)).as("t1"),
+      sum(when(col("k"), 1L).otherwise(0L)).as("d2"),
+      sum(when(col("k"), col("wc").cast("long")).otherwise(0L)).as("t2"))
+      .selectExpr("stack(3, '00_ingested', d0, t0, '10_quality', d1, t1, " +
+        "'20_text_dedup', d2, t2) AS (stage, docs, total_tokens)")
+      .withColumn("packed_bins", lit(0L))
+    // the keeper frame is referenced by every stage below — pin it
+    // (narrow: id, text for shingles/split, wc)
+    val keepers = base.filter(col("k")).select("doc_id", "text", "wc")
+      .localCheckpoint()
+    // 30: exact benchmark decontamination (q_l24 semi-join shape — the
+    // benchmark hash set aggregates to one row per distinct shingle,
+    // never broadcast by hint: eval suites are small, AQE decides)
+    val benchShingles = LLMOps.shinglePostings(
+      docs.filter(col("doc_id") % 13 === 0), keep = Nil,
+      distinctPerDoc = false).distinct()
+    val contaminated = LLMOps.shinglePostings(keepers,
+        distinctPerDoc = false)
+      .join(benchShingles, Seq("h"), "left_semi")
+      .select("doc_id").distinct().localCheckpoint()
+    val clean = keepers.join(contaminated, Seq("doc_id"), "left_anti")
+    // 40: media losers, served from the persisted fingerprint store
+    // over the staged mixed-media fixture (decode amortized at ingest;
+    // q_mm10 prices the bootstrap)
+    val tmp = Multimodal.stageMm10Fixture(s, d)
+    val ingested = graft.io.Readers.binaryMedia(s, tmp, idFromStem = true)
+    val store = Multimodal.stageFixtureOnce("mm10s", d) { dir =>
+      FingerprintStore.bootstrap(s, ingested, dir)
+    }
+    val mediaLosers = Multimodal.mixedMediaRanked(s, ingested, store)
+      .filter(col("rn") > 1 && col("id") < Multimodal.TwinOffset)
+      .select(col("id").as("doc_id")).localCheckpoint()
+    val kept = clean.join(mediaLosers, Seq("doc_id"), "left_anti")
+    def tally(name: String, f: DataFrame): DataFrame =
+      f.agg(count(lit(1)).as("docs"),
+          sum(col("wc").cast("long")).as("total_tokens"))
+        .select(lit(name).as("stage"), col("docs"), col("total_tokens"),
+          lit(0L).as("packed_bins"))
+    // 50: md5 content-hash split of the kept set + the 2048-token bin
+    // count each split packs into (contiguous stream — qL21's measure)
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val splits = kept
+      .withColumn("stage", concat(lit("50_"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test")))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("wc").cast("long")).as("total_tokens"))
+      .withColumn("packed_bins",
+        expr("(total_tokens + 2047) div 2048"))
+    heads
+      .unionByName(tally("30_decontam", clean))
+      .unionByName(tally("40_media_dedup", kept))
+      .unionByName(splits.select("stage", "docs", "total_tokens",
+        "packed_bins"))
+      .orderBy("stage")
+  }
+
   /** Q-L30 — per-language length trimming (drop the p5/p95 tails of
     * `n_chars` within each language before training). Pass 1 reduces the
     * corpus to one (lo, hi) row per language — a bounded, broadcastable
