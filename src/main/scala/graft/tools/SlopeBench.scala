@@ -518,22 +518,73 @@ object SlopeBench {
       }
       main ++ widthRows
     }
+    // MinHash band-snapshot lifecycle per documents decade (r17, the
+    // BatchStore port): bootstrap over the oldest ~90%, the per-batch
+    // DELTA cost split into its two halves — the candidate-pair read
+    // (q_mhD, shingle the batch + band join against the store) and the
+    // exactly-once band append (q_mhA, remnant-glob + staged rename +
+    // flag) — plus the OLD bare mode("append") write as the A/B
+    // baseline (q_mhA0: what the discipline must not cost more than),
+    // and compact (q_mhC, the file-count fold + flag rollup).
+    def mhsLifecycle(s: SparkSession, dir: String): Seq[(String, Double)] = {
+      import graft.operators.{LLMOps, MinhashSnapshot}
+      import org.apache.spark.sql.functions.{col, max}
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cut = maxId - maxId / 10
+      val hist = docs.filter(col("doc_id") <= cut)
+      val batch = docs.filter(col("doc_id") > cut)
+      def t(f: => Unit): Double = {
+        s.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def rm(sdir: String): Unit =
+        new org.apache.hadoop.fs.Path(sdir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(sdir), true)
+      def pass(): Seq[Double] = {
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft-slope-mhs").toString
+        val pdir = java.nio.file.Files
+          .createTempDirectory("graft-slope-mhs0").toString
+        val times = Seq(
+          t(MinhashSnapshot.bootstrap(s, hist, sdir)),
+          t(LLMOps.deltaDedupCandidates(s, batch, sdir)
+            .write.format("noop").mode("overwrite").save()),
+          t(MinhashSnapshot.append(s, batch, sdir, batchId = 0L)),
+          { // the pre-store baseline: bare mode-append of the same bands
+            LLMOps.minhashBands(LLMOps.shinglePostingsOf(hist))
+              .write.mode("overwrite").parquet(pdir)
+            t(LLMOps.minhashBands(LLMOps.shinglePostingsOf(batch))
+              .write.mode("append").parquet(pdir))
+          },
+          t(MinhashSnapshot.compact(s, sdir)))
+        rm(sdir); rm(pdir)
+        times
+      }
+      pass() // uncharged warm-up
+      val best = (1 to passes).map(_ => pass()).transpose.map(_.min)
+      Seq("q_mhB", "q_mhD", "q_mhA", "q_mhA0", "q_mhC").zip(best)
+    }
     // SPARK_GRAFT_FAMILY re-measures ONE family when only its code path
     // changed (the other families' recorded numbers stay valid):
     // "ivf" = the store lifecycle alone, "chunk" = the CDC chunk-store
     // lifecycle alone, "fps" = the media fingerprint-store lifecycle
-    // alone, "pq" = the ADC scan alone, or a
+    // alone, "mhs" = the MinHash band-snapshot lifecycle alone, "pq" =
+    // the ADC scan alone, or a
     // comma list of op ids ("q_l58") for just-added ops
     val family = sys.env.get("SPARK_GRAFT_FAMILY")
     val onlyIvf = family.contains("ivf")
     val onlyChunk = family.contains("chunk")
     val onlyFps = family.contains("fps")
+    val onlyMhs = family.contains("mhs")
     val opFilter: Option[Set[String]] = family.filter(_.startsWith("q_"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val out = new StringBuilder
     args.foreach { dir =>
       val ops =
-        if (onlyIvf || onlyChunk || onlyFps) Nil
+        if (onlyIvf || onlyChunk || onlyFps || onlyMhs) Nil
         else if (family.contains("pq"))
           (if (new java.io.File(s"$dir/embeddings.parquet").exists()) embOps
            else Nil) // a doc/event/media dir in the arg list is not an error
@@ -550,7 +601,7 @@ object SlopeBench {
           best(n) = math.min(best(n), run(fn, dir)) }
       }
       if (new java.io.File(s"$dir/embeddings.parquet").exists() &&
-          !family.contains("pq") && !onlyChunk && !onlyFps &&
+          !family.contains("pq") && !onlyChunk && !onlyFps && !onlyMhs &&
           opFilter.isEmpty)
         storeLifecycle(spark, dir).foreach { case (n, v) => best(n) = v }
       if (new java.io.File(s"$dir/documents.parquet").exists() &&
@@ -559,6 +610,9 @@ object SlopeBench {
       if (new java.io.File(s"$dir/media.parquet").exists() &&
           (onlyFps || (family.isEmpty && opFilter.isEmpty)))
         fpsLifecycle(spark, dir).foreach { case (n, v) => best(n) = v }
+      if (new java.io.File(s"$dir/documents.parquet").exists() &&
+          (onlyMhs || (family.isEmpty && opFilter.isEmpty)))
+        mhsLifecycle(spark, dir).foreach { case (n, v) => best(n) = v }
       val qs = best.map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",")
       val line = s"""{"dir":"$dir","queries":{$qs}}"""
       println(line)
