@@ -213,18 +213,30 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
   }
 
   /** Drop every piece of root maintenance metadata a PREVIOUS life of
-    * this store left behind — the re-bootstrap pre-clean. `_batch-*`
-    * flags are KEPT: they are committed-batch history a replaying stream
-    * checkpoint may still consult.
+    * this store left behind — the re-bootstrap pre-clean. `dropBatchFlags`
+    * decides the fate of committed-batch history: a bootstrap that runs
+    * INSIDE a live stream's lifetime (the fingerprint store's
+    * first-non-empty-batch leg) keeps `_batch-*` flags — the same
+    * checkpoint that committed them is still driving; an explicit
+    * START-FRESH seeding (the MinHash snapshot's writeMinhashSnapshot)
+    * drops them — a NEW stream with a new checkpoint restarts batch ids
+    * at 0, and stale flags would silently no-op its first batches.
+    *
+    * NOTE there is deliberately no migration from the pre-snapshot
+    * (r16 trash-dance) layout: stores live no longer than their
+    * fixtures; a store written by the old scheme is re-bootstrapped,
+    * not recovered.
     */
-  def cleanRootMetadata(s: SparkSession): Unit = {
+  def cleanRootMetadata(s: SparkSession,
+      dropBatchFlags: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(s)
-    Seq("_maint-inprogress-*", "_snap-*", "_snapfiles-*", "_batchmark-*")
-      .foreach { g =>
-        val hits = fs.globStatus(new Path(s"$dir/$g"))
-        if (hits != null) hits.foreach(h => fs.delete(h.getPath, false))
-      }
+    val globs = Seq("_maint-inprogress-*", "_snap-*", "_snapfiles-*",
+      "_batchmark-*") ++ (if (dropBatchFlags) Seq("_batch-*") else Nil)
+    globs.foreach { g =>
+      val hits = fs.globStatus(new Path(s"$dir/$g"))
+      if (hits != null) hits.foreach(h => fs.delete(h.getPath, false))
+    }
     catalogs.foreach(cat =>
       fs.delete(new Path(s"$dir/.append-staged-$cat"), true))
   }
@@ -234,12 +246,22 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
     * listing, referenced by no snapshot). Pre-snapshot stores fall back
     * to the raw listing.
     */
-  def liveFiles(s: SparkSession, cat: String): Seq[String] = {
+  def liveFiles(s: SparkSession, cat: String): Seq[String] =
+    liveFilesIn(s, currentSnapshot(s), cat)
+
+  /** [[liveFiles]] against an already-loaded snapshot — multi-catalog
+    * operations (dataFileCount, maintenance) load the snapshot ONCE and
+    * resolve every catalog against it instead of re-reading the
+    * metadata file per catalog (each read is a round trip on an object
+    * store).
+    */
+  private def liveFilesIn(s: SparkSession, snapshot: Option[Snapshot],
+      cat: String): Seq[String] = {
     val catDir = s"$dir/$cat"
     if (!fsOf(s).exists(new org.apache.hadoop.fs.Path(catDir)))
       return Nil
     val listing = StatsManifest.listParquet(s, catDir)
-    currentSnapshot(s) match {
+    snapshot match {
       case None => listing
       case Some(snap) =>
         val (live, retired) = (snap.live(cat), snap.retired(cat))
@@ -251,19 +273,33 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
   }
 
   /** Snapshot-resolved catalog read — retired-but-retained files are
-    * invisible the instant the new snapshot commits.
+    * invisible the instant the new snapshot commits. A snapshot whose
+    * live set is EMPTY (a vacuum that killed every row of the catalog)
+    * reads as an empty frame with the catalog's schema off the retained
+    * files' footers — falling back to the raw dir there would resurrect
+    * the retired originals until the reap. Only a store with no
+    * snapshot at all (pre-bootstrap/legacy) reads the raw dir.
     */
   def readCat(s: SparkSession, cat: String): DataFrame = {
     val files = liveFiles(s, cat)
-    if (files.isEmpty) s.read.parquet(s"$dir/$cat") // pre-snapshot/legacy
-    else s.read.parquet(files: _*)
+    if (files.nonEmpty) return s.read.parquet(files: _*)
+    val catDir = s"$dir/$cat"
+    val listing =
+      if (fsOf(s).exists(new org.apache.hadoop.fs.Path(catDir)))
+        StatsManifest.listParquet(s, catDir)
+      else Nil
+    if (currentSnapshot(s).isDefined && listing.nonEmpty)
+      s.read.parquet(listing: _*).limit(0) // schema-only: snapshot says empty
+    else s.read.parquet(catDir) // pre-snapshot/legacy (or the error path)
   }
 
   /** Count of live data files across the catalogs — the [[compact]]
     * trigger a live ingest loop polls (listing + snapshot read only).
     */
-  def dataFileCount(s: SparkSession): Int =
-    catalogs.map(cat => liveFiles(s, cat).length).sum
+  def dataFileCount(s: SparkSession): Int = {
+    val snap = currentSnapshot(s)
+    catalogs.map(cat => liveFilesIn(s, snap, cat).length).sum
+  }
 
   // ------------------------------------------------------------------
   // Maintenance
@@ -298,7 +334,7 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
       }
     }
     val k = prior.map(_.k).getOrElse(-1L)
-    val live = catalogs.map(cat => cat -> liveFiles(s, cat)).toMap
+    val live = catalogs.map(cat => cat -> liveFilesIn(s, prior, cat)).toMap
     (token, k, live)
   }
 

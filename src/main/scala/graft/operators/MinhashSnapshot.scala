@@ -39,11 +39,18 @@ object MinhashSnapshot {
 
   /** Build the snapshot from scratch over `docs` (possibly empty — the
     * seed a streaming run starts from). Mode-overwrite idempotent;
-    * commits by publishing snapshot 0.
+    * commits by publishing snapshot 0. START-FRESH semantics: stale
+    * `_batch-*` flags from a PREVIOUS stream's lifetime are dropped —
+    * a re-seeded dir is new history, and a new stream's checkpoint
+    * restarts batch ids at 0, so a kept flag would silently no-op the
+    * new stream's first batches (its pairs never written, its bands
+    * never landed). Seed a dir written by the pre-r17 flat layout by
+    * re-running this (it IS the migration); the flat files are simply
+    * ignored thereafter.
     */
   def bootstrap(s: SparkSession, docs: DataFrame, dir: String): Unit = {
     val st = store(dir)
-    st.cleanRootMetadata(s)
+    st.cleanRootMetadata(s, dropBatchFlags = true)
     bandsOf(docs).write.mode("overwrite").parquet(s"$dir/bands")
     st.publishBootstrap(s)
   }

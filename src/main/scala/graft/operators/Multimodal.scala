@@ -1282,11 +1282,37 @@ object Multimodal {
         scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
 
   /** Bump whenever the fixture CONTENT recipe changes — the synthetic
-    * encoders, the twin mutations, the corrupt plant, the shard layout —
-    * so stale staged trees invalidate. The staged tree is keyed on
-    * (tag, dataset dir, this version).
+    * encoders, the twin mutations, the corrupt plant, the shard layout,
+    * or any DIGEST kernel a staged store downstream of the tree derives
+    * from (q_l59's `mm10s` store is staged behind the same version) —
+    * so stale staged trees and stores invalidate. The staged tree is
+    * keyed on (tag, dataset dir + a documents.parquet file fingerprint,
+    * this version): a dataset REGENERATED at the same path invalidates
+    * automatically; a code change is this constant's job.
     */
   private[graft] val MediaFixtureVersion = "v1"
+
+  /** Listing fingerprint of the dataset's documents table (names, sizes,
+    * mtimes) — the staged-fixture key's defense against a dataset
+    * regenerated in place, which a path-only key would silently serve a
+    * stale tree for.
+    */
+  private def datasetFingerprint(d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(d, "documents.parquet")
+    if (!Files.exists(root)) return "absent"
+    val st = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      val acc = st.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .map(p => s"${p.getFileName}:${Files.size(p)}:" +
+          Files.getLastModifiedTime(p).toMillis)
+        .toSeq.sorted.mkString("|")
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(acc).toLong & 0xffffffffL)
+    } finally st.close()
+  }
 
   private object FixtureLock
 
@@ -1309,7 +1335,8 @@ object Multimodal {
     val dir = scratchDir(tag, d)
     val recipeHash = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3
-        .stringHash(s"$tag:$MediaFixtureVersion").toLong & 0xffffffffL)
+        .stringHash(s"$tag:$MediaFixtureVersion:${datasetFingerprint(d)}")
+        .toLong & 0xffffffffL)
     val marker = Paths.get(s"$dir.fixture-$recipeHash")
     val lockPath = Paths.get(s"$dir.lock")
     FixtureLock.synchronized {
@@ -1324,9 +1351,11 @@ object Multimodal {
             import scala.jdk.CollectionConverters._
             val parent = Paths.get(dir).getParent
             val base = Paths.get(dir).getFileName.toString + ".fixture-"
-            Files.list(parent).iterator().asScala
+            val ls = Files.list(parent)
+            try ls.iterator().asScala
               .filter(_.getFileName.toString.startsWith(base))
               .foreach(Files.delete)
+            finally ls.close()
             build(dir)
             Files.write(marker, Array.emptyByteArray)
           }
@@ -1461,7 +1490,13 @@ object Multimodal {
     // ---- the pipeline under test starts at the file listing
     val ingested = graft.io.Readers.binaryMedia(s, tmp,
       idFromStem = true)
-    val store = scratchDir("mm10-store", d)
+    // per-PROCESS store dir: this query re-bootstraps every run by
+    // design (it prices the decode), so unlike the staged fixture there
+    // is nothing to share across JVMs — and a shared deterministic path
+    // would let one JVM's overwrite-bootstrap clobber another's mid-scan
+    // (the stageFixtureOnce concurrency story, completed at the store)
+    val store = scratchDir("mm10-store", d) +
+      s"-p${ProcessHandle.current().pid()}"
     FingerprintStore.bootstrap(s, ingested, store)
     mixedMediaRanked(s, ingested, store)
       .groupBy(col("comp").as("cluster_id"))

@@ -1992,6 +1992,13 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(bandSet(dir) == want.filterNot(_._1 == victim))
     // recover on a clean store is a no-op
     assert(!MinhashSnapshot.recover(spark, dir))
+    // RE-SEED drops stale batch history: a new stream with a fresh
+    // checkpoint restarts ids at 0 — kept flags would silently no-op
+    // its first batches (pairs never written, bands never landed)
+    MinhashSnapshot.bootstrap(spark, docs.limit(0), dir)
+    assert(!MinhashSnapshot.batchCommitted(spark, dir, 7L),
+      "bootstrap must start history fresh")
+    assert(MinhashSnapshot.bands(spark, dir).isEmpty)
   }
 
   test("delta dedup: new batch vs stored snapshot equals full recompute; " +
@@ -2801,6 +2808,21 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
       "a vacuumed id must re-ingest on a later append")
     // no trash left behind after a completed vacuum
     assert(!new java.io.File(s"$dir/.vacuum-trash").exists())
+    // TOTAL-KILL leg: vacuuming every wav id empties the audio catalog
+    // entirely — the snapshot-resolved read must return ZERO rows (with
+    // the schema intact), not resurrect the retired originals that stay
+    // on disk through the grace window
+    val noWav = FingerprintStore.ledger(spark, dir)
+      .filter(col("format") =!= "wav").select("doc_id")
+    FingerprintStore.vacuum(spark, dir, noWav)
+    val emptied = FingerprintStore.audioFingerprints(spark, dir)
+    assert(emptied.columns.toSeq == Seq("doc_id", "afp"),
+      "an emptied catalog must keep its schema")
+    assert(emptied.count() == 0,
+      "a vacuum that kills a whole catalog must read as empty, not " +
+        "resurrect retired files")
+    assert(FingerprintStore.ledger(spark, dir)
+      .filter(col("format") === "wav").isEmpty)
   }
 
   test("multimodal: the boilerplate-frame cap drops exactly the >K-video " +
