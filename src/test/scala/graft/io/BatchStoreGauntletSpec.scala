@@ -1,0 +1,181 @@
+package graft.io
+
+import graft.SparkFixture
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized model gauntlet for the [[BatchStore]] commit discipline —
+  * the Ivf-gauntlet idiom applied to the store core both persisted
+  * stores now ride: a seeded random walk over the store's whole op
+  * surface (committed appends under stream AND manual tags, torn
+  * appends crashed after a strict subset of catalogs landed, replays,
+  * committed-tag replays with DIFFERENT rows, compact, torn compact
+  * reconstructions, doc_id vacuum including whole-catalog kills,
+  * recover, eager reap), with an in-memory model advanced in lockstep
+  * and EVERY catalog read compared against it after EVERY op. The
+  * hand-written EngineSpec legs pin each crash window once; the
+  * gauntlet pins their INTERACTIONS — a torn append followed by a
+  * compact followed by the replay, a vacuum over watermark-rolled
+  * batches, a reap between two torn states — where sequencing bugs
+  * live.
+  */
+class BatchStoreGauntletSpec extends AnyFunSuite with SparkFixture {
+
+  private val Cats = Seq("alpha", "beta")
+
+  private def df(rows: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "v").repartition(2)
+  }
+
+  private def readSet(st: BatchStore, cat: String): Set[(Long, Long)] =
+    st.readCat(spark, cat).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("randomized op-sequence gauntlet: store state equals the model " +
+      "after every op, across torn appends, maintenance, replays, " +
+      "vacuums and reaps (seeds 1, 7, 13)") {
+    Seq(1, 7, 13).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-bsg-$seed").toString
+      val st = BatchStore(dir, Cats)
+      // the model: per catalog, the committed row set
+      val model = scala.collection.mutable.Map(
+        Cats.map(_ -> Set.empty[(Long, Long)]): _*)
+      var nextDoc = 0L
+      var streamId = 0L
+      // a torn append awaiting its replay: (batchId passed to append,
+      // rows per catalog). Single-maintainer discipline: while torn,
+      // the only legal ops are the replay itself, maintenance (which
+      // pre-cleans the remnants), recover, or reap.
+      var torn: Option[(Long, Map[String, Seq[(Long, Long)]])] = None
+      // the torn batch's LANDED catalogs — their remnants are visible
+      // to readers until the replay takes them back (the documented
+      // single-maintainer posture: the loop replays before it reads;
+      // the gauntlet instead models the visibility exactly)
+      var tornVisible: Map[String, Seq[(Long, Long)]] = Map.empty
+
+      def freshBatch(): Map[String, Seq[(Long, Long)]] = {
+        val out = Cats.map { cat =>
+          val n = 1 + rnd.nextInt(4)
+          cat -> (0 until n).map { _ =>
+            nextDoc += 1; (nextDoc, rnd.nextLong(1000))
+          }
+        }.toMap
+        out
+      }
+
+      /** The store-append discipline the two production stores run:
+        * committed tag → no-op; else recover, remnant-delete, land
+        * every catalog, flag LAST.
+        */
+      def append(batchId: Long, rows: Map[String, Seq[(Long, Long)]],
+          crashAfter: Int): Boolean = {
+        val flags = st.loadFlags(spark)
+        val tag = st.resolveTag(flags, batchId)
+        if (flags.committed(tag)) return true // replayed: no-op
+        st.recover(spark)
+        st.removeRemnants(spark, tag)
+        Cats.take(crashAfter).foreach(cat =>
+          st.landBatchFiles(spark, df(rows(cat)), cat, tag))
+        if (crashAfter < Cats.length) return false // crashed mid-land
+        st.commitFlag(spark, tag)
+        true
+      }
+
+      def check(where: String): Unit = Cats.foreach { cat =>
+        val expect = model(cat) ++ tornVisible.getOrElse(cat, Nil)
+        assert(readSet(st, cat) == expect,
+          s"seed $seed, $where, catalog $cat diverged from the model")
+      }
+
+      // open with one committed append so every catalog exists
+      val first = freshBatch()
+      assert(append(streamId, first, Cats.length))
+      Cats.foreach(c => model(c) = model(c) ++ first(c))
+      streamId += 1
+      // snapshot 0, as both production stores publish at bootstrap —
+      // readers resolve snapshots from here on (pre-snapshot legacy
+      // mode would surface injected fold junk to the raw-listing read)
+      st.publishBootstrap(spark)
+      check("opening append")
+
+      (1 to 30).foreach { step =>
+        torn match {
+          case Some((bid, rows)) =>
+            rnd.nextInt(3) match {
+              case 0 => // replay completes the batch
+                assert(append(bid, rows, Cats.length))
+                Cats.foreach(c => model(c) = model(c) ++ rows(c))
+                torn = None; tornVisible = Map.empty
+              case 1 => // maintenance pre-cleans the remnants, then replay
+                if (rnd.nextBoolean()) st.compact(spark)
+                else { val live = df(model.values.flatten.toSeq.distinct)
+                  st.vacuumByDocId(spark, live.select("doc_id")) }
+                tornVisible = Map.empty // pre-cleaned by the maintenance
+                check(s"step $step maintenance-over-torn")
+                assert(append(bid, rows, Cats.length))
+                Cats.foreach(c => model(c) = model(c) ++ rows(c))
+                torn = None
+              case _ => // recover leaves committed data alone
+                st.recover(spark)
+            }
+          case None =>
+            rnd.nextInt(8) match {
+              case 0 | 1 => // committed append (stream or manual tag)
+                val rows = freshBatch()
+                val bid = if (rnd.nextBoolean()) { val b = streamId
+                  streamId += 1; b } else -1L
+                assert(append(bid, rows, Cats.length))
+                Cats.foreach(c => model(c) = model(c) ++ rows(c))
+              case 2 => // torn append: a strict subset of catalogs lands
+                val rows = freshBatch()
+                val bid = { val b = streamId; streamId += 1; b }
+                assert(!append(bid, rows, 1))
+                torn = Some((bid, rows))
+                tornVisible = Cats.take(1).map(c => c -> rows(c)).toMap
+              case 3 => // committed-tag replay with DIFFERENT rows: no-op
+                val bid = rnd.nextLong(streamId)
+                append(bid, freshBatch(), Cats.length)
+              case 4 => st.compact(spark)
+              case 5 => // torn-compact junk: marker + unreferenced fold
+                val tok = s"torn$step"
+                val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+                  spark.sparkContext.hadoopConfiguration)
+                fs.create(new org.apache.hadoop.fs.Path(
+                  s"$dir/_maint-inprogress-$tok"), true).close()
+                fs.create(new org.apache.hadoop.fs.Path(
+                  s"$dir/${Cats(rnd.nextInt(Cats.length))}/" +
+                    s"fold-$tok-0-junk.parquet"), true).close()
+                check(s"step $step torn-compact junk invisible")
+                assert(st.recover(spark))
+              case 6 => // vacuum a random victim set (possibly a whole
+                // catalog's rows — the empty-live read path)
+                val all = model.values.flatten.map(_._1).toSeq.distinct
+                if (all.nonEmpty) {
+                  val victims = all.filter(_ => rnd.nextInt(4) == 0).toSet
+                  val live = all.filterNot(victims)
+                  st.vacuumByDocId(spark,
+                    df(live.map(id => (id, 0L))).select("doc_id"))
+                  Cats.foreach(c =>
+                    model(c) = model(c).filterNot(r => victims(r._1)))
+                }
+              case _ => st.reapRetired(spark)
+            }
+        }
+        check(s"step $step")
+      }
+      // drain any torn tail so the walk ends converged, then one full
+      // maintenance cycle and a final audit
+      torn.foreach { case (bid, rows) =>
+        assert(append(bid, rows, Cats.length))
+        Cats.foreach(c => model(c) = model(c) ++ rows(c))
+        tornVisible = Map.empty
+      }
+      st.compact(spark)
+      st.reapRetired(spark)
+      check("final")
+    }
+  }
+}
