@@ -272,6 +272,38 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
     }
   }
 
+  /** Rename a staged rewrite's parquet files into `cat` under the
+    * maintenance token's `fold-<token>-*` names (invisible until the
+    * snapshot publishes), drop the stage, return the new NAMES — the
+    * landing half every maintenance rewrite shares.
+    */
+  private[graft] def foldStagedIn(s: SparkSession, staged: String,
+      cat: String, token: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s)
+    val names = StatsManifest.listParquet(s, staged).zipWithIndex.map {
+      case (f, i) =>
+        val p = new Path(f)
+        val name = s"fold-$token-$i-${p.getName}"
+        require(fs.rename(p, new Path(s"$dir/$cat", name)),
+          s"maintenance: rename $f into $dir/$cat failed")
+        name
+    }
+    fs.delete(new Path(staged), true)
+    names
+  }
+
+  /** Has this store ever committed a snapshot — i.e. completed a
+    * bootstrap under the snapshot scheme? The bootstrapped-or-not probe
+    * a streaming sink uses (the snapshot flag is a bootstrap's LAST
+    * step, so a torn bootstrap reads false and re-runs idempotently).
+    */
+  def snapshotExists(s: SparkSession): Boolean = {
+    val flags = fsOf(s).globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/_snap-*"))
+    flags != null && flags.nonEmpty
+  }
+
   /** Snapshot-resolved catalog read — retired-but-retained files are
     * invisible the instant the new snapshot commits. A snapshot whose
     * live set is EMPTY (a vacuum that killed every row of the catalog)
@@ -311,7 +343,7 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
     * never be folded into a snapshot its replay couldn't take back.
     * Returns (token, prior snapshot id, live file lists).
     */
-  private def beginMaintenance(s: SparkSession)
+  private[graft] def beginMaintenance(s: SparkSession)
       : (String, Long, Map[String, Seq[String]]) = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(s)
@@ -345,7 +377,7 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
     * (and the older mark) are deleted, so no crash point ever makes a
     * committed batch look uncommitted.
     */
-  private def finishMaintenance(s: SparkSession, token: String,
+  private[graft] def finishMaintenance(s: SparkSession, token: String,
       priorK: Long, newLive: Map[String, Set[String]],
       newRetired: Map[String, Set[String]]): Unit = {
     import org.apache.hadoop.fs.Path
@@ -394,15 +426,7 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
         val staged = s"$dir/.compact-staged-$cat"
         s.read.parquet(files: _*).coalesce(target)
           .write.mode("overwrite").parquet(staged)
-        val folded = StatsManifest.listParquet(s, staged).zipWithIndex.map {
-          case (f, i) =>
-            val p = new Path(f)
-            val name = s"fold-$token-$i-${p.getName}"
-            require(fs.rename(p, new Path(s"$dir/$cat", name)),
-              s"compact: rename $f into $dir/$cat failed")
-            name
-        }
-        fs.delete(new Path(staged), true)
+        val folded = foldStagedIn(s, staged, cat, token)
         newLive(cat) = folded.toSet
         newRetired(cat) = files.map(f => new Path(f).getName).toSet
       } else {
@@ -492,15 +516,7 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
           s.read.parquet(dirty.toSeq: _*)
             .join(live, Seq("doc_id"), "left_semi")
             .write.mode("overwrite").parquet(staged)
-          val folded = StatsManifest.listParquet(s, staged).zipWithIndex
-            .map { case (f, i) =>
-              val p = new Path(f)
-              val name = s"fold-$token-$i-${p.getName}"
-              require(fs.rename(p, new Path(s"$dir/$cat", name)),
-                s"vacuum: rename $f into $dir/$cat failed")
-              name
-            }
-          fs.delete(new Path(staged), true)
+          val folded = foldStagedIn(s, staged, cat, token)
           val dirtyNames = dirty.map(f => new Path(f).getName)
           newLive(cat) = (newLive(cat) -- dirtyNames) ++ folded
           newRetired(cat) = dirtyNames

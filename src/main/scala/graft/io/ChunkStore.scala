@@ -36,6 +36,22 @@ import org.apache.spark.sql.functions._
   * existing key set, and only never-seen chunk text lands — history is
   * never re-read, never rewritten, exactly the q_l40 delta-dedup /
   * ingestWithManifest contract.
+  *
+  * Since r17 the store rides the [[BatchStore]] lifecycle the
+  * fingerprint and MinHash stores share: appends land `batch<tag>-*`
+  * files under namespaced `_batch` flags (committed tag → replay
+  * no-ops; crashed tag → remnant-delete + rewrite), appends also
+  * anti-join the batch's doc_ids against the manifest so a replay
+  * after ANY crash point — including the bootstrap's own
+  * snapshot-landed/flag-lost window — never duplicates a manifest
+  * slot; vacuum commits through the snapshot pointer (dirty chunk AND
+  * manifest files rewritten as `fold-*` names, originals retired one
+  * grace round, readers snapshot-isolated — the old whole-manifest
+  * swap is gone); and [[compact]]/[[recover]]/[[reapRetired]] complete
+  * the maintenance surface. This closed [[graft.streaming.StreamOps
+  * .ingestChunkStore]]'s documented residual window (a crash between
+  * the append and its checkpoint-side marker used to re-apply the
+  * batch and duplicate manifest slots).
   */
 object ChunkStore {
 
@@ -68,32 +84,88 @@ object ChunkStore {
     * store); callers that must round-trip them keep them in a side table.
     */
   def write(docs: DataFrame, dir: String): Unit = {
+    val st = store(dir)
+    val s = docs.sparkSession
+    // START-FRESH seeding: stale batch flags are a previous stream's
+    // history (the MinhashSnapshot.bootstrap rationale)
+    st.cleanRootMetadata(s, dropBatchFlags = true)
     val c = keyed(docs)
     c.groupBy("h", "len", "x")
       .agg(first(col("chunk_text")).as("chunk_text"))
       .write.mode("overwrite").parquet(s"$dir/chunks")
     c.select("doc_id", "idx", "h", "len", "x")
       .write.mode("overwrite").parquet(s"$dir/manifest")
+    st.publishBootstrap(s) // the commit point: [[bootstrapped]] flips here
   }
 
-  /** Incrementally ingest a batch of NEW documents (doc_ids not already
-    * in the manifest — re-appending an existing doc_id is out of
-    * contract): only chunks the store has never seen are written, found
-    * by a left-anti join against the existing KEY projection — the store
+  private def store(dir: String) = BatchStore(dir, Seq("chunks", "manifest"))
+
+  /** Has a [[write]] COMMITTED here (its snapshot published)? The
+    * bootstrap-or-append branch a streaming sink takes — a torn write
+    * reads false and re-runs idempotently (its data writes are
+    * mode-overwrite).
+    */
+  def bootstrapped(s: SparkSession, dir: String): Boolean =
+    store(dir).snapshotExists(s)
+
+  /** Snapshot-resolved unique-chunk catalog. */
+  def chunks(s: SparkSession, dir: String): DataFrame =
+    store(dir).readCat(s, "chunks")
+
+  /** Snapshot-resolved per-document manifest. */
+  def manifest(s: SparkSession, dir: String): DataFrame =
+    store(dir).readCat(s, "manifest")
+
+  def batchCommitted(s: SparkSession, dir: String, batchId: Long): Boolean =
+    store(dir).batchCommitted(s, batchId)
+
+  /** Fold per-batch file sprawl ([[BatchStore.compact]]). */
+  def compact(s: SparkSession, dir: String): Unit = store(dir).compact(s)
+
+  def recover(s: SparkSession, dir: String): Boolean = store(dir).recover(s)
+
+  def reapRetired(s: SparkSession, dir: String): Int =
+    store(dir).reapRetired(s)
+
+  def dataFileCount(s: SparkSession, dir: String): Int =
+    store(dir).dataFileCount(s)
+
+  /** Incrementally ingest a batch: documents whose doc_id the manifest
+    * already holds are skipped (an ids-only anti-join — so a replay
+    * after ANY crash point, including the bootstrap's own
+    * committed-but-unflagged window, never duplicates a manifest slot),
+    * then only chunks the store has never seen are written, found by a
+    * left-anti join against the existing KEY projection — the store
     * side of that join carries no chunk text, so the exchange is
     * key-sized, and history parquet is neither re-read for content nor
-    * rewritten. Cross-batch repeats therefore cost one manifest row, not
-    * a second copy of the span.
+    * rewritten. Cross-batch repeats therefore cost one manifest row,
+    * not a second copy of the span.
+    *
+    * Idempotence is the [[BatchStore]] contract: `batchId` ≥ 0 = the
+    * caller's (stream-namespace) id, −1 self-allocates a MANUAL `m<N>`
+    * tag; committed tag → no-op, crashed tag → remnants deleted, batch
+    * redone, flag LAST.
     */
-  def append(s: SparkSession, docs: DataFrame, dir: String): Unit = {
-    val c = keyed(docs)
-    val existing = s.read.parquet(s"$dir/chunks").select("h", "len", "x")
-    c.select("h", "len", "x", "chunk_text")
-      .dropDuplicates("h", "len", "x")
-      .join(existing, Seq("h", "len", "x"), "left_anti")
-      .write.mode("append").parquet(s"$dir/chunks")
-    c.select("doc_id", "idx", "h", "len", "x")
-      .write.mode("append").parquet(s"$dir/manifest")
+  def append(s: SparkSession, docs: DataFrame, dir: String,
+      batchId: Long = -1L): Unit = {
+    val st = store(dir)
+    val flags = st.loadFlags(s)
+    val tag = st.resolveTag(flags, batchId)
+    if (flags.committed(tag)) return // committed batch replayed: no-op
+    st.recover(s)
+    st.removeRemnants(s, tag)
+    val seen = manifest(s, dir).select("doc_id").distinct()
+    val fresh = docs.join(seen, Seq("doc_id"), "left_anti")
+    val c = keyed(fresh)
+    val existing = chunks(s, dir).select("h", "len", "x")
+    st.landBatchFiles(s,
+      c.select("h", "len", "x", "chunk_text")
+        .dropDuplicates("h", "len", "x")
+        .join(existing, Seq("h", "len", "x"), "left_anti"),
+      "chunks", tag)
+    st.landBatchFiles(s, c.select("doc_id", "idx", "h", "len", "x"),
+      "manifest", tag)
+    st.commitFlag(s, tag)
   }
 
   /** Reference counts, derived from the manifest at read time (stored
@@ -101,7 +173,7 @@ object ChunkStore {
     * refs == manifest slots per chunk, by construction.
     */
   def referenceCounts(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/manifest")
+    manifest(s, dir)
       .groupBy("h", "len", "x").agg(count(lit(1)).as("refs"))
 
   /** Re-materialize (doc_id, text) from the store: manifest ⋈ chunks on
@@ -110,10 +182,9 @@ object ChunkStore {
     * unique-chunks-sized) and one doc_id-keyed aggregation.
     */
   def materialize(s: SparkSession, dir: String): DataFrame = {
-    val chunks = s.read.parquet(s"$dir/chunks")
-      .select("h", "len", "x", "chunk_text")
-    s.read.parquet(s"$dir/manifest")
-      .join(chunks, Seq("h", "len", "x"))
+    val uniq = chunks(s, dir).select("h", "len", "x", "chunk_text")
+    manifest(s, dir)
+      .join(uniq, Seq("h", "len", "x"))
       .groupBy("doc_id")
       .agg(array_join(
         transform(
@@ -131,93 +202,85 @@ object ChunkStore {
   /** Reclaim storage after document deletion: drop the manifest rows of
     * docs absent from `liveDocs` (a `doc_id` frame — the retention set),
     * then delete every chunk whose derived reference count hits zero —
-    * q_l43's reclaim WORKLIST made actionable. The write side touches
-    * ONLY chunk files that actually hold a dead chunk: clean files are
-    * never read, never rewritten, so vacuum cost scales with the dirty
-    * file set, not the store size (the Delta/Iceberg rewrite-dirty-files
-    * discipline). Dirty files' surviving rows are staged to a temp dir,
-    * the dirty files are replaced file-by-file via rename, and the
-    * manifest swaps through the same stage-then-rename.
+    * q_l43's reclaim WORKLIST made actionable. BOTH catalogs follow the
+    * rewrite-dirty-files discipline: only manifest files holding a dead
+    * slot and chunk files holding a dead chunk are re-read and
+    * rewritten — clean files are never touched (the old implementation
+    * swapped the ENTIRE manifest every vacuum; now manifest cost rides
+    * its dirty set too). The swap is the [[BatchStore]]
+    * snapshot-pointer commit: survivors land as `fold-<token>-*` files,
+    * the new snapshot retires the dirty originals, and they stay on
+    * disk one maintenance round of grace — so concurrent readers,
+    * including ones planned before the vacuum, are never broken
+    * mid-scan, and recovery is deletion-only ([[recover]]).
     *
-    * Concurrency contract: vacuum is a MAINTENANCE operation — run it
-    * without concurrent readers/appenders (same as any file-level rewrite
-    * without a table format's snapshot isolation). A crash mid-swap
-    * leaves the displaced originals under `<dir>/.vacuum-trash/` for
-    * manual recovery; a completed vacuum removes it.
+    * Concurrency: single maintainer, snapshot-isolated readers.
     */
   def vacuum(s: SparkSession, dir: String, liveDocs: DataFrame): VacuumStats = {
-    import org.apache.hadoop.fs.Path
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new Path(dir).getFileSystem(conf)
+    val st = store(dir)
+    val (token, k, liveF) = st.beginMaintenance(s)
+    def rd(files: Seq[String]): DataFrame = s.read.parquet(files: _*)
+    val live = liveDocs.select("doc_id").distinct().localCheckpoint(true)
+    val newLive = scala.collection.mutable.Map[String, Set[String]]()
+    val newRetired = scala.collection.mutable.Map[String, Set[String]]()
+    Seq("chunks", "manifest").foreach { cat =>
+      newLive(cat) = liveF(cat)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+      newRetired(cat) = Set.empty
+    }
+    val manFiles = liveF("manifest")
+    val chunkFiles = liveF("chunks")
+    if (manFiles.isEmpty || chunkFiles.isEmpty) {
+      st.finishMaintenance(s, token, k, newLive.toMap, newRetired.toMap)
+      return VacuumStats(0L, 0L, 0, chunkFiles.size)
+    }
 
-    val manifest = s.read.parquet(s"$dir/manifest").localCheckpoint()
-    val live = liveDocs.select("doc_id").distinct()
-    val liveManifest = manifest.join(live, Seq("doc_id"), "left_semi")
-      .localCheckpoint() // severs lineage from the files about to swap
-    val droppedSlots = manifest.count() - liveManifest.count()
-
-    // chunks still referenced by at least one surviving slot. The dead
-    // pass reads keys only (columnar projection); the per-file attribution
-    // normalizes input_file_name URIs to listing-style Path strings, the
-    // same discipline as StatsManifest's bloom build.
-    val liveKeys = liveManifest.select("h", "len", "x").distinct()
-    val chunks = s.read.parquet(s"$dir/chunks")
+    // ONE ids-only pass over the manifest yields the dead-slot total and
+    // the dirty manifest files together
+    val deadSlotsPerFile = rd(manFiles)
       .withColumn("f", StatsManifest.normalizedInputFile())
-    val dead = chunks.join(liveKeys, Seq("h", "len", "x"), "left_anti")
-    // ONE key-column pass yields both the dead total and the dirty file
-    // list (a separate count() + distinct-collect would scan the store's
-    // key columns twice before any rewrite)
-    val deadPerFile = dead.groupBy("f").count().collect()
+      .select("doc_id", "f")
+      .join(live, Seq("doc_id"), "left_anti")
+      .groupBy("f").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val reclaimed = deadPerFile.values.sum
+    val droppedSlots = deadSlotsPerFile.values.sum
+    // chunks still referenced by a surviving slot; the key set is
+    // consumed by the dead scan AND the dirty rewrite, so materialize it
+    val liveKeys = rd(manFiles).join(live, Seq("doc_id"), "left_semi")
+      .select("h", "len", "x").distinct().localCheckpoint(true)
+    val deadChunksPerFile = rd(chunkFiles)
+      .withColumn("f", StatsManifest.normalizedInputFile())
+      .select("h", "len", "x", "f")
+      .join(liveKeys, Seq("h", "len", "x"), "left_anti")
+      .groupBy("f").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reclaimed = deadChunksPerFile.values.sum
 
-    val stats =
-      if (reclaimed == 0 && droppedSlots == 0)
-        VacuumStats(0L, 0L, 0, StatsManifest.listParquet(s, s"$dir/chunks").size)
-      else {
-        // only files holding >= 1 dead chunk get rewritten
-        val dirtyFiles = deadPerFile.keySet
-        val allFiles = StatsManifest.listParquet(s, s"$dir/chunks")
-        val untouched = allFiles.filterNot(dirtyFiles)
-        val trash = new Path(s"$dir/.vacuum-trash")
-        fs.mkdirs(trash)
-        // unique per-vacuum token: staged survivor files from THIS run can
-        // never collide with (and silently fail to rename over) leftovers
-        // of an earlier vacuum's names
-        val token = java.util.UUID.randomUUID().toString.take(8)
-        def renameOrDie(from: Path, to: Path): Unit =
-          require(fs.rename(from, to), s"vacuum: rename $from -> $to failed")
-        if (dirtyFiles.nonEmpty) {
-          val staged = s"$dir/.vacuum-staged"
-          // the staging scan opens ONLY the dirty files — filtering the
-          // full-store frame on the input_file_name-derived column would
-          // read every clean file's pages too (UDF filters don't push
-          // down), defeating the rewrite-dirty-files design
-          s.read.parquet(dirtyFiles.toSeq: _*)
-            .join(liveKeys, Seq("h", "len", "x"), "left_semi")
-            .write.mode("overwrite").parquet(staged)
-          // swap: displace dirty originals (recoverable), then move the
-          // staged survivors in under fresh names
-          dirtyFiles.foreach { f =>
-            val p = new Path(f)
-            renameOrDie(p, new Path(trash, p.getName))
-          }
-          StatsManifest.listParquet(s, staged).zipWithIndex.foreach {
-            case (f, i) =>
-              val p = new Path(f)
-              renameOrDie(p, new Path(s"$dir/chunks/vacuum-$token-$i-${p.getName}"))
-          }
-          fs.delete(new Path(staged), true)
-        }
-        // manifest swap through the same stage-then-rename
-        val stagedM = s"$dir/.vacuum-manifest"
-        liveManifest.write.mode("overwrite").parquet(stagedM)
-        renameOrDie(new Path(s"$dir/manifest"), new Path(trash, "manifest"))
-        renameOrDie(new Path(stagedM), new Path(s"$dir/manifest"))
-        fs.delete(trash, true)
-        VacuumStats(droppedSlots, reclaimed, dirtyFiles.size, untouched.size)
-      }
-    stats
+    if (droppedSlots == 0 && reclaimed == 0) {
+      st.finishMaintenance(s, token, k, newLive.toMap, newRetired.toMap)
+      return VacuumStats(0L, 0L, 0, chunkFiles.size)
+    }
+    def rewriteDirty(cat: String, dirty: Set[String],
+        survivors: DataFrame): Unit = if (dirty.nonEmpty) {
+      val staged = s"$dir/.vacuum-staged-$cat"
+      // the staging scan opens ONLY the dirty files (UDF filters on the
+      // input_file_name-derived column don't push down)
+      survivors.write.mode("overwrite").parquet(staged)
+      val folded = st.foldStagedIn(s, staged, cat, token)
+      val dirtyNames =
+        dirty.map(f => new org.apache.hadoop.fs.Path(f).getName)
+      newLive(cat) = (newLive(cat) -- dirtyNames) ++ folded
+      newRetired(cat) = dirtyNames
+    }
+    val dirtyChunks = deadChunksPerFile.keySet
+    rewriteDirty("chunks", dirtyChunks,
+      rd(dirtyChunks.toSeq).join(liveKeys, Seq("h", "len", "x"), "left_semi"))
+    val dirtyMan = deadSlotsPerFile.keySet
+    rewriteDirty("manifest", dirtyMan,
+      rd(dirtyMan.toSeq).join(live, Seq("doc_id"), "left_semi"))
+    st.finishMaintenance(s, token, k, newLive.toMap, newRetired.toMap)
+    VacuumStats(droppedSlots, reclaimed, dirtyChunks.size,
+      chunkFiles.size - dirtyChunks.size)
   }
 
 }

@@ -302,7 +302,7 @@ object Profiler {
     val canon = concat(col("doc_id").cast("string"), lit("|"), col("text"))
     // (h, len)-keyed count for oracle parity — the store itself is keyed
     // (h, len, x) but x (xxhash64) is not engine-portable
-    val stats = s.read.parquet(s"$dir/manifest")
+    val stats = graft.io.ChunkStore.manifest(s, dir)
       .agg(countDistinct(col("h"), col("len")).as("store_chunks"))
     rebuilt.select(graft.functions.PolyHash(canon).as("ph"))
       .agg(count(lit(1)).as("row_cnt"), sum(col("ph")).as("checksum"))

@@ -298,19 +298,22 @@ object StreamOps extends Serializable {
     * [[ingestWithManifest]]; per-batch cost is batch-chunking plus one
     * key-sized anti-join against the store, never a history re-read.
     *
-    * foreachBatch is at-least-once, and a replayed batch carries the SAME
-    * batchId — so a `_graft_last_batch` marker records the last committed
-    * id and already-committed batches no-op, making recovery replays
-    * harmless instead of duplicating manifest slots (which would corrupt
-    * `materialize`'s byte-exact reconstruction). The marker lives under
-    * the CHECKPOINT directory, not the store: batch ids are the
-    * checkpoint's counter, so clearing the checkpoint to reprocess also
-    * clears the marker (a store-side marker would silently swallow the
-    * restarted ids). Residual window: a crash BETWEEN the append and the
-    * marker write still re-applies that one batch on restart — closing it
-    * fully needs a transactional sink; the guard covers the common replay
-    * (checkpoint commit lost after a successful batch), and the
-    * idempotence is pinned in StreamOpsSpec.
+    * foreachBatch is at-least-once, and a replayed batch carries the
+    * SAME batchId — since r17 the store's own [[graft.io.BatchStore]]
+    * discipline IS the replay contract (the ingestMedia shape): append
+    * runs under the stream's batch id, a committed id no-ops, a crashed
+    * attempt's remnants are deleted and rewritten, and append's
+    * manifest doc_id anti-join makes even the bootstrap's
+    * committed-but-unflagged window converge — the pre-r17 residual
+    * (a crash between the append and the checkpoint-side marker
+    * re-applied the batch and DUPLICATED manifest slots, corrupting
+    * `materialize`'s byte-exact reconstruction) is closed, not
+    * documented. The `_graft_last_batch` marker remains as the cheap
+    * fast-path (one small read vs a flag glob). Reprocessing from a
+    * CLEARED checkpoint restarts batch ids at 0 against a store whose
+    * flags remember them — point the restarted stream at a fresh store
+    * dir (or re-seed via [[graft.io.ChunkStore.write]], which drops
+    * stale flags), same as ingestMedia.
     */
   def ingestChunkStore(docs: DataFrame, storeDir: String,
       checkpoint: String)
@@ -332,24 +335,33 @@ object StreamOps extends Serializable {
     val marker = new org.apache.hadoop.fs.Path(s"$markerDir/_graft_last_batch")
     val fs = marker.getFileSystem(conf)
     if (batchId > readMarker(fs, marker)) {
-      writeOrAppendStore(batch, storeDir)
+      writeOrAppendStore(batch, storeDir, batchId)
       writeMarker(fs, marker, batchId)
     }
   }
 
   /** The chunk store's bootstrap-or-append branch, shared by both ingest
-    * paths. The existence probe uses the STORE path's own FileSystem —
-    * checkpoint and data legitimately live on different filesystems
-    * (file:/ checkpoint, s3a:// store), and probing a data path against
-    * the checkpoint's FS throws Wrong FS.
+    * paths. Bootstrapped-ness is the store's SNAPSHOT flag (committed
+    * LAST by `write`), not directory existence — a torn bootstrap reads
+    * false and re-runs its overwrite-idempotent writes; a committed
+    * bootstrap whose batch flag was lost replays down the APPEND path,
+    * where the manifest doc_id anti-join blocks every row and the flag
+    * recommits over zero new data (the ingestMedia bootstrap contract).
     */
-  private def writeOrAppendStore(batch: DataFrame, storeDir: String): Unit = {
+  private def writeOrAppendStore(batch: DataFrame, storeDir: String,
+      batchId: Long = -1L): Unit = {
     import graft.io.ChunkStore
     val s = batch.sparkSession
-    val cPath = new org.apache.hadoop.fs.Path(s"$storeDir/chunks")
-    val dataFs = cPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (dataFs.exists(cPath)) ChunkStore.append(s, batch, storeDir)
-    else ChunkStore.write(batch, storeDir)
+    if (ChunkStore.batchCommitted(s, storeDir, batchId.max(0L)) &&
+        batchId >= 0L) return // committed batch replayed: no-op
+    if (ChunkStore.bootstrapped(s, storeDir))
+      ChunkStore.append(s, batch, storeDir, batchId)
+    else {
+      ChunkStore.write(batch, storeDir)
+      if (batchId >= 0L)
+        graft.io.BatchStore(storeDir, Seq("chunks", "manifest"))
+          .commitFlag(s, batchId.toString)
+    }
   }
 
   /** Streaming vector ingestion into the persisted IVF store
@@ -772,8 +784,10 @@ object StreamOps extends Serializable {
             hp.getFileSystem(conf).exists(hp)
           }
 
-          // 1) chunk store (shared bootstrap-or-append branch)
-          writeOrAppendStore(b.select("doc_id", "text"), s"$baseDir/store")
+          // 1) chunk store (shared bootstrap-or-append branch, the
+          // stream's batch id — a replay no-ops at the store's own flag)
+          writeOrAppendStore(b.select("doc_id", "text"),
+            s"$baseDir/store", batchId)
 
           // 2) raw table + incremental manifest
           val tableDir = s"$baseDir/table"

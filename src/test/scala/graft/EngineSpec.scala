@@ -962,26 +962,32 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").where(col("text").isNotNull)
     ChunkStore.write(docs, dir)
-    val filesBefore = spark.read.parquet(s"$dir/chunks")
+    val filesBefore = ChunkStore.chunks(spark, dir)
       .select(input_file_name()).distinct().count()
-    val chunksBefore = spark.read.parquet(s"$dir/chunks").count()
+    val chunksBefore = ChunkStore.chunks(spark, dir).count()
+    // a reader PLANNED BEFORE the vacuum (snapshot isolation, r17)
+    val preplanned = ChunkStore.chunks(spark, dir)
     // retain two thirds of the corpus
     val live = docs.filter(col("doc_id") % 3 =!= 0)
     val stats = ChunkStore.vacuum(spark, dir, live.select("doc_id"))
     assert(stats.droppedSlots > 0, "dead docs must drop manifest slots")
     assert(stats.rewrittenFiles + stats.untouchedFiles >= filesBefore - 1)
+    assert(preplanned.count() == chunksBefore,
+      "a reader planned before the vacuum must materialize after it")
     // every surviving chunk is still referenced (no orphans), and the
-    // store shrank by exactly the reclaimed chunks
+    // store shrank by exactly the reclaimed chunks — reads are
+    // SNAPSHOT-RESOLVED (the retired originals stay on disk one
+    // maintenance round of grace, invisible to fresh readers)
     val keysOf = (df: org.apache.spark.sql.DataFrame) =>
       df.select("h", "len", "x").distinct()
-    val chunkKeys = keysOf(spark.read.parquet(s"$dir/chunks"))
-    val refKeys = keysOf(spark.read.parquet(s"$dir/manifest"))
+    val chunkKeys = keysOf(ChunkStore.chunks(spark, dir))
+    val refKeys = keysOf(ChunkStore.manifest(spark, dir))
     assert(chunkKeys.join(refKeys, Seq("h", "len", "x"), "left_anti").count() == 0,
       "vacuum left unreferenced chunks behind")
-    assert(spark.read.parquet(s"$dir/chunks").count() ==
+    assert(ChunkStore.chunks(spark, dir).count() ==
       chunksBefore - stats.reclaimedChunks)
     // no duplicate keys introduced by the file swap
-    assert(spark.read.parquet(s"$dir/chunks")
+    assert(ChunkStore.chunks(spark, dir)
       .groupBy("h", "len", "x").count().where(col("count") > 1).count() == 0)
     // byte-exact round trip of the survivors
     val mismatches = live.as("o")
@@ -998,14 +1004,32 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val live2 = live.filter(col("doc_id") % 5 =!= 1)
     val third = ChunkStore.vacuum(spark, dir, live2.select("doc_id"))
     assert(third.droppedSlots > 0)
-    assert(keysOf(spark.read.parquet(s"$dir/chunks"))
-      .join(keysOf(spark.read.parquet(s"$dir/manifest")),
+    assert(keysOf(ChunkStore.chunks(spark, dir))
+      .join(keysOf(ChunkStore.manifest(spark, dir)),
         Seq("h", "len", "x"), "left_anti").count() == 0)
     val mismatches2 = live2.as("o")
       .join(ChunkStore.materialize(spark, dir).as("r"), "doc_id", "full_outer")
       .where(col("o.text").isNull || col("r.text").isNull ||
         col("o.text") =!= col("r.text")).count()
     assert(mismatches2 == 0, s"$mismatches2 docs failed the re-vacuum round trip")
+    // GRACE + REAP: the second vacuum reaped the first's retired files;
+    // an eager reap then converges the raw listing on the live set
+    ChunkStore.reapRetired(spark, dir)
+    val rawFiles = graft.io.StatsManifest
+      .listParquet(spark, s"$dir/chunks").length +
+      graft.io.StatsManifest.listParquet(spark, s"$dir/manifest").length
+    assert(rawFiles == ChunkStore.dataFileCount(spark, dir),
+      "reap must converge the raw listing on the live set")
+    // batch appends are exactly-once under the store's flag discipline:
+    // a committed batch replayed with DIFFERENT rows is a no-op
+    val preCount = ChunkStore.manifest(spark, dir).count()
+    ChunkStore.append(spark, docs.limit(5), dir, batchId = 42L)
+    val afterFirst = ChunkStore.manifest(spark, dir).count()
+    ChunkStore.append(spark,
+      docs.limit(20).withColumn("text", concat(col("text"), lit("x"))),
+      dir, batchId = 42L)
+    assert(ChunkStore.manifest(spark, dir).count() == afterFirst)
+    assert(afterFirst >= preCount)
   }
 
   test("stats manifest string bands: truncate-safe min/max prune string " +

@@ -459,6 +459,33 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
       .where(col("o.text").isNull || col("r.text").isNull ||
         col("o.text") =!= col("r.text")).count()
     assert(mismatches == 0)
+    // THE CLOSED RESIDUAL WINDOW (r17): a crash BETWEEN the append and
+    // the checkpoint-side marker write replays the batch past the
+    // marker check — the store's own _batch flag must no-op it instead
+    // of duplicating manifest slots (the pre-r17 behavior)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest1 = spark.read.parquet(s"$dir/manifest").count()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/_graft_last_batch"),
+      false) // the marker write never happened
+    StreamOps.ingestChunkStoreBatch(b1, 1L, dir, ckpt)
+    assert(spark.read.parquet(s"$dir/manifest").count() == manifest1,
+      "a marker-lost replay must not duplicate manifest slots")
+    // …and the BOOTSTRAP's own window: batch 0 fully landed (snapshot
+    // published, flag committed), marker lost — the replay goes down
+    // the append path, where the manifest doc_id anti-join blocks
+    // every row
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/_graft_last_batch"),
+      false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_batch-0"), false)
+    StreamOps.ingestChunkStoreBatch(b0, 0L, dir, ckpt)
+    assert(spark.read.parquet(s"$dir/manifest").count() == manifest1,
+      "a bootstrap replay must not duplicate manifest slots")
+    val mismatches2 = all.as("o")
+      .join(ChunkStore.materialize(spark, dir).as("r"), "doc_id", "full_outer")
+      .where(col("o.text").isNull || col("r.text").isNull ||
+        col("o.text") =!= col("r.text")).count()
+    assert(mismatches2 == 0)
   }
 
   test("file sink resumes from its checkpoint exactly-once across a restart") {
