@@ -36,10 +36,15 @@ import org.apache.spark.sql.functions._
   * ([[readCat]]) resolve the max snapshot at plan time and scan exactly
   * its files plus any `batch<tag>-*` files appended after it, so a
   * DataFrame planned BEFORE a maintenance move materializes correctly
-  * AFTER it. Displaced originals are RETIRED in the snapshot and reaped
-  * at the START of the next maintenance move — the grace window is one
-  * maintenance cycle (the Iceberg-snapshot-expiry posture), so a reader
-  * must not span two maintenance rounds.
+  * AFTER it. Displaced originals are RETIRED in the snapshot (stamped
+  * with their retirement time) and reaped at the START of a later
+  * maintenance move once BOTH graces pass: one full maintenance cycle
+  * (the Iceberg-snapshot-expiry posture) AND `retainRetiredMs` of wall
+  * clock — retired files younger than the knob carry forward into the
+  * next snapshot's retired set, so two maintenance moves in quick
+  * succession cannot reap files a slow reader still holds (the
+  * `Ivf.vacuumStore(retainMs)` posture). The default knob is 0: grace
+  * is exactly one maintenance cycle, a reader must not span two rounds.
   *
   * Crash recovery is rollback-trivial because originals never move: a
   * torn maintenance leaves only INVISIBLE junk (fold files no snapshot
@@ -49,8 +54,31 @@ import org.apache.spark.sql.functions._
   *
   * Concurrency contract: single maintainer, any number of
   * snapshot-isolated readers.
+  *
+  * == Why the IVF store does NOT ride this core ==
+  *
+  * [[graft.operators.Ivf]]'s persisted index is the one store on its
+  * own lifecycle, deliberately. BatchStore models a FLAT catalog set
+  * whose rows are forever current — maintenance rewrites files but
+  * never reinterprets them, so one snapshot pointer (live + retired
+  * names) is the whole read contract. The IVF store is a VERSIONED
+  * index: retrain writes a whole new `v<N>/` tree (centroids + every
+  * row re-assigned to new cells) whose rows are only meaningful
+  * TOGETHER, published by an append-only `_ready-N` flag; reads pin
+  * max-flag; per-version tombstones + a rewrite watermark give each
+  * version its own as-of delete semantics. Forcing that into flat
+  * catalogs would either make "version" a column (so every serve
+  * filters the corpus on it — a full-scan predicate where a directory
+  * prune is free) or make each version a catalog (so the catalog LIST
+  * mutates, which is exactly the metadata BatchStore assumes fixed).
+  * The two stores share the POSTURE — flag-last commits, replay
+  * idempotence under `ingest_batch`/`batch<tag>` landing, grace-then-
+  * reap retention (`Ivf.vacuumStore(retainMs)` is `retainRetiredMs`'s
+  * model), deletion-safe recovery — but not the metadata shape; the
+  * shape IS the design, so the code stays separate.
   */
-final case class BatchStore(dir: String, catalogs: Seq[String]) {
+final case class BatchStore(dir: String, catalogs: Seq[String],
+    retainRetiredMs: Long = 0L) {
   import BatchStore._
 
   private def fsOf(s: SparkSession) =
@@ -155,19 +183,28 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
     var token = ""
     val live = scala.collection.mutable.Map[String, Set[String]]()
       .withDefaultValue(Set.empty)
-    val retired = scala.collection.mutable.Map[String, Set[String]]()
-      .withDefaultValue(Set.empty)
+    val retired = scala.collection.mutable.Map[String, Map[String, Long]]()
+      .withDefaultValue(Map.empty)
+    val schemas = scala.collection.mutable.Map[String, String]()
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split('\t') match {
         case Array("token", t) => token = t
         case Array(cat, "L", name) => live(cat) = live(cat) + name
-        case Array(cat, "R", name) => retired(cat) = retired(cat) + name
+        // retired entries carry their retirement epoch-millis (ts before
+        // name so a parse failure is loud, not a silent name corruption);
+        // the two-field form is the pre-retention legacy (ts 0 = any
+        // retention has already expired)
+        case Array(cat, "R", ts, name) =>
+          retired(cat) = retired(cat) + (name -> ts.toLong)
+        case Array(cat, "R", name) =>
+          retired(cat) = retired(cat) + (name -> 0L)
+        case Array(cat, "S", ddl @ _*) => schemas(cat) = ddl.mkString("\t")
         case other => sys.error(
           s"corrupt snapshot line in $dir/_snapfiles-$k: ${other.mkString("\t")}")
       }
     }
     Some(Snapshot(k, token, live.toMap.withDefaultValue(Set.empty),
-      retired.toMap.withDefaultValue(Set.empty)))
+      retired.toMap.withDefaultValue(Map.empty), schemas.toMap))
   }
 
   /** Publish a snapshot: write the file list, then create the
@@ -177,16 +214,21 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
     * before the publish can still open its `_snapfiles`; a reader
     * spanning TWO publishes is outside the grace contract anyway).
     */
-  private def publishSnapshot(s: SparkSession, snap: Snapshot): Unit = {
+  private def publishSnapshot(s: SparkSession, snap0: Snapshot): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(s)
+    val snap = snap0.copy(schemas = fillSchemas(s, snap0))
     val sb = new StringBuilder
     sb.append("token\t").append(snap.token).append('\n')
     for (cat <- catalogs) {
       snap.live(cat).toSeq.sorted
         .foreach(n => sb.append(cat).append("\tL\t").append(n).append('\n'))
-      snap.retired(cat).toSeq.sorted
-        .foreach(n => sb.append(cat).append("\tR\t").append(n).append('\n'))
+      snap.retired(cat).toSeq.sortBy(_._1).foreach { case (n, ts) =>
+        sb.append(cat).append("\tR\t").append(ts).append('\t').append(n)
+          .append('\n')
+      }
+      snap.schemas.get(cat).foreach(ddl =>
+        sb.append(cat).append("\tS\t").append(ddl).append('\n'))
     }
     val out = fs.create(new Path(s"$dir/_snapfiles-${snap.k}"), true)
     try out.write(sb.toString
@@ -209,7 +251,26 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
       StatsManifest.listParquet(s, s"$dir/$cat")
         .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet).toMap
     publishSnapshot(s, Snapshot(0L, "bootstrap", live,
-      catalogs.map(_ -> Set.empty[String]).toMap))
+      catalogs.map(_ -> Map.empty[String, Long]).toMap))
+  }
+
+  /** Fill any missing per-catalog schema line: carry the prior
+    * snapshot's (schemas never change within a store's life — appenders
+    * land the bootstrap's shape), else read ONE referenced file's
+    * footer. A catalog with neither (empty at bootstrap) publishes no
+    * line and keeps the legacy read behavior.
+    */
+  private def fillSchemas(s: SparkSession, snap: Snapshot)
+      : Map[String, String] = {
+    val prior = currentSnapshot(s).map(_.schemas).getOrElse(Map.empty)
+    catalogs.flatMap { cat =>
+      snap.schemas.get(cat).orElse(prior.get(cat)).orElse {
+        (snap.live.getOrElse(cat, Set.empty).headOption
+          orElse snap.retired.getOrElse(cat, Map.empty).keysIterator
+            .nextOption())
+          .map(n => s.read.parquet(s"$dir/$cat/$n").schema.toDDL)
+      }.map(cat -> _)
+    }.toMap
   }
 
   /** Drop every piece of root maintenance metadata a PREVIOUS life of
@@ -231,8 +292,11 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
       dropBatchFlags: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(s)
-    val globs = Seq("_maint-inprogress-*", "_snap-*", "_snapfiles-*",
-      "_batchmark-*") ++ (if (dropBatchFlags) Seq("_batch-*") else Nil)
+    // flags and watermarks are ONE unit of committed-batch history:
+    // compact rolls flags INTO watermarks, so keeping flags while
+    // dropping marks would silently un-commit every rolled-up id
+    val globs = Seq("_maint-inprogress-*", "_snap-*", "_snapfiles-*") ++
+      (if (dropBatchFlags) Seq("_batch-*", "_batchmark-*") else Nil)
     globs.foreach { g =>
       val hits = fs.globStatus(new Path(s"$dir/$g"))
       if (hits != null) hits.foreach(h => fs.delete(h.getPath, false))
@@ -242,21 +306,25 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
   }
 
   /** The files a fresh read of `cat` scans: the current snapshot's live
-    * list, plus `batch<tag>-*` files appended after it (present in the
-    * listing, referenced by no snapshot). Pre-snapshot stores fall back
-    * to the raw listing.
+    * list, plus `batch<tag>-*` files appended after it whose tag's flag
+    * COMMITTED (present in the listing, referenced by no snapshot). The
+    * committed check is what makes a batch visible atomically at flag
+    * commit — without it a reader observes the rows of a crashed,
+    * never-committed append until its replay, a dirty-read window that
+    * would contradict the snapshot-isolation contract. Pre-snapshot
+    * stores fall back to the raw listing.
     */
   def liveFiles(s: SparkSession, cat: String): Seq[String] =
-    liveFilesIn(s, currentSnapshot(s), cat)
+    liveFilesIn(s, currentSnapshot(s), loadFlags(s), cat)
 
-  /** [[liveFiles]] against an already-loaded snapshot — multi-catalog
-    * operations (dataFileCount, maintenance) load the snapshot ONCE and
-    * resolve every catalog against it instead of re-reading the
-    * metadata file per catalog (each read is a round trip on an object
+  /** [[liveFiles]] against an already-loaded snapshot + flag view —
+    * multi-catalog operations (dataFileCount, maintenance) load both
+    * ONCE and resolve every catalog against them instead of re-reading
+    * root metadata per catalog (each read is a round trip on an object
     * store).
     */
   private def liveFilesIn(s: SparkSession, snapshot: Option[Snapshot],
-      cat: String): Seq[String] = {
+      flags: Flags, cat: String): Seq[String] = {
     val catDir = s"$dir/$cat"
     if (!fsOf(s).exists(new org.apache.hadoop.fs.Path(catDir)))
       return Nil
@@ -267,7 +335,8 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
         val (live, retired) = (snap.live(cat), snap.retired(cat))
         listing.filter { f =>
           val n = new org.apache.hadoop.fs.Path(f).getName
-          live(n) || (n.startsWith("batch") && !retired(n))
+          live(n) || (n.startsWith("batch") && !retired.contains(n) &&
+            flags.committed(tagOfBatchFile(n)))
         }
     }
   }
@@ -305,24 +374,38 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
   }
 
   /** Snapshot-resolved catalog read — retired-but-retained files are
-    * invisible the instant the new snapshot commits. A snapshot whose
+    * invisible the instant the new snapshot commits, and a post-snapshot
+    * batch file is invisible until its flag commits. A snapshot whose
     * live set is EMPTY (a vacuum that killed every row of the catalog)
-    * reads as an empty frame with the catalog's schema off the retained
-    * files' footers — falling back to the raw dir there would resurrect
-    * the retired originals until the reap. Only a store with no
-    * snapshot at all (pre-bootstrap/legacy) reads the raw dir.
+    * reads as an empty frame with the catalog's schema off the
+    * snapshot's persisted `S` line — inferring off the raw listing there
+    * would trip over torn-junk zero-byte files, and falling back to the
+    * raw dir would resurrect the retired originals until the reap. Only
+    * a store with no snapshot at all (pre-bootstrap/legacy) reads the
+    * raw dir.
     */
   def readCat(s: SparkSession, cat: String): DataFrame = {
-    val files = liveFiles(s, cat)
+    val snap = currentSnapshot(s)
+    val files = liveFilesIn(s, snap, loadFlags(s), cat)
     if (files.nonEmpty) return s.read.parquet(files: _*)
-    val catDir = s"$dir/$cat"
-    val listing =
-      if (fsOf(s).exists(new org.apache.hadoop.fs.Path(catDir)))
-        StatsManifest.listParquet(s, catDir)
-      else Nil
-    if (currentSnapshot(s).isDefined && listing.nonEmpty)
-      s.read.parquet(listing: _*).limit(0) // schema-only: snapshot says empty
-    else s.read.parquet(catDir) // pre-snapshot/legacy (or the error path)
+    snap match {
+      case Some(sn) =>
+        sn.schemas.get(cat) match {
+          case Some(ddl) => s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          case None =>
+            // snapshot predates the persisted-schema line: infer off
+            // snapshot-REFERENCED files only (never raw-listing junk)
+            val refd = (sn.live(cat) ++ sn.retired(cat).keys).toSeq.sorted
+              .map(n => s"$dir/$cat/$n")
+              .filter(f =>
+                fsOf(s).exists(new org.apache.hadoop.fs.Path(f)))
+            if (refd.nonEmpty) s.read.parquet(refd: _*).limit(0)
+            else s.read.parquet(s"$dir/$cat") // error path: schema unknowable
+        }
+      case None => s.read.parquet(s"$dir/$cat") // pre-snapshot/legacy
+    }
   }
 
   /** Count of live data files across the catalogs — the [[compact]]
@@ -330,7 +413,8 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
     */
   def dataFileCount(s: SparkSession): Int = {
     val snap = currentSnapshot(s)
-    catalogs.map(cat => liveFilesIn(s, snap, cat).length).sum
+    val flags = loadFlags(s)
+    catalogs.map(cat => liveFilesIn(s, snap, flags, cat).length).sum
   }
 
   // ------------------------------------------------------------------
@@ -338,10 +422,13 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
   // ------------------------------------------------------------------
 
   /** Start a maintenance move: stake the marker, roll back any PRIOR
-    * torn maintenance, reap retired files whose grace has expired, and
-    * delete remnants of torn appends so an uncommitted batch's rows can
-    * never be folded into a snapshot its replay couldn't take back.
-    * Returns (token, prior snapshot id, live file lists).
+    * torn maintenance, reap retired files whose grace has expired (one
+    * full maintenance cycle AND `retainRetiredMs` of wall clock —
+    * younger retirees survive and carry into the next snapshot, see
+    * class doc), and delete remnants of torn appends so an uncommitted
+    * batch's rows can never be folded into a snapshot its replay
+    * couldn't take back. Returns (token, prior snapshot id, live file
+    * lists).
     */
   private[graft] def beginMaintenance(s: SparkSession)
       : (String, Long, Map[String, Seq[String]]) = {
@@ -351,39 +438,62 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
     val token = java.util.UUID.randomUUID().toString
     fs.create(new Path(s"$dir/_maint-inprogress-$token"), true).close()
     val prior = currentSnapshot(s)
+    val now = System.currentTimeMillis()
     prior.foreach { snap =>
       catalogs.foreach { cat =>
-        snap.retired(cat).foreach(n =>
-          fs.delete(new Path(s"$dir/$cat/$n"), false))
+        snap.retired(cat).foreach { case (n, ts) =>
+          if (now - ts >= retainRetiredMs)
+            fs.delete(new Path(s"$dir/$cat/$n"), false)
+        }
       }
     }
     val flags = loadFlags(s)
     catalogs.foreach { cat =>
       val hits = fs.globStatus(new Path(s"$dir/$cat/batch*"))
       if (hits != null) hits.foreach { h =>
-        val tag = h.getPath.getName.stripPrefix("batch").takeWhile(_ != '-')
-        if (!flags.committed(tag)) fs.delete(h.getPath, false)
+        if (!flags.committed(tagOfBatchFile(h.getPath.getName)))
+          fs.delete(h.getPath, false)
       }
     }
     val k = prior.map(_.k).getOrElse(-1L)
-    val live = catalogs.map(cat => cat -> liveFilesIn(s, prior, cat)).toMap
+    val live =
+      catalogs.map(cat => cat -> liveFilesIn(s, prior, flags, cat)).toMap
     (token, k, live)
   }
 
   /** Finish a maintenance move: publish the new snapshot (IF any catalog
     * retired files), roll committed batch flags up into the
-    * per-namespace watermarks, and drop the marker. Watermark order is
-    * crash-monotone: the new mark is created BEFORE the flags it covers
-    * (and the older mark) are deleted, so no crash point ever makes a
-    * committed batch look uncommitted.
+    * per-namespace watermarks, and drop the marker. Newly retired names
+    * are stamped with the current time; prior retirees whose grace
+    * hasn't expired (their file survived [[beginMaintenance]]'s reap)
+    * carry forward with their ORIGINAL stamp, so back-to-back
+    * maintenance rounds extend nobody's window and shrink nobody's.
+    * Watermark order is crash-monotone: the new mark is created BEFORE
+    * the flags it covers (and the older mark) are deleted, so no crash
+    * point ever makes a committed batch look uncommitted.
     */
   private[graft] def finishMaintenance(s: SparkSession, token: String,
       priorK: Long, newLive: Map[String, Set[String]],
       newRetired: Map[String, Set[String]]): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(s)
-    if (newRetired.valuesIterator.exists(_.nonEmpty))
-      publishSnapshot(s, Snapshot(priorK + 1L, token, newLive, newRetired))
+    if (newRetired.valuesIterator.exists(_.nonEmpty)) {
+      val now = System.currentTimeMillis()
+      val priorRetired: Map[String, Map[String, Long]] = currentSnapshot(s)
+        .map(_.retired)
+        .getOrElse(Map.empty[String, Map[String, Long]]
+          .withDefaultValue(Map.empty))
+      val retired = catalogs.map { cat =>
+        // survived-the-reap = still on disk (exact regardless of clock
+        // drift between begin and finish)
+        val carried = priorRetired(cat).filter { case (n, _) =>
+          fs.exists(new Path(s"$dir/$cat/$n"))
+        }
+        cat -> (carried ++
+          newRetired.getOrElse(cat, Set.empty).map(_ -> now).toMap)
+      }.toMap
+      publishSnapshot(s, Snapshot(priorK + 1L, token, newLive, retired))
+    }
     val flags = loadFlags(s)
     Seq("", "m").foreach { ns =>
       val mark = if (ns == "m") flags.manualMark else flags.streamMark
@@ -543,12 +653,14 @@ final case class BatchStore(dir: String, catalogs: Seq[String]) {
       case Some(snap) =>
         val n = catalogs.map { cat =>
           val names = snap.retired(cat)
-          names.foreach(nm => fs.delete(new Path(s"$dir/$cat/$nm"), false))
+          names.keysIterator
+            .foreach(nm => fs.delete(new Path(s"$dir/$cat/$nm"), false))
           names.size
         }.sum
         if (n > 0)
-          publishSnapshot(s, Snapshot(snap.k + 1L, snap.token,
-            snap.live, catalogs.map(_ -> Set.empty[String]).toMap))
+          publishSnapshot(s, Snapshot(snap.k + 1L, snap.token, snap.live,
+            catalogs.map(_ -> Map.empty[String, Long]).toMap,
+            snap.schemas))
         n
     }
   }
@@ -582,12 +694,23 @@ object BatchStore {
     else ("", tag.toLongOption.getOrElse(-1L))
 
   /** One committed snapshot: per catalog, the live file NAMES it
-    * references and the retired names awaiting reap. `token` is the
+    * references, the retired names awaiting reap (each stamped with its
+    * retirement epoch-millis — the `retainRetiredMs` clock), and the
+    * catalog's persisted schema (DDL — how an all-rows-vacuumed catalog
+    * still reads as a correctly-typed empty frame). `token` is the
     * maintenance token that published it (how [[BatchStore.recover]]
     * tells a committed move from a torn one).
     */
   private final case class Snapshot(k: Long, token: String,
-      live: Map[String, Set[String]], retired: Map[String, Set[String]])
+      live: Map[String, Set[String]],
+      retired: Map[String, Map[String, Long]],
+      schemas: Map[String, String] = Map.empty)
+
+  /** `batch<tag>-<i>-<orig>` → `<tag>` — the landing-name convention
+    * [[BatchStore.landBatchFiles]] writes.
+    */
+  private[graft] def tagOfBatchFile(name: String): String =
+    name.stripPrefix("batch").takeWhile(_ != '-')
 
   /** Vacuum report: rows dropped, files rewritten vs left untouched
     * (summed across catalogs).

@@ -119,6 +119,14 @@ object ChunkStore {
   def batchCommitted(s: SparkSession, dir: String, batchId: Long): Boolean =
     store(dir).batchCommitted(s, batchId)
 
+  /** Commit a stream-namespace batch flag against THIS store's layout —
+    * the hook a streaming bootstrap leg uses to mark its batch id
+    * committed without re-declaring the store's private catalog list
+    * (the [[graft.operators.FingerprintStore.commitBatchFlag]] mirror).
+    */
+  def commitBatchFlag(s: SparkSession, dir: String, batchId: Long): Unit =
+    store(dir).commitFlag(s, batchId.toString)
+
   /** Fold per-batch file sprawl ([[BatchStore.compact]]). */
   def compact(s: SparkSession, dir: String): Unit = store(dir).compact(s)
 

@@ -197,6 +197,16 @@ object Ivf {
     * a reader finds NO marker (the delete-then-rename flip this replaced
     * had one) and no torn content to read — the flag's existence IS the
     * signal, and a version directory is fully written BEFORE its flag.
+    *
+    * This is deliberately NOT [[graft.io.BatchStore]] (the lifecycle
+    * core the flat-catalog stores share): a versioned-centroid index
+    * re-interprets every row at retrain, so its commit unit is a whole
+    * `v<N>/` tree, not a file set within fixed catalogs — see the
+    * "Why the IVF store does NOT ride this core" section in
+    * BatchStore's scaladoc for the full argument. The POSTURE is
+    * shared (flag-last commit, replay-idempotent landing, grace-then-
+    * reap retention, deletion-safe recovery); the metadata shape is
+    * not.
     */
   private def fsOf(s: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)

@@ -1281,6 +1281,24 @@ object Multimodal {
       java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
 
+  /** Register a PER-PROCESS scratch tree for recursive deletion at JVM
+    * exit — unlike the marker-guarded shared fixtures (which later runs
+    * reuse), a per-pid tree is garbage the moment its JVM dies, and
+    * without this every bench/verify process would leak a full store
+    * under java.io.tmpdir.
+    */
+  private[graft] def deleteOnExit(path: String): String = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }))
+    path
+  }
+
   /** Bump whenever the fixture CONTENT recipe changes — the synthetic
     * encoders, the twin mutations, the corrupt plant, the shard layout,
     * or any DIGEST kernel a staged store downstream of the tree derives
@@ -1494,9 +1512,10 @@ object Multimodal {
     // design (it prices the decode), so unlike the staged fixture there
     // is nothing to share across JVMs — and a shared deterministic path
     // would let one JVM's overwrite-bootstrap clobber another's mid-scan
-    // (the stageFixtureOnce concurrency story, completed at the store)
-    val store = scratchDir("mm10-store", d) +
-      s"-p${ProcessHandle.current().pid()}"
+    // (the stageFixtureOnce concurrency story, completed at the store);
+    // per-pid ⇒ garbage at JVM death, so it registers for exit cleanup
+    val store = deleteOnExit(scratchDir("mm10-store", d) +
+      s"-p${ProcessHandle.current().pid()}")
     FingerprintStore.bootstrap(s, ingested, store)
     mixedMediaRanked(s, ingested, store)
       .groupBy(col("comp").as("cluster_id"))

@@ -359,8 +359,7 @@ object StreamOps extends Serializable {
     else {
       ChunkStore.write(batch, storeDir)
       if (batchId >= 0L)
-        graft.io.BatchStore(storeDir, Seq("chunks", "manifest"))
-          .commitFlag(s, batchId.toString)
+        ChunkStore.commitBatchFlag(s, storeDir, batchId)
     }
   }
 

@@ -48,13 +48,11 @@ class BatchStoreGauntletSpec extends AnyFunSuite with SparkFixture {
       // a torn append awaiting its replay: (batchId passed to append,
       // rows per catalog). Single-maintainer discipline: while torn,
       // the only legal ops are the replay itself, maintenance (which
-      // pre-cleans the remnants), recover, or reap.
+      // pre-cleans the remnants), recover, or reap. A torn batch's
+      // landed files are INVISIBLE to readers — visibility is gated on
+      // the flag commit (the snapshot-isolation contract), so the model
+      // never carries torn rows.
       var torn: Option[(Long, Map[String, Seq[(Long, Long)]])] = None
-      // the torn batch's LANDED catalogs — their remnants are visible
-      // to readers until the replay takes them back (the documented
-      // single-maintainer posture: the loop replays before it reads;
-      // the gauntlet instead models the visibility exactly)
-      var tornVisible: Map[String, Seq[(Long, Long)]] = Map.empty
 
       def freshBatch(): Map[String, Seq[(Long, Long)]] = {
         val out = Cats.map { cat =>
@@ -85,8 +83,7 @@ class BatchStoreGauntletSpec extends AnyFunSuite with SparkFixture {
       }
 
       def check(where: String): Unit = Cats.foreach { cat =>
-        val expect = model(cat) ++ tornVisible.getOrElse(cat, Nil)
-        assert(readSet(st, cat) == expect,
+        assert(readSet(st, cat) == model(cat),
           s"seed $seed, $where, catalog $cat diverged from the model")
       }
 
@@ -108,12 +105,11 @@ class BatchStoreGauntletSpec extends AnyFunSuite with SparkFixture {
               case 0 => // replay completes the batch
                 assert(append(bid, rows, Cats.length))
                 Cats.foreach(c => model(c) = model(c) ++ rows(c))
-                torn = None; tornVisible = Map.empty
+                torn = None
               case 1 => // maintenance pre-cleans the remnants, then replay
                 if (rnd.nextBoolean()) st.compact(spark)
                 else { val live = df(model.values.flatten.toSeq.distinct)
                   st.vacuumByDocId(spark, live.select("doc_id")) }
-                tornVisible = Map.empty // pre-cleaned by the maintenance
                 check(s"step $step maintenance-over-torn")
                 assert(append(bid, rows, Cats.length))
                 Cats.foreach(c => model(c) = model(c) ++ rows(c))
@@ -134,7 +130,7 @@ class BatchStoreGauntletSpec extends AnyFunSuite with SparkFixture {
                 val bid = { val b = streamId; streamId += 1; b }
                 assert(!append(bid, rows, 1))
                 torn = Some((bid, rows))
-                tornVisible = Cats.take(1).map(c => c -> rows(c)).toMap
+                check(s"step $step torn remnants invisible pre-replay")
               case 3 => // committed-tag replay with DIFFERENT rows: no-op
                 val bid = rnd.nextLong(streamId)
                 append(bid, freshBatch(), Cats.length)
@@ -171,11 +167,114 @@ class BatchStoreGauntletSpec extends AnyFunSuite with SparkFixture {
       torn.foreach { case (bid, rows) =>
         assert(append(bid, rows, Cats.length))
         Cats.foreach(c => model(c) = model(c) ++ rows(c))
-        tornVisible = Map.empty
       }
       st.compact(spark)
       st.reapRetired(spark)
       check("final")
     }
+  }
+
+  private def land(st: BatchStore, batchId: Long,
+      rows: Seq[(Long, Long)]): Unit = {
+    val tag = st.resolveTag(st.loadFlags(spark), batchId)
+    st.removeRemnants(spark, tag)
+    st.catalogs.foreach(cat => st.landBatchFiles(spark, df(rows), cat, tag))
+    st.commitFlag(spark, tag)
+  }
+
+  test("retainRetiredMs: retired files survive back-to-back maintenance " +
+      "within the window — a reader planned before round N materializes " +
+      "after round N+1 — and the eager reap still clears them") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bs-retain").toString
+    val st = BatchStore(dir, Seq("alpha"), retainRetiredMs = 3600 * 1000L)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = (1L to 12L).map(i => (i, i * 10))
+    (0L to 2L).foreach(b => land(st, b, rows.slice(b.toInt * 4, b.toInt * 4 + 4)))
+    st.publishBootstrap(spark)
+    val reader = st.readCat(spark, "alpha") // planned BEFORE round N
+    def onDisk(glob: String): Int = {
+      val hits = fs.globStatus(new Path(s"$dir/alpha/$glob"))
+      if (hits == null) 0 else hits.length
+    }
+    val originals = onDisk("batch*")
+    assert(originals >= 3)
+    st.compact(spark) // round N: folds, retires the originals
+    assert(onDisk("batch*") == originals,
+      "retired originals must be retained after round N")
+    // round N+1: a vacuum that retires MORE files — within the window
+    // the round-N retirees must survive its begin-reap and carry
+    // forward in the new snapshot rather than being orphaned
+    land(st, 3L, Seq((100L, 1L), (101L, 2L)))
+    st.vacuumByDocId(spark,
+      df(rows ++ Seq((100L, 1L))).select("doc_id"))
+    assert(onDisk("batch*") >= originals,
+      "round N+1 must not reap round N's retirees inside the window")
+    assert(reader.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == rows.toSet,
+      "a reader planned before round N must materialize after round N+1")
+    assert(st.readCat(spark, "alpha").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      == (rows ++ Seq((100L, 1L))).toSet)
+    // the deletion-SLA hook ignores the window by design
+    assert(st.reapRetired(spark) > 0)
+    assert(onDisk("batch*") == 0 ||
+      st.readCat(spark, "alpha").count() == rows.size + 1,
+      "eager reap clears retirees without touching the live view")
+    // zero-retention store: the next maintenance round reaps immediately
+    val st0 = BatchStore(dir, Seq("alpha"))
+    st0.compact(spark)
+    val retiredAfter = st0.readCat(spark, "alpha").count()
+    st0.compact(spark)
+    assert(st0.readCat(spark, "alpha").count() == retiredAfter)
+  }
+
+  test("an all-rows vacuum reads back as a typed EMPTY frame off the " +
+      "snapshot's persisted schema, even with zero-byte torn junk in " +
+      "the catalog dir and every live file gone") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bs-schema").toString
+    val st = BatchStore(dir, Seq("alpha"))
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    land(st, 0L, Seq((1L, 10L), (2L, 20L)))
+    st.publishBootstrap(spark)
+    st.vacuumByDocId(spark, df(Nil).select("doc_id")) // kill every row
+    st.compact(spark) // reaps the retirees
+    // drop the (empty) live fold files too — the listing now holds
+    // NOTHING the snapshot references, the worst case the persisted
+    // schema line exists for (Spark usually leaves one empty part file,
+    // but the read contract must not depend on that)
+    val live = fs.globStatus(new Path(s"$dir/alpha/fold-*"))
+    if (live != null) live.foreach(h => fs.delete(h.getPath, false))
+    // torn-maintenance junk: a zero-byte fold file the snapshot never
+    // references — schema inference over the raw listing would choke
+    fs.create(new Path(s"$dir/alpha/fold-junk-0-x.parquet"), true).close()
+    val out = st.readCat(spark, "alpha")
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "v"))
+    assert(out.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType))
+    assert(out.count() == 0)
+  }
+
+  test("cleanRootMetadata treats flags and watermarks as one unit of " +
+      "committed history: keep-flags keeps rolled-up ids committed, " +
+      "drop-flags forgets both") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bs-clean").toString
+    val st = BatchStore(dir, Seq("alpha"))
+    (0L to 3L).foreach(b => land(st, b, Seq((b, b))))
+    st.publishBootstrap(spark)
+    st.compact(spark) // rolls flags 0..3 into the stream watermark
+    assert((0L to 3L).forall(st.batchCommitted(spark, _)))
+    st.cleanRootMetadata(spark) // keep committed-batch history
+    assert((0L to 3L).forall(st.batchCommitted(spark, _)),
+      "keeping flags must keep watermark-rolled ids committed too")
+    st.cleanRootMetadata(spark, dropBatchFlags = true)
+    assert((0L to 3L).forall(b => !st.batchCommitted(spark, b)),
+      "dropping flags must drop the watermarks with them")
   }
 }
