@@ -250,6 +250,7 @@ object SparkEntry {
     "q_x02_lsh_rewrite"    -> (ExtensionShowcase.qX02 _),
     "q_x03_zorder_profile" -> (ExtensionShowcase.qX03 _),
     "q_x04_xml_elision"    -> (ExtensionShowcase.qX04 _),
+    "q_x05_manifest_agg"   -> (ExtensionShowcase.qX05 _),
     // r5 batch 2: TPC-H Q14/Q22 shapes, per-group z-score outliers,
     // within-doc duplicate-n-gram ratio, type-token ratio, length trim
     "q_j15_tpch_q14"       -> (Relational.qJ15 _),
@@ -679,6 +680,13 @@ object SparkEntry {
     // or was elided to a cast (flag on); ExtensionSpec pins both plans
     "q_x04_xml_elision" ->
       """SELECT o_custkey % 100 AS cust_mod, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders GROUP BY cust_mod ORDER BY cust_mod""",
+    // q_x05: the oracle computes the same band aggregates from the raw
+    // table — the Spark side served MIN/MAX and the band COUNT from
+    // manifest metadata and pruned the SUM's scan, and must hash-match
+    // anyway (integer-division band arithmetic reproduced exactly; //
+    // floors like Scala's / truncates because every key is positive)
+    "q_x05_manifest_agg" ->
+      """WITH b AS (SELECT MIN(l_orderkey) AS klo, MAX(l_orderkey) AS khi FROM lineitem) SELECT CAST(COUNT(*) AS BIGINT) AS band_cnt, (SELECT klo FROM b) AS key_min, (SELECT khi FROM b) AS key_max, CAST(SUM(l_partkey) AS BIGINT) AS band_part_sum FROM lineitem, b WHERE l_orderkey BETWEEN b.klo + (b.khi - b.klo) // 4 AND b.klo + 3 * (b.khi - b.klo) // 4""",
     "q_l03_token_top20" ->
       """SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     // q_j13/q_l18: the oracle recomputes the exact quantities; the sketch

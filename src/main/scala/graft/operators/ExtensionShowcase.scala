@@ -139,4 +139,50 @@ object ExtensionShowcase {
         min("y").as("min_y"), max("y").as("max_y"))
       .orderBy("bucket")
   }
+
+  /** Q-X05 — the manifest substrate under the ORACLE (previously
+    * spec-tier only): a range-clustered copy of lineitem (staged once
+    * per dataset, the qMM09 marker discipline — clustering is the
+    * layout the per-file min/max stats exist for) is registered in
+    * [[graft.plans.ManifestRegistry]], and with BOTH opt-in rules on
+    * in an isolated session the query answers (a) the table-wide
+    * key MIN/MAX from footer stats alone ([[graft.plans.MetaCountRule]],
+    * zero files opened — these also derive the band bounds), (b) the
+    * banded COUNT(*) as metadata credit + a boundary-file-only scan,
+    * and (c) a banded SUM whose scan [[graft.plans.ManifestPruneRule]]
+    * confines to manifest-surviving files with the predicate intact.
+    * The DuckDB oracle computes the identical aggregates from the raw
+    * table — whichever plan served them must hash-match, which is what
+    * upgrades the rules from ExtensionSpec parity pins to the
+    * oracle tier.
+    */
+  def qX05(s: SparkSession, d: String): DataFrame = {
+    import graft.io.{StatsManifest, Writers}
+    import graft.plans.ManifestRegistry
+    val dir = Multimodal.stageFixtureOnce("x05li", d) { out =>
+      Writers.rangeClustered(
+        Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+        out, Seq("l_orderkey"), numFiles = 16)
+    }
+    val iso = s.newSession()
+    Graft.ensureRegistered(iso)
+    ManifestRegistry.register(iso, dir,
+      StatsManifest.build(iso, dir, Seq("l_orderkey")))
+    iso.conf.set("spark.graft.manifest.prune", "true")
+    iso.conf.set("spark.graft.manifest.metacount", "true")
+    val t = iso.read.parquet(dir)
+    // footer-stats MIN/MAX (zero files read) seed the band bounds —
+    // integer-division arithmetic the oracle reproduces exactly
+    val mm = t.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (kLo, kHi) = (mm.getLong(0), mm.getLong(1))
+    val lo = kLo + (kHi - kLo) / 4
+    val hi = kLo + 3L * (kHi - kLo) / 4
+    val cnt = t.where(col("l_orderkey").between(lo, hi))
+      .groupBy().count().select(col("count").as("band_cnt"))
+    val keys = t.agg(min(col("l_orderkey")).as("key_min"),
+      max(col("l_orderkey")).as("key_max"))
+    val sums = t.where(col("l_orderkey").between(lo, hi))
+      .agg(sum(col("l_partkey")).as("band_part_sum"))
+    cnt.crossJoin(broadcast(keys)).crossJoin(broadcast(sums))
+  }
 }

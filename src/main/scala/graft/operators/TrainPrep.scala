@@ -741,9 +741,11 @@ object TrainPrep {
     * quality, text dedup, eval decontamination, cross-modality media
     * dedup, split, pack — as ONE query with one provenance table out.
     *
-    * Scale shape: the text chain is qL39's (two corpus-sized shuffles:
-    * the (doc,token) repetition aggregate and the text-keyed dedup over
-    * quality survivors); the survivor frame is localCheckpoint-ed once
+    * Scale shape: ONE corpus-sized shuffle on the text chain (the
+    * text-keyed dedup window) — the repetition signal that qL39 buys
+    * with a (doc,token) aggregate comes here from the map-side
+    * [[qualitySurvivors]] run-length fold, value-equal by the r11
+    * spec pin; the survivor frame is localCheckpoint-ed once
     * and every later stage joins ids-only against it (contaminated ids,
     * media losers — both bounded sets, checkpointed). The media side
     * reads the PERSISTED store — decode happened once at ingest
@@ -764,11 +766,16 @@ object TrainPrep {
       wc.as("wc"),
       (length(col("text")).cast("double") / wc).as("mean_tok_len"),
       (size(filter(LLMOps.tokens(col("text")), t => t.isin(stop: _*)))
-        .cast("double") / wc).as("stop_ratio"))
-    val rep = docs
-      .select(col("doc_id"), explode(LLMOps.tokens(col("text"))).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").cast("double").as("max_tok"))
+        .cast("double") / wc).as("stop_ratio"),
+      // max-token frequency as the qL54 run-length fold over the doc's
+      // own sorted tokens — a sorted run's length IS the token's count,
+      // so this is value-equal to the (doc, token) shuffle aggregate
+      // (spec-pinned set-equal in EngineSpec's map-side quality-gate
+      // parity test) at zero
+      // exchanges: the one avoidable corpus-sized shuffle qL39 carries
+      // stays out of the flagship composed run.
+      LLMOps.runArgmax(array_sort(LLMOps.tokens(col("text"))))
+        .getField("cnt").cast("double").as("max_tok"))
     val qual = col("wc").between(20.0, 80.0) &&
       col("mean_tok_len").between(3.0, 10.0) &&
       (col("max_tok") / col("wc")) <= 0.125 &&
@@ -778,7 +785,7 @@ object TrainPrep {
     // deterministic winner, as a window so the funnel counts fall out
     // of the same frame)
     val wTxt = Window.partitionBy("text")
-    val base = stats.join(rep, Seq("doc_id"))
+    val base = stats
       .withColumn("q", qual)
       .withColumn("k", col("q") &&
         col("doc_id") === min(when(col("q"), col("doc_id"))).over(wTxt))
