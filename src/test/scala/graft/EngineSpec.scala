@@ -1256,6 +1256,10 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     val uniqueIds = Set("vec_id", "doc_id")
     def bounded(p: SparkPlan): Boolean = p match {
       case h: HashAggregateExec       => h.groupingExpressions.isEmpty
+      // exactly 1 row by construction — the shape a metadata-serving
+      // rewrite (MetaCountRule) leaves behind when it folds a scalar
+      // aggregate to literals over OneRowRelation (q_x05)
+      case _: org.apache.spark.sql.execution.OneRowRelationExec => true
       case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
       case s: SortAggregateExec       => s.groupingExpressions.isEmpty
       case l: LocalTableScanExec      => l.rows.lengthCompare(10000) <= 0
