@@ -402,7 +402,13 @@ final case class BatchStore(dir: String, catalogs: Seq[String],
               .filter(f =>
                 fsOf(s).exists(new org.apache.hadoop.fs.Path(f)))
             if (refd.nonEmpty) s.read.parquet(refd: _*).limit(0)
-            else s.read.parquet(s"$dir/$cat") // error path: schema unknowable
+            else sys.error(
+              // schema unknowable: a raw-dir fallback here could
+              // resurrect retired/torn junk as the catalog's "schema"
+              s"$dir/$cat: snapshot ${sn.k} predates schema persistence " +
+                "and references no surviving file; run a maintenance move " +
+                "(compact/vacuum) to publish a schema-bearing snapshot, " +
+                "or re-bootstrap the store")
         }
       case None => s.read.parquet(s"$dir/$cat") // pre-snapshot/legacy
     }

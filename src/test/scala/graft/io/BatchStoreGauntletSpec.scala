@@ -260,6 +260,33 @@ class BatchStoreGauntletSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() == 0)
   }
 
+  test("a pre-persisted-schema snapshot referencing no surviving file " +
+      "throws an explicit error instead of resurrecting raw-dir junk") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bs-legacy").toString
+    val st = BatchStore(dir, Seq("alpha"))
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // catalog dir holds ONLY junk no snapshot references — the rows a
+    // raw-dir fallback would wrongly resurrect
+    df(Seq((99L, 99L))).write.mode("overwrite")
+      .parquet(s"$dir/alpha-junk-src")
+    fs.mkdirs(new Path(s"$dir/alpha"))
+    val junk = fs.globStatus(new Path(s"$dir/alpha-junk-src/*.parquet"))
+    junk.zipWithIndex.foreach { case (h, i) =>
+      fs.rename(h.getPath, new Path(s"$dir/alpha/orphan-$i.parquet")) }
+    // a hand-written legacy snapshot: no S line, references a file that
+    // no longer exists
+    val out = fs.create(new Path(s"$dir/_snapfiles-0"), true)
+    out.write("token\tlegacy\nalpha\tL\tgone.parquet\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.create(new Path(s"$dir/_snap-0"), true).close()
+    val e = intercept[RuntimeException](st.readCat(spark, "alpha"))
+    assert(e.getMessage.contains("predates schema persistence"))
+  }
+
   test("cleanRootMetadata treats flags and watermarks as one unit of " +
       "committed history: keep-flags keeps rolled-up ids committed, " +
       "drop-flags forgets both") {

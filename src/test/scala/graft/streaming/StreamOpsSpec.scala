@@ -330,10 +330,11 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
       "works, TTL state expires, and the 4.1 drain-livelock is still present") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // THE TRAP (reproduced on Spark 4.1.2, this repo, 2026-08, and
-    // confirmed in the shipped bytecode): TransformWithStateExecBase
-    // .shouldRunAnotherBatch returns TRUE unconditionally when timeMode ==
-    // ProcessingTime, so the runner schedules empty micro-batch after
+    // THE TRAP (reproduced on Spark 4.1.2, this repo, 2026-08; re-probed
+    // r19 2026-08-17 against the same spark-sql_2.13-4.1.2.jar — javap of
+    // TransformWithStateExecBase.shouldRunAnotherBatch still shows the
+    // unconditional `timeMode == ProcessingTime → true` return, no patch
+    // release in the jar set): the runner schedules empty micro-batch after
     // empty micro-batch to advance processing time. EVERY drain-style wait
     // livelocks — processAllAvailable() (~490 epochs/120 s observed) AND
     // Trigger.AvailableNow (~330 epochs before its 120 s timeout; it can
