@@ -229,19 +229,21 @@ object FingerprintStore {
     * scan, not a decode.
     */
   def imageNearDupPairs(s: SparkSession, dir: String,
-      maxHamming: Int = 6): DataFrame =
+      maxHamming: Int = 6, ordered: Boolean = true): DataFrame =
     Multimodal.hammingNearDupPairs(imageHashes(s, dir), "dhash", 64,
-      maxHamming, pinCatalog = false)
+      maxHamming, pinCatalog = false, ordered = ordered)
 
   def audioNearDupPairs(s: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3, ordered: Boolean = true): DataFrame =
     Multimodal.hammingNearDupPairs(audioFingerprints(s, dir), "afp",
-      audioBitsOf(s, dir), maxHamming, pinCatalog = false)
+      audioBitsOf(s, dir), maxHamming, pinCatalog = false,
+      ordered = ordered)
 
   def videoNearDupPairs(s: SparkSession, dir: String,
-      minJaccard: Double = 0.8, maxVideosPerFrame: Int = 0): DataFrame =
+      minJaccard: Double = 0.8, maxVideosPerFrame: Int = 0,
+      ordered: Boolean = true): DataFrame =
     Multimodal.videoJaccardPairs(videoPostings(s, dir), minJaccard,
-      maxVideosPerFrame, pinPostings = false)
+      maxVideosPerFrame, pinPostings = false, ordered = ordered)
 
   /** Fold the per-batch file sprawl — [[graft.io.BatchStore.compact]]. */
   def compact(s: SparkSession, dir: String): Unit = store(dir).compact(s)

@@ -406,25 +406,30 @@ object Multimodal {
     * unreproducible outside this exact loop).
     */
   def decodeAndEmbedImage(blob: Array[Byte], dim: Int): Option[Array[Float]] = {
-    imageIoInMemory
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-    if (img == null) None
-    else {
+    // FastImage fast path for the common PNG/BMP layouts; anything it
+    // declines decodes through ImageIO exactly as before (bit-equal
+    // pixels either way — the fast path produces getRGB values)
+    val raster = FastImage.decode(blob).orElse {
+      imageIoInMemory
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        Some(new FastImage.Raster(w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+      }
+    }
+    raster.map { r =>
       val sums = new Array[Long](dim)
-      val (w, h) = (img.getWidth, img.getHeight)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          sums((y * w + x) % dim) +=
-            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-          x += 1
-        }
-        y += 1
+      val px = r.argb // linear index i == y·w + x (row-major)
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        sums(i % dim) +=
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        i += 1
       }
       // luminance = mean of R,G,B scaled to [0,1]: bucket / (3*255)
-      Some(sums.map(s => (s / 765.0).toFloat))
+      sums.map(s => (s / 765.0).toFloat)
     }
   }
 
@@ -455,52 +460,69 @@ object Multimodal {
     * decode (caller quarantines / falls back).
     */
   def decodeAndEmbedVideo(blob: Array[Byte], dim: Int): Option[Array[Float]] = {
-    imageIoInMemory
     demuxMp4(blob).flatMap { case (slot, nFrames, mdat) =>
       val sums = new Array[Long](dim)
       var k = 0 // global pixel index across frames
       var f = 0
       var ok = true
-      // one PNG reader reused across frames (same registry-lookup
-      // amortization as the encoder; a reader is NOT thread-safe, so it
-      // lives per call, never shared)
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      // the FastImage direct decode serves the common in-slot PNG
+      // layouts; a reused ImageIO PNG reader (created LAZILY — only if
+      // some frame falls outside the fast envelope) covers the rest,
+      // with the same quarantine-not-crash contract as before
+      var reader: javax.imageio.ImageReader = null
       try while (f < nFrames && ok) {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(mdat, f * slot, slot))
-        // NonFatal, not just IOException: ImageIO PNG readers throw
-        // IllegalArgumentException / IIO runtime errors on corrupt data,
-        // and the quarantine contract says ANY bad frame falls back
-        // rather than killing the task; close in finally so no reader
-        // failure path leaks the stream. createImageInputStream can
-        // return NULL (no registered SPI): setInput(null) would throw
-        // OUTSIDE the catch and the finally would NPE on top of it —
-        // treat it as one more bad frame instead
-        val img =
-          if (iis == null) null
-          else try {
-            reader.setInput(iis)
-            try reader.read(0)
-            catch { case scala.util.control.NonFatal(_) => null }
-          } finally iis.close()
-        if (img == null) ok = false
-        else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
+        FastImage.decode(mdat, f * slot, slot) match {
+          case Some(r) =>
+            val px = r.argb // linear index continues the global stream
+            var i = 0
+            while (i < px.length) {
+              val rgb = px(i)
               sums(k % dim) +=
                 ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
               k += 1
-              x += 1
+              i += 1
             }
-            y += 1
-          }
+          case None =>
+            imageIoInMemory
+            if (reader == null)
+              reader = javax.imageio.ImageIO
+                .getImageReadersByFormatName("png").next()
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(mdat, f * slot, slot))
+            // NonFatal, not just IOException: ImageIO PNG readers throw
+            // IllegalArgumentException / IIO runtime errors on corrupt
+            // data, and the quarantine contract says ANY bad frame falls
+            // back rather than killing the task; close in finally so no
+            // reader failure path leaks the stream. createImageInputStream
+            // can return NULL (no registered SPI): setInput(null) would
+            // throw OUTSIDE the catch and the finally would NPE on top of
+            // it — treat it as one more bad frame instead
+            val img =
+              if (iis == null) null
+              else try {
+                reader.setInput(iis)
+                try reader.read(0)
+                catch { case scala.util.control.NonFatal(_) => null }
+              } finally iis.close()
+            if (img == null) ok = false
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sums(k % dim) +=
+                    ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  k += 1
+                  x += 1
+                }
+                y += 1
+              }
+            }
         }
         f += 1
-      } finally reader.dispose()
+      } finally if (reader != null) reader.dispose()
       if (!ok) None else Some(sums.map(s => (s / 765.0).toFloat))
     }
   }
@@ -692,25 +714,30 @@ object Multimodal {
     * oracle does, in SQL). None when the bytes don't decode (caller
     * quarantines — the extractFeatures policy).
     */
-  def dHashOf(blob: Array[Byte]): Option[Long] = {
-    imageIoInMemory
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-    if (img == null) None else Some(dHashImage(img))
-  }
+  def dHashOf(blob: Array[Byte]): Option[Long] =
+    FastImage.decode(blob) match {
+      case Some(r) => Some(dHashRaster(r))
+      case None => // outside the fast envelope → ImageIO, as before
+        imageIoInMemory
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        if (img == null) None else Some(dHashImage(img))
+    }
 
-  /** The dHash kernel over a decoded frame — shared by the image path
+  /** The dHash kernel over any decoded frame — shared by the image path
     * ([[dHashOf]]) and the per-frame video path ([[videoFrameDHashes]]).
     * Nearest-neighbor grid sampling upscales tiny frames too (a 4×3
-    * video frame maps grid column gx to pixel gx·4/9).
+    * video frame maps grid column gx to pixel gx·4/9). `rgbAt` is the
+    * only raster access, so the [[FastImage.Raster]] fast path and the
+    * BufferedImage fallback hash through the SAME arithmetic (two call
+    * sites → bimorphic, still JIT-inlined).
     */
-  private def dHashImage(img: java.awt.image.BufferedImage): Long = {
-    val (w, h) = (img.getWidth, img.getHeight)
+  private def dHashGrid(w: Int, h: Int, rgbAt: (Int, Int) => Int): Long = {
     val g = Array.ofDim[Int](8, 9)
     var gy = 0
     while (gy < 8) {
       var gx = 0
       while (gx < 9) {
-        val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+        val rgb = rgbAt(gx * w / 9, gy * h / 8)
         g(gy)(gx) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
           + 114 * (rgb & 0xff)) / 1000
         gx += 1
@@ -729,6 +756,12 @@ object Multimodal {
     }
     hash
   }
+
+  private def dHashImage(img: java.awt.image.BufferedImage): Long =
+    dHashGrid(img.getWidth, img.getHeight, img.getRGB)
+
+  private def dHashRaster(r: FastImage.Raster): Long =
+    dHashGrid(r.w, r.h, r.rgb)
 
   /** Perceptual-hash catalog of the IMAGE rows: doc_id → 64-bit dHash.
     * Partition-parallel typed mapPartitions (the extractFeatures shape);
@@ -763,7 +796,8 @@ object Multimodal {
     * doc_b, distinct.
     */
   def hammingNearDupPairs(hashes: DataFrame, hashCol: String,
-      hashBits: Int, maxHamming: Int, pinCatalog: Boolean = true): DataFrame = {
+      hashBits: Int, maxHamming: Int, pinCatalog: Boolean = true,
+      ordered: Boolean = true): DataFrame = {
     require(hashBits % 8 == 0 && hashBits >= 16 && hashBits <= 64,
       s"hammingNearDupPairs: hashBits must be a multiple of 8 in [16,64], got $hashBits")
     val bands = hashBits / 8
@@ -778,14 +812,23 @@ object Multimodal {
     // FingerprintStore serving path) passes pinCatalog = false — its
     // lineage is a parquet scan, and materializing a store-sized copy to
     // executor disk would cost more than the re-scan it avoids.
-    val cat = if (pinCatalog) hashes.localCheckpoint() else hashes
+    val cat0 = if (pinCatalog) hashes.localCheckpoint() else hashes
+    // EXPLICIT parallelism for the banded explosion: the catalog is tiny
+    // (2 longs per item) so a scan or AQE-coalesced exchange feeds the
+    // band self-join from one or two partitions — and the join's work is
+    // the per-bucket candidate fan-out, orders of magnitude larger than
+    // its input bytes. A fixed-width round-robin spread (scale-adaptive:
+    // defaultParallelism) keeps the quadratic term on every core;
+    // ReuseExchange shares the one exchange across both join sides.
+    val cat = cat0.repartition(
+      cat0.sparkSession.sparkContext.defaultParallelism)
     val banded = cat.select(col("doc_id"), col(hashCol).as("h64"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           shiftrightunsigned(col(hashCol), b * 8).bitwiseAND(lit(255L))
             .as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("h64"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a")
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -793,7 +836,13 @@ object Multimodal {
         bit_count(col("a.h64").bitwiseXOR(col("b.h64"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("doc_a", "doc_b")
+    // ordered = false for ORDER-INSENSITIVE consumers (connected
+    // components, keeper ranking): a global orderBy's range exchange
+    // SAMPLES its child before shuffling it, re-running the dedup
+    // aggregate over the full candidate exchange a second time —
+    // measured at a third of the whole banded join's cost. The declared
+    // pair queries keep the deterministic total order.
+    if (ordered) pairs.orderBy("doc_a", "doc_b") else pairs
   }
 
   /** Image near-dup pairs: [[hammingNearDupPairs]] over the [[imageDHash]]
@@ -869,7 +918,8 @@ object Multimodal {
     * the default 32/4 serves Hamming ≤ 3).
     */
   def audioNearDupPairs(spark: SparkSession, media: DataFrame,
-      maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 32,
+      ordered: Boolean = true): DataFrame = {
     // the banded join's constraint, checked at THIS boundary: fingerprints
     // alone accept any width in [1,64], but a width the 8-bit banding
     // can't split would otherwise surface downstream as a confusing
@@ -879,7 +929,7 @@ object Multimodal {
         s"width that is a multiple of 8 in [16,64], got $bits " +
         s"(audioFingerprintOf alone accepts any width in [1,64])")
     hammingNearDupPairs(audioFingerprint(spark, media, bits), "afp", bits,
-      maxHamming)
+      maxHamming, ordered = ordered)
   }
 
   /** Per-frame dHash list of an mp4 payload: ISO-BMFF demux, each frame's
@@ -888,26 +938,35 @@ object Multimodal {
     * container or any frame fails to decode (quarantine policy).
     */
   def videoFrameDHashes(blob: Array[Byte]): Option[Array[Long]] = {
-    imageIoInMemory
     demuxMp4(blob).flatMap { case (slot, nFrames, mdat) =>
       val out = new Array[Long](nFrames)
       var ok = true
       var f = 0
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      // FastImage direct decode for in-slot PNGs; lazy reused ImageIO
+      // reader for anything it declines (same quarantine contract)
+      var reader: javax.imageio.ImageReader = null
       try while (f < nFrames && ok) {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(mdat, f * slot, slot))
-        val img =
-          if (iis == null) null
-          else try {
-            reader.setInput(iis)
-            try reader.read(0)
-            catch { case scala.util.control.NonFatal(_) => null }
-          } finally iis.close()
-        if (img == null) ok = false
-        else out(f) = dHashImage(img)
+        FastImage.decode(mdat, f * slot, slot) match {
+          case Some(r) => out(f) = dHashRaster(r)
+          case None =>
+            imageIoInMemory
+            if (reader == null)
+              reader = javax.imageio.ImageIO
+                .getImageReadersByFormatName("png").next()
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(mdat, f * slot, slot))
+            val img =
+              if (iis == null) null
+              else try {
+                reader.setInput(iis)
+                try reader.read(0)
+                catch { case scala.util.control.NonFatal(_) => null }
+              } finally iis.close()
+            if (img == null) ok = false
+            else out(f) = dHashImage(img)
+        }
         f += 1
-      } finally reader.dispose()
+      } finally if (reader != null) reader.dispose()
       if (!ok) None else Some(out)
     }
   }
@@ -940,13 +999,14 @@ object Multimodal {
     * frame hashes identical; unrelated videos share none.
     */
   def videoNearDupPairs(spark: SparkSession, media: DataFrame,
-      minJaccard: Double = 0.8, maxVideosPerFrame: Int = 0): DataFrame =
+      minJaccard: Double = 0.8, maxVideosPerFrame: Int = 0,
+      ordered: Boolean = true): DataFrame =
     // localCheckpoint (the qL19 pattern): posts feeds both self-join
     // sides AND the per-video size aggregate — pinning the (doc_id,
     // dhash) longs runs the demux + per-frame PNG decode ONCE instead of
     // once per consumer exchange
     videoJaccardPairs(videoFrameDHash(spark, media), minJaccard,
-      maxVideosPerFrame, pinPostings = true)
+      maxVideosPerFrame, pinPostings = true, ordered = ordered)
 
   /** The frame-set Jaccard join over ANY (doc_id, …, dhash) postings
     * frame — the decode-free half of [[videoNearDupPairs]], shared with
@@ -956,7 +1016,7 @@ object Multimodal {
     */
   private[operators] def videoJaccardPairs(postings: DataFrame,
       minJaccard: Double, maxVideosPerFrame: Int,
-      pinPostings: Boolean): DataFrame = {
+      pinPostings: Boolean, ordered: Boolean = true): DataFrame = {
     val dedup = postings.select("doc_id", "dhash").distinct()
     val raw = if (pinPostings) dedup.localCheckpoint() else dedup
     // BOILERPLATE-FRAME cap (the sourceOverlap(maxSourcesPerShingle)
@@ -975,23 +1035,65 @@ object Multimodal {
           .where(col("n_vids") <= maxVideosPerFrame)
           .select("dhash"),
         Seq("dhash"))
-    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
-    posts.as("a")
-      .join(posts.as("b"),
+    // PROBE-SIDE LOCALITY + EXPLOSION PARALLELISM: hash the postings by
+    // doc_id so that every posting of a video sits in ONE task. The
+    // hash self-join streams the probe side in this partitioning, so
+    // all the join rows of a candidate pair (one per SHARED frame hash
+    // — measured ~60 per surviving pair on the saturated bench fixture)
+    // surface in the same map task and the PARTIAL pair aggregate
+    // collapses them to one row; with the group keys prefixed by doc_a
+    // the doc_id partitioning even satisfies the aggregate, removing
+    // the pair exchange outright. The partition count is EXPLICIT
+    // (defaultParallelism, scale-adaptive): the postings are only
+    // kilobytes-to-megabytes before the join but fan out ~270× through
+    // the saturated hash buckets, and AQE — sizing from the PRE-join
+    // bytes — would coalesce the exchange to one partition and run the
+    // entire quadratic bucket scan single-threaded (measured 5.4 s in
+    // 1 task vs 0.4 s across 32 at sf0.1).
+    val local = posts.repartition(
+      posts.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val sizes = local.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
+    // Sizes ride WITH the postings through the hash self-join (one
+    // posting-sized join against the per-video counts) instead of being
+    // re-attached to the PAIR set afterwards: under frame-hash
+    // saturation the candidate pair set is far larger than the postings,
+    // so the two former pair-sized size-joins (2 exchanges of the pair
+    // aggregate) collapse into one postings-sized join, and the group
+    // key (doc_a, doc_b, n_a, n_b) adds no rows — sizes are functionally
+    // determined by the ids.
+    val withN = local.join(sizes, Seq("doc_id"))
+    // LENGTH-BOUND candidate filter (the set-similarity-join size filter):
+    // J(A,B) ≥ t forces |A∩B| ≥ t·|A∪B| with |A∩B| ≤ min(n_a,n_b) and
+    // |A∪B| ≥ max(n_a,n_b), so a pair can only survive the final Jaccard
+    // gate if the SAME double expression evaluated at the intersection's
+    // upper bound (inter = least(n_a, n_b)) passes it. Spelling the bound
+    // with the final filter's own arithmetic — not t·n ≤ n rearrangements
+    // — makes it safe against double rounding: inter/(S−inter) over exact
+    // integer operands is weakly monotone in inter under correct
+    // rounding, so bound-pass is implied by any true-pair pass and the
+    // filter can never drop a surviving pair. Saturated buckets (unrelated
+    // videos sharing low-entropy hashes) are dropped at the JOIN, before
+    // they fan into the pair aggregation.
+    val boundOk = least(col("a.n_fr"), col("b.n_fr")).cast("double") /
+      (col("a.n_fr") + col("b.n_fr") -
+        least(col("a.n_fr"), col("b.n_fr"))).cast("double") >= minJaccard
+    val pairs = withN.as("a")
+      .join(withN.as("b"),
         col("a.dhash") === col("b.dhash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          col("a.doc_id") < col("b.doc_id") && boundOk)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_fr").as("n_a"), col("b.n_fr").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fr").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fr").as("n_b")),
-        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
           .as("jaccard"))
       .where(col("jaccard") >= minJaccard)
-      .orderBy("doc_a", "doc_b")
+    // ordered = false for order-insensitive consumers — the global
+    // sort's range-sampling pass re-runs the final pair aggregate over
+    // the candidate exchange (measured ~+70% on the saturated serving
+    // join); declared pair queries keep the deterministic total order
+    if (ordered) pairs.orderBy("doc_a", "doc_b") else pairs
   }
 
   /** Q-MM06 — per-frame video dHash catalog over the real demux + decode
@@ -1397,7 +1499,9 @@ object Multimodal {
     // ---- the pipeline under test starts at the file listing
     val media = graft.io.Readers.binaryMedia(s, tmp, Some("*.wav"),
       idFromStem = true)
-    val pairs = audioNearDupPairs(s, media)
+    // ordered = false: the pairs feed connected components (order-
+    // insensitive); skips the range-sample re-run of the pair dedup
+    val pairs = audioNearDupPairs(s, media, ordered = false)
     val comp = TrainPrep.connectedComponents(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val ns = media.select(col("doc_id").as("id"),
@@ -1480,11 +1584,19 @@ object Multimodal {
   private[graft] def mixedMediaRanked(s: SparkSession, ingested: DataFrame,
       store: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = FingerprintStore.imageNearDupPairs(s, store)
+    // ordered = false throughout: these pair sets exist only to feed
+    // the order-insensitive connected-components pass — the orderBy of
+    // the declared pair queries would re-run each family's final pair
+    // aggregate once more for the range sample and then discard the
+    // order at the very next exchange
+    val pairs = FingerprintStore.imageNearDupPairs(s, store,
+        ordered = false)
       .select("doc_a", "doc_b")
-      .unionByName(FingerprintStore.audioNearDupPairs(s, store)
+      .unionByName(FingerprintStore.audioNearDupPairs(s, store,
+        ordered = false)
         .select("doc_a", "doc_b"))
-      .unionByName(FingerprintStore.videoNearDupPairs(s, store)
+      .unionByName(FingerprintStore.videoNearDupPairs(s, store,
+        ordered = false)
         .select("doc_a", "doc_b"))
     val comp = TrainPrep.connectedComponents(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))

@@ -785,10 +785,19 @@ object TrainPrep {
     // deterministic winner, as a window so the funnel counts fall out
     // of the same frame)
     val wTxt = Window.partitionBy("text")
+    // ONE materialized corpus pass (localCheckpoint) carries the quality
+    // AND keeper flags for everything below: the funnel-heads aggregate
+    // and the keeper frame previously each re-ran the tokenize + dedup-
+    // window subtree (the two most expensive operators in the query) —
+    // the heads branch as a recomputation at action time, the keeper
+    // branch as the eager checkpoint. Pinning base instead runs
+    // tokenize + window once; every consumer (heads, keepers → shingles
+    // / split, tallies) re-reads executor-local blocks.
     val base = stats
       .withColumn("q", qual)
       .withColumn("k", col("q") &&
         col("doc_id") === min(when(col("q"), col("doc_id"))).over(wTxt))
+      .localCheckpoint()
     // funnel heads (one aggregate): ingested / quality / text-dedup
     val heads = base.agg(
       count(lit(1)).as("d0"), sum(col("wc").cast("long")).as("t0"),
@@ -799,10 +808,10 @@ object TrainPrep {
       .selectExpr("stack(3, '00_ingested', d0, t0, '10_quality', d1, t1, " +
         "'20_text_dedup', d2, t2) AS (stage, docs, total_tokens)")
       .withColumn("packed_bins", lit(0L))
-    // the keeper frame is referenced by every stage below — pin it
-    // (narrow: id, text for shingles/split, wc)
+    // the keeper frame referenced by every stage below is a narrow
+    // filter+select over the PINNED base — no second checkpoint (its
+    // lineage is already executor-local blocks, not the corpus pass)
     val keepers = base.filter(col("k")).select("doc_id", "text", "wc")
-      .localCheckpoint()
     // 30: exact benchmark decontamination (q_l24 semi-join shape — the
     // benchmark hash set aggregates to one row per distinct shingle,
     // never broadcast by hint: eval suites are small, AQE decides)
