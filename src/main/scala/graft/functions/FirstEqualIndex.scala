@@ -41,6 +41,15 @@ case class FirstEqualIndex(left: Expression, right: Expression)
 }
 
 object FirstEqualIndex {
+  /** Column-API entry for hand-built LSH pipelines (the rewrite rule
+    * constructs the expression directly).
+    */
+  def apply(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(FirstEqualIndex(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Called from both interpreted eval and generated code. */
   def firstEqual(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())

@@ -90,11 +90,27 @@ object ChunkStore {
     // history (the MinhashSnapshot.bootstrap rationale)
     st.cleanRootMetadata(s, dropBatchFlags = true)
     val c = keyed(docs)
-    c.groupBy("h", "len", "x")
-      .agg(first(col("chunk_text")).as("chunk_text"))
-      .write.mode("overwrite").parquet(s"$dir/chunks")
-    c.select("doc_id", "idx", "h", "len", "x")
-      .write.mode("overwrite").parquet(s"$dir/manifest")
+    // the two catalog writes are independent jobs over the same chunk
+    // frame — submit them concurrently (guide §2.6) so the manifest
+    // write back-fills the executors the chunk-dedup's tail leaves
+    // idle. (Deliberately NOT localCheckpoint-ed to share the chunking
+    // pass: the chunk rows carry the corpus text, and pinning a
+    // corpus-sized block set trades a second chunking scan for executor
+    // storage pressure at 100 TB — the wrong side of §5.) REBALANCE
+    // sizes output files by bytes instead of landing one file per scan
+    // task (§6).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future(c.groupBy("h", "len", "x")
+        .agg(first(col("chunk_text")).as("chunk_text"))
+        .hint("rebalance")
+        .write.mode("overwrite").parquet(s"$dir/chunks")),
+      Future(c.select("doc_id", "idx", "h", "len", "x")
+        .hint("rebalance")
+        .write.mode("overwrite").parquet(s"$dir/manifest")))
+    writes.foreach(Await.result(_, Duration.Inf))
     st.publishBootstrap(s) // the commit point: [[bootstrapped]] flips here
   }
 

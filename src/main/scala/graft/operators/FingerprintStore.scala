@@ -94,18 +94,52 @@ object FingerprintStore {
   def commitBatchFlag(s: SparkSession, dir: String, batchId: Long): Unit =
     store(dir).commitFlag(s, batchId.toString)
 
-  /** Decode one media frame into the three per-kind digest catalogs.
-    * The decodes are the Multimodal partition-parallel mapPartitions
-    * kernels — pure per-row maps, zero shuffle; the outputs are digests
-    * (≤ 3 longs per row / per frame). The three extractors filter
-    * DISJOINT format slices, so each blob decodes exactly once across
-    * the three even without pinning.
+  /** Decode one media frame into ALL THREE digest kinds in a single
+    * partition-parallel pass: (doc_id, kind, frame, digest) rows, kind
+    * 0 = image dHash, 1 = audio fingerprint, 2 = per-frame video dHash
+    * (frame = −1 for the single-digest kinds). The per-format kernels
+    * and quarantine policy are exactly the Multimodal catalog builders'
+    * ([[Multimodal.dHashOf]] / [[Multimodal.audioFingerprintOf]] /
+    * [[Multimodal.videoFrameDHashes]] over the same disjoint format
+    * slices — parity spec-pinned); fusing them means ingest reads the
+    * media bytes ONCE instead of once per kind (the three separate
+    * catalog scans each re-read the whole file tree, since the format
+    * filter is a path expression no source can push down; at 100 TB
+    * that is 3× the ingest I/O for identical decode work — r20, §6).
     */
-  private def fingerprints(s: SparkSession, media: DataFrame,
-      audioBits: Int): (DataFrame, DataFrame, DataFrame) =
-    (Multimodal.imageDHash(s, media),
-      Multimodal.audioFingerprint(s, media, audioBits),
-      Multimodal.videoFrameDHash(s, media))
+  private[operators] def fusedDigests(s: SparkSession, media: DataFrame,
+      audioBits: Int): DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("meta.format").as("format"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, fmt, blob) =>
+        fmt match {
+          case "png" | "bmp" =>
+            Multimodal.dHashOf(blob).iterator.map(h => (id, 0, -1, h))
+          case "wav" =>
+            Multimodal.audioFingerprintOf(blob, audioBits).iterator
+              .map(h => (id, 1, -1, h))
+          case "mp4" =>
+            Multimodal.videoFrameDHashes(blob).iterator.flatMap(hs =>
+              hs.iterator.zipWithIndex.map { case (h, f) => (id, 2, f, h) })
+          case _ => Iterator.empty
+        }
+      })
+      .toDF("doc_id", "kind", "frame", "digest")
+  }
+
+  /** The three per-kind catalog frames off a PINNED fused digest frame —
+    * column names/types identical to the Multimodal catalog builders'
+    * output (the store parquet schema readers depend on).
+    */
+  private def splitDigests(all: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) =
+    (all.filter(col("kind") === 0)
+        .select(col("doc_id"), col("digest").as("dhash")),
+      all.filter(col("kind") === 1)
+        .select(col("doc_id"), col("digest").as("afp")),
+      all.filter(col("kind") === 2)
+        .select(col("doc_id"), col("frame"), col("digest").as("dhash")))
 
   /** Build the store from scratch over `media` ((doc_id, blob, meta) —
     * the [[graft.io.Readers.binaryMedia]] / [[Multimodal.withMedia]]
@@ -121,22 +155,66 @@ object FingerprintStore {
         "of 8 in [16,64]")
     val st = store(dir)
     st.cleanRootMetadata(s)
-    val (img, aud, vid) = fingerprints(s, media, audioBits)
-    // the ledger join consumes the catalogs' doc_ids, and the catalogs
-    // are ALSO written — pin the digest rows so the blobs decode once,
-    // not once per consumer (the hammingNearDupPairs rationale; digests
-    // are ≤ 3 longs/row, never pixels)
-    val (imgP, audP, vidP) =
-      (img.localCheckpoint(), aud.localCheckpoint(), vid.localCheckpoint())
-    imgP.write.mode("overwrite").parquet(s"$dir/image")
-    audP.write.mode("overwrite").parquet(s"$dir/audio")
-    vidP.write.mode("overwrite").parquet(s"$dir/video")
-    val ids = media.select(col("doc_id"), col("meta.format").as("format"))
-    ledgerOf(ids, imgP, audP, vidP)
-      .write.mode("overwrite").parquet(s"$dir/ledger")
+    // ONE media scan decodes every kind; the pinned rows are digests
+    // (≤ 3 longs/row, never pixels), consumed by the three catalog
+    // writes AND the ledger join (the hammingNearDupPairs rationale)
+    val (all, allIds) = pinTracked(s,
+      fusedDigests(s, media, audioBits))
+    try {
+      val (imgP, audP, vidP) = splitDigests(all)
+      // REBALANCE before every catalog write (guide §6): the pinned
+      // digest frame inherits the media scan's partitioning (one
+      // partition per ~file-listing split), so a bare write lands one
+      // near-empty parquet file per scan task — at bench SF that is
+      // ~50 files per catalog and the write jobs dominate bootstrap
+      // (measured 3.9 s of its 6.1 s); at 100 TB it is the small-files
+      // problem verbatim. The AQE rebalance exchange sizes output
+      // partitions by bytes (advisoryPartitionSizeInBytes), so file
+      // count follows data volume at any scale with no tuned constant.
+      def land(df: DataFrame, cat: String): Unit =
+        df.hint("rebalance").write.mode("overwrite").parquet(s"$dir/$cat")
+      val ids = media.select(col("doc_id"), col("meta.format").as("format"))
+      // the four catalog writes are INDEPENDENT jobs over the same
+      // pinned digest frame — submit them concurrently so the write
+      // commits overlap instead of serializing four small jobs (guide
+      // §2.6; measured ~1 s per write job at bench SF). Concurrent
+      // actions on one SparkSession are supported; failures propagate
+      // through Await.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(
+          java.util.concurrent.Executors.newFixedThreadPool(4))
+      val writes = Seq(
+        Future(land(imgP, "image")), Future(land(audP, "audio")),
+        Future(land(vidP, "video")),
+        Future(land(ledgerOf(ids, imgP, audP, vidP), "ledger")))
+      try writes.foreach(Await.result(_, Duration.Inf))
+      finally ec.asInstanceOf[
+        scala.concurrent.ExecutionContextExecutorService].shutdown()
+    } finally unpinTracked(s, allIds) // catalogs landed; drop the pin —
+    // a repeated in-process bootstrap (the bench re-runs q_mm10 per
+    // pass) must not accumulate digest blocks in executor storage
     st.publishBootstrap(s)
     fsOf(s, dir).create(new org.apache.hadoop.fs.Path(
       s"$dir/_audiobits-$audioBits"), true).close()
+  }
+
+  /** localCheckpoint + the persistent-RDD registry diff that identifies
+    * its blocks, so a bounded-lifetime pin can be dropped when its
+    * consumers are done (the connectedComponents hygiene pattern —
+    * `Dataset.unpersist` can't reach a LogicalRDD's blocks).
+    */
+  private def pinTracked(s: SparkSession,
+      df: DataFrame): (DataFrame, Set[Int]) = {
+    val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    (out, s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def unpinTracked(s: SparkSession, ids: Set[Int]): Unit = {
+    val live = s.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   /** The ledger frame for a batch given its PINNED catalogs. A doc_id
@@ -199,14 +277,16 @@ object FingerprintStore {
         if (n <= BroadcastIdCap)
           media.join(broadcast(newIds), Seq("doc_id"), "left_semi")
         else media.join(newIds, Seq("doc_id"), "left_semi")
-      val (img, aud, vid) = fingerprints(s, fresh, audioBits)
-      val (imgP, audP, vidP) =
-        (img.localCheckpoint(), aud.localCheckpoint(), vid.localCheckpoint())
-      st.landBatchFiles(s, imgP, "image", tag)
-      st.landBatchFiles(s, audP, "audio", tag)
-      st.landBatchFiles(s, vidP, "video", tag)
-      val ids = fresh.select(col("doc_id"), col("meta.format").as("format"))
-      st.landBatchFiles(s, ledgerOf(ids, imgP, audP, vidP), "ledger", tag)
+      // one batch scan decodes every kind (the bootstrap discipline)
+      val (all, allIds) = pinTracked(s, fusedDigests(s, fresh, audioBits))
+      try {
+        val (imgP, audP, vidP) = splitDigests(all)
+        st.landBatchFiles(s, imgP, "image", tag)
+        st.landBatchFiles(s, audP, "audio", tag)
+        st.landBatchFiles(s, vidP, "video", tag)
+        val ids = fresh.select(col("doc_id"), col("meta.format").as("format"))
+        st.landBatchFiles(s, ledgerOf(ids, imgP, audP, vidP), "ledger", tag)
+      } finally unpinTracked(s, allIds)
     }
     st.commitFlag(s, tag) // the commit point — everything landed
   }

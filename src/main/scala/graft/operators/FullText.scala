@@ -180,11 +180,21 @@ object FullText {
     */
   def qL51(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sparse = bm25(Tables.documents(s, d), Seq("data", "join", "filter"))
-      .select("doc_id").collect().map(_.getLong(0)).zipWithIndex
+    // the two top-k retrievals are INDEPENDENT jobs — submit them
+    // concurrently so the dense pass back-fills executors the sparse
+    // pass's tail leaves idle (guide §2.6), instead of serializing two
+    // full pipelines; each collect is ≤ k rows
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sparseF = Future(
+      bm25(Tables.documents(s, d), Seq("data", "join", "filter"))
+        .select("doc_id").collect().map(_.getLong(0)))
+    val denseF = Future(
+      Similarity.qL02(s, d).select("vec_id").collect().map(_.getLong(0)))
+    val sparse = Await.result(sparseF, Duration.Inf).zipWithIndex
       .map { case (id, i) => (id, i + 1L) }.toSeq.toDF("doc_id", "r_sparse")
-    val dense = Similarity.qL02(s, d)
-      .select("vec_id").collect().map(_.getLong(0)).zipWithIndex
+    val dense = Await.result(denseF, Duration.Inf).zipWithIndex
       .map { case (id, i) => (id, i + 1L) }.toSeq.toDF("doc_id", "r_dense")
     rrfFuse(sparse, dense)
   }

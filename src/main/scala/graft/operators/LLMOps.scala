@@ -956,66 +956,33 @@ object LLMOps {
     * resolve to the lexicographically smallest gram, so the argmax is
     * engine-portable.
     *
-    * Scale shape: entirely MAP-SIDE — per doc, the grams are
-    * `array_sort`ed and each signal is ONE `aggregate` fold over the
-    * sorted array (equal grams are adjacent, so run-lengths are counts;
-    * the first max-count run met in sorted order IS the smallest-gram
-    * tiebreak). O(n log n) per document, no exploded-gram shuffle — at
+    * Scale shape: entirely MAP-SIDE — per doc, each signal is ONE
+    * gram→sort→run-length fold (equal grams are adjacent after the
+    * sort, so run-lengths are counts; the first max-count run met in
+    * sorted order IS the smallest-gram tiebreak), evaluated as a single
+    * codegen expression ([[graft.functions.TopRunGram]] /
+    * [[graft.functions.DupRunGramChars]] — the declarative
+    * shingles/array_sort/aggregate spelling they replaced is
+    * CodegenFallback end-to-end; value-parity pinned in RunGramsSpec).
+    * O(n log n) per document, no exploded-gram shuffle — at
     * 100 TB the only shuffle is the final order-by of per-doc rows,
     * where a real pipeline would instead filter on the fractions
     * map-side and shuffle nothing.
     */
-  /** Run-length ARGMAX over a sorted string array: struct(cnt, gram) of
-    * the most frequent element — (prev, run, bestCnt, bestGram) fold;
-    * strict > keeps the FIRST (= smallest) element on count ties, the
-    * engine-portable tiebreak. Shared by qL47 and qL54.
-    */
-  private[operators] def runArgmax(sorted: Column): Column = aggregate(
-    sorted,
-    struct(lit("").as("prev"), lit(0L).as("run"),
-      lit(0L).as("bestCnt"), lit("").as("bestGram")),
-    (acc, x) => {
-      val closed = x =!= acc("prev")
-      val promote = closed && acc("run") > acc("bestCnt")
-      struct(x.as("prev"),
-        when(closed, lit(1L)).otherwise(acc("run") + 1L).as("run"),
-        when(promote, acc("run")).otherwise(acc("bestCnt")).as("bestCnt"),
-        when(promote, acc("prev")).otherwise(acc("bestGram")).as("bestGram"))
-    },
-    acc => struct(
-      when(acc("run") > acc("bestCnt"), acc("run"))
-        .otherwise(acc("bestCnt")).as("cnt"),
-      when(acc("run") > acc("bestCnt"), acc("prev"))
-        .otherwise(acc("bestGram")).as("gram")))
-
-  /** Duplicated-element chars over a sorted string array: close each
-    * run, charge count × element chars for runs ≥ 2. Shared by qL47
-    * and qL54.
-    */
-  private def dupRunChars(sorted: Column): Column = aggregate(
-    sorted,
-    struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("chars")),
-    (acc, x) => {
-      val closed = x =!= acc("prev")
-      struct(x.as("prev"),
-        when(closed, lit(1L)).otherwise(acc("run") + 1L).as("run"),
-        (acc("chars") + when(closed && acc("run") >= 2L,
-          acc("run") * length(acc("prev")).cast("long")).otherwise(0L))
-          .as("chars"))
-    },
-    acc => acc("chars") + when(acc("run") >= 2L,
-      acc("run") * length(acc("prev")).cast("long")).otherwise(0L))
-
   def qL47(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val base = docs.select(col("doc_id"),
       length(col("text")).cast("long").as("chars"),
       tokens(col("text")).as("w"))
+    // gram → sort → run-fold as ONE codegen expression per signal
+    // (graft.functions.RunGrams): the declarative shingles/array_sort/
+    // aggregate chain is CodegenFallback end-to-end — thousands of
+    // interpreted lambda evaluations per document (r20, §4; parity
+    // spec-pinned in RunGramsSpec)
     val g = base.select(col("doc_id"), col("chars"),
-      array_sort(shingles(col("w"), 2)).as("g2"),
-      array_sort(shingles(col("w"), 5)).as("g5"))
-    g.select(col("doc_id"), col("chars"),
-        runArgmax(col("g2")).as("t2"), dupRunChars(col("g5")).as("d5"))
+      graft.functions.TopRunGram(col("w"), 2).as("t2"),
+      graft.functions.DupRunGramChars(col("w"), 5).as("d5"))
+    g.select(col("doc_id"), col("chars"), col("t2"), col("d5"))
       .select(col("doc_id"),
         col("t2.gram").as("top2_gram"),
         col("t2.cnt").as("top2_cnt"),
@@ -1049,15 +1016,19 @@ object LLMOps {
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
       length(col("text")).cast("long").as("chars"),
       tokens(col("text")).as("w"))
+    // every fold is a codegen expression (RunGrams / CountIn): the
+    // declarative shingles/array_sort/aggregate/filter chain was
+    // CodegenFallback end-to-end and dominated this one-scan query
+    // (r20, §4; value-parity spec-pinned in RunGramsSpec)
     val g = base.select(col("doc_id"), col("lang"), col("source"),
       col("chars"),
       size(col("w")).cast("long").as("wc"),
       size(array_distinct(col("w"))).cast("long").as("dt"),
-      size(filter(col("w"), t => t.isin(stopwords: _*))).cast("long")
+      graft.functions.CountIn(col("w"), stopwords).cast("long")
         .as("stops"),
-      runArgmax(array_sort(col("w"))).getField("cnt").as("max_tok"),
-      runArgmax(array_sort(shingles(col("w"), 2))).as("t2"),
-      dupRunChars(array_sort(shingles(col("w"), 5))).as("d5"))
+      graft.functions.TopRunGram(col("w"), 1).getField("cnt").as("max_tok"),
+      graft.functions.TopRunGram(col("w"), 2).as("t2"),
+      graft.functions.DupRunGramChars(col("w"), 5).as("d5"))
     g.select(col("doc_id"), col("lang"), col("source"),
         col("wc").as("n_tokens"), col("chars").as("n_chars"),
         (col("chars").cast("double") / col("wc").cast("double"))

@@ -828,14 +828,29 @@ object Multimodal {
             .as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("h64"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+    // Emit each pair from its FIRST agreeing band only (the x02 rewrite's
+    // keep-at-first-colliding-table discipline): a pair colliding in k
+    // bands used to surface k times and be collapsed by a pair-sized
+    // distinct — a full exchange + aggregate over the candidate set. The
+    // first agreeing band is computable from the hashes the join row
+    // already carries (lowest zero byte of the xor), so the dedup becomes
+    // a codegen filter inside the join and the distinct disappears
+    // outright (r20, §2.4). Requires the catalog to hold one row per
+    // doc_id — true for every caller (decode catalogs are one row per
+    // decoded doc; the store's ledger anti-join keeps serving catalogs
+    // unique).
+    val xor = col("a.h64").bitwiseXOR(col("b.h64"))
+    val firstBand = (0 until bands)
+      .foldRight(lit(bands): org.apache.spark.sql.Column)((b, rest) =>
+      when(shiftrightunsigned(xor, b * 8).bitwiseAND(lit(255L)) === 0L,
+        lit(b)).otherwise(rest))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && col("a.band") === firstBand)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.h64").bitwiseXOR(col("b.h64"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
     // ordered = false for ORDER-INSENSITIVE consumers (connected
     // components, keeper ranking): a global orderBy's range exchange
     // SAMPLES its child before shuffling it, re-running the dedup
@@ -1598,8 +1613,12 @@ object Multimodal {
       .unionByName(FingerprintStore.videoNearDupPairs(s, store,
         ordered = false)
         .select("doc_a", "doc_b"))
+    // hopsPerRound = 3: this graph's low-entropy fixture hashes chain
+    // clusters to diameter ~15 (r20 measurement), so batching hops cuts
+    // the round barriers ~3x (TrainPrep.connectedComponents class doc)
     val comp = TrainPrep.connectedComponents(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      hopsPerRound = 3)
     val rich = ingested.select(col("doc_id").as("id"),
       when(col("meta.format").isin("png", "bmp"), lit("image"))
         .when(col("meta.format") === "wav", lit("audio"))

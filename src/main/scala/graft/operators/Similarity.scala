@@ -133,21 +133,37 @@ object Similarity {
   def nearDupPairs(s: SparkSession, d: String, threshold: Double = 0.9,
       bits: Int = 8, tables: Int = 6): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val withBuckets = e.withColumn("bucket",
-      explode(LshBuckets(col("embedding"), bits, tables)))
-    // Bucket join carries ONLY ids: a pair colliding in several tables is
-    // deduped while still narrow (16 bytes/row through the shuffle), and
-    // the exact-cosine verify runs once per unique candidate pair after
-    // re-joining the embeddings by id. Verifying before the dedup instead
-    // pays one cosine per (pair × colliding table) and shuffles embedding
-    // arrays with every candidate row — measured 4× slower here, and the
-    // shuffle-width difference only grows with vector dimension at scale.
-    val l = withBuckets.select(col("bucket"), col("vec_id").as("id_a"))
-    val r = withBuckets.select(col("bucket"), col("vec_id").as("id_b"))
-    val cand = l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // Bucket join carries ids + the per-table bucket array (8·(tables+2)
+    // bytes/row — never the embedding arrays, whose width grows with
+    // vector dimension at scale), and each candidate pair is emitted
+    // ONLY at its first colliding table: the first-equal position over
+    // the two bucket arrays the join row already carries (the x02
+    // rewrite's bag-mode discipline, codegen FirstEqualIndex). The
+    // pair-sized distinct this replaces was a full exchange + aggregate
+    // over one row per (pair × colliding table) — at the saturated
+    // q_l13 config (2-bit tables) that is orders of magnitude more rows
+    // than the corpus (r20, §2.4). The exact-cosine verify still runs
+    // once per unique candidate pair after re-joining the embeddings by
+    // id. Parallelism for the bucket explosion is EXPLICIT
+    // (defaultParallelism, scale-adaptive): the pre-join rows are
+    // kilobytes but fan out quadratically per bucket, and AQE — sizing
+    // from the pre-join bytes — would coalesce the exchange to one
+    // partition and run the whole bucket scan single-threaded (the
+    // hammingNearDupPairs/videoJaccardPairs lesson, §2.6).
+    val withBuckets = e.select(col("vec_id"),
+        LshBuckets(col("embedding"), bits, tables).as("bks"))
+      .select(col("vec_id"), col("bks"),
+        explode(col("bks")).as("bucket"))
+      .repartition(s.sparkContext.defaultParallelism, col("bucket"))
+    val l = withBuckets.select(col("bucket"), col("vec_id").as("id_a"),
+      col("bks").as("bks_a"))
+    val r = withBuckets.select(col("bucket"), col("vec_id").as("id_b"),
+      col("bks").as("bks_b"))
+    val cand = l.join(r,
+        l("bucket") === r("bucket") && col("id_a") < col("id_b") &&
+          graft.functions.FirstEqualIndex(col("bks_a"), col("bks_b")) ===
+            shiftright(l("bucket"), 32) + 1L)
       .select("id_a", "id_b")
-      .distinct()
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
@@ -237,8 +253,14 @@ object Similarity {
   def qL46(s: SparkSession, d: String): DataFrame = {
     val codes = quantizeInt8(Tables.embeddings(s, d), "embedding")
       .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+    // localCheckpoint (the qL19 pattern): sums feeds the norms aggregate
+    // AND both sides of the pairwise join — without pinning, each of the
+    // three consumers re-runs the corpus quantize + posexplode +
+    // aggregate chain (three documents-scans in the r20 before-plan).
+    // The pinned frame is labels × dims rows — bounded, never corpus
     val sums = codes.groupBy("label", "pos")
       .agg(sum(col("v").cast("long")).as("sv"))
+      .localCheckpoint()
     // products widened to DECIMAL(38,0) before summing: sv ~ 127·n per
     // dimension, so sv² overflows a silently-wrapping long sum once a
     // label holds ~7e7 vectors — the same overflow discipline as

@@ -24,15 +24,21 @@ object TrainPrep {
     * its neighborhood; a fixpoint labels every member of a component with
     * the component's global minimum id.
     *
-    * Scale shape: each round is one equi-join + one aggregate (both
+    * Scale shape: each hop is one equi-join + one aggregate (both
     * shuffle on vertex id — AQE coalesces as components collapse), and
-    * `localCheckpoint` truncates the plan so the lineage doesn't grow by
-    * one join per round. Rounds needed = graph diameter; near-dup
-    * clusters are band-join cliques with diameter ≤ ~2, so the loop ends
-    * after 2-3 rounds regardless of corpus size. (For adversarial
-    * long-chain graphs the large-star/small-star alternation — Kiveris et
-    * al., "Connected Components in MapReduce and Beyond" — drops rounds
-    * to O(log d); not needed for the dedup-cluster topology.)
+    * `localCheckpoint` truncates the plan once per round so the lineage
+    * doesn't grow with the hop count. Hops needed = graph diameter.
+    * Near-dup TEXT clusters are band-join cliques with diameter ≤ ~2
+    * (keep the default hopsPerRound = 1: the loop ends after 1-2
+    * rounds); the mixed-media perceptual graph chains to diameter ~15
+    * (r20 measurement), so its caller batches `hopsPerRound = 3` hops
+    * per checkpointed round — same total message volume, a third of the
+    * round barriers / checkpoints / convergence probes, at the price of
+    * ≤ hopsPerRound−1 no-op hop subplans in the confirming round.
+    * (Pointer-jumping and Kiveris et al.'s large-star/small-star were
+    * both simulated on the r20 media graph first: its alternating-id
+    * chains keep the label forest at depth 1, so neither cuts the hop
+    * count — see OPTIMIZATION_r20.md.)
     *
     * `edges` needs `src`/`dst` long columns; undirectedness is enforced
     * here. Returns (id, component) for every vertex with at least one
@@ -53,7 +59,8 @@ object TrainPrep {
     * `spark.cleaner.referenceTracking.cleanCheckpoints` is on).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, hopsPerRound: Int = 1): DataFrame = {
+    require(hopsPerRound >= 1, s"hopsPerRound $hopsPerRound")
     val spark = edges.sparkSession
     // snapshot-diff of the public persistent-RDD registry identifies the
     // blocks a checkpoint just pinned, so they can be dropped precisely
@@ -73,13 +80,26 @@ object TrainPrep {
     }
     // no distinct(): duplicate edges change message volume, never the
     // min-aggregate's result — and the input (verified pair sets) is
-    // already deduplicated, so the extra shuffle would buy nothing
+    // already deduplicated, so the extra shuffle would buy nothing.
+    // Symmetrization is ONE explode pass over the edge frame, not a
+    // union of two selects of it: the union form duplicates the edge
+    // subtree, so materializing bidir re-ran the caller's whole pair
+    // pipeline (three banded near-dup joins, in the mixed-media case)
+    // twice — exchange reuse shares the joins' exchanges across the
+    // branches but the final pair aggregates still re-run (r20, §2.4).
     val (bidir, bidirIds) = checkpointTracked(
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+      edges.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    // fused first round: instead of identity labels (which make round 1's
+    // join a pure relabeling), every vertex STARTS at min(own id, min
+    // neighbor id) — one aggregate over bidir, no join, and the loop
+    // below begins where the identity-init version's round 1 ended
+    // (one fewer join round + checkpoint + convergence probe; r20, §2.4)
     var (labels, labelIds) = checkpointTracked(
-      bidir.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id")))
+      bidir.groupBy(col("src").as("id"))
+        .agg(min(least(col("src"), col("dst"))).as("comp")))
     // convergence via the label-sum invariant: min-propagation can only
     // DECREASE labels, so an unchanged sum(comp) is exactly a fixpoint —
     // one cheap scalar aggregate per round instead of a change-detection
@@ -91,19 +111,32 @@ object TrainPrep {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    def dbgT[A](name: String)(f: => A): A =
+      if (!dbg) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[cc] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    var prevSum = dbgT("init labelSum")(labelSum(labels))
     var iter = 0
     var converged = false
     try {
       while (!converged && iter < maxIter) {
-        val msgs = bidir
-          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-          .select(col("dst").as("id"), col("comp"))
+        // hopsPerRound propagation steps chained into ONE checkpointed
+        // plan/action — see the class doc's multi-hop note (r20, §2.4)
+        var cur = labels
+        for (_ <- 0 until hopsPerRound) {
+          val msgs = bidir
+            .join(cur.withColumnRenamed("id", "src"), Seq("src"))
+            .select(col("dst").as("id"), col("comp"))
+          cur = cur.union(msgs).groupBy("id").agg(min("comp").as("comp"))
+        }
         // localCheckpoint is eager: `next`'s blocks exist once this
         // returns, so the previous round's snapshot is safe to drop
-        val (next, nextIds) = checkpointTracked(
-          labels.union(msgs).groupBy("id").agg(min("comp").as("comp")))
-        val nextSum = labelSum(next)
+        val (next, nextIds) = dbgT(s"round $iter checkpoint")(checkpointTracked(
+          cur))
+        val nextSum = dbgT(s"round $iter labelSum")(labelSum(next))
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
         unpersistTracked(labelIds)
@@ -402,12 +435,15 @@ object TrainPrep {
     val stop = LLMOps.stopwords
     val w = LLMOps.tokens(col("text"))
     val wc = size(w).cast("double")
+    // codegen folds (RunGrams/CountIn) — value-identical to the
+    // runArgmax(array_sort)/filter+isin HOF chain they replaced (r20,
+    // §4; RunGramsSpec), so the qL22-parity pin is untouched
     docs.filter(
       wc.between(20.0, 80.0) &&
         (length(col("text")).cast("double") / wc).between(3.0, 10.0) &&
-        (LLMOps.runArgmax(array_sort(w)).getField("cnt").cast("double") / wc)
+        (graft.functions.TopRunGram(w, 1).getField("cnt").cast("double") / wc)
           <= 0.125 &&
-        (size(filter(w, t => t.isin(stop: _*))).cast("double") / wc) >= 0.01)
+        (graft.functions.CountIn(w, stop).cast("double") / wc) >= 0.01)
   }
 
   /** Q-L55 — the qL37 mixture weights made ACTIONABLE: materialize a
@@ -765,7 +801,7 @@ object TrainPrep {
       col("doc_id"), col("text"),
       wc.as("wc"),
       (length(col("text")).cast("double") / wc).as("mean_tok_len"),
-      (size(filter(LLMOps.tokens(col("text")), t => t.isin(stop: _*)))
+      (graft.functions.CountIn(LLMOps.tokens(col("text")), stop)
         .cast("double") / wc).as("stop_ratio"),
       // max-token frequency as the qL54 run-length fold over the doc's
       // own sorted tokens — a sorted run's length IS the token's count,
@@ -773,8 +809,11 @@ object TrainPrep {
       // (spec-pinned set-equal in EngineSpec's map-side quality-gate
       // parity test) at zero
       // exchanges: the one avoidable corpus-sized shuffle qL39 carries
-      // stays out of the flagship composed run.
-      LLMOps.runArgmax(array_sort(LLMOps.tokens(col("text"))))
+      // stays out of the flagship composed run. The fold is the RunGrams
+      // codegen expression (r20, §4) — keeps the whole stats Project
+      // inside whole-stage codegen, so the repeated tokens(text)
+      // subexpression is eliminated instead of re-split per feature.
+      graft.functions.TopRunGram(LLMOps.tokens(col("text")), 1)
         .getField("cnt").cast("double").as("max_tok"))
     val qual = col("wc").between(20.0, 80.0) &&
       col("mean_tok_len").between(3.0, 10.0) &&

@@ -124,12 +124,24 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       allAlias.toAttribute, bucket)
   }
 
+  /** Explicit parallelism for the bucket join (fixed-width hash
+    * repartition on the join key, so the join reuses the exchange): the
+    * exploded bucket rows are kilobytes at the join input but fan out
+    * quadratically per shared bucket, and AQE — sizing the exchange from
+    * the PRE-join bytes — coalesces it to one partition and runs the
+    * whole quadratic bucket scan single-threaded (the
+    * hammingNearDupPairs/videoJaccardPairs failure mode, guide §2.6).
+    */
+  private def spread(p: LogicalPlan, key: Attribute): LogicalPlan =
+    RepartitionByExpression(Seq(key), p, Some(conf.numShufflePartitions))
+
   private def rewrite(cond: Expression, l: LogicalPlan, r: LogicalPlan,
       embL: Expression, embR: Expression): LogicalPlan = {
     val pairCols = l.output ++ r.output
     if (bagSemantics) {
-      val (lb, allL, bktL) = withBucketsAndArray(l, embL)
-      val (rb, allR, bktR) = withBucketsAndArray(r, embR)
+      val (lb0, allL, bktL) = withBucketsAndArray(l, embL)
+      val (rb0, allR, bktR) = withBucketsAndArray(r, embR)
+      val (lb, rb) = (spread(lb0, bktL), spread(rb0, bktR))
       val joined = Join(lb, rb, Inner, Some(EqualTo(bktL, bktR)), JoinHint.NONE)
       // keep a match only at its FIRST colliding table: the bucket's
       // table index (bucket >> 32, folded in by LshBuckets) must be the
@@ -145,8 +157,9 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       val dedup = Filter(And(cond, EqualTo(firstCollision, tableOfBucket)), joined)
       Project(pairCols, dedup)
     } else {
-      val (lb, bktL) = withBuckets(l, embL)
-      val (rb, bktR) = withBuckets(r, embR)
+      val (lb0, bktL) = withBuckets(l, embL)
+      val (rb0, bktR) = withBuckets(r, embR)
+      val (lb, rb) = (spread(lb0, bktL), spread(rb0, bktR))
       val joined = Join(lb, rb, Inner, Some(EqualTo(bktL, bktR)), JoinHint.NONE)
       // verify-then-distinct, not distinct-then-verify: the exact
       // predicate is cheap streaming codegen, so run it over every
