@@ -145,17 +145,9 @@ private[graft] object FastImage {
           }
           y += 1
         }
-      case 0 =>
-        while (y < h) {
-          var r = y * stride + 1
-          var x = 0
-          while (x < w) {
-            val v = raw(r) & 0xff
-            argb(o) = 0xff000000 | (v << 16) | (v << 8) | v
-            r += 1; o += 1; x += 1
-          }
-          y += 1
-        }
+      // no colorType-0 arm: grayscale already returned None at the bpp
+      // match above (an identity (v,v,v) conversion would diverge from
+      // ImageIO's linear-gray→sRGB getRGB), so only 2 and 6 reach here
       case _ => // 6
         while (y < h) {
           var r = y * stride + 1

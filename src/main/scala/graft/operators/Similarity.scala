@@ -157,12 +157,12 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism, col("bucket"))
     val l = withBuckets.select(col("bucket"), col("vec_id").as("id_a"),
       col("bks").as("bks_a"))
-    val r = withBuckets.select(col("bucket"), col("vec_id").as("id_b"),
-      col("bks").as("bks_b"))
+    val r = withBuckets.select(col("bucket").as("bucket_b"),
+      col("vec_id").as("id_b"), col("bks").as("bks_b"))
     val cand = l.join(r,
-        l("bucket") === r("bucket") && col("id_a") < col("id_b") &&
+        col("bucket") === col("bucket_b") && col("id_a") < col("id_b") &&
           graft.functions.FirstEqualIndex(col("bks_a"), col("bks_b")) ===
-            shiftright(l("bucket"), 32) + 1L)
+            shiftright(col("bucket"), 32) + 1L)
       .select("id_a", "id_b")
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))

@@ -792,6 +792,17 @@ object TrainPrep {
     * per the q_l06 poly-hash shingle chain, and the media losers from
     * the q_mm10 digest-rebuild chain (splitmix64 → dHash/fingerprint/
     * frame-hash → all-pairs → recursive-CTE closure → richness rank).
+    *
+    * Fault-tolerance trade (§5, deliberate): the in-query pins here
+    * (`base`, the contaminated-id set, the media-loser set) are
+    * `localCheckpoint` — lineage is truncated, so losing an executor
+    * mid-query fails the job instead of recomputing; the retry re-runs
+    * the query. That is the right default for a nightly batch run
+    * (cheap executor-local blocks, no replicated-store round-trip); a
+    * deployment on preemptible nodes should set a checkpoint dir and
+    * swap these pins to reliable `checkpoint()` — the
+    * [[connectedComponents]] `reliable` flag is the same trade exposed
+    * on the one operator where rounds make mid-flight loss likely.
     */
   def qL59(s: SparkSession, d: String): DataFrame = {
     val stop = LLMOps.stopwords
